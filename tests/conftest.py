@@ -1,0 +1,16 @@
+"""Test config: run the suite on a virtual 8-device CPU mesh.
+
+TPU hardware (single chip) is exercised separately by bench.py; unit tests
+must be deterministic and runnable anywhere, and multi-chip sharding tests
+need >1 device, so we force an 8-device CPU platform before JAX is imported.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
