@@ -1,0 +1,153 @@
+"""Modulation mapper and soft demodulator, TS 36.211 §7.1.
+
+Parity with the reference (`lib/src/phy/modem/lte_tables.c`,
+`demod_soft.c:101-160,771-825`):
+
+* Constellations are generated from the 3GPP Gray-mapping recursion rather
+  than hand-written tables; they match the reference's `set_*table` exactly.
+* Soft demod is the same zone-based max-log approximation: the first I/Q LLR
+  pair is the negated symbol, each further pair is ``abs(prev) - threshold``
+  (thresholds 2/sqrt(10); 4,2/sqrt(42); 8,4,2/sqrt(170)).
+* LLR convention (as the reference): **positive LLR ⇒ bit 1**.
+* Fixed-point scales for int16/int8 LLRs mirror `demod_soft.c:101-109`
+  (QPSK 100/20, 16QAM 400/30, 64QAM 700/40, 256QAM 1000/50) — required for
+  BER parity with the reference's fixed-point turbo decoder.
+
+All functions are pure, batched over leading axes, and jit-friendly (the
+modulation is a static argument).
+"""
+
+from __future__ import annotations
+
+import enum
+from functools import lru_cache
+
+import jax.numpy as jnp
+import numpy as np
+
+
+class Mod(enum.IntEnum):
+    BPSK = 0
+    QPSK = 1
+    QAM16 = 2
+    QAM64 = 3
+    QAM256 = 4
+
+    @property
+    def bits_per_symbol(self) -> int:
+        return (1, 2, 4, 6, 8)[self]
+
+
+# per-modulation (float_scale_int16, float_scale_int8) from demod_soft.c:101-109
+LLR_SCALE_I16 = {Mod.BPSK: 100, Mod.QPSK: 100, Mod.QAM16: 400, Mod.QAM64: 700, Mod.QAM256: 1000}
+LLR_SCALE_I8 = {Mod.BPSK: 20, Mod.QPSK: 20, Mod.QAM16: 30, Mod.QAM64: 40, Mod.QAM256: 50}
+
+
+def _pam_levels(nbits: int) -> np.ndarray:
+    """Gray-mapped PAM amplitude for each bit pattern (TS 36.211 §7.1).
+
+    For the bits (x1..xk) steering one axis, amplitude =
+    ``f(x1..xk)`` with f() = 8-(1-2a)*(4-(1-2b)*(2-(1-2c))) style recursion.
+    Returns unnormalized odd levels for all 2^nbits patterns.
+    """
+    if nbits == 0:
+        return np.array([1.0])
+
+    def f(bits):
+        if len(bits) == 1:
+            return 2.0 - (1.0 - 2.0 * bits[0])
+        return 2.0 ** len(bits) - (1.0 - 2.0 * bits[0]) * f(bits[1:])
+
+    out = np.empty(2**nbits)
+    for idx in range(2**nbits):
+        bits = [(idx >> (nbits - 1 - i)) & 1 for i in range(nbits)]
+        out[idx] = f(bits)
+    return out
+
+
+@lru_cache(maxsize=None)
+def constellation_np(mod: Mod) -> np.ndarray:
+    """Symbol table indexed by the MSB-first packed bit word."""
+    if mod == Mod.BPSK:
+        a = 1.0 / np.sqrt(2.0)
+        return np.array([a + 1j * a, -a - 1j * a], dtype=np.complex64)
+    m = mod.bits_per_symbol
+    half = m // 2
+    # bit layout: b0 b1 b2 ... — even bits (b0,b2,..) steer I, odd steer Q;
+    # first bit of each axis is the sign, remaining bits the magnitude.
+    norm = {2: np.sqrt(2.0), 4: np.sqrt(10.0), 6: np.sqrt(42.0), 8: np.sqrt(170.0)}[m]
+    mag = _pam_levels(half - 1)
+    table = np.empty(2**m, dtype=np.complex64)
+    for idx in range(2**m):
+        bits = [(idx >> (m - 1 - i)) & 1 for i in range(m)]
+        ib, qb = bits[0::2], bits[1::2]
+        i_val = (1.0 - 2.0 * ib[0]) * mag[
+            int("".join(map(str, ib[1:])) or "0", 2)
+        ]
+        q_val = (1.0 - 2.0 * qb[0]) * mag[
+            int("".join(map(str, qb[1:])) or "0", 2)
+        ]
+        table[idx] = (i_val + 1j * q_val) / norm
+    return table
+
+
+def modulate(mod: Mod, bits):
+    """{0,1} bits (..., n*m) → complex64 symbols (..., n)."""
+    m = mod.bits_per_symbol
+    table = jnp.asarray(constellation_np(mod))
+    b = bits.reshape(bits.shape[:-1] + (-1, m)).astype(jnp.int32)
+    weights = jnp.asarray([1 << (m - 1 - i) for i in range(m)], jnp.int32)
+    idx = jnp.sum(b * weights, axis=-1)
+    return table[idx]
+
+
+def demod_soft(mod: Mod, symbols):
+    """complex64 symbols (..., n) → float32 LLRs (..., n*m).
+
+    Zone-based max-log approximation, exact float parity with
+    `demod_soft.c` float paths. Positive LLR ⇒ bit 1.
+    """
+    re, im = jnp.real(symbols), jnp.imag(symbols)
+    if mod == Mod.BPSK:
+        return (-(re + im) * np.float32(1.0 / np.sqrt(2.0))).astype(jnp.float32)
+    if mod == Mod.QPSK:
+        llr = jnp.stack([-re * np.sqrt(2.0), -im * np.sqrt(2.0)], axis=-1)
+        return llr.reshape(symbols.shape[:-1] + (-1,)).astype(jnp.float32)
+    if mod == Mod.QAM16:
+        th = 2.0 / np.sqrt(10.0)
+        l0, l1 = -re, -im
+        l2, l3 = jnp.abs(re) - th, jnp.abs(im) - th
+        llr = jnp.stack([l0, l1, l2, l3], axis=-1)
+        return llr.reshape(symbols.shape[:-1] + (-1,)).astype(jnp.float32)
+    if mod == Mod.QAM64:
+        t1, t2 = 4.0 / np.sqrt(42.0), 2.0 / np.sqrt(42.0)
+        l0, l1 = -re, -im
+        l2, l3 = jnp.abs(re) - t1, jnp.abs(im) - t1
+        l4, l5 = jnp.abs(l2) - t2, jnp.abs(l3) - t2
+        llr = jnp.stack([l0, l1, l2, l3, l4, l5], axis=-1)
+        return llr.reshape(symbols.shape[:-1] + (-1,)).astype(jnp.float32)
+    if mod == Mod.QAM256:
+        t1, t2, t3 = (x / np.sqrt(170.0) for x in (8.0, 4.0, 2.0))
+        l0, l1 = -re, -im
+        l2, l3 = jnp.abs(l0) - t1, jnp.abs(l1) - t1
+        l4, l5 = jnp.abs(l2) - t2, jnp.abs(l3) - t2
+        l6, l7 = jnp.abs(l4) - t3, jnp.abs(l5) - t3
+        llr = jnp.stack([l0, l1, l2, l3, l4, l5, l6, l7], axis=-1)
+        return llr.reshape(symbols.shape[:-1] + (-1,)).astype(jnp.float32)
+    raise ValueError(f"unsupported modulation {mod}")
+
+
+def quantize_llr(llr, mod: Mod, dtype=jnp.int16):
+    """Float LLRs → int16/int8 with the reference's per-modulation scales."""
+    if dtype == jnp.int16:
+        scale, lim = LLR_SCALE_I16[mod], 32767
+    elif dtype == jnp.int8:
+        scale, lim = LLR_SCALE_I8[mod], 127
+    else:
+        raise ValueError(dtype)
+    return jnp.clip(jnp.round(llr * scale), -lim - 1, lim).astype(dtype)
+
+
+def demod_hard(mod: Mod, symbols):
+    """Hard decisions from LLR signs (positive ⇒ 1)."""
+    return (demod_soft(mod, symbols) > 0).astype(jnp.uint8)

@@ -1,0 +1,188 @@
+"""OFDM modulation/demodulation (CP insert/remove + FFT), TS 36.211 §6.12.
+
+Behavioral parity with the reference modulator (`lib/src/phy/dft/ofdm.c`):
+
+* RX (`ofdm_rx_slot`, ofdm.c:392-428): per symbol, skip CP, FFT(N), optional
+  rx-window phase compensation, then map bins to REs with the DC bin skipped:
+  ``out[:nre/2] = bins[N-nre/2:]``, ``out[nre/2:] = bins[1:1+nre/2]``,
+  optional 1/sqrt(N) normalization.
+* TX (`ofdm_tx_slot`, ofdm.c:492-546): inverse mapping, IFFT, CP insertion,
+  optional 1/sqrt(N) normalization.
+* ``rx_window_offset`` (ofdm.c:131-161): DFT window advanced into the CP by
+  ``round(cp2 * offset)`` samples, compensated by the per-bin phase ramp
+  ``exp(+j*2*pi*woff*k/N)``.
+* ``freq_shift_f`` (ofdm.c:209,339 and srslte_ofdm_set_freq_shift): time-
+  domain multiply by ``exp(j*2*pi*f*n/N)`` with n continuous over the
+  subframe — used for the UL ±half-subcarrier shift.
+
+TPU-first design: no stateful plan objects — a frozen `OfdmConfig` (static
+jit arg) + pure functions over arrays.  Symbol windows are extracted with 14
+static slices (fused by XLA); the FFT is one batched `jnp.fft.fft` over all
+symbols (and any leading batch axes), which is how the MXU/VPU want it —
+instead of the reference's per-symbol FFTW calls.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import lru_cache
+
+import jax.numpy as jnp
+import numpy as np
+
+from .common import CP, Cell, cp_len_ext, cp_len_norm
+
+
+@dataclasses.dataclass(frozen=True)
+class OfdmConfig:
+    nof_prb: int
+    cp: CP = CP.NORM
+    symbol_sz: int = 0  # 0 → derive from nof_prb
+    normalize: bool = False
+    freq_shift_f: float = 0.0  # in subcarrier units (UL: ±0.5)
+    rx_window_offset: float = 0.0  # fraction of CP [0, 1)
+    use_standard_rates: bool = True
+
+    def __post_init__(self):
+        if self.symbol_sz == 0:
+            from .common import symbol_sz as _ssz
+
+            object.__setattr__(
+                self, "symbol_sz", _ssz(self.nof_prb, self.use_standard_rates)
+            )
+
+    @classmethod
+    def from_cell(cls, cell: Cell, **kw) -> "OfdmConfig":
+        return cls(
+            nof_prb=cell.nof_prb,
+            cp=cell.cp,
+            use_standard_rates=cell.use_standard_rates,
+            **kw,
+        )
+
+    @property
+    def nof_re(self) -> int:
+        return self.nof_prb * 12
+
+    @property
+    def nsymb_slot(self) -> int:
+        return self.cp.nsymb
+
+    @property
+    def nsymb_sf(self) -> int:
+        return 2 * self.cp.nsymb
+
+    @property
+    def slot_sz(self) -> int:
+        return self.symbol_sz * 15 // 2
+
+    @property
+    def sf_sz(self) -> int:
+        return self.symbol_sz * 15
+
+    @property
+    def window_offset_n(self) -> int:
+        if self.rx_window_offset <= 0:
+            return 0
+        cp2 = (
+            cp_len_norm(1, self.symbol_sz)
+            if self.cp == CP.NORM
+            else cp_len_ext(self.symbol_sz)
+        )
+        return int(round(cp2 * min(self.rx_window_offset, 1.0)))
+
+    def symbol_starts(self) -> tuple[int, ...]:
+        """Start sample (post-CP FFT window) of each symbol in the subframe."""
+        n = self.symbol_sz
+        starts = []
+        for slot in range(2):
+            t = slot * self.slot_sz
+            for l in range(self.nsymb_slot):
+                cp = (
+                    cp_len_norm(l, n) if self.cp == CP.NORM else cp_len_ext(n)
+                )
+                t += cp
+                starts.append(t)
+                t += n
+        return tuple(starts)
+
+
+@lru_cache(maxsize=128)
+def _phase_tables(cfg: OfdmConfig):
+    """Host-precomputed (freq_shift, window_offset) phase ramps."""
+    n = cfg.symbol_sz
+    shift = None
+    if cfg.freq_shift_f != 0.0:
+        t = np.arange(cfg.sf_sz, dtype=np.float64)
+        shift = np.exp(2j * np.pi * cfg.freq_shift_f * t / n).astype(np.complex64)
+    woff = None
+    if cfg.window_offset_n:
+        k = np.arange(n, dtype=np.float64)
+        woff = np.exp(2j * np.pi * cfg.window_offset_n * k / n).astype(np.complex64)
+    return shift, woff
+
+
+def ofdm_rx_sf(cfg: OfdmConfig, samples):
+    """Demodulate one subframe: (..., sf_sz) samples → (..., nsymb_sf, nof_re).
+
+    Mirrors `srslte_ofdm_rx_sf` (ofdm.c:458-471).  Batched over any leading
+    axes; use `jax.vmap`/sharding for carriers/subframes.
+    """
+    n = cfg.symbol_sz
+    nre = cfg.nof_re
+    shift, woff = _phase_tables(cfg)
+    if shift is not None:
+        samples = samples * jnp.asarray(shift)
+
+    starts = cfg.symbol_starts()
+    wo = cfg.window_offset_n
+    wins = [
+        jnp.asarray(samples[..., s - wo : s - wo + n]) for s in starts
+    ]
+    x = jnp.stack(wins, axis=-2)  # (..., nsymb_sf, N)
+    bins = jnp.fft.fft(x, axis=-1)
+    if woff is not None:
+        bins = bins * jnp.asarray(woff)
+    # negative-frequency half then positive half, skipping the DC bin
+    grid = jnp.concatenate(
+        [bins[..., n - nre // 2 :], bins[..., 1 : 1 + nre // 2]], axis=-1
+    )
+    if cfg.normalize:
+        grid = grid * (1.0 / np.sqrt(n))
+    return grid.astype(jnp.complex64)
+
+
+def ofdm_tx_sf(cfg: OfdmConfig, grid):
+    """Modulate one subframe: (..., nsymb_sf, nof_re) grid → (..., sf_sz).
+
+    Mirrors `srslte_ofdm_tx_sf` (ofdm.c:567-580).
+    """
+    n = cfg.symbol_sz
+    nre = cfg.nof_re
+    nsym = cfg.nsymb_sf
+    batch = grid.shape[:-2]
+
+    bins = jnp.zeros(batch + (nsym, n), dtype=jnp.complex64)
+    bins = bins.at[..., 1 : 1 + nre // 2].set(grid[..., nre // 2 :])
+    bins = bins.at[..., n - nre // 2 :].set(grid[..., : nre // 2])
+    sym = jnp.fft.ifft(bins, axis=-1) * n  # reference IFFT is unnormalized
+    if cfg.normalize:
+        sym = sym * (1.0 / np.sqrt(n))
+
+    # insert CP: concatenate [tail(cp) | symbol] per symbol, then flatten
+    pieces = []
+    for i, l in enumerate(
+        list(range(cfg.nsymb_slot)) * 2
+    ):
+        cp = (
+            cp_len_norm(l, n) if cfg.cp == CP.NORM else cp_len_ext(n)
+        )
+        s = sym[..., i, :]
+        pieces.append(s[..., n - cp :])
+        pieces.append(s)
+    out = jnp.concatenate(pieces, axis=-1)
+
+    shift, _ = _phase_tables(cfg)
+    if shift is not None:
+        out = out * jnp.asarray(shift)
+    return out.astype(jnp.complex64)
