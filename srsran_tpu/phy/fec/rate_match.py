@@ -78,13 +78,21 @@ def turbo_k0(k: int, rv: int) -> int:
 
 
 @lru_cache(maxsize=4096)
-def turbo_rm_indices(k: int, e: int, rv: int) -> np.ndarray:
-    """Gather indices (length e) into the flat (3*(k+4),) d-stream array."""
+def turbo_rm_indices(k: int, e: int, rv: int, n_filler: int = 0) -> np.ndarray:
+    """Gather indices (length e) into the flat (3*(k+4),) d-stream array.
+
+    `n_filler` filler bits at the head of d^(0) and d^(1) are <NULL> and
+    skipped by bit selection (TS 36.212 §5.1.3.2; the reference encoder marks
+    them TX_NULL in both streams, turbocoder.c:133-147).
+    """
     w, kp = _turbo_wbuffer(k)
+    d = k + 4
     ncb = 3 * kp
     k0 = turbo_k0(k, rv)
-    # walk the circular buffer skipping dummies until e bits collected
     valid_mask = w >= 0
+    if n_filler:
+        is_filler = ((w >= 0) & (w < n_filler)) | ((w >= d) & (w < d + n_filler))
+        valid_mask = valid_mask & ~is_filler
     order = np.concatenate([np.arange(k0, ncb), np.arange(0, k0)])
     stream = w[order]
     stream = stream[valid_mask[order]]
@@ -93,21 +101,21 @@ def turbo_rm_indices(k: int, e: int, rv: int) -> np.ndarray:
     return np.tile(stream, reps)[:e].astype(np.int32)
 
 
-def turbo_rate_match_tx(d, e: int, rv: int = 0):
+def turbo_rate_match_tx(d, e: int, rv: int = 0, n_filler: int = 0):
     """d: (..., 3, K+4) coded bits/values → (..., e)."""
     k = d.shape[-1] - 4
-    idx = jnp.asarray(turbo_rm_indices(k, e, rv))
+    idx = jnp.asarray(turbo_rm_indices(k, e, rv, n_filler))
     flat = d.reshape(d.shape[:-2] + (-1,))
     return flat[..., idx]
 
 
-def turbo_rate_match_rx(llr_e, k: int, rv: int = 0, softbuffer=None):
+def turbo_rate_match_rx(llr_e, k: int, rv: int = 0, softbuffer=None, n_filler: int = 0):
     """LLRs (..., e) → d-stream LLRs (..., 3, K+4), accumulating repetitions.
 
     If `softbuffer` (..., 3, K+4) is given, accumulate into it (HARQ).
     """
     e = llr_e.shape[-1]
-    idx = jnp.asarray(turbo_rm_indices(k, e, rv))
+    idx = jnp.asarray(turbo_rm_indices(k, e, rv, n_filler))
     if softbuffer is None:
         flat = jnp.zeros(llr_e.shape[:-1] + (3 * (k + 4),), llr_e.dtype)
     else:

@@ -1,0 +1,98 @@
+import numpy as np
+import pytest
+
+from srsran_tpu.phy.common import Cell
+from srsran_tpu.phy.chest.chest_dl import ChestDlConfig, chest_dl
+from srsran_tpu.phy.chest.refsignal_dl import crs_positions, crs_sequence, put_crs_np
+
+
+def test_crs_positions():
+    cell = Cell(nof_prb=6, nof_ports=2, id=0)
+    syms, freqs = crs_positions(cell, 0)
+    np.testing.assert_array_equal(syms, [0, 4, 7, 11])
+    # port 0, ref 0: v=0, vshift=0 → k = 0, 6, 12...
+    np.testing.assert_array_equal(freqs[0][:3], [0, 6, 12])
+    # ref 1: v=3
+    np.testing.assert_array_equal(freqs[1][:3], [3, 9, 15])
+    syms1, freqs1 = crs_positions(cell, 1)
+    np.testing.assert_array_equal(freqs1[0][:3], [3, 9, 15])
+
+
+def test_crs_vshift():
+    cell = Cell(nof_prb=6, nof_ports=1, id=7)  # vshift = 1
+    _, freqs = crs_positions(cell, 0)
+    np.testing.assert_array_equal(freqs[0][:3], [1, 7, 13])
+
+
+def test_crs_sequence_properties():
+    cell = Cell(nof_prb=50, nof_ports=2, id=301)
+    seq = crs_sequence(cell, 3)
+    assert seq.shape == (2, 4, 100)
+    np.testing.assert_allclose(np.abs(seq), np.sqrt(0.5) * np.sqrt(2), rtol=1e-6)
+    # different subframes give different sequences
+    seq2 = crs_sequence(cell, 4)
+    assert not np.allclose(seq, seq2)
+
+
+def test_chest_flat_channel():
+    """Perfect flat channel h=2+1j: estimator returns it everywhere."""
+    cell = Cell(nof_prb=15, nof_ports=1, id=10)
+    grid = np.zeros((1, cell.nsymb_per_sf, cell.nof_re_per_symbol), np.complex64)
+    put_crs_np(grid, cell, 0)
+    h = np.complex64(2.0 + 1.0j)
+    res = chest_dl(grid[0] * h, cell, 0)
+    ce = np.asarray(res["ce"])
+    assert ce.shape == (1, 14, 180)
+    np.testing.assert_allclose(ce, np.full_like(ce, h), atol=1e-3)
+    assert float(res["noise"][0]) < 1e-6
+    np.testing.assert_allclose(float(res["rsrp"][0]), abs(h) ** 2, rtol=1e-3)
+
+
+def test_chest_frequency_selective():
+    """Linear-phase (delay) channel is tracked to a few percent MSE."""
+    cell = Cell(nof_prb=25, nof_ports=1, id=3)
+    nre = cell.nof_re_per_symbol
+    grid = np.zeros((1, cell.nsymb_per_sf, nre), np.complex64)
+    put_crs_np(grid, cell, 2)
+    k = np.arange(nre)
+    h = np.exp(2j * np.pi * 2.5 * k / nre).astype(np.complex64)  # 2.5-sample delay
+    res = chest_dl(grid[0] * h[None, :], cell, 2)
+    ce = np.asarray(res["ce"])[0]
+    mse = np.mean(np.abs(ce - h[None, :]) ** 2)
+    assert mse < 0.01, mse
+
+
+def test_chest_noise_estimate():
+    cell = Cell(nof_prb=50, nof_ports=1, id=100)
+    rng = np.random.default_rng(0)
+    grid = np.zeros((1, cell.nsymb_per_sf, cell.nof_re_per_symbol), np.complex64)
+    put_crs_np(grid, cell, 5)
+    sigma2 = 0.01
+    noise = (rng.standard_normal(grid[0].shape) + 1j * rng.standard_normal(grid[0].shape)).astype(np.complex64) * np.sqrt(sigma2 / 2)
+    res = chest_dl(grid[0] + noise, cell, 5)
+    est = float(res["noise"][0])
+    assert 0.5 * sigma2 < est < 2.0 * sigma2, est
+    snr_db = 10 * np.log10(float(res["snr"][0]))
+    assert 17 < snr_db < 23  # true SNR = 20 dB
+
+
+def test_chest_two_ports():
+    cell = Cell(nof_prb=6, nof_ports=2, id=0)
+    grid = np.zeros((2, cell.nsymb_per_sf, cell.nof_re_per_symbol), np.complex64)
+    put_crs_np(grid, cell, 0)
+    # channel: port0 → 1.0, port1 → -1j; rx = sum of both port signals
+    rx = grid[0] * 1.0 + grid[1] * (-1j)
+    res = chest_dl(rx, cell, 0, nof_ports=2)
+    ce = np.asarray(res["ce"])
+    np.testing.assert_allclose(ce[0], np.ones_like(ce[0]), atol=2e-2)
+    np.testing.assert_allclose(ce[1], np.full_like(ce[1], -1j), atol=2e-2)
+
+
+def test_chest_batched():
+    cell = Cell(nof_prb=6, nof_ports=1, id=1)
+    grid = np.zeros((1, cell.nsymb_per_sf, cell.nof_re_per_symbol), np.complex64)
+    put_crs_np(grid, cell, 0)
+    batch = np.stack([grid[0], grid[0] * 2.0])
+    res = chest_dl(batch, cell, 0)
+    assert np.asarray(res["ce"]).shape == (2, 1, 14, 72)
+    np.testing.assert_allclose(np.asarray(res["ce"])[1], 2 * np.asarray(res["ce"])[0], atol=1e-4)

@@ -1,0 +1,127 @@
+"""End-to-end PDSCH subframe loopback: the analog of the reference's
+`lib/test/phy/phy_dl_test.c` (eNB-side generate → UE-side decode in memory).
+"""
+
+import numpy as np
+import pytest
+
+from srsran_tpu.phy.common import Cell
+from srsran_tpu.phy.chest.chest_dl import chest_dl
+from srsran_tpu.phy.chest.refsignal_dl import put_crs_np
+from srsran_tpu.phy.modem import Mod
+from srsran_tpu.phy.ofdm import OfdmConfig, ofdm_rx_sf, ofdm_tx_sf
+from srsran_tpu.phy.phch.pdsch import (
+    DlGrant,
+    pdsch_decode,
+    pdsch_encode_np,
+    pdsch_nof_re,
+)
+from srsran_tpu.phy.phch.sch import TbCoding, dlsch_decode, dlsch_encode_np
+
+
+def awgn(rng, x, snr_db):
+    p = np.mean(np.abs(x) ** 2)
+    n0 = p * 10 ** (-snr_db / 10)
+    n = (rng.standard_normal(x.shape) + 1j * rng.standard_normal(x.shape)).astype(
+        np.complex64
+    ) * np.sqrt(n0 / 2)
+    return (x + n).astype(np.complex64), n0
+
+
+def run_link(cell, sf_idx, cfi, grant, snr_db, seed=0, h=None, nrx=1):
+    """TX grid → OFDM → channel → OFDM rx → chest → PDSCH decode."""
+    rng = np.random.default_rng(seed)
+    tb = rng.integers(0, 2, grant.tbs).astype(np.uint8)
+    grid = pdsch_encode_np(cell, sf_idx, cfi, grant, tb)
+    nof_ports = grid.shape[0]
+    full = np.zeros((max(nof_ports, cell.nof_ports), cell.nsymb_per_sf, cell.nof_re_per_symbol), np.complex64)
+    full[:nof_ports] += grid
+    put_crs_np(full, cell, sf_idx)
+
+    ofdm = OfdmConfig.from_cell(cell, normalize=True)
+    tx = np.asarray(ofdm_tx_sf(ofdm, full))  # (nports, sf_len)
+
+    if h is None:
+        h = np.ones((nrx, full.shape[0]), np.complex64)  # flat per (rx, port)
+    rx_t = np.einsum("rp,pt->rt", h, tx)
+    rx_t, _ = awgn(rng, rx_t, snr_db)
+
+    rx_grid = np.asarray(ofdm_rx_sf(ofdm, rx_t))  # (nrx, nsymb, nre)
+    res = chest_dl(rx_grid, cell, sf_idx, nof_ports=full.shape[0])
+    noise = float(np.mean(np.asarray(res["noise"])))
+    tb_hat, ok, _ = pdsch_decode(
+        rx_grid, np.asarray(res["ce"]), noise, cell, sf_idx, cfi, grant
+    )
+    return tb, tb_hat, ok
+
+
+def test_dlsch_coding_roundtrip():
+    rng = np.random.default_rng(1)
+    for tbs, g in ((600, 1800), (6200, 12000)):
+        cfg = TbCoding(tbs=tbs, g=g, qm=2)
+        tb = rng.integers(0, 2, tbs).astype(np.uint8)
+        cw = dlsch_encode_np(tb, cfg)
+        assert cw.shape == (g,)
+        llr = (2.0 * cw.astype(np.float32) - 1.0) * 8.0
+        tb_hat, ok, _ = dlsch_decode(llr, cfg)
+        assert ok
+        np.testing.assert_array_equal(tb_hat, tb)
+
+
+def test_pdsch_e2e_1p4mhz_qpsk():
+    """BASELINE config 1: 1.4 MHz SISO QPSK PDSCH subframe decode."""
+    cell = Cell(nof_prb=6, nof_ports=1, id=1)
+    grant = DlGrant(prb=tuple(range(6)), mod=Mod.QPSK, tbs=600)
+    tb, tb_hat, ok = run_link(cell, 1, 1, grant, snr_db=10.0)
+    assert ok
+    np.testing.assert_array_equal(tb_hat, tb)
+
+
+def test_pdsch_e2e_10mhz_16qam():
+    """BASELINE config 2 (reduced): 10 MHz SISO 16QAM full DL chain."""
+    cell = Cell(nof_prb=50, nof_ports=1, id=301)
+    n_re = pdsch_nof_re(cell, 2, 1, tuple(range(50)))
+    g = n_re * 4
+    tbs = 14112  # ≈ rate 0.47
+    grant = DlGrant(prb=tuple(range(50)), mod=Mod.QAM16, tbs=tbs)
+    tb, tb_hat, ok = run_link(cell, 2, 1, grant, snr_db=18.0)
+    assert ok
+    np.testing.assert_array_equal(tb_hat, tb)
+
+
+def test_pdsch_e2e_txdiversity():
+    """TM2: 2-port SFBC over 1 rx antenna."""
+    cell = Cell(nof_prb=15, nof_ports=2, id=7)
+    grant = DlGrant(prb=tuple(range(15)), mod=Mod.QPSK, tbs=1200, tx_scheme="diversity")
+    rng = np.random.default_rng(5)
+    h = np.array([[0.9 + 0.3j, -0.5 + 0.7j]], np.complex64)
+    tb, tb_hat, ok = run_link(cell, 3, 2, grant, snr_db=14.0, h=h)
+    assert ok
+    np.testing.assert_array_equal(tb_hat, tb)
+
+
+def test_pdsch_e2e_spatialmux_2x2():
+    """TM4-style: 2-layer spatial multiplexing, 2x2, ZF."""
+    cell = Cell(nof_prb=25, nof_ports=2, id=77)
+    grant = DlGrant(
+        prb=tuple(range(25)),
+        mod=Mod.QAM16,
+        tbs=6200,
+        tx_scheme="spatialmux",
+        nof_layers=2,
+        pmi=0,
+    )
+    h = np.array(
+        [[1.0 + 0.1j, 0.2 - 0.3j], [-0.25 + 0.15j, 0.8 - 0.4j]], np.complex64
+    )
+    tb, tb_hat, ok = run_link(cell, 4, 1, grant, snr_db=25.0, h=h, nrx=2)
+    assert ok
+    np.testing.assert_array_equal(tb_hat, tb)
+
+
+def test_pdsch_fails_at_low_snr_then_harq():
+    """Sanity: CRC must fail at very low SNR (no false positives)."""
+    cell = Cell(nof_prb=6, nof_ports=1, id=1)
+    grant = DlGrant(prb=tuple(range(6)), mod=Mod.QAM64, tbs=2600)
+    tb, tb_hat, ok = run_link(cell, 1, 1, grant, snr_db=-3.0)
+    assert not ok
