@@ -83,6 +83,59 @@ def dlsch_encode_np(tb_bits: np.ndarray, cfg: TbCoding) -> np.ndarray:
     return np.concatenate(out)
 
 
+def dlsch_decode_device(llr, cfg: TbCoding, max_iterations: int = 5):
+    """Fully-jittable TB decode: codeword LLRs (g,) → (tb_bits (tbs,), ok).
+
+    Same chain as `dlsch_decode` but with the CRC checks and desegmentation
+    done on device, so a whole subframe/carrier pipeline can live under one
+    `jax.jit` and be sharded with `shard_map` (no host sync per TB).
+    """
+    s = cfg.segm
+    es = cfg.e_sizes()
+    offsets = np.concatenate([[0], np.cumsum(es)])
+
+    groups: dict[tuple[int, int, int], list[int]] = {}
+    for i, k in enumerate(s.cb_sizes):
+        f = s.F if i == 0 else 0
+        groups.setdefault((k, es[i], f), []).append(i)
+
+    decoded = [None] * s.C
+    ok = [None] * s.C
+    for (k, e, f), idxs in groups.items():
+        batch = jnp.stack([llr[offsets[i] : offsets[i] + e] for i in idxs])
+        d_llr = turbo_rate_match_rx(batch, k, cfg.rv, n_filler=f)
+        if f:
+            d_llr = d_llr.at[:, 0, :f].set(FILLER_LLR)
+        crc_poly = LTE_CRC24B if s.C > 1 else LTE_CRC24A
+        table = jnp.asarray(crc_matrix_np(crc_poly, k).astype(np.float32))
+        bits, post, n_it = turbo_decode(d_llr, k, max_iterations, crc_table=table)
+        acc = jnp.matmul(
+            bits.astype(jnp.float32), table, preferred_element_type=jnp.float32
+        )
+        cb_ok = jnp.all((acc.astype(jnp.int32) & 1) == 0, axis=-1)
+        for j, i in enumerate(idxs):
+            decoded[i] = bits[j]
+            ok[i] = cb_ok[j]
+
+    parts = []
+    for i, k in enumerate(s.cb_sizes):
+        f = s.F if i == 0 else 0
+        parts.append(decoded[i][f : k - (24 if s.C > 1 else 0)])
+    b = jnp.concatenate(parts)
+    tb = b[: cfg.tbs]
+    # TB CRC24A over the reassembled block
+    tb_table = jnp.asarray(crc_matrix_np(LTE_CRC24A, cfg.tbs).astype(np.float32))
+    crc_calc = (
+        jnp.matmul(
+            tb.astype(jnp.float32), tb_table, preferred_element_type=jnp.float32
+        ).astype(jnp.int32)
+        & 1
+    ).astype(jnp.uint8)
+    tb_ok = jnp.all(crc_calc == b[cfg.tbs :].astype(jnp.uint8))
+    all_ok = jnp.logical_and(tb_ok, jnp.all(jnp.stack(ok)))
+    return tb, all_ok
+
+
 def dlsch_decode(llr, cfg: TbCoding, max_iterations: int = 5, softbuffers=None):
     """Decode one TB from codeword LLRs (g,) float32 (positive ⇒ bit 1).
 

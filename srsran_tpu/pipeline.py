@@ -1,0 +1,114 @@
+"""Fully-jittable subframe pipelines and multi-carrier sharding.
+
+This is the TPU-native analog of the reference's app PHY workers
+(`srsue/src/phy/cc_worker.cc` per-carrier processing): instead of one thread
+per carrier, carriers are a **batch/shard axis** of one compiled program.
+
+`ue_dl_subframe(cell, sf_idx, cfi, grant)` builds a pure function
+``samples (nrx, sf_len) -> (tb_bits, crc_ok, snr)`` covering
+OFDM demod → CRS channel estimation → equalize → demod → descramble →
+de-rate-match → turbo decode → CRC, entirely under jit.
+
+`multi_carrier_ue_dl(...)` vmaps it over a leading carrier axis and shards
+the carrier axis over a `jax.sharding.Mesh` — the SURVEY §2.6 "carrier
+parallelism" mapping (one cc_worker per carrier → shard axis).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .phy.common import Cell
+from .phy.chest.chest_dl import ChestDlConfig, chest_dl
+from .phy.mimo import (
+    layerdemap,
+    predecode_diversity2,
+    predecode_single_mrc,
+    predecode_zf_mmse,
+)
+from .phy.modem import demod_soft
+from .phy.ofdm import OfdmConfig, ofdm_rx_sf
+from .phy.phch.pdsch import DlGrant, pdsch_cinit, pdsch_re_indices
+from .phy.phch.sch import TbCoding, dlsch_decode_device
+from .phy.scrambling import scramble_soft
+from .phy.sequence import gold_sequence_signs
+
+
+def ue_dl_subframe(cell: Cell, sf_idx: int, cfi: int, grant: DlGrant, max_iterations: int = 5):
+    """Build the jittable UE DL subframe decode function.
+
+    Returns fn(samples (nrx, sf_len) complex64) ->
+      (tb_bits (tbs,) uint8, crc_ok bool, snr_db float32)
+    """
+    ofdm = OfdmConfig.from_cell(cell, normalize=True)
+    idx = pdsch_re_indices(cell, sf_idx, cfi, grant.prb)
+    n_re = len(idx)
+    nof_layers = grant.nof_layers if grant.tx_scheme == "spatialmux" else 1
+    g = n_re * grant.qm * nof_layers
+    coding = TbCoding(tbs=grant.tbs, g=g, qm=grant.qm, rv=grant.rv, nof_layers=nof_layers)
+    signs = gold_sequence_signs(pdsch_cinit(grant.rnti, sf_idx, cell.id), g)
+    nof_ports = 2 if grant.tx_scheme in ("diversity", "spatialmux") else 1
+
+    def fn(samples):
+        rx_grid = ofdm_rx_sf(ofdm, samples)  # (nrx, nsymb, nre)
+        res = chest_dl(rx_grid, cell, sf_idx, nof_ports=nof_ports)
+        noise = jnp.mean(res["noise"])
+        ce = res["ce"]
+        y = rx_grid.reshape(rx_grid.shape[0], -1)[:, jnp.asarray(idx)]
+        h = ce.reshape(ce.shape[0], ce.shape[1], -1)[:, :, jnp.asarray(idx)]
+        if grant.tx_scheme == "port0":
+            x, csi = predecode_single_mrc(y, h[:, 0], noise)
+        elif grant.tx_scheme == "diversity":
+            x, csi = predecode_diversity2(y, h)
+        elif grant.tx_scheme == "spatialmux":
+            xl, csil = predecode_zf_mmse(y, h, grant.nof_layers, noise, pmi=grant.pmi)
+            x = layerdemap(xl, 1)[0]
+            csi = layerdemap(csil.astype(jnp.complex64), 1)[0].real
+        else:
+            raise NotImplementedError(grant.tx_scheme)
+        llr = demod_soft(grant.mod, x)
+        llr = llr * jnp.repeat(csi, grant.qm, axis=-1)
+        llr = scramble_soft(llr, signs)
+        tb, ok = dlsch_decode_device(llr, coding, max_iterations)
+        snr_db = 10.0 * jnp.log10(jnp.mean(res["snr"]))
+        return tb, ok, snr_db
+
+    return fn
+
+
+def multi_carrier_ue_dl(
+    cell: Cell,
+    sf_idx: int,
+    cfi: int,
+    grant: DlGrant,
+    mesh: Mesh | None = None,
+    axis: str = "carriers",
+    max_iterations: int = 5,
+):
+    """Vmapped + mesh-sharded carrier pipeline.
+
+    Returns fn(samples (n_carriers, nrx, sf_len)) ->
+      (tb (n_carriers, tbs), ok (n_carriers,), total_ok ())
+    With a mesh, the carrier axis is sharded and `total_ok` is a cross-chip
+    psum-style reduction (rides the ICI).
+    """
+    single = ue_dl_subframe(cell, sf_idx, cfi, grant, max_iterations)
+
+    def all_carriers(samples):
+        tb, ok, snr = jax.vmap(single)(samples)
+        return tb, ok, jnp.sum(ok.astype(jnp.int32))
+
+    if mesh is None:
+        return jax.jit(all_carriers)
+    in_sharding = NamedSharding(mesh, P(axis, None, None))
+    out_sharding = (
+        NamedSharding(mesh, P(axis, None)),
+        NamedSharding(mesh, P(axis)),
+        NamedSharding(mesh, P()),
+    )
+    return jax.jit(all_carriers, in_shardings=in_sharding, out_shardings=out_sharding)

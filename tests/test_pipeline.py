@@ -1,0 +1,58 @@
+import jax
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from srsran_tpu.phy.common import Cell
+from srsran_tpu.phy.chest.refsignal_dl import put_crs_np
+from srsran_tpu.phy.modem import Mod
+from srsran_tpu.phy.ofdm import OfdmConfig, ofdm_tx_sf
+from srsran_tpu.phy.phch.pdsch import DlGrant, pdsch_encode_np
+from srsran_tpu.pipeline import multi_carrier_ue_dl, ue_dl_subframe
+
+
+def make_tx(cell, sf_idx, cfi, grant, seed=0):
+    rng = np.random.default_rng(seed)
+    tb = rng.integers(0, 2, grant.tbs).astype(np.uint8)
+    grid = pdsch_encode_np(cell, sf_idx, cfi, grant, tb)
+    put_crs_np(grid, cell, sf_idx)
+    tx = np.asarray(ofdm_tx_sf(OfdmConfig.from_cell(cell, normalize=True), grid))
+    return tb, tx
+
+
+def test_ue_dl_subframe_jit():
+    cell = Cell(nof_prb=6, nof_ports=1, id=1)
+    grant = DlGrant(prb=tuple(range(6)), mod=Mod.QPSK, tbs=408)
+    tb, tx = make_tx(cell, 1, 1, grant)
+    fn = jax.jit(ue_dl_subframe(cell, 1, 1, grant))
+    tb_hat, ok, snr = fn(tx)
+    assert bool(ok)
+    np.testing.assert_array_equal(np.asarray(tb_hat), tb)
+    assert float(snr) > 20  # noiseless
+
+
+def test_multi_carrier_sharded():
+    n_dev = len(jax.devices())
+    assert n_dev == 8
+    mesh = Mesh(np.array(jax.devices()), ("carriers",))
+    cell = Cell(nof_prb=6, nof_ports=1, id=1)
+    grant = DlGrant(prb=tuple(range(6)), mod=Mod.QPSK, tbs=408)
+    tb, tx = make_tx(cell, 1, 1, grant)
+    samples = np.tile(tx[None], (n_dev, 1, 1)).astype(np.complex64)
+    fn = multi_carrier_ue_dl(cell, 1, 1, grant, mesh=mesh)
+    tb_hat, ok, total = fn(samples)
+    assert int(total) == n_dev
+    assert np.asarray(tb_hat).shape == (n_dev, grant.tbs)
+    np.testing.assert_array_equal(np.asarray(tb_hat)[3], tb)
+
+
+def test_graft_entry():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)  # compile-check on zeros input
+    assert len(out) == 3
+    ge.dryrun_multichip(8)
