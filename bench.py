@@ -8,7 +8,8 @@ Extra diagnostics go to stderr.
 
 Robustness notes for the axon TPU tunnel (see .claude/skills/verify):
 - tiny warmup readback first (first device->host transfer can take minutes)
-- all timing via block_until_ready; no readbacks inside the loop
+- `block_until_ready()` does NOT await execution on this tunnel — timings
+  must bracket a trailing scalar READBACK, which truly synchronizes
 """
 
 import json
@@ -41,7 +42,7 @@ def main():
     log(f"warmup readback: {time.time()-t:.1f}s")
 
     k = 6144
-    batch = 64
+    batch = 256
     max_it = 5
     rng = np.random.default_rng(0)
 
@@ -61,9 +62,14 @@ def main():
         bits, post, n_it = turbo_decode(x, k, max_it, crc_table=crc_table)
         return bits, n_it
 
+    def sync(x):
+        # block_until_ready lies on the tunnel; a scalar readback is the
+        # only true synchronization point
+        return float(jnp.sum(x.ravel()[:1].astype(jnp.float32)))
+
     t = time.time()
     bits, n_it = run(llr)
-    bits.block_until_ready()
+    sync(bits)
     log(f"compile+first run: {time.time()-t:.1f}s, iterations used: {int(n_it)}")
     errs = int(np.sum(np.asarray(bits) != cbs))
     log(f"bit errors: {errs}/{batch*k}")
@@ -72,7 +78,7 @@ def main():
     t = time.time()
     for _ in range(n_rep):
         bits, n_it = run(llr)
-    bits.block_until_ready()
+    sync(bits)
     dt = (time.time() - t) / n_rep
     mbps = batch * k / dt / 1e6
     log(f"decode: {dt*1e3:.2f} ms for {batch} CBs of {k} -> {mbps:.1f} Mbps")

@@ -197,129 +197,118 @@ def map_decoder(lx, lz, lx_tail, lz_tail, k: int):
     lx: (B, K) systematic-plus-apriori LLRs; lz: (B, K) parity LLRs;
     lx_tail, lz_tail: (B, 3) this decoder's tail LLRs.
     Returns posterior LLRs (B, K) (positive ⇒ bit 1).
+
+    TPU layout: state metrics are (8, B*nw) — the 8 trellis states live on
+    the VPU's 8 sublanes, codeblocks x windows fill the 128 lanes.  Training
+    and main regions run as separate scans (training emits no outputs); the
+    posterior is computed inside the beta scan (alpha is the only stored
+    per-position tensor).
     """
     t = _trellis()
     nw, lw = _window_layout(k)
     b = lx.shape[0]
+    bn = b * nw
+    T = min(TRAIN, lw)
 
-    # half-metrics; hypothesis bit b contributes (2b-1) * L/2
-    x = 0.5 * lx
-    z = 0.5 * lz
+    x = (0.5 * lx).astype(jnp.float32)
+    z = (0.5 * lz).astype(jnp.float32)
 
-    # per-branch sign tables
-    su = np.array([-1.0, 1.0], np.float32)  # u=0 → -, u=1 → +
+    # branch sign tables as (8, 1) columns for broadcasting over lanes
     sp = (2.0 * t["parity"] - 1.0).astype(np.float32)  # (8,2)
     spp = (2.0 * t["prev_parity"] - 1.0).astype(np.float32)
     spu = (2.0 * t["prev_u"] - 1.0).astype(np.float32)
+    ps0, ps1 = t["prev_state"][:, 0], t["prev_state"][:, 1]
+    ns0, ns1 = t["next_state"][:, 0], t["next_state"][:, 1]
 
-    xw = x.reshape(b, nw, lw)
-    zw = z.reshape(b, nw, lw)
+    def win_view(xp, starts, length):
+        idx = starts[:, None] + np.arange(length)[None, :]
+        # (B, nw, length) -> (length, B*nw)
+        return xp[:, idx].transpose(2, 0, 1).reshape(length, bn)
 
-    # --- alpha: extended windows [w*lw - T, w*lw + lw) ---
-    T = min(TRAIN, lw)
+    starts = np.arange(nw) * lw
+
+    # --- alpha ---
     pad_x = jnp.concatenate([jnp.zeros((b, T)), x], axis=-1)
     pad_z = jnp.concatenate([jnp.zeros((b, T)), z], axis=-1)
-    # gather extended windows: (B, nw, T+lw)
-    starts = np.arange(nw) * lw  # window starts in padded coords
-    idx = starts[:, None] + np.arange(T + lw)[None, :]
-    ax = pad_x[:, idx]
-    az = pad_z[:, idx]
+    ax_train = win_view(pad_x, starts, T)
+    az_train = win_view(pad_z, starts, T)
+    ax_main = win_view(x.reshape(b, -1), starts, lw)
+    az_main = win_view(z.reshape(b, -1), starts, lw)
 
-    known_alpha0 = jnp.concatenate(
-        [jnp.zeros((b, 1, 1)), jnp.full((b, 1, 7), NEG_INF)], axis=-1
-    )
+    c_spu0 = jnp.asarray(spu[:, 0:1])
+    c_spu1 = jnp.asarray(spu[:, 1:2])
+    c_spp0 = jnp.asarray(spp[:, 0:1])
+    c_spp1 = jnp.asarray(spp[:, 1:2])
 
-    prev_state = t["prev_state"]  # (8,2)
-
-    def alpha_step(carry, inputs):
-        a = carry  # (B, nw, 8)
-        xt, zt, is_start = inputs  # (B,nw), (B,nw), scalar bool
-        # override window 0 with known init when main region starts
-        a = jnp.where(
-            is_start,
-            jnp.concatenate([known_alpha0, a[:, 1:, :]], axis=1),
-            a,
+    def alpha_step(a, inputs):
+        xt, zt = inputs  # (bn,)
+        a0 = a[jnp.asarray(ps0)]  # (8, bn)
+        a1 = a[jnp.asarray(ps1)]
+        new = jnp.maximum(
+            a0 + (c_spu0 * xt + c_spp0 * zt), a1 + (c_spu1 * xt + c_spp1 * zt)
         )
-        # branch metric into next state ns via (prev_state, prev_u)
-        ap = a[..., jnp.asarray(prev_state)]  # (B,nw,8,2)
-        g = (
-            jnp.asarray(spu) * xt[..., None, None]
-            + jnp.asarray(spp) * zt[..., None, None]
-        )
-        new = jnp.max(ap + g, axis=-1)
-        new = new - new[..., 0:1]  # renormalize (reference subtracts state 0)
-        return new, a
+        return new - new[0:1], None
 
-    zero_a = jnp.zeros((b, nw, 8))
-    is_start_seq = jnp.zeros(T + lw, bool).at[T].set(True)
-    # seed training with uniform 0 (like reference's simd_set1(0))
-    _, alphas = jax.lax.scan(
-        alpha_step,
-        zero_a,
-        (ax.transpose(2, 0, 1), az.transpose(2, 0, 1), is_start_seq),
-    )
-    alpha = alphas[T:]  # (lw, B, nw, 8): alpha at main positions
+    def alpha_step_out(a, inputs):
+        new, _ = alpha_step(a, inputs)
+        return new, a  # emit alpha at the position (pre-update)
 
-    # --- beta: extended windows [w*lw, w*lw + lw + T), scanned backward ---
+    a_tr, _ = jax.lax.scan(alpha_step, jnp.zeros((8, bn)), (ax_train, az_train))
+    # window 0 gets the exact known initial state
+    a_init = a_tr.reshape(8, b, nw)
+    known = jnp.concatenate([jnp.zeros((1, b, 1)), jnp.full((7, b, 1), NEG_INF)], axis=0)
+    a_init = jnp.concatenate([known, a_init[:, :, 1:]], axis=2).reshape(8, bn)
+    _, alphas = jax.lax.scan(alpha_step_out, a_init, (ax_main, az_main))
+    # alphas: (lw, 8, bn)
+
+    # --- beta, fused with posterior ---
     pad_x2 = jnp.concatenate([x, jnp.zeros((b, T))], axis=-1)
     pad_z2 = jnp.concatenate([z, jnp.zeros((b, T))], axis=-1)
-    idx2 = starts[:, None] + np.arange(lw + T)[None, :]
-    bx = pad_x2[:, idx2]
-    bz = pad_z2[:, idx2]
+    bx_train = win_view(pad_x2, starts + lw, T)
+    bz_train = win_view(pad_z2, starts + lw, T)
 
-    beta_k = _beta_tail(lx_tail, lz_tail)  # (B, 8) for the last window
+    c_su0 = np.float32(-1.0)
+    c_su1 = np.float32(1.0)
+    c_sp0 = jnp.asarray(sp[:, 0:1])
+    c_sp1 = jnp.asarray(sp[:, 1:2])
 
-    next_state = t["next_state"]
+    def beta_core(bta, xt, zt):
+        g0 = c_su0 * xt + c_sp0 * zt  # (8, bn)
+        g1 = c_su1 * xt + c_sp1 * zt
+        b0 = bta[jnp.asarray(ns0)] + g0
+        b1 = bta[jnp.asarray(ns1)] + g1
+        return b0, b1
 
-    def beta_step(carry, inputs):
-        bta = carry  # beta at position t+1: (B, nw, 8)
-        xt, zt, is_main_edge = inputs
-        bta = jnp.where(
-            is_main_edge,
-            jnp.concatenate([bta[:, :-1, :], beta_k[:, None, :]], axis=1),
-            bta,
-        )
-        bn = bta[..., jnp.asarray(next_state)]  # (B,nw,8,2)
-        g = (
-            jnp.asarray(su) * xt[..., None, None]
-            + jnp.asarray(sp) * zt[..., None, None]
-        )
-        new = jnp.max(bn + g, axis=-1)
-        new = new - new[..., 0:1]
-        return new, bta
+    def beta_train_step(bta, inputs):
+        xt, zt = inputs
+        b0, b1 = beta_core(bta, xt, zt)
+        new = jnp.maximum(b0, b1)
+        return new - new[0:1], None
 
-    # reversed scan over positions lw+T-1 .. 0; the beta_k override applies
-    # when stepping from the training region into the main region, i.e. when
-    # computing beta at position lw-1 (reading beta at lw).
-    is_edge_seq = jnp.zeros(lw + T, bool).at[lw - 1].set(True)
-    _, betas_rev = jax.lax.scan(
-        beta_step,
-        jnp.zeros((b, nw, 8)),
-        (
-            bx.transpose(2, 0, 1)[::-1],
-            bz.transpose(2, 0, 1)[::-1],
-            is_edge_seq[::-1],
-        ),
+    b_tr, _ = jax.lax.scan(
+        beta_train_step, jnp.zeros((8, bn)), (bx_train[::-1], bz_train[::-1])
     )
-    # betas_rev[i] is beta at position (lw+T-1 - i)+1... we need beta at t+1
-    # for each main t: that is the carry *input* when computing position t,
-    # which we stacked as the scan output. Reorder to (lw, B, nw, 8):
-    beta_next = betas_rev[::-1][:lw]  # beta at t+1 for t in [0, lw)
+    beta_k = _beta_tail(lx_tail, lz_tail)  # (B, 8)
+    b_init = b_tr.reshape(8, b, nw)
+    b_init = jnp.concatenate(
+        [b_init[:, :, :-1], beta_k.T[:, :, None]], axis=2
+    ).reshape(8, bn)
 
-    # --- posterior LLR ---
-    # for each t: max over branches with u=1 of alpha_t(s)+gamma+beta_{t+1}(s')
-    xw_t = xw.transpose(2, 0, 1)  # (lw, B, nw)
-    zw_t = zw.transpose(2, 0, 1)
-    bnext = beta_next[..., jnp.asarray(next_state)]  # (lw,B,nw,8,2)
-    g = (
-        jnp.asarray(su) * xw_t[..., None, None]
-        + jnp.asarray(sp) * zw_t[..., None, None]
+    def beta_post_step(bta, inputs):
+        xt, zt, alpha_t = inputs  # (bn,), (bn,), (8, bn)
+        b0, b1 = beta_core(bta, xt, zt)
+        m0 = jnp.max(alpha_t + b0, axis=0)  # (bn,)
+        m1 = jnp.max(alpha_t + b1, axis=0)
+        new = jnp.maximum(b0, b1)
+        return new - new[0:1], m1 - m0
+
+    _, llr_rev = jax.lax.scan(
+        beta_post_step,
+        b_init,
+        (ax_main[::-1], az_main[::-1], alphas[::-1]),
     )
-    metric = alpha[..., None] + g + bnext  # (lw,B,nw,8,2)
-    m1 = jnp.max(metric[..., 1], axis=-1)
-    m0 = jnp.max(metric[..., 0], axis=-1)
-    llr = (m1 - m0).transpose(1, 2, 0).reshape(b, k)
-    return llr
+    llr = llr_rev[::-1]  # (lw, bn)
+    return llr.reshape(lw, b, nw).transpose(1, 2, 0).reshape(b, k)
 
 
 # --- full iterative decoder ---------------------------------------------------

