@@ -1,0 +1,79 @@
+"""eNB downlink subframe generation — facade over all DL channels.
+
+Re-design of `lib/src/phy/enb/enb_dl.c` (API enb_dl.h:99-122): one call
+renders PSS/SSS + CRS + PBCH + PCFICH + PHICH + PDCCH + PDSCH into a
+resource grid and OFDM-modulates it.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..common import Cell
+from ..chest.refsignal_dl import put_crs_np
+from ..ofdm import OfdmConfig, ofdm_tx_sf
+from ..phch.pbch import Mib, pbch_encode_np, pbch_re_indices
+from ..phch.pcfich import pcfich_put_np
+from ..phch.pdcch import pdcch_put_np
+from ..phch.pdsch import DlGrant, pdsch_encode_np
+from ..phch.phich import phich_put_np
+from ..sync.pss import put_pss_grid
+from ..sync.sss import put_sss_grid
+
+
+@dataclasses.dataclass
+class DlSched:
+    """One subframe's schedule (the FAPI-like pull result, mac get_dl_sched)."""
+
+    cfi: int = 1
+    # list of (dci_bits, rnti, agg_level, cce_start)
+    dcis: list = dataclasses.field(default_factory=list)
+    # list of (grant, tb_bits)
+    grants: list = dataclasses.field(default_factory=list)
+    # list of (group, n_seq, ack)
+    phich: list = dataclasses.field(default_factory=list)
+
+
+def enb_dl_subframe(
+    cell: Cell,
+    sf_idx: int,
+    sched: DlSched,
+    mib: Mib | None = None,
+    sfn: int = 0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Render one DL subframe. Returns (grid (nports, nsymb, nre), samples
+    (nports, sf_len))."""
+    nof_ports = max(cell.nof_ports, 1)
+    grid = np.zeros((nof_ports, cell.nsymb_per_sf, cell.nof_re_per_symbol), np.complex64)
+
+    # sync signals (subframes 0 and 5, FDD: PSS last symbol slot0, SSS before)
+    if sf_idx in (0, 5):
+        for p in range(nof_ports):
+            put_pss_grid(grid[p], cell.n_id_2, cell.nof_prb, cell.nsymb_per_slot - 1)
+            put_sss_grid(
+                grid[p], cell.n_id_1, cell.n_id_2, sf_idx, cell.nof_prb,
+                cell.nsymb_per_slot - 2,
+            )
+    # PBCH (subframe 0)
+    if sf_idx == 0 and mib is not None:
+        mib = dataclasses.replace(mib, sfn=sfn)
+        syms = pbch_encode_np(mib, cell, nof_ports)[sfn % 4]
+        idx = pbch_re_indices(cell)
+        for p in range(nof_ports):
+            grid[p].reshape(-1)[idx] = syms  # (tx diversity TODO for >1 port)
+
+    pcfich_put_np(grid[0], cell, sf_idx, sched.cfi)
+    for group, n_seq, ack in sched.phich:
+        phich_put_np(grid[0], cell, sf_idx, group, n_seq, ack)
+    for dci_bits, rnti, agg, cce in sched.dcis:
+        pdcch_put_np(grid[0], cell, sf_idx, sched.cfi, dci_bits, rnti, agg, cce)
+    for grant, tb in sched.grants:
+        pg = pdsch_encode_np(cell, sf_idx, sched.cfi, grant, tb)
+        grid[: pg.shape[0]] += pg
+
+    put_crs_np(grid, cell, sf_idx)
+    ofdm = OfdmConfig.from_cell(cell, normalize=True)
+    samples = np.asarray(ofdm_tx_sf(ofdm, grid))
+    return grid, samples

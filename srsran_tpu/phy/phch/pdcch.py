@@ -36,16 +36,23 @@ NOF_CANDIDATES_COMMON = {4: 4, 8: 2}
 @lru_cache(maxsize=256)
 def pdcch_re_indices(cell: Cell, sf_idx: int, cfi: int) -> np.ndarray:
     """Control-region REs available to PDCCH (flat symbol*nre + k),
-    excluding CRS positions.  (PCFICH/PHICH holes: follow-up.)"""
+    excluding CRS, PCFICH, and PHICH positions."""
+    from .pcfich import pcfich_re_indices
+    from .phich import nof_phich_groups, phich_re_indices
+
     nre = cell.nof_re_per_symbol
     vshift = cell.id % 6
     nctrl = cfi + (1 if cell.nof_prb < 10 else 0)
+    used = set(pcfich_re_indices(cell).tolist())
+    for g in range(nof_phich_groups(cell)):
+        used |= set(phich_re_indices(cell, g).tolist())
     out = []
     for l in range(nctrl):
         ks = np.arange(nre)
         if l == 0:
             keep = (ks % 3) != (vshift % 3)  # 2-port CRS pattern
             ks = ks[keep]
+            ks = np.asarray([k for k in ks if k not in used])
         elif l == 1 and cell.nof_ports == 4:
             ks = ks[(ks % 3) != (vshift % 3)]
         out.append(l * nre + ks)

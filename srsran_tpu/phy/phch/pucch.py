@@ -1,0 +1,193 @@
+"""PUCCH formats 1/1a/1b (SR, ACK/NACK) and 2 (CQI), TS 36.211 §5.4.
+
+Re-design of `lib/src/phy/phch/pucch.c` (formats at :891): length-12
+cyclically-shifted base sequences, per-symbol cell-specific shift hopping
+(ncs_cell from the cell Gold sequence), orthogonal covers for format 1,
+RM(20,A)-coded QPSK for format 2, band-edge PRB mapping with slot hopping.
+
+Round-1 scope: normal CP, no SRS shortening, single antenna.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import lru_cache
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..common import CP, Cell
+from ..chest.refsignal_ul import base_sequence
+from ..modem import Mod, demod_soft, modulate
+from ..sequence import gold_sequence
+from .uci import rm_decode, rm_encode
+from .uci_data import RM20_BASIS
+
+# format 1: data symbols / DMRS symbols within a slot (normal CP)
+F1_DATA_SYMS = (0, 1, 5, 6)
+F1_DMRS_SYMS = (2, 3, 4)
+F2_DATA_SYMS = (0, 2, 3, 4, 6)
+F2_DMRS_SYMS = (1, 5)
+
+# orthogonal covers for format 1 (length 4, TS 36.211 Table 5.4.1-2)
+W4 = np.array([[1, 1, 1, 1], [1, -1, 1, -1], [1, -1, -1, 1]], np.float32)
+# DMRS covers length 3 (Table 5.5.2.2.1-2)
+W3 = np.exp(
+    2j * np.pi / 3 * np.array([[0, 0, 0], [0, 1, 2], [0, 2, 1]], np.float64)
+).astype(np.complex64)
+
+
+@lru_cache(maxsize=256)
+def ncs_cell(cell: Cell) -> np.ndarray:
+    """Cell-specific cyclic-shift hopping table (20 slots, 7 symbols):
+    ncs(ns, l) = sum 2^i c(8*(7*ns+l)+i) (TS 36.211 §5.4)."""
+    c = gold_sequence(cell.id, 8 * 7 * 20)
+    out = np.zeros((20, 7), np.int32)
+    for ns in range(20):
+        for l in range(7):
+            idx = 8 * (7 * ns + l)
+            out[ns, l] = int(sum(c[idx + i] << i for i in range(8)))
+    return out
+
+
+def pucch_prb(m: int, ns: int, nof_prb: int) -> int:
+    """Band-edge PRB with slot hopping (TS 36.211 §5.4.3)."""
+    if (m + ns) % 2 == 0:
+        return m // 2
+    return nof_prb - 1 - m // 2
+
+
+@dataclasses.dataclass(frozen=True)
+class PucchConfig:
+    n_pucch: int = 0  # resource index
+    delta_shift: int = 2
+
+
+def _f1_alpha_cover(cell: Cell, cfg: PucchConfig, ns: int):
+    """Per-symbol cyclic shifts + cover index for format 1 (simplified
+    resource mapping: shift = n_pucch*delta % 12, cover = n_pucch % 3)."""
+    shifts = []
+    ncs = ncs_cell(cell)
+    base_shift = (cfg.n_pucch * cfg.delta_shift) % 12
+    for l in range(7):
+        shifts.append((base_shift + ncs[ns, l]) % 12)
+    cover = cfg.n_pucch % 3
+    return shifts, cover
+
+
+def pucch_format1_encode_np(cell: Cell, cfg: PucchConfig, sf_idx: int, bits) -> np.ndarray:
+    """Format 1/1a/1b: 0 (SR), 1 or 2 bits → (nsymb_sf, 12) PRB-local grid.
+
+    Caller places the 12 subcarriers at `pucch_prb(...)` per slot.
+    """
+    bits = np.asarray(bits, np.uint8)
+    if len(bits) == 0:
+        d = np.complex64(1.0)
+    elif len(bits) == 1:
+        d = np.asarray(modulate(Mod.BPSK, bits))[0]
+    else:
+        d = np.asarray(modulate(Mod.QPSK, bits))[0]
+    u = cell.id % 30
+    r = base_sequence(u, 12)
+    out = np.zeros((cell.nsymb_per_sf, 12), np.complex64)
+    n = np.arange(12)
+    for slot in range(2):
+        ns = 2 * sf_idx + slot
+        shifts, cover = _f1_alpha_cover(cell, cfg, ns)
+        for i, l in enumerate(F1_DATA_SYMS):
+            alpha = 2 * np.pi * shifts[l] / 12
+            out[slot * 7 + l] = d * W4[cover % 3, i] * r * np.exp(1j * alpha * n)
+        for i, l in enumerate(F1_DMRS_SYMS):
+            alpha = 2 * np.pi * shifts[l] / 12
+            out[slot * 7 + l] = W3[cover % 3, i] * r * np.exp(1j * alpha * n)
+    return out
+
+
+def pucch_format1_decode(prb_grid, cell: Cell, cfg: PucchConfig, sf_idx: int, nof_bits: int):
+    """(nsymb_sf, 12) received PRB-local grid → (bits, detection_metric).
+
+    Coherent: channel from the DMRS symbols, then despread data symbols.
+    """
+    u = cell.id % 30
+    r = jnp.asarray(base_sequence(u, 12))
+    n = np.arange(12)
+    est = []
+    data = []
+    for slot in range(2):
+        ns = 2 * sf_idx + slot
+        shifts, cover = _f1_alpha_cover(cell, cfg, ns)
+        h_acc = 0.0
+        for i, l in enumerate(F1_DMRS_SYMS):
+            alpha = 2 * np.pi * shifts[l] / 12
+            ref = jnp.asarray((np.exp(1j * alpha * n)).astype(np.complex64)) * r * W3[cover % 3, i]
+            h_acc = h_acc + jnp.sum(prb_grid[slot * 7 + l] * jnp.conj(ref))
+        h = h_acc / (3 * 12)
+        for i, l in enumerate(F1_DATA_SYMS):
+            alpha = 2 * np.pi * shifts[l] / 12
+            ref = jnp.asarray((np.exp(1j * alpha * n)).astype(np.complex64)) * r * np.float32(W4[cover % 3, i])
+            z = jnp.sum(prb_grid[slot * 7 + l] * jnp.conj(ref)) / 12
+            data.append(z * jnp.conj(h) / (jnp.abs(h) ** 2 + 1e-9))
+        est.append(jnp.abs(h) ** 2)
+    d = jnp.mean(jnp.stack(data))
+    # DTX metric: DMRS correlation-energy ratio — ≈1 when this resource is
+    # transmitted, ≈1/36 for noise (scale-free; cf. pucch.c threshold)
+    metric = jnp.sum(jnp.stack(est)) / (jnp.mean(jnp.abs(prb_grid) ** 2) + 1e-12)
+    if nof_bits == 0:
+        return jnp.zeros(0, jnp.uint8), metric
+    if nof_bits == 1:
+        return (jnp.real(d) + jnp.imag(d) < 0).astype(jnp.uint8)[None], metric
+    b0 = (jnp.real(d) < 0).astype(jnp.uint8)
+    b1 = (jnp.imag(d) < 0).astype(jnp.uint8)
+    return jnp.stack([b0, b1]), metric
+
+
+def pucch_format2_encode_np(cell: Cell, cfg: PucchConfig, sf_idx: int, uci_bits) -> np.ndarray:
+    """Format 2: ≤13 CQI bits → (nsymb_sf, 12) PRB-local grid."""
+    coded = rm_encode(np.asarray(uci_bits, np.uint8), 20, RM20_BASIS)
+    seq = gold_sequence((((sf_idx * 2 + 1) * (2 * cell.id + 1)) << 9) + cell.id, 20)
+    d = np.asarray(modulate(Mod.QPSK, coded ^ seq))
+    u = cell.id % 30
+    r = base_sequence(u, 12)
+    out = np.zeros((cell.nsymb_per_sf, 12), np.complex64)
+    n = np.arange(12)
+    ncs = ncs_cell(cell)
+    k = 0
+    for slot in range(2):
+        ns = 2 * sf_idx + slot
+        for l in F2_DATA_SYMS:
+            alpha = 2 * np.pi * ((cfg.n_pucch + ncs[ns, l]) % 12) / 12
+            out[slot * 7 + l] = d[k] * r * np.exp(1j * alpha * n)
+            k += 1
+        for l in F2_DMRS_SYMS:
+            alpha = 2 * np.pi * ((cfg.n_pucch + ncs[ns, l]) % 12) / 12
+            out[slot * 7 + l] = r * np.exp(1j * alpha * n)
+    return out
+
+
+def pucch_format2_decode(prb_grid, cell: Cell, cfg: PucchConfig, sf_idx: int, nof_bits: int):
+    """(nsymb_sf, 12) grid → (uci_bits, metric)."""
+    u = cell.id % 30
+    r = jnp.asarray(base_sequence(u, 12))
+    n = np.arange(12)
+    ncs = ncs_cell(cell)
+    # channel per slot from DMRS
+    zs = []
+    for slot in range(2):
+        ns = 2 * sf_idx + slot
+        h_acc = 0.0
+        for l in F2_DMRS_SYMS:
+            alpha = 2 * np.pi * ((cfg.n_pucch + ncs[ns, l]) % 12) / 12
+            ref = jnp.asarray(np.exp(1j * alpha * n).astype(np.complex64)) * r
+            h_acc = h_acc + jnp.sum(prb_grid[slot * 7 + l] * jnp.conj(ref))
+        h = h_acc / (2 * 12)
+        for l in F2_DATA_SYMS:
+            alpha = 2 * np.pi * ((cfg.n_pucch + ncs[ns, l]) % 12) / 12
+            ref = jnp.asarray(np.exp(1j * alpha * n).astype(np.complex64)) * r
+            z = jnp.sum(prb_grid[slot * 7 + l] * jnp.conj(ref)) / 12
+            zs.append(z * jnp.conj(h) / (jnp.abs(h) ** 2 + 1e-9))
+    d = jnp.stack(zs)  # (10,) QPSK symbols
+    llr = demod_soft(Mod.QPSK, d)
+    seq = gold_sequence((((sf_idx * 2 + 1) * (2 * cell.id + 1)) << 9) + cell.id, 20)
+    llr = llr * jnp.asarray((1.0 - 2.0 * seq).astype(np.float32))
+    bits, metric = rm_decode(llr, nof_bits, use20=True)
+    return bits, metric

@@ -1,0 +1,102 @@
+"""UE downlink subframe processing — facade over the receive chain.
+
+Re-design of `lib/src/phy/ue/ue_dl.c` (srslte_ue_dl_decode_fft_estimate
+:383, blind DCI search :450-694, PDSCH decode :741): OFDM demod + channel
+estimation once per subframe, then PCFICH → PDCCH blind search → grant
+derivation → PDSCH decode.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..common import Cell
+from ..chest.chest_dl import chest_dl
+from ..ofdm import OfdmConfig, ofdm_rx_sf
+from ..phch.dci import Dci1A
+from ..phch.pcfich import pcfich_decode, pcfich_re_indices
+from ..phch.pdcch import nof_cce, pdcch_blind_search, pdcch_re_indices
+from ..phch.pdsch import DlGrant, pdsch_decode
+from ..phch.ra import dl_mcs_to_mod, dl_tbs, riv_decode
+
+
+@dataclasses.dataclass
+class UeDlResult:
+    cfi: int = 0
+    dcis: list = dataclasses.field(default_factory=list)
+    tbs: list = dataclasses.field(default_factory=list)  # (tb_bits, crc_ok)
+    rsrp: float = 0.0
+    snr_db: float = 0.0
+    noise: float = 0.0
+
+
+def ue_dl_decode_subframe(
+    cell: Cell,
+    samples: np.ndarray,
+    sf_idx: int,
+    rnti: int,
+    nrx: int = 1,
+    known_cfi: int | None = None,
+    max_iterations: int = 5,
+) -> UeDlResult:
+    """Process one subframe: samples (nrx, sf_len) → decoded TBs.
+
+    Mirrors the cc_worker DL pipeline (srsue/src/phy/cc_worker.cc:214-307).
+    """
+    res = UeDlResult()
+    ofdm = OfdmConfig.from_cell(cell, normalize=True)
+    grid = np.asarray(ofdm_rx_sf(ofdm, samples))  # (nrx, nsymb, nre)
+    ch = chest_dl(grid, cell, sf_idx, nof_ports=min(cell.nof_ports, 2))
+    ce = np.asarray(ch["ce"])  # (nrx, nports, nsymb, nre)
+    noise = float(np.mean(np.asarray(ch["noise"])))
+    res.noise = noise
+    res.rsrp = float(np.mean(np.asarray(ch["rsrp"])))
+    res.snr_db = float(10 * np.log10(np.mean(np.asarray(ch["snr"])) + 1e-12))
+
+    ce0 = ce[0, 0].reshape(-1)
+
+    def equalize(idx):
+        y = grid[0].reshape(-1)[idx]
+        h = ce0[idx]
+        return y * np.conj(h) / (np.abs(h) ** 2 + noise)
+
+    # CFI
+    if known_cfi is None:
+        cfi_hat, _ = pcfich_decode(equalize(pcfich_re_indices(cell)), cell, sf_idx)
+        cfi = int(cfi_hat)
+    else:
+        cfi = known_cfi
+    res.cfi = cfi
+
+    # PDCCH blind search (format 1A size)
+    n = nof_cce(cell, sf_idx, cfi)
+    dci_len = Dci1A.nof_bits(cell.nof_prb)
+    idx = pdcch_re_indices(cell, sf_idx, cfi)[: n * 36]
+    found = pdcch_blind_search(equalize(idx), cell, sf_idx, cfi, rnti, dci_len)
+    res.dcis = found
+
+    # decode each 1A grant
+    for bits, agg, cce in found:
+        try:
+            dci = Dci1A.unpack(bits, cell.nof_prb)
+        except ValueError:
+            continue
+        try:
+            rb0, l_crb = riv_decode(cell.nof_prb, dci.riv)
+        except ValueError:
+            continue
+        grant = DlGrant(
+            prb=tuple(range(rb0, rb0 + l_crb)),
+            mod=dl_mcs_to_mod(dci.mcs),
+            tbs=dl_tbs(dci.mcs, l_crb),
+            rv=dci.rv,
+            rnti=rnti,
+        )
+        tb, ok, _ = pdsch_decode(
+            grid, ce, noise, cell, sf_idx, cfi, grant, max_iterations
+        )
+        res.tbs.append((tb, ok))
+        break  # one 1A grant per subframe (dedup across agg levels)
+    return res

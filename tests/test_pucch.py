@@ -1,0 +1,70 @@
+import numpy as np
+import pytest
+
+from srsran_tpu.phy.common import Cell
+from srsran_tpu.phy.phch.pucch import (
+    PucchConfig,
+    pucch_format1_decode,
+    pucch_format1_encode_np,
+    pucch_format2_decode,
+    pucch_format2_encode_np,
+    pucch_prb,
+)
+
+
+def chan(grid, h, noise, rng):
+    out = grid * h
+    out = out + (rng.standard_normal(grid.shape) + 1j * rng.standard_normal(grid.shape)).astype(np.complex64) * noise
+    return out.astype(np.complex64)
+
+
+def test_pucch_prb_hopping():
+    assert pucch_prb(0, 0, 50) == 0
+    assert pucch_prb(0, 1, 50) == 49
+    assert pucch_prb(2, 0, 50) == 1
+    assert pucch_prb(3, 0, 50) == 48
+
+
+@pytest.mark.parametrize("bits", [[], [1], [0, 1], [1, 1]])
+def test_pucch_format1_roundtrip(bits):
+    cell = Cell(nof_prb=25, nof_ports=1, id=33)
+    cfg = PucchConfig(n_pucch=5)
+    rng = np.random.default_rng(len(bits))
+    grid = pucch_format1_encode_np(cell, cfg, 3, bits)
+    rx = chan(grid, np.complex64(0.7 * np.exp(1j * 0.4)), 0.05, rng)
+    hat, metric = pucch_format1_decode(rx, cell, cfg, 3, len(bits))
+    np.testing.assert_array_equal(np.asarray(hat), np.asarray(bits, np.uint8))
+    assert float(metric) > 0.5
+
+
+def test_pucch_format1_multiplexed_users():
+    """Two UEs on different n_pucch in the same PRB don't collide."""
+    cell = Cell(nof_prb=25, nof_ports=1, id=33)
+    rng = np.random.default_rng(0)
+    a = pucch_format1_encode_np(cell, PucchConfig(n_pucch=0), 2, [1])
+    b = pucch_format1_encode_np(cell, PucchConfig(n_pucch=1), 2, [0])
+    rx = chan(a + b, np.complex64(1.0), 0.03, rng)
+    bit_a, _ = pucch_format1_decode(rx, cell, PucchConfig(n_pucch=0), 2, 1)
+    bit_b, _ = pucch_format1_decode(rx, cell, PucchConfig(n_pucch=1), 2, 1)
+    assert int(bit_a[0]) == 1 and int(bit_b[0]) == 0
+
+
+def test_pucch_format1_dtx_low_metric():
+    """No transmission → low detection metric (SR absent)."""
+    cell = Cell(nof_prb=25, nof_ports=1, id=33)
+    rng = np.random.default_rng(1)
+    noise = (rng.standard_normal((14, 12)) + 1j * rng.standard_normal((14, 12))).astype(np.complex64) * 0.3
+    _, metric = pucch_format1_decode(noise, cell, PucchConfig(n_pucch=3), 0, 0)
+    assert float(metric) < 0.4
+
+
+@pytest.mark.parametrize("nbits", [4, 10])
+def test_pucch_format2_roundtrip(nbits):
+    cell = Cell(nof_prb=25, nof_ports=1, id=17)
+    cfg = PucchConfig(n_pucch=7)
+    rng = np.random.default_rng(nbits)
+    bits = rng.integers(0, 2, nbits).astype(np.uint8)
+    grid = pucch_format2_encode_np(cell, cfg, 6, bits)
+    rx = chan(grid, np.complex64(0.9 * np.exp(-1j * 1.2)), 0.08, rng)
+    hat, metric = pucch_format2_decode(rx, cell, cfg, 6, nbits)
+    np.testing.assert_array_equal(np.asarray(hat), bits)
