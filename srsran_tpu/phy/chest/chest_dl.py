@@ -33,6 +33,8 @@ from .refsignal_dl import crs_positions, crs_sequence
 class ChestDlConfig:
     smooth_len: int = 3  # freq smoothing kernel length (0 = off)
     time_interp: bool = True  # False = average over CRS symbols
+    algorithm: str = "interpolate"  # interpolate | wiener (ref chest_dl.h:78-82)
+    wiener_delay_spread: float = 0.07  # assumed max delay, fraction of symbol
 
 
 def _freq_interp_matrix(pilot_pos: np.ndarray, nre: int) -> np.ndarray:
@@ -98,6 +100,37 @@ def _time_interp_matrix(ref_syms: np.ndarray, nsymb: int, interp: bool) -> np.nd
     return w
 
 
+@lru_cache(maxsize=128)
+def _wiener_matrices(cell: Cell, cfg: ChestDlConfig, port: int, sf_idx: int):
+    """Frequency-domain Wiener interpolation matrices per CRS symbol.
+
+    MMSE estimator W = R_dp (R_pp + s2 I)^-1 under a uniform power-delay
+    profile over [0, tau_max] (the TPU-friendly form of the reference's
+    runtime-correlation Wiener, wiener_dl.c): correlation between
+    subcarriers df apart is sinc(df*tau) * exp(-j*pi*df*tau).
+    The noise-dependent inverse is folded in for a fixed design SNR of
+    20 dB — like the reference, mismatch only costs a fraction of a dB.
+    """
+    from .refsignal_dl import crs_positions
+
+    _, freqs = crs_positions(cell, port)
+    nre = cell.nof_re_per_symbol
+    tau = cfg.wiener_delay_spread
+    s2 = 10 ** (-20 / 10)  # design SNR 20 dB
+
+    def corr(dk):
+        return np.sinc(dk * tau) * np.exp(-1j * np.pi * dk * tau)
+
+    ws = []
+    for s in range(4):
+        p = freqs[s].astype(np.float64)
+        k = np.arange(nre, dtype=np.float64)
+        r_pp = corr(p[:, None] - p[None, :]) + s2 * np.eye(len(p))
+        r_dp = corr(k[:, None] - p[None, :])
+        ws.append((r_dp @ np.linalg.inv(r_pp)).astype(np.complex64))
+    return np.stack(ws)
+
+
 @lru_cache(maxsize=256)
 def _chest_tables(cell: Cell, sf_idx: int, cfg: ChestDlConfig, port: int):
     """Precompute (syms, freqs, ref_conj, Wf (4, nre, npil), Wt (nsymb, 4))."""
@@ -134,8 +167,12 @@ def chest_dl(grid, cell: Cell, sf_idx: int, cfg: ChestDlConfig = ChestDlConfig()
         # LS estimates at pilots: (..., 4, npil)
         pilots = grid[..., jnp.asarray(syms)[:, None], jnp.asarray(freqs)]
         ls = pilots * jnp.asarray(ref_conj)
-        # freq interp+smooth: (..., 4, nre)
-        per_sym = jnp.einsum("snp,...sp->...sn", jnp.asarray(wf), ls)
+        # freq interp+smooth (or Wiener MMSE): (..., 4, nre)
+        if cfg.algorithm == "wiener":
+            wmat = jnp.asarray(_wiener_matrices(cell, cfg, p, sf_idx))
+            per_sym = jnp.einsum("snp,...sp->...sn", wmat, ls.astype(jnp.complex64))
+        else:
+            per_sym = jnp.einsum("snp,...sp->...sn", jnp.asarray(wf), ls)
         # time interp: (..., nsymb, nre)
         ce = jnp.einsum("ls,...sn->...ln", jnp.asarray(wt), per_sym)
         ces.append(ce)

@@ -163,6 +163,50 @@ def predecode_diversity2(y, h):
     return x, csi_full
 
 
+def select_pmi(h, nof_layers: int, noise_est=1e-3):
+    """PMI selection for 2-port closed loop (ref precoding.h:113-120,
+    srslte_precoding_pmi_select): evaluate the post-equalization SINR proxy
+    for every codebook entry in one batched computation, return
+    (best_pmi, per_pmi_capacity, condition_number_db).
+
+    h: (..., nrx, 2, M) channel estimates over the REs of interest.
+    """
+    n_pmi = 4 if nof_layers == 1 else 3
+    caps = []
+    for pmi in range(n_pmi):
+        w = jnp.asarray(_codebook_2x2(pmi, nof_layers))
+        heff = jnp.einsum("...rpm,pl->...rlm", h, w)
+        if nof_layers == 1:
+            g = jnp.sum(jnp.abs(heff[..., 0, :]) ** 2, axis=-2)  # (..., M)
+            sinr = g / noise_est
+            caps.append(jnp.mean(jnp.log2(1.0 + sinr), axis=-1))
+        else:
+            hc = jnp.conj(heff)
+            a00 = jnp.sum(jnp.abs(heff[..., 0, :]) ** 2, axis=-2) + noise_est
+            a11 = jnp.sum(jnp.abs(heff[..., 1, :]) ** 2, axis=-2) + noise_est
+            a01 = jnp.sum(hc[..., 0, :] * heff[..., 1, :], axis=-2)
+            det = jnp.real(a00 * a11) - jnp.abs(a01) ** 2
+            sinr0 = det / (a11 * noise_est)
+            sinr1 = det / (a00 * noise_est)
+            caps.append(
+                jnp.mean(jnp.log2(1.0 + sinr0) + jnp.log2(1.0 + sinr1), axis=-1)
+            )
+    cap = jnp.stack(caps, axis=-1)
+    best = jnp.argmax(cap, axis=-1)
+    # condition number (dB) of the Gram matrix, averaged over REs
+    hc = jnp.conj(h)
+    # Gram over rx antennas: h is (..., nrx, ports, M); select port then sum rx
+    g00 = jnp.sum(jnp.abs(h[..., 0, :]) ** 2, axis=-2)
+    g11 = jnp.sum(jnp.abs(h[..., 1, :]) ** 2, axis=-2)
+    g01 = jnp.abs(jnp.sum(hc[..., 0, :] * h[..., 1, :], axis=-2))
+    tr = g00 + g11
+    d = jnp.sqrt(jnp.maximum((g00 - g11) ** 2 + 4 * g01**2, 0.0))
+    lam_max = (tr + d) / 2
+    lam_min = jnp.maximum((tr - d) / 2, 1e-12)
+    cond_db = 10.0 * jnp.log10(jnp.mean(lam_max / lam_min, axis=-1))
+    return best, cap, cond_db
+
+
 def _solve2x2(a00, a01, a10, a11, b0, b1):
     det = a00 * a11 - a01 * a10
     inv_det = 1.0 / det

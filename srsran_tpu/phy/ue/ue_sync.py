@@ -88,7 +88,7 @@ def mib_search(samples: np.ndarray, cell: Cell, sf0_start: int, cfo: float = 0.0
     grid = np.asarray(ofdm_rx_sf(ofdm, sf))
     ch = chest_dl(grid[None], cell, 0, nof_ports=1)
     ce = np.asarray(ch["ce"])[0, 0].reshape(-1)
-    noise = float(np.asarray(ch["noise"])[0])
+    noise = float(np.asarray(ch["noise"]).reshape(-1)[0])
     idx = pbch_re_indices(cell)
     flat = grid.reshape(-1)
     sym_eq = flat[idx] * np.conj(ce[idx]) / (np.abs(ce[idx]) ** 2 + noise)

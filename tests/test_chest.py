@@ -96,3 +96,45 @@ def test_chest_batched():
     res = chest_dl(batch, cell, 0)
     assert np.asarray(res["ce"]).shape == (2, 1, 14, 72)
     np.testing.assert_allclose(np.asarray(res["ce"])[1], 2 * np.asarray(res["ce"])[0], atol=1e-4)
+
+
+def test_chest_wiener_beats_linear_on_selective_channel():
+    """Wiener MMSE estimator tracks a dispersive channel better than
+    linear interpolation at moderate SNR."""
+    from srsran_tpu.phy.chest.chest_dl import ChestDlConfig
+
+    cell = Cell(nof_prb=50, nof_ports=1, id=3)
+    nre = cell.nof_re_per_symbol
+    rng = np.random.default_rng(7)
+    grid = np.zeros((1, cell.nsymb_per_sf, nre), np.complex64)
+    put_crs_np(grid, cell, 2)
+    # dispersive channel with delays approaching the CP (72 samples @ 1024)
+    taps = [(0, 1.0), (25, 0.6 * np.exp(1j)), (60, 0.4 * np.exp(-2j))]
+    k = np.arange(nre)
+    h = sum(a * np.exp(-2j * np.pi * k * d / cell.symbol_sz) for d, a in taps)
+    h = h.astype(np.complex64)
+    rx = grid[0] * h[None, :]
+    rx = rx + (rng.standard_normal(rx.shape) + 1j * rng.standard_normal(rx.shape)).astype(np.complex64) * 0.05
+    mses = {}
+    for alg in ("interpolate", "wiener"):
+        res = chest_dl(rx, cell, 2, ChestDlConfig(algorithm=alg))
+        ce = np.asarray(res["ce"])[0]
+        mses[alg] = float(np.mean(np.abs(ce - h[None, :]) ** 2))
+    assert mses["wiener"] < mses["interpolate"], mses
+    assert mses["wiener"] < 0.01
+
+
+def test_srs_roundtrip():
+    from srsran_tpu.phy.chest.srs import put_srs_np, srs_estimate
+
+    cell = Cell(nof_prb=25, nof_ports=1, id=9)
+    rng = np.random.default_rng(0)
+    grid = np.zeros((cell.nsymb_per_sf, cell.nof_re_per_symbol), np.complex64)
+    put_srs_np(grid, cell, prb_start=4, nof_prb_srs=16)
+    h = np.complex64(0.7 - 0.4j)
+    rx = grid * h
+    rx = rx + (rng.standard_normal(rx.shape) + 1j * rng.standard_normal(rx.shape)).astype(np.complex64) * 0.02
+    ce, snr = srs_estimate(rx[None], cell, 4, 16)
+    ce = np.asarray(ce)[0]
+    np.testing.assert_allclose(np.mean(ce), h, atol=0.02)
+    assert float(np.asarray(snr)[0]) > 100

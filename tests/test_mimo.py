@@ -115,3 +115,20 @@ def test_spatialmux_1layer_pmi():
         xh, _ = mimo.predecode_zf_mmse(y, h, nof_layers=1, pmi=pmi)
         assert np.asarray(xh).shape == (1, m)
         np.testing.assert_allclose(np.asarray(xh)[0], x[0], atol=1e-3)
+
+def test_pmi_selection_picks_matched_precoder():
+    """PMI selection prefers the codebook entry aligned with the channel."""
+    rng = np.random.default_rng(11)
+    m = 100
+    # channel strongly aligned with pmi=1 vector [1,-1]/sqrt(2) (1 layer)
+    h = np.zeros((1, 2, m), np.complex64)
+    h[0, 0] = 1.0
+    h[0, 1] = -1.0
+    best, cap, cond = mimo.select_pmi(h, nof_layers=1)
+    assert int(np.asarray(best)) == 1
+    # orthogonal-column channel → pmi 0 best for 2 layers, low cond number
+    h2 = np.zeros((2, 2, m), np.complex64)
+    h2[0, 0] = 1.0
+    h2[1, 1] = 1.0
+    best2, cap2, cond2 = mimo.select_pmi(h2, nof_layers=2)
+    assert float(np.asarray(cond2)) < 1.0

@@ -125,3 +125,29 @@ def test_sss_detection_with_channel():
     ce = pss_re * np.conj(pss_freq_np(n_id_2))
     nid1_hat, sf_is_5, _ = [np.asarray(v) for v in sss_detect(sss_re, n_id_2, ce=ce)]
     assert int(nid1_hat) == n_id_1 and not bool(sf_is_5)
+
+def test_cfo_estimate_cp():
+    from srsran_tpu.phy.sync.cfo import cfo_apply, cfo_estimate_cp
+    import numpy as np
+
+    cell = Cell(nof_prb=6, nof_ports=1, id=0)
+    rng = np.random.default_rng(0)
+    grid = (rng.standard_normal((14, 72)) + 1j * rng.standard_normal((14, 72))).astype(np.complex64)
+    ofdm = OfdmConfig.from_cell(cell, normalize=True)
+    tx = np.asarray(ofdm_tx_sf(ofdm, grid))
+    true_cfo = -0.23
+    rx = np.asarray(cfo_apply(tx, -true_cfo, cell.symbol_sz))  # apply +cfo
+    est = float(np.asarray(cfo_estimate_cp(rx, cell)))
+    assert abs(est - true_cfo) < 0.02, est
+    # correction restores the signal
+    corr = np.asarray(cfo_apply(rx, est, cell.symbol_sz))
+    np.testing.assert_allclose(corr, tx, atol=0.15)
+
+
+def test_sfo_estimate():
+    from srsran_tpu.phy.sync.cfo import sfo_estimate
+    import numpy as np
+
+    offs = np.array([0.0, 1.5, 3.1, 4.4, 6.2])  # ~1.55 samples / period
+    sfo = float(np.asarray(sfo_estimate(offs, period_s=0.005)))
+    assert abs(sfo - 1.55 / 0.005) < 40
