@@ -1,0 +1,10 @@
+"""srsEPC-equivalent core network: MME (S1AP + NAS FSM), HSS (Milenage
+vectors, user_db.csv), SPGW (GTP-U anchor + IP pool). See srsepc/src in
+the reference."""
+
+from .hss import AuthVector, Hss, Subscriber
+from .mme import Mme, UeCtx
+from .spgw import Spgw
+from . import s1ap
+
+__all__ = ["AuthVector", "Hss", "Subscriber", "Mme", "UeCtx", "Spgw", "s1ap"]

@@ -1,0 +1,397 @@
+"""MAC layer: eNB scheduler + HARQ entities + UE MAC procedures,
+TS 36.321 (re-design of `srsenb/src/stack/mac/scheduler*.cc`,
+`srsue/src/stack/mac/{dl,ul}_harq.cc`, `proc_ra.cc`, `proc_bsr.cc`).
+
+The eNB side keeps the reference's FAPI-like synchronous pull contract
+(`mac_interface_phy_lte::get_dl_sched/get_ul_sched`, enb_interfaces.h:181):
+the PHY worker calls `get_dl_sched(tti)` and receives a list of grants
+with fully-built MAC PDUs; feedback flows back via `ack_info/crc_info`.
+
+Scheduling metric: round-robin over active UEs (scheduler_metric.h:29,46),
+allocating contiguous PRB spans (RA type 2 / DCI 1A) with HARQ
+retransmissions taking priority over new data (scheduler_harq.cc).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from collections import deque
+
+from .mac_pdu import LCID_PADDING, mac_pack, mac_unpack
+
+# UL-SCH MAC control element LCIDs (TS 36.321 Table 6.2.1-2)
+LCID_CCCH = 0
+LCID_PHR = 26
+LCID_CRNTI = 27
+LCID_TRUNC_BSR = 28
+LCID_SHORT_BSR = 29
+LCID_LONG_BSR = 30
+# DL-SCH control element LCIDs (Table 6.2.1-1)
+LCID_CON_RES = 28
+LCID_TA_CMD = 29
+
+HARQ_RV_SEQ = [0, 2, 3, 1]  # redundancy version cycling (dl_harq.cc)
+N_HARQ = 8
+FDD_FB_DELAY = 4  # ACK at TTI+4
+
+
+def bsr_index(nof_bytes: int) -> int:
+    """TS 36.321 Table 6.1.3.1-1 buffer-size level (geometric levels
+    10..150000 over indices 1..62; 0 = empty, 63 = >150000)."""
+    if nof_bytes == 0:
+        return 0
+    if nof_bytes > 150000:
+        return 63
+    lo = 10.0
+    ratio = (150000.0 / 10.0) ** (1.0 / 61.0)
+    idx = 1
+    level = lo
+    while level < nof_bytes and idx < 62:
+        level *= ratio
+        idx += 1
+    return idx
+
+
+# ---------------------------------------------------------------------------
+# HARQ processes
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class DlHarqProc:
+    """eNB-side DL HARQ process state (scheduler_harq.cc)."""
+
+    pid: int
+    ndi: int = 0
+    rv_idx: int = 0
+    pdu: bytes | None = None
+    tbs_bits: int = 0
+    mcs: int = 0
+    n_prb: int = 0
+    pending_ack: bool = False
+    tx_tti: int = -1
+    retx_count: int = 0
+    max_retx: int = 4
+
+    def new_tx(self, tti: int, pdu: bytes, tbs_bits: int, mcs: int, n_prb: int):
+        self.ndi ^= 1
+        self.rv_idx = 0
+        self.pdu = pdu
+        self.tbs_bits = tbs_bits
+        self.mcs = mcs
+        self.n_prb = n_prb
+        self.pending_ack = True
+        self.tx_tti = tti
+        self.retx_count = 0
+
+    def retx(self, tti: int):
+        self.rv_idx = (self.rv_idx + 1) % 4
+        self.retx_count += 1
+        self.pending_ack = True
+        self.tx_tti = tti
+
+    @property
+    def rv(self) -> int:
+        return HARQ_RV_SEQ[self.rv_idx]
+
+    def ack(self, is_ack: bool) -> bool:
+        """Returns True if the process became free."""
+        self.pending_ack = False
+        if is_ack or self.retx_count >= self.max_retx:
+            self.pdu = None
+            return True
+        return False
+
+
+# ---------------------------------------------------------------------------
+# eNB scheduler
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class DlSchedGrant:
+    rnti: int
+    rb_start: int
+    l_crb: int
+    mcs: int
+    tbs_bits: int
+    ndi: int
+    rv: int
+    harq_pid: int
+    pdu: bytes  # MAC PDU bytes (None-padded to TBS/8)
+
+
+@dataclasses.dataclass
+class UlSchedGrant:
+    rnti: int
+    rb_start: int
+    l_crb: int
+    mcs: int
+    tbs_bits: int
+    ndi: int
+    rv: int
+    harq_pid: int
+
+
+@dataclasses.dataclass
+class _SchedUe:
+    rnti: int
+    dl_harq: list[DlHarqProc]
+    bearers: dict[int, object]  # lcid -> RLC entity (read_pdu/buffer_state)
+    dl_buffer_override: int = 0  # for CE-only / test traffic
+    ce_queue: deque = dataclasses.field(default_factory=deque)  # (lcid, payload)
+    ul_pending_bytes: int = 0  # from BSRs
+    ul_ndi: int = 0
+    cqi: int = 15
+    dl_bytes: int = 0
+    ul_bytes: int = 0
+
+
+class Scheduler:
+    """Round-robin DL/UL scheduler (sched class, scheduler.h:60)."""
+
+    def __init__(self, nof_prb: int, mcs_max: int = 9, get_tbs=None):
+        from ..phy.phch.ra import dl_tbs
+
+        self.nof_prb = nof_prb
+        self.mcs_max = mcs_max
+        self.ues: dict[int, _SchedUe] = {}
+        self.rr_next = 0
+        self._tbs = get_tbs or dl_tbs
+        self.pending_rar: deque = deque()  # (tti_req, preamble, ta)
+
+    # --- config plane (rrc->mac, enb_interfaces.h:273) ---
+    def ue_cfg(self, rnti: int):
+        if rnti not in self.ues:
+            self.ues[rnti] = _SchedUe(rnti, [DlHarqProc(i) for i in range(N_HARQ)], {})
+
+    def ue_rem(self, rnti: int):
+        self.ues.pop(rnti, None)
+
+    def bearer_ue_cfg(self, rnti: int, lcid: int, rlc_entity):
+        self.ue_cfg(rnti)
+        self.ues[rnti].bearers[lcid] = rlc_entity
+
+    def push_ce(self, rnti: int, lcid: int, payload: bytes):
+        self.ue_cfg(rnti)
+        self.ues[rnti].ce_queue.append((lcid, payload))
+
+    # --- feedback plane (phy->mac) ---
+    def ack_info(self, rnti: int, harq_pid: int, ack: bool):
+        ue = self.ues.get(rnti)
+        if ue is not None:
+            ue.dl_harq[harq_pid].ack(ack)
+
+    def ul_crc_info(self, rnti: int, ok: bool):
+        pass  # UL HARQ simplification: synchronous retx not modeled
+
+    def ul_bsr(self, rnti: int, nof_bytes: int):
+        ue = self.ues.get(rnti)
+        if ue is not None:
+            ue.ul_pending_bytes = nof_bytes
+
+    # --- the FAPI-like pull (mac.cc:555 get_dl_sched) ---
+    def _dl_pending(self, ue: _SchedUe) -> int:
+        n = sum(e.buffer_state() if hasattr(e, "buffer_state") else 0 for e in ue.bearers.values())
+        n += sum(len(p) + 2 for _, p in ue.ce_queue)
+        return n + ue.dl_buffer_override
+
+    def get_dl_sched(self, tti: int, pdsch_nof_re: int | None = None) -> list[DlSchedGrant]:
+        """One grant per TTI (single contiguous allocation, DCI 1A)."""
+        if not self.ues:
+            return []
+        rntis = sorted(self.ues)
+        # 1. HARQ retransmissions first
+        for rnti in rntis:
+            ue = self.ues[rnti]
+            for h in ue.dl_harq:
+                if h.pdu is not None and not h.pending_ack and h.retx_count < h.max_retx:
+                    h.retx(tti)
+                    return [
+                        DlSchedGrant(
+                            rnti, 0, self.nof_prb, h.mcs, h.tbs_bits, h.ndi, h.rv, h.pid, h.pdu
+                        )
+                    ]
+        # 2. round-robin new data
+        order = rntis[self.rr_next % len(rntis) :] + rntis[: self.rr_next % len(rntis)]
+        self.rr_next += 1
+        for rnti in order:
+            ue = self.ues[rnti]
+            pending = self._dl_pending(ue)
+            if pending == 0:
+                continue
+            h = next((h for h in ue.dl_harq if h.pdu is None and not h.pending_ack), None)
+            if h is None:
+                continue
+            mcs, tbs_bits = self._pick_mcs(pending, pdsch_nof_re)
+            if tbs_bits == 0:
+                continue
+            tb_bytes = tbs_bits // 8
+            sdus = []
+            while ue.ce_queue:
+                lcid, pl = ue.ce_queue[0]
+                if sum(len(p) + 3 for _, p in sdus) + len(pl) + 3 > tb_bytes:
+                    break
+                sdus.append(ue.ce_queue.popleft())
+            used = sum(len(p) + 3 for _, p in sdus)
+            for lcid, ent in sorted(ue.bearers.items()):
+                while used + 8 < tb_bytes:
+                    pdu = ent.read_pdu(tb_bytes - used - 3) if hasattr(ent, "read_pdu") else None
+                    if pdu is None:
+                        break
+                    sdus.append((lcid, pdu))
+                    used += len(pdu) + 3
+            if not sdus:
+                if ue.dl_buffer_override:
+                    ue.dl_buffer_override = 0
+                continue
+            mac = mac_pack(sdus, tb_bytes)
+            h.new_tx(tti, mac, tbs_bits, mcs, self.nof_prb)
+            ue.dl_bytes += used
+            return [
+                DlSchedGrant(rnti, 0, self.nof_prb, mcs, tbs_bits, h.ndi, 0, h.pid, mac)
+            ]
+        return []
+
+    def _pick_mcs(self, pending_bytes: int, pdsch_nof_re: int | None) -> tuple[int, int]:
+        """Smallest (mcs, tbs) covering pending bytes, capped by mcs_max and
+        (optionally) a 0.75 code-rate bound on available REs."""
+        from ..phy.phch.ra import dl_mcs_to_mod
+
+        best = (0, 0)
+        for mcs in range(self.mcs_max + 1):
+            tbs = self._tbs(mcs, self.nof_prb)
+            if pdsch_nof_re is not None:
+                qm = dl_mcs_to_mod(mcs).bits_per_symbol
+                if (tbs + 24) / (pdsch_nof_re * qm) > 0.75:
+                    break
+            best = (mcs, tbs)
+            if tbs // 8 >= pending_bytes + 8:
+                break
+        return best
+
+    def get_ul_sched(self, tti: int) -> list[UlSchedGrant]:
+        from ..phy.phch.ra import ul_mcs_to_itbs, tbs_lookup
+
+        for rnti in sorted(self.ues):
+            ue = self.ues[rnti]
+            if ue.ul_pending_bytes > 0:
+                mcs = min(self.mcs_max, 20)
+                tbs = tbs_lookup(ul_mcs_to_itbs(mcs), self.nof_prb)
+                ue.ul_ndi ^= 1
+                ue.ul_pending_bytes = max(0, ue.ul_pending_bytes - tbs // 8)
+                return [UlSchedGrant(rnti, 0, self.nof_prb, mcs, tbs, ue.ul_ndi, 0, tti % N_HARQ)]
+        return []
+
+    def metrics(self) -> dict:
+        return {
+            rnti: {"dl_bytes": ue.dl_bytes, "ul_bytes": ue.ul_bytes} for rnti, ue in self.ues.items()
+        }
+
+
+# ---------------------------------------------------------------------------
+# UE MAC
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class UeDlHarqState:
+    """UE-side DL HARQ: NDI tracking for new-tx vs retx detection
+    (dl_harq.cc); the LLR soft-combining itself lives in the PHY
+    softbuffer (fec/rate_match softbuffer accumulation)."""
+
+    ndi: int = -1
+
+    def is_new_tx(self, ndi: int) -> bool:
+        new = ndi != self.ndi
+        self.ndi = ndi
+        return new
+
+
+class UeMac:
+    """UE MAC: demux, BSR generation, RA procedure FSM (proc_ra.cc)."""
+
+    RA_IDLE, RA_PREAMBLE_SENT, RA_RAR_RECEIVED, RA_COMPLETED = range(4)
+
+    def __init__(self, crnti: int = 0):
+        self.crnti = crnti
+        self.dl_harq = [UeDlHarqState() for _ in range(N_HARQ)]
+        self.rx_sdus: deque[tuple[int, bytes]] = deque()
+        self.ul_queues: dict[int, deque[bytes]] = {}
+        self.ra_state = self.RA_IDLE
+        self.ra_preamble = -1
+        self.ta = 0
+        self.stats = {"dl_pdus": 0, "dl_bytes": 0}
+
+    # --- RA procedure ---
+    def start_ra(self, preamble: int):
+        self.ra_preamble = preamble
+        self.ra_state = self.RA_PREAMBLE_SENT
+
+    def handle_rar(self, preamble: int, ta: int, temp_crnti: int) -> bool:
+        """Random-access response; returns True if it matches our preamble."""
+        if self.ra_state != self.RA_PREAMBLE_SENT or preamble != self.ra_preamble:
+            return False
+        self.ta = ta
+        self.crnti = temp_crnti
+        self.ra_state = self.RA_RAR_RECEIVED
+        return True
+
+    def handle_contention_resolution(self, ident: bytes, our_ident: bytes) -> bool:
+        if self.ra_state == self.RA_RAR_RECEIVED and ident == our_ident:
+            self.ra_state = self.RA_COMPLETED
+            return True
+        return False
+
+    # --- DL path ---
+    def tb_decoded(self, harq_pid: int, ndi: int, pdu: bytes) -> list[tuple[int, bytes]]:
+        """Process a CRC-ok TB; returns delivered (lcid, sdu) list."""
+        if not self.dl_harq[harq_pid].is_new_tx(ndi):
+            return []  # duplicate retx of an already-delivered TB
+        out = mac_unpack(pdu)
+        self.stats["dl_pdus"] += 1
+        self.stats["dl_bytes"] += sum(len(s) for _, s in out)
+        self.rx_sdus.extend(out)
+        return out
+
+    # --- UL path ---
+    def write_sdu(self, lcid: int, sdu: bytes):
+        self.ul_queues.setdefault(lcid, deque()).append(bytes(sdu))
+
+    def buffer_state(self) -> int:
+        return sum(len(s) for q in self.ul_queues.values() for s in q)
+
+    def build_ul_pdu(self, tb_bytes: int) -> bytes | None:
+        """Mux BSR CE + SDUs into an UL-SCH PDU (mux.cc)."""
+        sdus: list[tuple[int, bytes]] = []
+        used = 0
+        remaining = self.buffer_state()
+        # short BSR CE first (proc_bsr.cc): LCG 0
+        bsr = bytes([bsr_index(remaining) & 0x3F])
+        sdus.append((LCID_SHORT_BSR, bsr))
+        used += len(bsr) + 3
+        for lcid in sorted(self.ul_queues):
+            q = self.ul_queues[lcid]
+            while q and used + len(q[0]) + 3 <= tb_bytes:
+                s = q.popleft()
+                sdus.append((lcid, s))
+                used += len(s) + 3
+        if used > tb_bytes:
+            return None
+        return mac_pack(sdus, tb_bytes)
+
+
+def parse_ul_pdu(pdu: bytes) -> tuple[int, list[tuple[int, bytes]]]:
+    """eNB-side UL-SCH demux: returns (bsr_bytes_estimate, sdus)."""
+    bsr = 0
+    sdus = []
+    for lcid, payload in mac_unpack(pdu):
+        if lcid == LCID_SHORT_BSR and payload:
+            idx = payload[0] & 0x3F
+            # invert bsr_index: representative value
+            bsr = 0 if idx == 0 else int(10.0 * ((150000.0 / 10.0) ** ((idx - 1) / 61.0)))
+        elif lcid == LCID_PADDING:
+            continue
+        else:
+            sdus.append((lcid, payload))
+    return bsr, sdus

@@ -36,6 +36,9 @@ class RlcTm:
     def write_sdu(self, sdu: bytes):
         self.tx.append(bytes(sdu))
 
+    def buffer_state(self) -> int:
+        return sum(len(s) for s in self.tx)
+
     def read_pdu(self, nof_bytes: int) -> bytes | None:
         if self.tx and len(self.tx[0]) <= nof_bytes:
             return self.tx.popleft()
@@ -129,6 +132,12 @@ class RlcUm:
 
     def has_data(self) -> bool:
         return bool(self.tx_sdus) or self.tx_partial is not None
+
+    def buffer_state(self) -> int:
+        n = sum(len(s) + 2 for s in self.tx_sdus)
+        if self.tx_partial is not None:
+            n += len(self.tx_partial) + 2
+        return n
 
     def read_pdu(self, nof_bytes: int) -> bytes | None:
         """Build one UMD PDU of at most nof_bytes."""

@@ -1,0 +1,147 @@
+"""EPC + NAS attach flow tests (the srsepc/test + srsue/test/upper/nas
+equivalents): full UE<->MME attach with Milenage auth, NAS security,
+bearer setup, and GTP-U user-plane forwarding."""
+
+from srsran_tpu.epc import Hss, Mme, Spgw, Subscriber, s1ap
+from srsran_tpu.stack import nas, security as sec
+from srsran_tpu.stack.gtpu import GtpuEndpoint, gtpu_pack, gtpu_unpack
+from srsran_tpu.stack.nas_ue import UeNas, Usim
+
+IMSI = "001010123456789"
+KEY = bytes.fromhex("00112233445566778899aabbccddeeff")
+OP = bytes.fromhex("63bfa50ee6523365ff14c1f45f88737d")
+
+
+def make_epc():
+    hss = Hss()
+    hss.add_subscriber(
+        Subscriber(name="ue1", imsi=IMSI, key=KEY, opc=sec.compute_opc(KEY, OP), amf=b"\x80\x00", sqn=0)
+    )
+    spgw = Spgw()
+    return Mme(hss, spgw), spgw
+
+
+def test_gtpu_roundtrip():
+    a, b = GtpuEndpoint(), GtpuEndpoint()
+    a.add_bearer(local_teid=1, remote_teid=2)
+    b.add_bearer(local_teid=2, remote_teid=1)
+    pkt = a.tx(1, b"ip packet")
+    b.rx(pkt)
+    assert b.read(2) == b"ip packet"
+    hdr, payload = gtpu_unpack(pkt)
+    assert hdr.teid == 2 and payload == b"ip packet"
+
+
+def test_gtpu_echo():
+    ep = GtpuEndpoint()
+    resp = ep.rx(gtpu_pack(0, b"", seq=7, msg_type=1))
+    hdr, _ = gtpu_unpack(resp)
+    assert hdr.msg_type == 2 and hdr.seq == 7
+
+
+def test_nas_imsi_bcd_roundtrip():
+    for imsi in ("001010123456789", "262011234567890"):
+        assert nas.bcd_to_imsi(nas.imsi_to_bcd(imsi)) == imsi
+
+
+def run_attach(mme, ue_nas, enb_ue_id=1):
+    """Drive the S1AP attach flow as the eNB would (s1ap.cc glue)."""
+    msgs = mme.handle(
+        s1ap.pack(
+            s1ap.INITIAL_UE_MESSAGE,
+            {s1ap.IE_ENB_UE_ID: enb_ue_id, s1ap.IE_NAS_PDU: ue_nas.attach_request()},
+        )
+    )
+    k_enb = None
+    spgw_ul_teid = None
+    for _ in range(10):
+        nxt = []
+        for m_bytes in msgs:
+            m, _ = s1ap.unpack(m_bytes)
+            if m.msg_type == s1ap.DOWNLINK_NAS_TRANSPORT:
+                resp = ue_nas.handle_dl(m.ies[s1ap.IE_NAS_PDU])
+                if resp is not None:
+                    nxt += mme.handle(
+                        s1ap.pack(
+                            s1ap.UPLINK_NAS_TRANSPORT,
+                            {
+                                s1ap.IE_MME_UE_ID: m.u32(s1ap.IE_MME_UE_ID),
+                                s1ap.IE_ENB_UE_ID: enb_ue_id,
+                                s1ap.IE_NAS_PDU: resp,
+                            },
+                        )
+                    )
+            elif m.msg_type == s1ap.INITIAL_CONTEXT_SETUP_REQUEST:
+                k_enb = m.ies[s1ap.IE_KENB]
+                spgw_ul_teid = m.u32(s1ap.IE_TEID_UL)
+                resp = ue_nas.handle_dl(m.ies[s1ap.IE_NAS_PDU])
+                mme_id = m.u32(s1ap.IE_MME_UE_ID)
+                nxt += mme.handle(
+                    s1ap.pack(
+                        s1ap.INITIAL_CONTEXT_SETUP_RESPONSE,
+                        {s1ap.IE_MME_UE_ID: mme_id, s1ap.IE_TEID_DL: 100 + enb_ue_id},
+                    )
+                )
+                if resp is not None:
+                    nxt += mme.handle(
+                        s1ap.pack(
+                            s1ap.UPLINK_NAS_TRANSPORT,
+                            {
+                                s1ap.IE_MME_UE_ID: mme_id,
+                                s1ap.IE_ENB_UE_ID: enb_ue_id,
+                                s1ap.IE_NAS_PDU: resp,
+                            },
+                        )
+                    )
+        if not nxt:
+            break
+        msgs = nxt
+    return k_enb, spgw_ul_teid
+
+
+def test_full_attach_flow():
+    mme, spgw = make_epc()
+    ue = UeNas(Usim(IMSI, KEY, sec.compute_opc(KEY, OP)))
+    k_enb, spgw_teid = run_attach(mme, ue)
+    assert ue.state == UeNas.REGISTERED
+    assert IMSI in mme.attached_imsis
+    assert ue.ue_ip.startswith("172.16.")
+    assert k_enb is not None and len(k_enb) == 32
+    # both sides derived the same K_eNB
+    assert ue.get_k_enb() == k_enb
+    # user plane: downlink IP packet reaches the eNB tunnel with its DL TEID
+    spgw.sgi_tx(ue.ue_ip, b"downlink ip packet")
+    pkt = spgw.pop_tx()
+    hdr, payload = gtpu_unpack(pkt)
+    assert hdr.teid == 101 and payload == b"downlink ip packet"
+    # uplink through the SPGW to SGi
+    spgw.rx_from_enb(gtpu_pack(spgw_teid, b"uplink ip packet"))
+    ip, pl = spgw.sgi_rx.popleft()
+    assert ip == ue.ue_ip and pl == b"uplink ip packet"
+
+
+def test_attach_wrong_key_fails():
+    mme, _ = make_epc()
+    bad = UeNas(Usim(IMSI, bytes(16), sec.compute_opc(KEY, OP)))
+    run_attach(mme, bad)
+    assert bad.state != UeNas.REGISTERED
+    assert IMSI not in mme.attached_imsis
+
+
+def test_s1_setup():
+    mme, _ = make_epc()
+    out = mme.handle(s1ap.pack(s1ap.S1_SETUP_REQUEST, {s1ap.IE_ENB_ID: 0x19B}))
+    m, _ = s1ap.unpack(out[0])
+    assert m.msg_type == s1ap.S1_SETUP_RESPONSE
+
+
+def test_hss_csv(tmp_path):
+    p = tmp_path / "user_db.csv"
+    p.write_text(
+        "#comment\n"
+        f"ue1,mil,{IMSI},{KEY.hex()},opc,{sec.compute_opc(KEY, OP).hex()},8000,0,9,dynamic\n"
+    )
+    hss = Hss()
+    hss.load_csv(str(p))
+    av = hss.get_auth_vector(IMSI)
+    assert av is not None and len(av.rand) == 16 and len(av.autn) == 16
