@@ -1,0 +1,565 @@
+"""Full-stack eNB and UE: PHY + MAC + RLC + PDCP + RRC-lite + NAS/EPC
+over a bidirectional sample-level link.
+
+The in-process analog of the reference's `test/run_lte.sh` E2E setup
+(srsUE + srsENB + srsEPC over ZMQ fake RF): every TTI the eNB renders a
+DL subframe and consumes the UE's UL subframe; the complete LTE attach —
+PRACH → RAR → Msg3(RRC ConnectionRequest) → RRC setup → NAS
+attach/auth/SMC via S1AP-lite to the MME → AS security → DRB
+reconfiguration → GTP-U user plane through the SPGW — runs over the
+actual OFDM/turbo PHY.
+
+Simplifications vs the reference (each noted inline): no PUCCH HARQ
+feedback (eNB acks from its own UL CRC; DL HARQ acks assumed), one UE
+per eNB instance exercised, persistent-size UL grants via DCI0.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..epc import Mme, Spgw, s1ap
+from ..phy.common import Cell
+from ..phy.enb.enb_dl import DlSched, enb_dl_subframe
+from ..phy.enb.enb_ul import enb_ul_fft, enb_ul_decode_pusch
+from ..phy.phch.dci import Dci0, Dci1A
+from ..phy.phch.pbch import Mib
+from ..phy.phch.pdcch import nof_cce, search_space_candidates
+from ..phy.phch.pdsch import DlGrant
+from ..phy.phch.prach import PrachConfig, prach_detect, prach_nfft, prach_cp_len
+from ..phy.phch.pusch import UlGrant
+from ..phy.phch.ra import (
+    dl_mcs_to_mod,
+    dl_tbs,
+    riv_decode,
+    riv_encode,
+    tbs_lookup,
+    ul_mcs_to_itbs,
+    ul_mcs_to_mod,
+)
+from ..phy.ue.ue_dl import ue_dl_decode_subframe
+from ..phy.ue.ue_ul import ue_prach_send, ue_ul_encode
+from ..stack import rrc
+from ..stack import security as sec
+from ..stack.gtpu import GtpuEndpoint, gtpu_unpack
+from ..stack.mac import Scheduler, UeMac, parse_ul_pdu
+from ..stack.mac_pdu import mac_pack, mac_unpack
+from ..stack.nas_ue import UeNas, Usim
+from ..stack.pdcp import PdcpConfig, PdcpEntity
+from ..stack.rlc import RlcAm, RlcTm
+
+LCID_CCCH = 0
+LCID_SRB1 = 1
+LCID_DRB1 = 3
+
+FB_DELAY = 4  # DCI0 at n → PUSCH at n+4
+
+
+def _pack_rar(rapid: int, ta: int, grant20: int, temp_crnti: int) -> bytes:
+    """MAC RAR PDU (TS 36.321 §6.1.5): E/T/RAPID subheader + 6-byte RAR."""
+    sub = 0x40 | (rapid & 0x3F)  # E=0, T=1
+    body = (
+        ((ta & 0x7FF) << 36) | ((grant20 & 0xFFFFF) << 16) | (temp_crnti & 0xFFFF)
+    ).to_bytes(6, "big")
+    return bytes([sub]) + body
+
+
+def _unpack_rar(pdu: bytes) -> tuple[int, int, int, int] | None:
+    if len(pdu) < 7 or not (pdu[0] & 0x40):
+        return None
+    rapid = pdu[0] & 0x3F
+    v = int.from_bytes(pdu[1:7], "big")
+    return rapid, (v >> 36) & 0x7FF, (v >> 16) & 0xFFFFF, v & 0xFFFF
+
+
+def _msg3_grant(cell: Cell, rnti: int, grant20: int) -> UlGrant:
+    riv = (grant20 >> 10) & 0x3FF
+    mcs = (grant20 >> 5) & 0x1F
+    rb0, l_crb = riv_decode(cell.nof_prb, riv)
+    return UlGrant(
+        prb_start=rb0, nof_prb=l_crb, mod=ul_mcs_to_mod(mcs),
+        tbs=tbs_lookup(ul_mcs_to_itbs(mcs), l_crb), rnti=rnti,
+    )
+
+
+def _bearer_set(k_enb: bytes | None, cipher: int, integ: int, is_enb: bool):
+    """Build (srb1_pdcp, drb_pdcp) for the given AS security state."""
+    if k_enb is None:
+        return (
+            PdcpEntity(PdcpConfig(is_srb=True, bearer_id=1, direction_tx=1 if is_enb else 0)),
+            PdcpEntity(PdcpConfig(sn_bits=12, bearer_id=3, direction_tx=1 if is_enb else 0)),
+        )
+    rrc_enc, rrc_int, up_enc = sec.generate_as_keys(k_enb, cipher, integ)
+    return (
+        PdcpEntity(
+            PdcpConfig(is_srb=True, bearer_id=1, direction_tx=1 if is_enb else 0,
+                       cipher_alg=cipher, integrity_alg=integ),
+            k_enc=rrc_enc, k_int=rrc_int,
+        ),
+        PdcpEntity(
+            PdcpConfig(sn_bits=12, bearer_id=3, direction_tx=1 if is_enb else 0,
+                       cipher_alg=cipher),
+            k_enc=up_enc,
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# eNB
+# ---------------------------------------------------------------------------
+
+
+class EnbStack:
+    RRC_IDLE, RRC_SETUP_SENT, RRC_CONNECTED, RRC_SMC_SENT, RRC_RECONF_SENT, RRC_ACTIVE = range(6)
+
+    def __init__(self, cell: Cell, mme: Mme, spgw: Spgw, crnti: int = 0x46, mcs: int = 5, cfi: int = 2):
+        self.cell = cell
+        self.mme = mme
+        self.spgw = spgw
+        self.cfi = cfi
+        self.crnti = crnti
+        self.mib = Mib(nof_prb=cell.nof_prb)
+        self.prach_cfg = PrachConfig()
+        self.sched = Scheduler(cell.nof_prb, mcs_max=mcs)
+        # UE context (single-UE integration)
+        self.rrc_state = self.RRC_IDLE
+        self.ue_attached_rnti: int | None = None
+        self.srb0 = RlcTm()
+        self.srb1_rlc = RlcAm()
+        self.drb_rlc = RlcAm()
+        self.srb1_pdcp, self.drb_pdcp = _bearer_set(None, 0, 0, is_enb=True)
+        self.cipher_alg, self.integ_alg = 2, 2
+        self.k_enb: bytes | None = None
+        self.pending_rar: tuple[int, int] | None = None  # (rapid, ta)
+        self.pending_ul: dict[int, tuple[int, UlGrant]] = {}  # tti -> (rnti, grant)
+        self.mme_ue_id: int | None = None
+        self.enb_ue_id = 1
+        self.gtpu = GtpuEndpoint()
+        self.dl_teid = 101
+        self.pending_reconf_nas: bytes | None = None
+        self.tti = 0
+        self.stats = {"prach_detected": 0, "ul_crc_ok": 0, "ul_crc_ko": 0}
+
+    # --- S1AP plumbing (in-process "SCTP") ---
+    def _s1ap_send(self, msg: bytes):
+        for resp in self.mme.handle(msg):
+            self._s1ap_rx(resp)
+
+    def _s1ap_rx(self, data: bytes):
+        m, _ = s1ap.unpack(data)
+        if m.msg_type == s1ap.DOWNLINK_NAS_TRANSPORT:
+            self.mme_ue_id = m.u32(s1ap.IE_MME_UE_ID)
+            self._send_srb1(rrc.pack(rrc.DL_INFO_TRANSFER, {rrc.IE_NAS_PDU: m.ies[s1ap.IE_NAS_PDU]}))
+        elif m.msg_type == s1ap.INITIAL_CONTEXT_SETUP_REQUEST:
+            self.mme_ue_id = m.u32(s1ap.IE_MME_UE_ID)
+            self.k_enb = m.ies[s1ap.IE_KENB]
+            spgw_teid = m.u32(s1ap.IE_TEID_UL)
+            self.gtpu.add_bearer(self.dl_teid, spgw_teid)
+            self.pending_reconf_nas = m.ies[s1ap.IE_NAS_PDU]
+            # AS security activation (rrc_ue.cc send_security_mode_command)
+            self._send_srb1(
+                rrc.pack(
+                    rrc.SECURITY_MODE_COMMAND,
+                    {rrc.IE_CIPHER_ALG: self.cipher_alg, rrc.IE_INTEGRITY_ALG: self.integ_alg},
+                )
+            )
+            self.rrc_state = self.RRC_SMC_SENT
+            self._s1ap_send(
+                s1ap.pack(
+                    s1ap.INITIAL_CONTEXT_SETUP_RESPONSE,
+                    {s1ap.IE_MME_UE_ID: self.mme_ue_id, s1ap.IE_TEID_DL: self.dl_teid},
+                )
+            )
+
+    def _send_srb1(self, rrc_pdu: bytes):
+        self.srb1_rlc.write_sdu(self.srb1_pdcp.write_sdu(rrc_pdu))
+
+    # --- RRC handling ---
+    def _handle_ccch(self, pdu: bytes):
+        msg = rrc.unpack(pdu)
+        if msg.msg_type == rrc.CONN_REQUEST and self.rrc_state in (self.RRC_IDLE, self.RRC_SETUP_SENT):
+            setup = rrc.pack(rrc.CONN_SETUP, {rrc.IE_UE_IDENTITY: msg.ies[rrc.IE_UE_IDENTITY], rrc.IE_CRNTI: self.crnti})
+            self.srb0.write_sdu(setup)
+            self.sched.bearer_ue_cfg(self.crnti, LCID_CCCH, self.srb0)
+            self.sched.bearer_ue_cfg(self.crnti, LCID_SRB1, self.srb1_rlc)
+            self.rrc_state = self.RRC_SETUP_SENT
+
+    def _handle_srb1(self, pdcp_pdu: bytes):
+        rrc_pdu = self.srb1_pdcp.write_pdu(pdcp_pdu)
+        if rrc_pdu is None:
+            return
+        msg = rrc.unpack(rrc_pdu)
+        if msg.msg_type == rrc.CONN_SETUP_COMPLETE:
+            self.rrc_state = self.RRC_CONNECTED
+            self._s1ap_send(
+                s1ap.pack(
+                    s1ap.INITIAL_UE_MESSAGE,
+                    {s1ap.IE_ENB_UE_ID: self.enb_ue_id, s1ap.IE_NAS_PDU: msg.ies[rrc.IE_NAS_PDU]},
+                )
+            )
+        elif msg.msg_type == rrc.UL_INFO_TRANSFER:
+            self._s1ap_send(
+                s1ap.pack(
+                    s1ap.UPLINK_NAS_TRANSPORT,
+                    {
+                        s1ap.IE_MME_UE_ID: self.mme_ue_id or 0,
+                        s1ap.IE_ENB_UE_ID: self.enb_ue_id,
+                        s1ap.IE_NAS_PDU: msg.ies[rrc.IE_NAS_PDU],
+                    },
+                )
+            )
+        elif msg.msg_type == rrc.SECURITY_MODE_COMPLETE:
+            # switch SRB1/DRB to secured PDCP entities (counts reset)
+            self.srb1_pdcp, self.drb_pdcp = _bearer_set(
+                self.k_enb, self.cipher_alg, self.integ_alg, is_enb=True
+            )
+            reconf = rrc.pack(
+                rrc.CONN_RECONFIGURATION,
+                {rrc.IE_DRB_ID: 1, rrc.IE_DRB_LCID: LCID_DRB1, rrc.IE_NAS_PDU: self.pending_reconf_nas or b""},
+            )
+            self._send_srb1(reconf)
+            self.rrc_state = self.RRC_RECONF_SENT
+        elif msg.msg_type == rrc.CONN_RECONFIGURATION_COMPLETE:
+            self.sched.bearer_ue_cfg(self.crnti, LCID_DRB1, self.drb_rlc)
+            self.rrc_state = self.RRC_ACTIVE
+            self.ue_attached_rnti = self.crnti
+
+    # --- TTI processing ---
+    def run_tti(self, ul_samples: np.ndarray | None) -> np.ndarray:
+        tti = self.tti
+        sf_idx = tti % 10
+        self._process_ul(tti, sf_idx, ul_samples)
+        self._pump_spgw()
+        dl = self._build_dl(tti, sf_idx)
+        self.tti += 1
+        return dl
+
+    def _process_ul(self, tti: int, sf_idx: int, samples: np.ndarray | None):
+        if samples is None:
+            return
+        # the link delivers the UE's subframe one TTI later
+        tti = tti - 1
+        sf_idx = tti % 10
+        # PRACH occasion: sf_idx 1 (prach-ConfigIndex 3 analog)
+        if sf_idx == 1 and self.rrc_state == self.RRC_IDLE and self.pending_rar is None:
+            cp = prach_cp_len(self.cell)
+            win = samples[cp : cp + prach_nfft(self.cell)]
+            if len(win) == prach_nfft(self.cell):
+                metric, delay, det = [np.asarray(v) for v in prach_detect(self.cell, self.prach_cfg, win)]
+                hits = np.nonzero(det)[0]
+                if len(hits):
+                    rapid = int(hits[np.argmax(metric[hits])])
+                    ta = max(0, int(round(float(delay[rapid]))))
+                    self.pending_rar = (rapid, ta)
+                    self.stats["prach_detected"] += 1
+            return
+        # scheduled PUSCH
+        if tti in self.pending_ul:
+            rnti, grant = self.pending_ul.pop(tti)
+            rx_grid = enb_ul_fft(self.cell, samples[None])
+            tb, ok, _, _ = enb_ul_decode_pusch(self.cell, sf_idx, rx_grid, grant)
+            if not ok:
+                self.stats["ul_crc_ko"] += 1
+                return
+            self.stats["ul_crc_ok"] += 1
+            pdu = np.packbits(np.asarray(tb)).tobytes()
+            bsr, sdus = parse_ul_pdu(pdu)
+            if bsr:
+                self.sched.ul_bsr(rnti, bsr)
+            for lcid, sdu in sdus:
+                if lcid == LCID_CCCH:
+                    self._handle_ccch(sdu)
+                elif lcid == LCID_SRB1:
+                    self.srb1_rlc.write_pdu(sdu)
+                    while (r := self.srb1_rlc.read_sdu()) is not None:
+                        self._handle_srb1(r)
+                elif lcid == LCID_DRB1:
+                    self.drb_rlc.write_pdu(sdu)
+                    while (r := self.drb_rlc.read_sdu()) is not None:
+                        ip_pkt = self.drb_pdcp.write_pdu(r)
+                        if ip_pkt is not None:
+                            self.spgw.rx_from_enb(self.gtpu.tx(self.dl_teid, ip_pkt))
+
+    def _pump_spgw(self):
+        while (pkt := self.spgw.pop_tx()) is not None:
+            out = gtpu_unpack(pkt)
+            if out is None:
+                continue
+            hdr, payload = out
+            if hdr.teid == self.dl_teid:
+                self.drb_rlc.write_sdu(self.drb_pdcp.write_sdu(payload))
+
+    def _build_dl(self, tti: int, sf_idx: int) -> np.ndarray:
+        sched = DlSched(cfi=self.cfi)
+        n = nof_cce(self.cell, sf_idx, self.cfi)
+        used_cce: list[tuple[int, int]] = []  # (start, L) taken this TTI
+
+        def alloc_cce(rnti: int) -> tuple[int, int] | None:
+            """First collision-free (agg, cce) from the UE search space —
+            the scheduler_grid.cc PDCCH allocation."""
+            cands = search_space_candidates(rnti, sf_idx, n)
+            for agg in sorted(cands, reverse=True):
+                for cce in cands[agg]:
+                    if all(cce + agg <= s or cce >= s + l for s, l in used_cce):
+                        used_cce.append((cce, agg))
+                        return agg, cce
+            return None
+
+        def add_dl_tb(rnti: int, mcs: int, tb_bytes_pdu: bytes, ndi: int = 1, rv: int = 0, harq_pid: int = 0):
+            l_crb = self.cell.nof_prb
+            tbs_bits = dl_tbs(mcs, l_crb)
+            tb_bits = np.unpackbits(np.frombuffer(tb_bytes_pdu, np.uint8))
+            tb_bits = np.concatenate([tb_bits, np.zeros(tbs_bits - len(tb_bits), np.uint8)])
+            dci = Dci1A(riv=riv_encode(self.cell.nof_prb, 0, l_crb), mcs=mcs, ndi=ndi, rv=rv, harq_pid=harq_pid)
+            loc = alloc_cce(rnti)
+            if loc is None:
+                return
+            agg, cce = loc
+            grant = DlGrant(prb=tuple(range(l_crb)), mod=dl_mcs_to_mod(mcs), tbs=tbs_bits, rnti=rnti, rv=rv)
+            sched.dcis.append((dci.pack(self.cell.nof_prb), rnti, agg, cce))
+            sched.grants.append((grant, tb_bits))
+
+        # 1. RAR (addressed to RA-RNTI = 1 + sf_idx of the PRACH = 2)
+        if self.pending_rar is not None and sf_idx not in (0, 5):
+            rapid, ta = self.pending_rar
+            grant20 = (riv_encode(self.cell.nof_prb, 0, self.cell.nof_prb) << 10) | (2 << 5)
+            rar = _pack_rar(rapid, ta, grant20, self.crnti)
+            mcs = 0
+            if dl_tbs(mcs, self.cell.nof_prb) // 8 >= len(rar):
+                add_dl_tb(1 + 1, mcs, rar)  # RA-RNTI for prach sf 1
+                # reserve the Msg3 PUSCH occasion
+                self.pending_ul[tti + FB_DELAY] = (self.crnti, _msg3_grant(self.cell, self.crnti, grant20))
+                self.pending_rar = None
+        else:
+            # 2. normal DL scheduling (one grant/TTI, MAC PDUs from RLC bearers)
+            from ..phy.phch.pdsch import pdsch_nof_re
+
+            n_re = pdsch_nof_re(self.cell, sf_idx, self.cfi, tuple(range(self.cell.nof_prb)))
+            grants = self.sched.get_dl_sched(tti, pdsch_nof_re=n_re)
+            for g in grants:
+                add_dl_tb(g.rnti, g.mcs, g.pdu, ndi=g.ndi, rv=g.rv, harq_pid=g.harq_pid)
+                # no PUCCH feedback modeled: assume delivery (ack now)
+                self.sched.ack_info(g.rnti, g.harq_pid, True)
+            # 3. UL grants via DCI0: BSR-driven, plus a periodic grant to the
+            # connected UE (the SR/semi-persistent-scheduling stand-in —
+            # the reference's UE would send a PUCCH SR instead)
+            ul_grants = self.sched.get_ul_sched(tti)
+            if (
+                not ul_grants
+                and self.rrc_state >= self.RRC_SETUP_SENT
+                and tti % 3 == 2
+                and (tti + FB_DELAY) not in self.pending_ul
+            ):
+                from ..stack.mac import UlSchedGrant
+
+                mcs = 5
+                tbs = tbs_lookup(ul_mcs_to_itbs(mcs), self.cell.nof_prb)
+                ul_grants = [UlSchedGrant(self.crnti, 0, self.cell.nof_prb, mcs, tbs, 0, 0, 0)]
+            if True:
+                for ug in ul_grants:
+                    dci0 = Dci0(riv=riv_encode(self.cell.nof_prb, ug.rb_start, ug.l_crb), mcs=ug.mcs, ndi=ug.ndi)
+                    loc = alloc_cce(ug.rnti)
+                    if loc is None:
+                        continue
+                    agg, cce = loc
+                    sched.dcis.append(
+                        (dci0.pack(self.cell.nof_prb, Dci1A.nof_bits(self.cell.nof_prb)), ug.rnti, agg, cce)
+                    )
+                    self.pending_ul[tti + FB_DELAY] = (
+                        ug.rnti,
+                        UlGrant(
+                            prb_start=ug.rb_start, nof_prb=ug.l_crb, mod=ul_mcs_to_mod(ug.mcs),
+                            tbs=ug.tbs_bits, rnti=ug.rnti,
+                        ),
+                    )
+        _, samples = enb_dl_subframe(self.cell, sf_idx, sched, mib=self.mib, sfn=(tti // 10) % 1024)
+        return samples[0]
+
+
+# ---------------------------------------------------------------------------
+# UE
+# ---------------------------------------------------------------------------
+
+
+class UeStack:
+    RRC_IDLE, RRC_WAIT_RAR, RRC_WAIT_SETUP, RRC_CONNECTED, RRC_ACTIVE = range(5)
+
+    def __init__(self, cell: Cell, usim: Usim, cfi: int = 2):
+        self.cell = cell
+        self.cfi = cfi
+        self.nas = UeNas(usim)
+        self.mac = UeMac()
+        self.rrc_state = self.RRC_IDLE
+        self.crnti: int | None = None
+        self.preamble = 17
+        self.srb1_rlc = RlcAm()
+        self.drb_rlc = RlcAm()
+        self.srb1_pdcp, self.drb_pdcp = _bearer_set(None, 0, 0, is_enb=False)
+        self.cipher_alg = self.integ_alg = 0
+        self.ue_identity = b"\x12\x34\x56\x78\x9a"
+        self.msg3: bytes | None = None
+        self.pending_tx: dict[int, UlGrant] = {}  # tti -> grant to transmit
+        self.prach_cfg = PrachConfig()
+        self.ip_rx: list[bytes] = []
+        self.ip_tx_queue: list[bytes] = []
+        self.tti = 0
+        self.stats = {"dl_tbs_ok": 0, "rar": 0}
+
+    @property
+    def ue_ip(self) -> str:
+        return self.nas.ue_ip
+
+    def send_ip_packet(self, pkt: bytes):
+        self.ip_tx_queue.append(bytes(pkt))
+
+    def start_attach(self):
+        pass  # attach starts automatically from IDLE at the next PRACH occasion
+
+    # --- TTI processing ---
+    def run_tti(self, dl_samples: np.ndarray) -> np.ndarray | None:
+        tti = self.tti
+        sf_idx = tti % 10
+        self._process_dl(tti, sf_idx, dl_samples)
+        ul = self._build_ul(tti, sf_idx)
+        self.tti += 1
+        return ul
+
+    def _process_dl(self, tti: int, sf_idx: int, samples: np.ndarray):
+        rntis = []
+        if self.rrc_state == self.RRC_WAIT_RAR:
+            rntis.append(1 + 1)  # RA-RNTI for prach sf 1
+        if self.crnti is not None:
+            rntis.append(self.crnti)
+        for rnti in rntis:
+            res = ue_dl_decode_subframe(self.cell, samples[None], sf_idx, rnti, known_cfi=self.cfi)
+            for (bits, agg, cce) in res.dcis:
+                if bits[0] == 0 and rnti == self.crnti:
+                    # DCI format 0: UL grant for tti+4
+                    dci0 = Dci0.unpack(bits, self.cell.nof_prb)
+                    rb0, l_crb = riv_decode(self.cell.nof_prb, dci0.riv)
+                    self.pending_tx[tti + FB_DELAY] = UlGrant(
+                        prb_start=rb0, nof_prb=l_crb, mod=ul_mcs_to_mod(dci0.mcs),
+                        tbs=tbs_lookup(ul_mcs_to_itbs(dci0.mcs), l_crb), rnti=rnti,
+                    )
+            for tb, ok in res.tbs:
+                if not ok:
+                    continue
+                self.stats["dl_tbs_ok"] += 1
+                pdu = np.packbits(np.asarray(tb)).tobytes()
+                if rnti != self.crnti:
+                    self._handle_rar(tti, pdu)
+                else:
+                    self._handle_dl_pdu(pdu)
+
+    def _handle_rar(self, tti: int, pdu: bytes):
+        rar = _unpack_rar(pdu)
+        if rar is None:
+            return
+        rapid, ta, grant20, temp_crnti = rar
+        if not self.mac.handle_rar(rapid, ta, temp_crnti):
+            return
+        self.stats["rar"] += 1
+        self.crnti = temp_crnti
+        self.rrc_state = self.RRC_WAIT_SETUP
+        # Msg3 = RRC ConnectionRequest on CCCH at tti+4
+        self.msg3 = rrc.pack(rrc.CONN_REQUEST, {rrc.IE_UE_IDENTITY: self.ue_identity})
+        self.pending_tx[tti + FB_DELAY] = _msg3_grant(self.cell, temp_crnti, grant20)
+
+    def _handle_dl_pdu(self, pdu: bytes):
+        for lcid, sdu in mac_unpack(pdu):
+            if lcid == LCID_CCCH:
+                self._handle_ccch(sdu)
+            elif lcid == LCID_SRB1:
+                self.srb1_rlc.write_pdu(sdu)
+                while (r := self.srb1_rlc.read_sdu()) is not None:
+                    self._handle_srb1(r)
+            elif lcid == LCID_DRB1:
+                self.drb_rlc.write_pdu(sdu)
+                while (r := self.drb_rlc.read_sdu()) is not None:
+                    pkt = self.drb_pdcp.write_pdu(r)
+                    if pkt is not None:
+                        self.ip_rx.append(pkt)
+
+    def _handle_ccch(self, sdu: bytes):
+        msg = rrc.unpack(sdu)
+        if msg.msg_type == rrc.CONN_SETUP and msg.ies.get(rrc.IE_UE_IDENTITY) == self.ue_identity:
+            self.rrc_state = self.RRC_CONNECTED
+            complete = rrc.pack(
+                rrc.CONN_SETUP_COMPLETE, {rrc.IE_NAS_PDU: self.nas.attach_request()}
+            )
+            self._send_srb1(complete)
+
+    def _handle_srb1(self, pdcp_pdu: bytes):
+        rrc_pdu = self.srb1_pdcp.write_pdu(pdcp_pdu)
+        if rrc_pdu is None:
+            return
+        msg = rrc.unpack(rrc_pdu)
+        if msg.msg_type == rrc.DL_INFO_TRANSFER:
+            resp = self.nas.handle_dl(msg.ies[rrc.IE_NAS_PDU])
+            if resp is not None:
+                self._send_srb1(rrc.pack(rrc.UL_INFO_TRANSFER, {rrc.IE_NAS_PDU: resp}))
+        elif msg.msg_type == rrc.SECURITY_MODE_COMMAND:
+            self.cipher_alg = msg.u32(rrc.IE_CIPHER_ALG)
+            self.integ_alg = msg.u32(rrc.IE_INTEGRITY_ALG)
+            # respond on the old (unsecured) entity, then switch
+            self._send_srb1(rrc.pack(rrc.SECURITY_MODE_COMPLETE))
+            self.srb1_pdcp, self.drb_pdcp = _bearer_set(
+                self.nas.get_k_enb(), self.cipher_alg, self.integ_alg, is_enb=False
+            )
+        elif msg.msg_type == rrc.CONN_RECONFIGURATION:
+            nas_pdu = msg.ies.get(rrc.IE_NAS_PDU, b"")
+            if nas_pdu:
+                resp = self.nas.handle_dl(nas_pdu)
+                if resp is not None:
+                    self._send_srb1(rrc.pack(rrc.UL_INFO_TRANSFER, {rrc.IE_NAS_PDU: resp}))
+            self._send_srb1(rrc.pack(rrc.CONN_RECONFIGURATION_COMPLETE))
+            self.rrc_state = self.RRC_ACTIVE
+
+    def _send_srb1(self, rrc_pdu: bytes):
+        self.srb1_rlc.write_sdu(self.srb1_pdcp.write_sdu(rrc_pdu))
+
+    # --- UL build ---
+    def _buffer_state(self) -> int:
+        n = self.srb1_rlc.buffer_state() + self.drb_rlc.buffer_state()
+        n += sum(len(p) + 4 for p in self.ip_tx_queue)
+        return n
+
+    def _build_ul(self, tti: int, sf_idx: int) -> np.ndarray | None:
+        # PRACH occasion
+        if self.rrc_state == self.RRC_IDLE and sf_idx == 1:
+            self.mac.start_ra(self.preamble)
+            self.rrc_state = self.RRC_WAIT_RAR
+            p = ue_prach_send(self.cell, self.prach_cfg, self.preamble)
+            out = np.zeros(self.cell.sf_len, np.complex64)
+            out[: len(p)] = p[: self.cell.sf_len]
+            return out
+        grant = self.pending_tx.pop(tti, None)
+        if grant is None:
+            return None
+        # move pending IP packets into the DRB
+        while self.ip_tx_queue and self.rrc_state == self.RRC_ACTIVE:
+            self.drb_rlc.write_sdu(self.drb_pdcp.write_sdu(self.ip_tx_queue.pop(0)))
+        tb_bytes = grant.tbs // 8
+        sdus = []
+        used = 0
+        if self.msg3 is not None:
+            sdus.append((LCID_CCCH, self.msg3))
+            used += len(self.msg3) + 3
+            self.msg3 = None
+        from ..stack.mac import LCID_SHORT_BSR, bsr_index
+
+        bs = self._buffer_state()
+        sdus.append((LCID_SHORT_BSR, bytes([bsr_index(bs) & 0x3F])))
+        used += 4
+        for lcid, ent in ((LCID_SRB1, self.srb1_rlc), (LCID_DRB1, self.drb_rlc)):
+            while used + 8 < tb_bytes:
+                pdu = ent.read_pdu(tb_bytes - used - 3)
+                if pdu is None:
+                    break
+                sdus.append((lcid, pdu))
+                used += len(pdu) + 3
+        mac_pdu = mac_pack(sdus, tb_bytes)
+        tb_bits = np.unpackbits(np.frombuffer(mac_pdu, np.uint8))
+        return ue_ul_encode(self.cell, sf_idx, pusch=(grant, tb_bits))

@@ -1,0 +1,82 @@
+"""Full-stack E2E: complete LTE attach + IP traffic over the PHY.
+
+The test/run_lte.sh analog: UE ↔ eNB over OFDM/turbo subframes in both
+directions, eNB ↔ MME/SPGW in-process. Covers PRACH detection, RAR,
+Msg3, RRC setup, NAS attach with Milenage auth + NAS security, AS
+security activation (SNOW3G/AES on PDCP), DRB setup, and bidirectional
+GTP-U user-plane traffic ("ping").
+"""
+
+import numpy as np
+import pytest
+
+from srsran_tpu.apps.full_stack import EnbStack, UeStack
+from srsran_tpu.epc import Hss, Mme, Spgw, Subscriber
+from srsran_tpu.phy.common import Cell
+from srsran_tpu.stack import security as sec
+from srsran_tpu.stack.nas_ue import Usim
+
+IMSI = "001010123456789"
+KEY = bytes.fromhex("00112233445566778899aabbccddeeff")
+OPC = sec.compute_opc(KEY, bytes.fromhex("63bfa50ee6523365ff14c1f45f88737d"))
+
+
+@pytest.fixture(scope="module")
+def attached():
+    cell = Cell(nof_prb=15, nof_ports=1, id=7)
+    hss = Hss()
+    hss.add_subscriber(Subscriber("ue1", IMSI, KEY, OPC, amf=b"\x80\x00", sqn=0))
+    spgw = Spgw()
+    mme = Mme(hss, spgw)
+    enb = EnbStack(cell, mme, spgw, mcs=5)
+    ue = UeStack(cell, Usim(IMSI, KEY, OPC))
+
+    ul = None
+    for tti in range(120):
+        dl = enb.run_tti(ul)
+        ul = ue.run_tti(dl)
+        if ue.rrc_state == UeStack.RRC_ACTIVE and enb.rrc_state == EnbStack.RRC_ACTIVE:
+            if ue.nas.state == ue.nas.REGISTERED:
+                break
+    return cell, enb, ue, mme, spgw
+
+
+def test_attach_completes(attached):
+    cell, enb, ue, mme, spgw = attached
+    assert enb.stats["prach_detected"] == 1
+    assert ue.stats["rar"] == 1
+    assert ue.nas.state == ue.nas.REGISTERED
+    assert IMSI in mme.attached_imsis
+    assert ue.ue_ip.startswith("172.16.")
+    assert enb.stats["ul_crc_ok"] > 3
+    assert ue.cipher_alg == 2 and ue.integ_alg == 2  # AS security active
+
+
+def test_downlink_ip_traffic(attached):
+    cell, enb, ue, mme, spgw = attached
+    pkts = [bytes([i]) * 60 for i in range(4)]
+    for p in pkts:
+        spgw.sgi_tx(ue.ue_ip, p)
+    ul = None
+    for _ in range(30):
+        dl = enb.run_tti(ul)
+        ul = ue.run_tti(dl)
+        if len(ue.ip_rx) >= len(pkts):
+            break
+    assert ue.ip_rx[: len(pkts)] == pkts
+    ue.ip_rx.clear()
+
+
+def test_uplink_ip_traffic(attached):
+    cell, enb, ue, mme, spgw = attached
+    pkts = [bytes([0x40 + i]) * 50 for i in range(3)]
+    for p in pkts:
+        ue.send_ip_packet(p)
+    ul = None
+    for _ in range(40):
+        dl = enb.run_tti(ul)
+        ul = ue.run_tti(dl)
+        if len(spgw.sgi_rx) >= len(pkts):
+            break
+    got = [pl for _, pl in spgw.sgi_rx]
+    assert got[: len(pkts)] == pkts
