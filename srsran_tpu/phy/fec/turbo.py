@@ -192,7 +192,7 @@ def _gather_states(arr, idx_np):
     return arr[..., jnp.asarray(idx_np)]
 
 
-def map_decoder(lx, lz, lx_tail, lz_tail, k: int, dtype=jnp.float32):
+def map_decoder(lx, lz, lx_tail, lz_tail, k: int, dtype=jnp.float32, backend: str = "auto"):
     """One constituent max-log-MAP pass.
 
     lx: (B, K) systematic-plus-apriori LLRs; lz: (B, K) parity LLRs;
@@ -258,6 +258,27 @@ def map_decoder(lx, lz, lx_tail, lz_tail, k: int, dtype=jnp.float32):
     def alpha_step_out(a, inputs):
         new, _ = alpha_step(a, inputs)
         return new, a  # emit alpha at the position (pre-update)
+
+    if backend == "auto":
+        # scan is currently faster on the axon chip; flip once the pallas
+        # kernel wins (see turbo_pallas.py)
+        backend = "scan"
+    if backend in ("pallas", "pallas_interpret"):
+        from .turbo_pallas import map_windows_pallas
+
+        lane_w = np.tile(np.arange(nw), b)  # lane l = b_idx * nw + w_idx
+        a_mask = jnp.asarray((lane_w == 0).astype(np.float32)[None, :])
+        b_mask = jnp.asarray((lane_w == nw - 1).astype(np.float32)[None, :])
+        beta_k = _beta_tail(lx_tail, lz_tail).astype(jnp.float32)  # (B, 8)
+        b_known = jnp.broadcast_to(beta_k.T[:, :, None], (8, b, nw)).reshape(8, bn)
+        bx_train_p = win_view(jnp.concatenate([x, jnp.zeros((b, T), dtype)], -1), starts + lw, T)
+        bz_train_p = win_view(jnp.concatenate([z, jnp.zeros((b, T), dtype)], -1), starts + lw, T)
+        llr = map_windows_pallas(
+            ax_train, az_train, ax_main, az_main, bx_train_p, bz_train_p,
+            a_mask, b_mask, b_known, T=T, lw=lw,
+            interpret=(backend == "pallas_interpret"),
+        )
+        return llr.reshape(lw, b, nw).transpose(1, 2, 0).reshape(b, k).astype(jnp.float32)
 
     a_tr, _ = jax.lax.scan(alpha_step, jnp.zeros((8, bn), dtype), (ax_train, az_train))
     # window 0 gets the exact known initial state
@@ -359,20 +380,25 @@ def turbo_decode(d_llr, k: int, max_iterations: int = 5, crc_table=None, metric_
     per, inv = _perm_tables(k)
     per_j, inv_j = jnp.asarray(per), jnp.asarray(inv)
 
+    def permute(s, idx):
+        # row-gather on the transposed layout: ~1.6x faster than a
+        # lane-dimension gather on TPU (minor-dim gathers serialize)
+        return jnp.take(s.T, idx, axis=0).T
+
     sys = d_llr[:, 0, :k]
     p1 = d_llr[:, 1, :k]
     p2 = d_llr[:, 2, :k]
     lx1_t, lz1_t, lx2_t, lz2_t = dstream_tails(d_llr[:, :, k:])
-    sys_int = sys[:, per_j]
+    sys_int = permute(sys, per_j)
 
     def one_iteration(ext2):
         post1 = map_decoder(sys + ext2, p1, lx1_t, lz1_t, k, metric_dtype)
         ext1 = post1 - (sys + ext2)
-        in2 = sys_int + ext1[:, per_j]
+        in2 = sys_int + permute(ext1, per_j)
         post2 = map_decoder(in2, p2, lx2_t, lz2_t, k, metric_dtype)
         ext2_int = post2 - in2
-        new_ext2 = ext2_int[:, inv_j]
-        return new_ext2, post2[:, inv_j]
+        new_ext2 = permute(ext2_int, inv_j)
+        return new_ext2, permute(post2, inv_j)
 
     def crc_pass(post):
         if crc_table is None:

@@ -105,3 +105,57 @@ def test_pdsch_over_epa_fading():
     )
     assert ok
     np.testing.assert_array_equal(tb_hat, tb)
+
+
+def test_composed_channel_chain():
+    """Config-driven composed channel (channel.cc analog): all stages on."""
+    import jax.numpy as jnp
+    from srsran_tpu.phy.channel.channel import Channel, ChannelConfig, DelayConfig, HstConfig
+    from srsran_tpu.phy.channel.fading import FadingConfig, RlfConfig
+
+    cfg = ChannelConfig(
+        fading=FadingConfig(model="epa", doppler_hz=5.0, srate=1.92e6),
+        awgn_snr_db=20.0,
+        delay=DelayConfig(min_us=0, max_us=2, period_s=1.0),
+        hst=HstConfig(fd_hz=100.0),
+        rlf=RlfConfig(t_on_ms=100.0, t_off_ms=10.0),
+        srate=1.92e6,
+    )
+    ch = Channel(cfg)
+    x = jnp.ones(1920, jnp.complex64)
+    y1 = np.asarray(ch.run(x))
+    y2 = np.asarray(ch.run(x))
+    assert y1.shape == x.shape and np.isfinite(y1).all()
+    assert not np.allclose(y1, y2)  # time advances between calls
+    assert ch.t > 1.9e-3
+    # disabled channel is a passthrough
+    off = Channel(ChannelConfig(enable=False))
+    np.testing.assert_array_equal(np.asarray(off.run(x)), np.asarray(x))
+
+
+def test_event_tracer():
+    import json
+    from srsran_tpu.runtime.trace import EventTracer
+
+    tr = EventTracer()
+    with tr.duration("noop"):  # disabled: no event recorded
+        pass
+    assert not tr._events
+    tr.enable()
+    with tr.duration("fft", symbols=14):
+        pass
+    tr.instant("prach")
+    tr.counter("bler", errors=0)
+
+    @tr.traced("decode")
+    def f():
+        return 41 + 1
+
+    assert f() == 42
+    import tempfile, os
+    p = os.path.join(tempfile.mkdtemp(), "trace.json")
+    tr.save(p)
+    data = json.load(open(p))
+    names = [e["name"] for e in data["traceEvents"]]
+    assert names == ["fft", "prach", "bler", "decode"]
+    assert data["traceEvents"][0]["ph"] == "X"

@@ -116,3 +116,17 @@ def test_map_decoder_single_pass_highsnr():
         jnp.asarray(llr[:, 0, :k]), jnp.asarray(llr[:, 1, :k]), lx1, lz1, k
     )
     np.testing.assert_array_equal(np.asarray(post > 0).astype(np.uint8), bits)
+
+
+def test_map_decoder_pallas_parity():
+    """The Pallas MAP kernel (interpret mode on CPU) matches the XLA scan
+    implementation bit-exactly."""
+    import jax.numpy as jnp
+    from srsran_tpu.phy.fec.turbo import map_decoder
+
+    k, B = 512, 4
+    rng = np.random.default_rng(3)
+    args = [jnp.asarray(rng.standard_normal((B, n)).astype(np.float32)) for n in (k, k, 3, 3)]
+    r_scan = np.asarray(map_decoder(*args, k, backend="scan"))
+    r_pal = np.asarray(map_decoder(*args, k, backend="pallas_interpret"))
+    np.testing.assert_allclose(r_scan, r_pal, atol=1e-4)
