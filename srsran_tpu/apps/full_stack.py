@@ -140,7 +140,9 @@ class EnbStack:
         self.dl_teid = 101
         self.pending_reconf_nas: bytes | None = None
         self.tti = 0
-        self.stats = {"prach_detected": 0, "ul_crc_ok": 0, "ul_crc_ko": 0}
+        self.stats = {"prach_detected": 0, "ul_crc_ok": 0, "ul_crc_ko": 0, "ue_released": 0}
+        self._last_ul_ok_tti = 0
+        self.ul_inactivity_timeout = 40  # TTIs without UL → release context
 
     # --- S1AP plumbing (in-process "SCTP") ---
     def _s1ap_send(self, msg: bytes):
@@ -231,10 +233,33 @@ class EnbStack:
         tti = self.tti
         sf_idx = tti % 10
         self._process_ul(tti, sf_idx, ul_samples)
+        # UL inactivity → UE context release (the eNB side of the RLF chain)
+        if (
+            self.rrc_state != self.RRC_IDLE
+            and tti - self._last_ul_ok_tti > self.ul_inactivity_timeout
+        ):
+            self._release_ue()
         self._pump_spgw()
         dl = self._build_dl(tti, sf_idx)
         self.tti += 1
         return dl
+
+    def _release_ue(self):
+        """Reset the UE context so a fresh random access can re-establish
+        (s1ap UEContextRelease + rrc_ue removal in the reference)."""
+        self.stats["ue_released"] += 1
+        self.rrc_state = self.RRC_IDLE
+        self.ue_attached_rnti = None
+        self.pending_rar = None
+        self.pending_ul.clear()
+        self.srb0 = RlcTm()
+        self.srb1_rlc, self.drb_rlc = RlcAm(), RlcAm()
+        self.srb1_pdcp, self.drb_pdcp = _bearer_set(None, 0, 0, is_enb=True)
+        self.k_enb = None
+        self.gtpu.rem_bearer(self.dl_teid)
+        self.dl_teid += 1  # fresh tunnel for the next attach
+        self.sched = Scheduler(self.cell.nof_prb, mcs_max=self.sched.mcs_max)
+        self._last_ul_ok_tti = self.tti
 
     def _process_ul(self, tti: int, sf_idx: int, samples: np.ndarray | None):
         if samples is None:
@@ -264,6 +289,7 @@ class EnbStack:
                 self.stats["ul_crc_ko"] += 1
                 return
             self.stats["ul_crc_ok"] += 1
+            self._last_ul_ok_tti = self.tti
             pdu = np.packbits(np.asarray(tb)).tobytes()
             bsr, sdus = parse_ul_pdu(pdu)
             if bsr:
@@ -405,7 +431,13 @@ class UeStack:
         self.ip_rx: list[bytes] = []
         self.ip_tx_queue: list[bytes] = []
         self.tti = 0
-        self.stats = {"dl_tbs_ok": 0, "rar": 0}
+        self.stats = {"dl_tbs_ok": 0, "rar": 0, "rlf": 0}
+        # radio-link monitoring (the rrc.cc:428-437 N310/T310 chain)
+        self.n310 = 5  # consecutive out-of-sync indications to start T310
+        self.t310_ms = 20
+        self._oos_count = 0
+        self._t310 = -1
+        self._sync_threshold = 1e-4  # mean |x|^2 below this = out-of-sync
 
     @property
     def ue_ip(self) -> str:
@@ -417,10 +449,44 @@ class UeStack:
     def start_attach(self):
         pass  # attach starts automatically from IDLE at the next PRACH occasion
 
+    # --- radio link failure (SURVEY §5.3 failure-detection chain) ---
+    def _radio_link_monitor(self, samples: np.ndarray):
+        if self.rrc_state < self.RRC_CONNECTED:
+            return
+        in_sync = float(np.mean(np.abs(samples) ** 2)) > self._sync_threshold
+        if in_sync:
+            self._oos_count = 0
+            self._t310 = -1
+            return
+        self._oos_count += 1
+        if self._oos_count >= self.n310 and self._t310 < 0:
+            self._t310 = self.t310_ms  # start T310
+        if self._t310 > 0:
+            self._t310 -= 1
+            if self._t310 == 0:
+                self._declare_rlf()
+
+    def _declare_rlf(self):
+        """T310 expiry → RLF → release and re-establish via a fresh RA
+        (rrc.cc radio-link-failure handling; here: full re-attach)."""
+        self.stats["rlf"] += 1
+        self.rrc_state = self.RRC_IDLE
+        self.crnti = None
+        self.msg3 = None
+        self.pending_tx.clear()
+        self.mac = UeMac()
+        self.srb1_rlc, self.drb_rlc = RlcAm(), RlcAm()
+        self.srb1_pdcp, self.drb_pdcp = _bearer_set(None, 0, 0, is_enb=False)
+        self.cipher_alg = self.integ_alg = 0
+        self.nas = UeNas(self.nas.usim)
+        self._oos_count = 0
+        self._t310 = -1
+
     # --- TTI processing ---
     def run_tti(self, dl_samples: np.ndarray) -> np.ndarray | None:
         tti = self.tti
         sf_idx = tti % 10
+        self._radio_link_monitor(dl_samples)
         self._process_dl(tti, sf_idx, dl_samples)
         ul = self._build_ul(tti, sf_idx)
         self.tti += 1
@@ -531,10 +597,14 @@ class UeStack:
         if self.rrc_state == self.RRC_IDLE and sf_idx == 1:
             self.mac.start_ra(self.preamble)
             self.rrc_state = self.RRC_WAIT_RAR
+            self._ra_deadline = tti + 10  # RA response window (proc_ra.cc)
             p = ue_prach_send(self.cell, self.prach_cfg, self.preamble)
             out = np.zeros(self.cell.sf_len, np.complex64)
             out[: len(p)] = p[: self.cell.sf_len]
             return out
+        # RA response window expiry → back to IDLE, retry at next occasion
+        if self.rrc_state == self.RRC_WAIT_RAR and tti >= getattr(self, "_ra_deadline", 1 << 62):
+            self.rrc_state = self.RRC_IDLE
         grant = self.pending_tx.pop(tti, None)
         if grant is None:
             return None

@@ -80,3 +80,43 @@ def test_uplink_ip_traffic(attached):
             break
     got = [pl for _, pl in spgw.sgi_rx]
     assert got[: len(pkts)] == pkts
+
+
+def test_radio_link_failure_and_reestablishment():
+    """SURVEY §5.3 chain: signal outage → N310/T310 → RLF → context release
+    → fresh random access → successful re-attach (the rrc.cc:428-437 +
+    channel/rlf.c fault-injection scenario)."""
+    from srsran_tpu.epc import Hss, Mme, Spgw, Subscriber
+
+    cell = Cell(nof_prb=15, nof_ports=1, id=7)
+    hss = Hss()
+    hss.add_subscriber(Subscriber("ue1", IMSI, KEY, OPC, amf=b"\x80\x00", sqn=0))
+    spgw = Spgw()
+    mme = Mme(hss, spgw)
+    enb = EnbStack(cell, mme, spgw, mcs=5)
+    ue = UeStack(cell, Usim(IMSI, KEY, OPC))
+
+    def run(n, outage=False):
+        nonlocal ul
+        for _ in range(n):
+            dl = enb.run_tti(ul)
+            if outage:
+                dl = np.zeros_like(dl)  # the rlf.c gate: signal off
+            ul = ue.run_tti(dl)
+            if outage:
+                ul = None  # UL also gone during the outage
+
+    ul = None
+    run(120)
+    assert ue.nas.state == ue.nas.REGISTERED
+    first_ip = ue.ue_ip
+    # outage long enough for UE T310 expiry and eNB inactivity release
+    run(60, outage=True)
+    assert ue.stats["rlf"] == 1
+    assert enb.stats["ue_released"] >= 1
+    assert ue.rrc_state in (UeStack.RRC_IDLE, UeStack.RRC_WAIT_RAR)
+    # link restored: re-attach completes with a fresh bearer
+    run(150)
+    assert ue.nas.state == ue.nas.REGISTERED
+    assert ue.rrc_state == UeStack.RRC_ACTIVE
+    assert ue.ue_ip != "" and ue.ue_ip != first_ip

@@ -96,3 +96,70 @@ def test_mac_pcap_format(tmp_path):
     fsf = struct.unpack(">H", pkt[idx + 1 : idx + 3])[0]
     assert fsf == (100 << 4) | 3
     assert pkt.endswith(b"\x01" + b"\x21\x08\x22" + b"\x00" * 10)
+
+
+def test_checkpoint_resume_ue_sync(tmp_path):
+    """SURVEY §5.4: stop a sync pipeline mid-stream, snapshot, restore into
+    a fresh instance, and get bit-identical subframes vs an uninterrupted
+    run (deterministic replay)."""
+    import numpy as np
+    from srsran_tpu.phy.common import Cell
+    from srsran_tpu.phy.enb.enb_dl import DlSched, enb_dl_subframe
+    from srsran_tpu.phy.phch.pbch import Mib
+    from srsran_tpu.phy.ue.ue_sync import UeSync
+    from srsran_tpu.runtime.state import (
+        load_state,
+        restore_ue_sync,
+        save_state,
+        ue_sync_state,
+    )
+
+    cell = Cell(nof_prb=6, nof_ports=1, id=11)
+    mib = Mib(nof_prb=6)
+    stream = np.concatenate(
+        [
+            enb_dl_subframe(cell, t % 10, DlSched(cfi=1), mib=mib, sfn=t // 10)[1][0]
+            for t in range(30)
+        ]
+    )
+
+    # uninterrupted reference run
+    ref = UeSync(nof_prb=6)
+    ref.push(stream)
+    ref_out = []
+    while (o := ref.pop_subframe()) is not None:
+        ref_out.append(o)
+
+    # interrupted run: half the stream, checkpoint, restore, other half
+    half = len(stream) // 2
+    a = UeSync(nof_prb=6)
+    a.push(stream[:half])
+    out = []
+    while (o := a.pop_subframe()) is not None:
+        out.append(o)
+    p = str(tmp_path / "sync_state.npz")
+    save_state(p, {"sync": ue_sync_state(a)})
+    b = restore_ue_sync(UeSync(nof_prb=6), load_state(p)["sync"])
+    b.push(stream[half:])
+    while (o := b.pop_subframe()) is not None:
+        out.append(o)
+
+    assert len(out) == len(ref_out)
+    for (sa, ia), (sb, ib) in zip(out, ref_out):
+        assert ia == ib
+        np.testing.assert_array_equal(sa, sb)
+
+
+def test_state_roundtrip_types(tmp_path):
+    import numpy as np
+    from srsran_tpu.runtime.state import load_state, save_state
+
+    st = {
+        "a": np.arange(5, dtype=np.float32),
+        "nested": {"s": "hello", "n": 3, "f": 1.5, "flag": True, "lst": [1, 2]},
+    }
+    p = str(tmp_path / "st.npz")
+    save_state(p, st)
+    back = load_state(p)
+    np.testing.assert_array_equal(back["a"], st["a"])
+    assert back["nested"] == st["nested"]
