@@ -61,8 +61,16 @@ def enb_dl_subframe(
         mib = dataclasses.replace(mib, sfn=sfn)
         syms = pbch_encode_np(mib, cell, nof_ports)[sfn % 4]
         idx = pbch_re_indices(cell)
-        for p in range(nof_ports):
-            grid[p].reshape(-1)[idx] = syms  # (tx diversity TODO for >1 port)
+        if nof_ports >= 2:
+            # SFBC transmit diversity across the first two ports
+            # (TS 36.211 §6.6.3 / precoding.c tx diversity)
+            from ..mimo import precode_diversity2
+
+            ports = np.asarray(precode_diversity2(syms.astype(np.complex64)))
+            for p in range(2):
+                grid[p].reshape(-1)[idx] = ports[p]
+        else:
+            grid[0].reshape(-1)[idx] = syms
 
     pcfich_put_np(grid[0], cell, sf_idx, sched.cfi)
     for group, n_seq, ack in sched.phich:

@@ -22,7 +22,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e9
-TILE_N = 1024
+TILE_N = 2048
 
 
 @lru_cache(maxsize=1)
@@ -102,7 +102,7 @@ def _map_kernel(T: int, lw: int):
         def a_tr_body(t, a):
             return alpha_step(a, axt_ref[t][None, :], azt_ref[t][None, :], pns0)
 
-        a = jax.lax.fori_loop(0, T, a_tr_body, jnp.zeros((8, n), jnp.float32))
+        a = jax.lax.fori_loop(0, T, a_tr_body, jnp.zeros((8, n), jnp.float32), unroll=4)
         row = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
         known = jnp.where(row == 0, 0.0, NEG_INF)  # exact state-0 start
         a = jnp.where(amask_ref[0][None, :] > 0, known, a)
@@ -112,7 +112,7 @@ def _map_kernel(T: int, lw: int):
             alphas_scr[t] = a
             return alpha_step(a, ax_ref[t][None, :], az_ref[t][None, :], pns0)
 
-        jax.lax.fori_loop(0, lw, a_body, a)
+        jax.lax.fori_loop(0, lw, a_body, a, unroll=4)
 
         # --- beta training (reverse over the training window) ---
         def b_tr_body(t, b):
@@ -122,7 +122,7 @@ def _map_kernel(T: int, lw: int):
             new = jnp.maximum(b0, b1)
             return new - new[0:1]
 
-        b = jax.lax.fori_loop(0, T, b_tr_body, jnp.zeros((8, n), jnp.float32))
+        b = jax.lax.fori_loop(0, T, b_tr_body, jnp.zeros((8, n), jnp.float32), unroll=4)
         b = jnp.where(bmask_ref[0][None, :] > 0, bknown_ref[:], b)
 
         # --- beta + posterior, backward ---
@@ -138,7 +138,7 @@ def _map_kernel(T: int, lw: int):
             new = jnp.maximum(b0, b1)
             return new - new[0:1]
 
-        jax.lax.fori_loop(0, lw, b_body, b)
+        jax.lax.fori_loop(0, lw, b_body, b, unroll=4)
 
     return kernel
 

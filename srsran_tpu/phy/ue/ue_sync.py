@@ -94,7 +94,18 @@ def mib_search(samples: np.ndarray, cell: Cell, sf0_start: int, cfo: float = 0.0
     sym_eq = flat[idx] * np.conj(ce[idx]) / (np.abs(ce[idx]) ** 2 + noise)
     bits, nports, frame_off, ok = pbch_decode(sym_eq, cell)
     if not ok:
-        return None
+        # 2-port hypothesis: SFBC (Alamouti) predecode (pbch.c decodes
+        # blindly over port counts; the CRC mask confirms the true one)
+        from ..mimo import predecode_diversity2
+
+        cell2 = dataclasses.replace(cell, nof_ports=2)
+        ch2 = chest_dl(grid[None], cell2, 0, nof_ports=2)
+        ce2 = np.asarray(ch2["ce"])[0].reshape(2, -1)[:, idx]  # (2, 240)
+        y = flat[idx][None, :]  # (nrx=1, 240)
+        x, _ = predecode_diversity2(y, ce2[None])  # (1, 240)
+        bits, nports, frame_off, ok = pbch_decode(np.asarray(x)[0], cell)
+        if not ok:
+            return None
     return Mib.unpack(bits), nports, frame_off
 
 

@@ -56,3 +56,26 @@ def test_pbch_wrong_cell_fails():
     syms = pbch_encode_np(Mib(), cell, 1)
     _, _, _, ok = pbch_decode(syms[0], other)
     assert not ok
+
+
+def test_pbch_two_port_sfbc_end_to_end():
+    """2-port SFBC PBCH: eNB renders with tx diversity; the UE's MIB search
+    decodes via the Alamouti hypothesis and reports nof_ports=2."""
+    import numpy as np
+    from srsran_tpu.phy.common import Cell
+    from srsran_tpu.phy.enb.enb_dl import DlSched, enb_dl_subframe
+    from srsran_tpu.phy.phch.pbch import Mib
+    from srsran_tpu.phy.ue.ue_sync import mib_search
+
+    cell = Cell(nof_prb=6, nof_ports=2, id=33)
+    mib = Mib(nof_prb=6)
+    _, samples = enb_dl_subframe(cell, 0, DlSched(cfi=1), mib=mib, sfn=0)
+    # independent per-port channels, both received on one antenna
+    rng = np.random.default_rng(0)
+    h = (rng.standard_normal(2) + 1j * rng.standard_normal(2)).astype(np.complex64)
+    rx = h[0] * samples[0] + h[1] * samples[1]
+    rx = rx + (rng.standard_normal(len(rx)) + 1j * rng.standard_normal(len(rx))).astype(np.complex64) * 0.01
+    res = mib_search(rx, Cell(nof_prb=6, nof_ports=1, id=33), sf0_start=0)
+    assert res is not None
+    mib_hat, nports, off = res
+    assert nports == 2 and mib_hat.nof_prb == 6 and off == 0

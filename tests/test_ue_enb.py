@@ -105,3 +105,38 @@ def test_full_ue_decode_frame():
         if ok and np.array_equal(tb, tbs[sf_idx]):
             ok_count += 1
     assert ok_count == 10
+
+
+def test_intra_measure_two_cells():
+    """Neighbour-cell search finds both cells in a two-cell superposition
+    and ranks them by RSRP (intra_measure.cc / scell_recv.cc analog)."""
+    import numpy as np
+    from srsran_tpu.phy.common import Cell
+    from srsran_tpu.phy.enb.enb_dl import DlSched, enb_dl_subframe
+    from srsran_tpu.phy.phch.pbch import Mib
+    from srsran_tpu.phy.ue.intra_measure import measure_cells
+
+    mib = Mib(nof_prb=6)
+
+    def frames(pci, ttis=12):
+        cell = Cell(nof_prb=6, nof_ports=1, id=pci)
+        return np.concatenate(
+            [enb_dl_subframe(cell, t % 10, DlSched(cfi=1), mib=mib, sfn=0)[1][0] for t in range(ttis)]
+        )
+
+    rng = np.random.default_rng(0)
+    strong = frames(42)
+    # weaker neighbour, offset in time by half a subframe
+    weak = np.roll(frames(151), 960) * 0.4
+    rx = strong + weak
+    rx = rx + (rng.standard_normal(len(rx)) + 1j * rng.standard_normal(len(rx))).astype(np.complex64) * 0.005
+
+    meas = measure_cells(rx, nof_prb=6, threshold=5.0)
+    pcis = [m.pci for m in meas]
+    assert 42 in pcis and 151 in pcis, pcis
+    m42 = next(m for m in meas if m.pci == 42)
+    m151 = next(m for m in meas if m.pci == 151)
+    assert m42.rsrp_dbfs > m151.rsrp_dbfs
+    # serving-cell exclusion
+    meas2 = measure_cells(rx, nof_prb=6, serving_pci=42, threshold=5.0)
+    assert all(m.pci != 42 for m in meas2)
