@@ -334,16 +334,34 @@ class EnbStack:
             return None
 
         def add_dl_tb(rnti: int, mcs: int, tb_bytes_pdu: bytes, ndi: int = 1, rv: int = 0, harq_pid: int = 0):
+            from ..phy.modem import Mod
+            from ..phy.phch.ra import tbs_lookup
+
             l_crb = self.cell.nof_prb
-            tbs_bits = dl_tbs(mcs, l_crb)
+            is_common = rnti >= 0xFFF4 or rnti <= 0x0042  # SI/P/RA-RNTI
+            if is_common:
+                # TS 36.213 §7.1.7.2 common grants: QPSK, i_tbs = mcs,
+                # N_PRB from the TPC LSB (we set tpc=1 → N_PRB = 3)
+                tbs_bits = tbs_lookup(mcs, 3)
+            else:
+                tbs_bits = dl_tbs(mcs, l_crb)
             tb_bits = np.unpackbits(np.frombuffer(tb_bytes_pdu, np.uint8))
+            if len(tb_bits) > tbs_bits:
+                return  # does not fit the common-grant TBS
             tb_bits = np.concatenate([tb_bits, np.zeros(tbs_bits - len(tb_bits), np.uint8)])
-            dci = Dci1A(riv=riv_encode(self.cell.nof_prb, 0, l_crb), mcs=mcs, ndi=ndi, rv=rv, harq_pid=harq_pid)
+            dci = Dci1A(
+                riv=riv_encode(self.cell.nof_prb, 0, l_crb), mcs=mcs, ndi=ndi, rv=rv,
+                harq_pid=harq_pid, tpc=1 if is_common else 0,
+            )
             loc = alloc_cce(rnti)
             if loc is None:
                 return
             agg, cce = loc
-            grant = DlGrant(prb=tuple(range(l_crb)), mod=dl_mcs_to_mod(mcs), tbs=tbs_bits, rnti=rnti, rv=rv)
+            grant = DlGrant(
+                prb=tuple(range(l_crb)),
+                mod=Mod.QPSK if is_common else dl_mcs_to_mod(mcs),
+                tbs=tbs_bits, rnti=rnti, rv=rv,
+            )
             sched.dcis.append((dci.pack(self.cell.nof_prb), rnti, agg, cce))
             sched.grants.append((grant, tb_bits))
 
@@ -352,8 +370,12 @@ class EnbStack:
             rapid, ta = self.pending_rar
             grant20 = (riv_encode(self.cell.nof_prb, 0, self.cell.nof_prb) << 10) | (2 << 5)
             rar = _pack_rar(rapid, ta, grant20, self.crnti)
+            from ..phy.phch.ra import tbs_lookup as _tbsl
+
             mcs = 0
-            if dl_tbs(mcs, self.cell.nof_prb) // 8 >= len(rar):
+            while _tbsl(mcs, 3) // 8 < len(rar):
+                mcs += 1
+            if True:
                 add_dl_tb(1 + 1, mcs, rar)  # RA-RNTI for prach sf 1
                 # reserve the Msg3 PUSCH occasion
                 self.pending_ul[tti + FB_DELAY] = (self.crnti, _msg3_grant(self.cell, self.crnti, grant20))

@@ -50,10 +50,16 @@ class Dci1A:
     tpc: int = 0
     distributed: bool = False
 
+    # sizes that would collide with other formats get one padding bit
+    # (TS 36.212 §5.3.3.1.3 "ambiguous sizes")
+    AMBIGUOUS = {12, 14, 16, 20, 24, 26, 32, 40, 44, 56}
+
     @staticmethod
     def nof_bits(nof_prb: int) -> int:
         n = 1 + 1 + riv_nbits(nof_prb) + 5 + 3 + 1 + 2 + 2
         # format 0/1A are padded to equal size; 1A is already >= format 0 here
+        if n in Dci1A.AMBIGUOUS:
+            n += 1
         return n
 
     def pack(self, nof_prb: int) -> np.ndarray:
@@ -66,7 +72,11 @@ class Dci1A:
         w.put(self.ndi, 1)
         w.put(self.rv, 2)
         w.put(self.tpc, 2)
-        return w.array()
+        out = w.array()
+        pad = Dci1A.nof_bits(nof_prb) - len(out)
+        if pad > 0:
+            out = np.concatenate([out, np.zeros(pad, np.uint8)])
+        return out
 
     @classmethod
     def unpack(cls, bits, nof_prb: int) -> "Dci1A":
@@ -125,3 +135,150 @@ class Dci0:
         cs = r.get(3)
         cqi = bool(r.get(1))
         return cls(riv, mcs, ndi, tpc, cs, cqi, hop)
+
+
+def _rbg_size(nof_prb: int) -> int:
+    """Resource-block-group size P (TS 36.213 Table 7.1.6.1-1)."""
+    if nof_prb <= 10:
+        return 1
+    if nof_prb <= 26:
+        return 2
+    if nof_prb <= 63:
+        return 3
+    return 4
+
+
+@dataclasses.dataclass
+class Dci1:
+    """DCI format 1 (DL scheduling, resource allocation type 0 RBG bitmap;
+    TS 36.212 §5.3.3.1.2, dci.c format1)."""
+
+    rbg_bitmap: int = 0  # MSB = RBG 0
+    mcs: int = 0
+    harq_pid: int = 0
+    ndi: int = 0
+    rv: int = 0
+    tpc: int = 0
+
+    @staticmethod
+    def nof_rbg(nof_prb: int) -> int:
+        p = _rbg_size(nof_prb)
+        return (nof_prb + p - 1) // p
+
+    def pack(self, nof_prb: int) -> np.ndarray:
+        w = _BitWriter()
+        w.put(0, 1)  # RA header: type 0
+        w.put(self.rbg_bitmap, self.nof_rbg(nof_prb))
+        w.put(self.mcs, 5)
+        w.put(self.harq_pid, 3)
+        w.put(self.ndi, 1)
+        w.put(self.rv, 2)
+        w.put(self.tpc, 2)
+        return w.array()
+
+    @classmethod
+    def unpack(cls, bits, nof_prb: int) -> "Dci1":
+        r = _BitReader(bits)
+        if r.get(1) != 0:
+            raise ValueError("RA type 1 not supported")
+        bitmap = r.get(cls.nof_rbg(nof_prb))
+        return cls(bitmap, r.get(5), r.get(3), r.get(1), r.get(2), r.get(2))
+
+    def prb_list(self, nof_prb: int) -> tuple[int, ...]:
+        p = _rbg_size(nof_prb)
+        n = self.nof_rbg(nof_prb)
+        out = []
+        for g in range(n):
+            if (self.rbg_bitmap >> (n - 1 - g)) & 1:
+                out += list(range(g * p, min((g + 1) * p, nof_prb)))
+        return tuple(out)
+
+    @staticmethod
+    def bitmap_for_prbs(prbs, nof_prb: int) -> int:
+        p = _rbg_size(nof_prb)
+        n = Dci1.nof_rbg(nof_prb)
+        bm = 0
+        for g in range(n):
+            if any(g * p <= b < (g + 1) * p for b in prbs):
+                bm |= 1 << (n - 1 - g)
+        return bm
+
+
+@dataclasses.dataclass
+class Dci1C:
+    """DCI format 1C (very compact: RAR/SI/paging; TS 36.212 §5.3.3.1.4).
+
+    Distributed VRB allocation with gap 0, QPSK only, TBS index from the
+    1C-specific table column."""
+
+    riv: int = 0
+    tbs_idx: int = 0  # i_TBS 0..31 (Table 7.1.7.2.3-1 column)
+
+    @staticmethod
+    def nof_bits(nof_prb: int) -> int:
+        n_dvrb = nof_prb  # gap-0 N_vrb ≈ nof_prb (step-size 1 at <50 PRB)
+        return int(math.ceil(math.log2(n_dvrb * (n_dvrb + 1) / 2))) + 5
+
+    def pack(self, nof_prb: int) -> np.ndarray:
+        w = _BitWriter()
+        w.put(self.riv, Dci1C.nof_bits(nof_prb) - 5)
+        w.put(self.tbs_idx, 5)
+        return w.array()
+
+    @classmethod
+    def unpack(cls, bits, nof_prb: int) -> "Dci1C":
+        r = _BitReader(bits)
+        riv = r.get(cls.nof_bits(nof_prb) - 5)
+        return cls(riv, r.get(5))
+
+
+@dataclasses.dataclass
+class Dci2:
+    """DCI formats 2/2A (closed/open-loop spatial multiplexing, 2 ports,
+    FDD; TS 36.212 §5.3.3.1.5/.5A, dci.c format2/2a).
+
+    Two transport blocks, each with mcs/ndi/rv; precoding info is present
+    for format 2 (TM4) and absent-for-2-ports... carried here as 2 bits
+    for 2-port codebooks (0 = tx-div fallback, 1-2 = codebook index)."""
+
+    rbg_bitmap: int = 0
+    tpc: int = 0
+    harq_pid: int = 0
+    swap_flag: int = 0
+    mcs1: int = 0
+    ndi1: int = 0
+    rv1: int = 0
+    mcs2: int = 0
+    ndi2: int = 0
+    rv2: int = 0
+    precoding_info: int = 0  # format 2 only
+    is_2a: bool = False  # 2A: open loop (no precoding field)
+
+    def pack(self, nof_prb: int) -> np.ndarray:
+        w = _BitWriter()
+        w.put(0, 1)  # RA type 0
+        w.put(self.rbg_bitmap, Dci1.nof_rbg(nof_prb))
+        w.put(self.tpc, 2)
+        w.put(self.harq_pid, 3)
+        w.put(self.swap_flag, 1)
+        for mcs, ndi, rv in ((self.mcs1, self.ndi1, self.rv1), (self.mcs2, self.ndi2, self.rv2)):
+            w.put(mcs, 5)
+            w.put(ndi, 1)
+            w.put(rv, 2)
+        if not self.is_2a:
+            w.put(self.precoding_info, 2)
+        return w.array()
+
+    @classmethod
+    def unpack(cls, bits, nof_prb: int, is_2a: bool = False) -> "Dci2":
+        r = _BitReader(bits)
+        if r.get(1) != 0:
+            raise ValueError("RA type 1 not supported")
+        bitmap = r.get(Dci1.nof_rbg(nof_prb))
+        tpc = r.get(2)
+        harq = r.get(3)
+        swap = r.get(1)
+        mcs1, ndi1, rv1 = r.get(5), r.get(1), r.get(2)
+        mcs2, ndi2, rv2 = r.get(5), r.get(1), r.get(2)
+        pinfo = 0 if is_2a else r.get(2)
+        return cls(bitmap, tpc, harq, swap, mcs1, ndi1, rv1, mcs2, ndi2, rv2, pinfo, is_2a)

@@ -7,10 +7,9 @@ candidates per TS 36.213 §9.1.1) decodes every (candidate, L) hypothesis as
 ONE batched Viterbi + vectorized CRC-RNTI check — no serial candidate loop
 (the §A.6 "batch all candidates and mask" design).
 
-Round-1 simplification (documented deviation): CCEs map to control-region
-REs sequentially (CRS holes skipped) instead of the TS 36.211 REG
-quadruplet interleaver (`regs.c`); TX and RX agree, interleaver parity is a
-follow-up.
+CCE-to-RE mapping is the spec-true TS 36.211 §6.8.5 REG quadruplet
+interleaver with cell-ID cyclic shift (see `regs.py`) — validated by
+decoding the reference's captured I/Q test vectors.
 """
 
 from __future__ import annotations
@@ -35,28 +34,12 @@ NOF_CANDIDATES_COMMON = {4: 4, 8: 2}
 
 @lru_cache(maxsize=256)
 def pdcch_re_indices(cell: Cell, sf_idx: int, cfi: int) -> np.ndarray:
-    """Control-region REs available to PDCCH (flat symbol*nre + k),
-    excluding CRS, PCFICH, and PHICH positions."""
-    from .pcfich import pcfich_re_indices
-    from .phich import nof_phich_groups, phich_re_indices
+    """Flat RE indices of the PDCCH in CCE/quadruplet transmit order —
+    the TS 36.211 §6.8.5 REG interleaver + cell-ID cyclic shift (regs.py),
+    excluding PCFICH/PHICH REGs. (sf_idx unused; kept for API stability.)"""
+    from .regs import pdcch_re_indices_true
 
-    nre = cell.nof_re_per_symbol
-    vshift = cell.id % 6
-    nctrl = cfi + (1 if cell.nof_prb < 10 else 0)
-    used = set(pcfich_re_indices(cell).tolist())
-    for g in range(nof_phich_groups(cell)):
-        used |= set(phich_re_indices(cell, g).tolist())
-    out = []
-    for l in range(nctrl):
-        ks = np.arange(nre)
-        if l == 0:
-            keep = (ks % 3) != (vshift % 3)  # 2-port CRS pattern
-            ks = ks[keep]
-            ks = np.asarray([k for k in ks if k not in used])
-        elif l == 1 and cell.nof_ports == 4:
-            ks = ks[(ks % 3) != (vshift % 3)]
-        out.append(l * nre + ks)
-    return np.concatenate(out).astype(np.int32)
+    return pdcch_re_indices_true(cell, cfi)
 
 
 def nof_cce(cell: Cell, sf_idx: int, cfi: int) -> int:
@@ -130,6 +113,13 @@ def pdcch_blind_search(
     """
     n = nof_cce(cell, sf_idx, cfi)
     cands = search_space_candidates(rnti, sf_idx, n, ue_specific)
+    # always include the common search space (SI/P/RA-RNTI DCIs live
+    # there; for C-RNTI the eNB may also use it — pdcch.c:243-254)
+    common = search_space_candidates(rnti, sf_idx, n, ue_specific=False)
+    for lvl, starts in common.items():
+        for st in starts:
+            if st not in cands.setdefault(lvl, []):
+                cands[lvl].append(st)
     llr_all = np.asarray(demod_soft(Mod.QPSK, sym_eq))
     signs = gold_sequence_signs(pdcch_cinit(rnti, sf_idx, cell.id), CCE_BITS * n)
     llr_all = llr_all * signs[: len(llr_all)]

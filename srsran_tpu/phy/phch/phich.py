@@ -41,17 +41,14 @@ def nof_phich_groups(cell: Cell, ng: float = 1.0) -> int:
 
 @lru_cache(maxsize=256)
 def phich_re_indices(cell: Cell, group: int) -> np.ndarray:
-    """12 REs (symbol 0) for a PHICH group (sequential placement after
-    PCFICH — see module docstring)."""
+    """12 REs for a PHICH group — spec-true cell-ID-spread REG selection
+    (TS 36.211 §6.9.3 via regs.py)."""
+    from .regs import phich_group_re_indices_true
+
+    idx = phich_group_re_indices_true(cell, group)
     nre = cell.nof_re_per_symbol
-    vshift = cell.id % 6
-    used = set(pcfich_re_indices(cell).tolist())
-    avail = [
-        k for k in range(nre) if k % 3 != vshift % 3 and k not in used
-    ]
-    out = avail[group * PHICH_LEN : (group + 1) * PHICH_LEN]
-    assert len(out) == PHICH_LEN, "not enough room for PHICH group"
-    return np.asarray(out, np.int32)
+    assert (idx < nre).all()  # normal duration: all in symbol 0
+    return idx
 
 
 def phich_encode(ack: int, n_seq: int) -> np.ndarray:

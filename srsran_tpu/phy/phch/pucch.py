@@ -191,3 +191,61 @@ def pucch_format2_decode(prb_grid, cell: Cell, cfg: PucchConfig, sf_idx: int, no
     llr = llr * jnp.asarray((1.0 - 2.0 * seq).astype(np.float32))
     bits, metric = rm_decode(llr, nof_bits, use20=True)
     return bits, metric
+
+
+def pucch_format2ab_encode_np(
+    cell: Cell, cfg: PucchConfig, sf_idx: int, uci_bits, ack_bits
+) -> np.ndarray:
+    """Formats 2a/2b (TS 36.211 §5.4.2, pucch.c): CQI as format 2 plus 1-2
+    HARQ-ACK bits BPSK/QPSK-modulated onto the second DMRS symbol of each
+    slot."""
+    out = pucch_format2_encode_np(cell, cfg, sf_idx, uci_bits).copy()
+    ack = np.asarray(ack_bits, np.uint8)
+    if len(ack) == 1:  # 2a: BPSK
+        d_ack = np.complex64(1.0 if ack[0] == 0 else -1.0)
+    else:  # 2b: QPSK
+        mapping = {(0, 0): 1, (0, 1): -1j, (1, 0): 1j, (1, 1): -1}
+        d_ack = np.complex64(mapping[(int(ack[0]), int(ack[1]))])
+    second_dmrs = F2_DMRS_SYMS[1]
+    for slot in range(2):
+        out[slot * 7 + second_dmrs] *= d_ack
+    return out
+
+
+def pucch_format2ab_decode(
+    prb_grid, cell: Cell, cfg: PucchConfig, sf_idx: int, nof_cqi_bits: int, nof_ack_bits: int
+):
+    """Returns (cqi_bits, ack_bits, metric)."""
+    import jax.numpy as jnp
+
+    u = cell.id % 30
+    r = jnp.asarray(base_sequence(u, 12))
+    n = np.arange(12)
+    ncs = ncs_cell(cell)
+    first, second = F2_DMRS_SYMS
+    acc = 0.0
+    for slot in range(2):
+        ns = 2 * sf_idx + slot
+        a1 = 2 * np.pi * ((cfg.n_pucch + ncs[ns, first]) % 12) / 12
+        a2 = 2 * np.pi * ((cfg.n_pucch + ncs[ns, second]) % 12) / 12
+        ref1 = jnp.asarray(np.exp(1j * a1 * n).astype(np.complex64)) * r
+        ref2 = jnp.asarray(np.exp(1j * a2 * n).astype(np.complex64)) * r
+        h = jnp.sum(prb_grid[slot * 7 + first] * jnp.conj(ref1)) / 12
+        z = jnp.sum(prb_grid[slot * 7 + second] * jnp.conj(ref2)) / 12
+        acc = acc + z * jnp.conj(h)
+    if nof_ack_bits == 1:
+        ack = np.array([1 if float(jnp.real(acc)) < 0 else 0], np.uint8)
+    else:
+        re, im = float(jnp.real(acc)), float(jnp.imag(acc))
+        # constellation: (0,0)->1, (0,1)->-j, (1,0)->+j, (1,1)->-1
+        cands = {(0, 0): 1 + 0j, (0, 1): -1j, (1, 0): 1j, (1, 1): -1 + 0j}
+        best = max(cands, key=lambda b: re * cands[b].real + im * cands[b].imag)
+        ack = np.array(best, np.uint8)
+    # undo the ACK rotation on the second DMRS before the format-2 CQI decode
+    mapping = {(0,): 1, (1,): -1, (0, 0): 1, (0, 1): -1j, (1, 0): 1j, (1, 1): -1}
+    d = np.complex64(mapping[tuple(int(b) for b in ack)])
+    grid2 = np.asarray(prb_grid).copy()
+    for slot in range(2):
+        grid2[slot * 7 + second] *= np.conj(d)
+    cqi, metric = pucch_format2_decode(jnp.asarray(grid2), cell, cfg, sf_idx, nof_cqi_bits)
+    return cqi, ack, metric

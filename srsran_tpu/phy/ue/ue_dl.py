@@ -87,13 +87,27 @@ def ue_dl_decode_subframe(
             rb0, l_crb = riv_decode(cell.nof_prb, dci.riv)
         except ValueError:
             continue
-        grant = DlGrant(
-            prb=tuple(range(rb0, rb0 + l_crb)),
-            mod=dl_mcs_to_mod(dci.mcs),
-            tbs=dl_tbs(dci.mcs, l_crb),
-            rv=dci.rv,
-            rnti=rnti,
-        )
+        if rnti >= 0xFFF4 or rnti <= 0x0042:  # SI/P-RNTI or RA-RNTI space
+            # TS 36.213 §7.1.7.2: QPSK, mcs = i_tbs, N_PRB from TPC LSB
+            from ..phch.ra import tbs_lookup
+            from ..modem import Mod
+
+            n_prb_1a = 3 if (dci.tpc & 1) else 2
+            grant = DlGrant(
+                prb=tuple(range(rb0, rb0 + l_crb)),
+                mod=Mod.QPSK,
+                tbs=tbs_lookup(dci.mcs, n_prb_1a),
+                rv=dci.rv,
+                rnti=rnti,
+            )
+        else:
+            grant = DlGrant(
+                prb=tuple(range(rb0, rb0 + l_crb)),
+                mod=dl_mcs_to_mod(dci.mcs),
+                tbs=dl_tbs(dci.mcs, l_crb),
+                rv=dci.rv,
+                rnti=rnti,
+            )
         tb, ok, _ = pdsch_decode(
             grid, ce, noise, cell, sf_idx, cfi, grant, max_iterations
         )

@@ -91,3 +91,39 @@ def test_pdcch_wrong_rnti_finds_nothing():
     sym = grid.reshape(-1)[idx[: n * 36]]
     found = pdcch_blind_search(sym, cell, sf_idx, cfi, 0x999, len(bits))
     assert found == []
+
+
+def test_dci_format1_rbg_roundtrip():
+    from srsran_tpu.phy.phch.dci import Dci1
+
+    for nof_prb in (6, 15, 25, 50, 100):
+        prbs = tuple(range(0, nof_prb, 3))
+        bm = Dci1.bitmap_for_prbs(prbs, nof_prb)
+        d = Dci1(rbg_bitmap=bm, mcs=12, harq_pid=3, ndi=1, rv=2, tpc=1)
+        back = Dci1.unpack(d.pack(nof_prb), nof_prb)
+        assert back == d
+        # every requested PRB is covered by the RBG allocation
+        assert set(prbs) <= set(back.prb_list(nof_prb))
+
+
+def test_dci_format1c_roundtrip():
+    from srsran_tpu.phy.phch.dci import Dci1C
+
+    d = Dci1C(riv=37, tbs_idx=11)
+    back = Dci1C.unpack(d.pack(50), 50)
+    assert back == d
+    assert Dci1C.nof_bits(50) < 20  # very compact
+
+
+def test_dci_format2_roundtrip():
+    from srsran_tpu.phy.phch.dci import Dci1, Dci2
+
+    for is_2a in (False, True):
+        d = Dci2(
+            rbg_bitmap=Dci1.bitmap_for_prbs(tuple(range(25)), 25),
+            tpc=2, harq_pid=5, swap_flag=1,
+            mcs1=15, ndi1=1, rv1=0, mcs2=9, ndi2=0, rv2=3,
+            precoding_info=0 if is_2a else 2, is_2a=is_2a,
+        )
+        back = Dci2.unpack(d.pack(25), 25, is_2a=is_2a)
+        assert back == d

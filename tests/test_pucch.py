@@ -68,3 +68,22 @@ def test_pucch_format2_roundtrip(nbits):
     rx = chan(grid, np.complex64(0.9 * np.exp(-1j * 1.2)), 0.08, rng)
     hat, metric = pucch_format2_decode(rx, cell, cfg, 6, nbits)
     np.testing.assert_array_equal(np.asarray(hat), bits)
+
+
+def test_pucch_format2ab_roundtrip():
+    from srsran_tpu.phy.phch.pucch import (
+        PucchConfig,
+        pucch_format2ab_decode,
+        pucch_format2ab_encode_np,
+    )
+
+    cell = Cell(nof_prb=6, nof_ports=1, id=13)
+    cfg = PucchConfig(n_pucch=3)
+    rng = np.random.default_rng(2)
+    for ack in ([0], [1], [0, 1], [1, 1], [0, 0]):
+        cqi = rng.integers(0, 2, 6).astype(np.uint8)
+        grid = pucch_format2ab_encode_np(cell, cfg, 2, cqi, ack)
+        noisy = grid + (rng.standard_normal(grid.shape) + 1j * rng.standard_normal(grid.shape)).astype(np.complex64) * 0.05
+        cqi_hat, ack_hat, _ = pucch_format2ab_decode(noisy, cell, cfg, 2, 6, len(ack))
+        assert list(np.asarray(ack_hat)) == ack
+        np.testing.assert_array_equal(np.asarray(cqi_hat), cqi)
