@@ -202,3 +202,79 @@ def pdsch_decode(
     llr = scramble_soft(llr, signs)
     coding = TbCoding(tbs=grant.tbs, g=g, qm=grant.qm, rv=grant.rv, nof_layers=nof_layers)
     return dlsch_decode(np.asarray(llr, np.float32), coding, max_iterations, softbuffers)
+
+
+@dataclasses.dataclass
+class DlGrant2:
+    """Two-codeword spatial-multiplexing grant (TM3/TM4, DCI 2/2A)."""
+
+    prb: tuple[int, ...]
+    mod1: Mod
+    tbs1: int
+    mod2: Mod
+    tbs2: int
+    rv1: int = 0
+    rv2: int = 0
+    pmi: int = 0  # codebook index (TM4); 0 = identity-ish
+    rnti: int = 0x1234
+
+    @property
+    def qm1(self) -> int:
+        return MOD_QM[self.mod1]
+
+    @property
+    def qm2(self) -> int:
+        return MOD_QM[self.mod2]
+
+
+def pdsch_encode2_np(
+    cell: Cell, sf_idx: int, cfi: int, grant: DlGrant2, tb1: np.ndarray, tb2: np.ndarray
+) -> np.ndarray:
+    """Two-codeword TX: each TB → its own DL-SCH chain + per-q scrambling,
+    1 layer per codeword, 2x2 codebook precoding (srslte_pdsch_encode
+    multi-codeword path)."""
+    idx = pdsch_re_indices(cell, sf_idx, cfi, grant.prb)
+    n_re = len(idx)
+    cws = []
+    for q, (tb, mod, tbs, rv, qm) in enumerate(
+        ((tb1, grant.mod1, grant.tbs1, grant.rv1, grant.qm1),
+         (tb2, grant.mod2, grant.tbs2, grant.rv2, grant.qm2))
+    ):
+        coding = TbCoding(tbs=tbs, g=n_re * qm, qm=qm, rv=rv, nof_layers=1)
+        bits = dlsch_encode_np(tb, coding)
+        seq = gold_sequence(pdsch_cinit(grant.rnti, sf_idx, cell.id, q=q), len(bits))
+        cws.append(np.asarray(modulate(mod, np.asarray(scramble_bits(bits, seq)))))
+    layers = np.asarray(layermap([jnp.asarray(c) for c in cws], 2))
+    ports = np.asarray(precode_spatialmux(jnp.asarray(layers), grant.pmi))
+    grid = np.zeros((2, cell.nsymb_per_sf, cell.nof_re_per_symbol), np.complex64)
+    grid.reshape(2, -1)[:, idx] = ports
+    return grid
+
+
+def pdsch_decode2(
+    rx_grid, ce, noise_est, cell: Cell, sf_idx: int, cfi: int, grant: DlGrant2,
+    max_iterations: int = 5, softbuffers=(None, None),
+):
+    """Two-codeword RX: MMSE predecode → per-codeword demap/descramble/
+    DL-SCH. Returns [(tb1, ok1, sb1), (tb2, ok2, sb2)]."""
+    idx = jnp.asarray(pdsch_re_indices(cell, sf_idx, cfi, grant.prb))
+    n_re = len(idx)
+    y = rx_grid.reshape(rx_grid.shape[0], -1)[:, idx]
+    h = ce.reshape(ce.shape[0], ce.shape[1], -1)[:, :, idx]
+    x, csi = predecode_zf_mmse(y, h, 2, noise_est, pmi=grant.pmi)
+    sym_cws = layerdemap(x, 2)
+    csi_cws = layerdemap(csi.astype(jnp.complex64), 2)
+    out = []
+    for q, (sym, csic, mod, tbs, rv, qm, sb) in enumerate(
+        (
+            (sym_cws[0], csi_cws[0].real, grant.mod1, grant.tbs1, grant.rv1, grant.qm1, softbuffers[0]),
+            (sym_cws[1], csi_cws[1].real, grant.mod2, grant.tbs2, grant.rv2, grant.qm2, softbuffers[1]),
+        )
+    ):
+        llr = demod_soft(mod, sym)
+        llr = llr * jnp.repeat(csic, qm, axis=-1)
+        signs = gold_sequence_signs(pdsch_cinit(grant.rnti, sf_idx, cell.id, q=q), n_re * qm)
+        llr = scramble_soft(llr, signs)
+        coding = TbCoding(tbs=tbs, g=n_re * qm, qm=qm, rv=rv, nof_layers=1)
+        out.append(dlsch_decode(np.asarray(llr, np.float32), coding, max_iterations, sb))
+    return out

@@ -125,3 +125,34 @@ def test_pdsch_fails_at_low_snr_then_harq():
     grant = DlGrant(prb=tuple(range(6)), mod=Mod.QAM64, tbs=2600)
     tb, tb_hat, ok = run_link(cell, 1, 1, grant, snr_db=-3.0)
     assert not ok
+
+
+def test_pdsch_two_codeword_tm4_e2e():
+    """TM4 2x2 spatial multiplexing with TWO transport blocks (DCI 2
+    semantics): independent MCS per codeword, per-q scrambling,
+    MMSE predecode, both CRCs pass through a random 2x2 channel."""
+    from srsran_tpu.phy.modem import Mod
+    from srsran_tpu.phy.phch.pdsch import DlGrant2, pdsch_decode2, pdsch_encode2_np
+    from srsran_tpu.phy.phch.ra import dl_tbs
+
+    cell = Cell(nof_prb=25, nof_ports=2, id=77)
+    rng = np.random.default_rng(4)
+    grant = DlGrant2(
+        prb=tuple(range(25)),
+        mod1=Mod.QAM16, tbs1=dl_tbs(10, 25),
+        mod2=Mod.QPSK, tbs2=dl_tbs(5, 25),
+        pmi=0, rnti=0x55,
+    )
+    tb1 = rng.integers(0, 2, grant.tbs1).astype(np.uint8)
+    tb2 = rng.integers(0, 2, grant.tbs2).astype(np.uint8)
+    grid = pdsch_encode2_np(cell, 3, 2, grant, tb1, tb2)  # (2, nsymb, nre)
+    # 2x2 well-conditioned channel
+    h = np.array([[1.0 + 0.1j, 0.3 - 0.2j], [-0.2 + 0.3j, 0.9 - 0.1j]], np.complex64)
+    rx = np.einsum("rp,pln->rln", h, grid)
+    rx += (rng.standard_normal(rx.shape) + 1j * rng.standard_normal(rx.shape)).astype(np.complex64) * 0.02
+    ce = np.broadcast_to(h[:, :, None, None], (2, 2) + grid.shape[1:]).astype(np.complex64)
+    res = pdsch_decode2(rx, ce, 8e-4, cell, 3, 2, grant)
+    (tb1h, ok1, _), (tb2h, ok2, _) = res
+    assert bool(np.asarray(ok1)) and bool(np.asarray(ok2))
+    np.testing.assert_array_equal(np.asarray(tb1h), tb1)
+    np.testing.assert_array_equal(np.asarray(tb2h), tb2)
