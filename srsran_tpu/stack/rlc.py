@@ -10,9 +10,8 @@ mirroring the timer wheel.
 Covered: TM; UM with 5/10-bit SN, segmentation + reordering window
 reassembly; AM with segmentation, status PDUs (ACK/NACK), poll bit,
 retransmission, t-Reordering / t-StatusProhibit / t-PollRetransmit.
-AM resegmentation (RF=1 segments of retx PDUs) is not implemented: the
-transmitter retransmits whole PDUs when the grant allows, else waits
-(a simplification over rlc_am_lte.cc's resegment path).
+AM resegmentation (RF=1 AMD PDU segments with SO/LSF) retransmits
+PDUs through grants smaller than the original PDU.
 """
 
 from __future__ import annotations
@@ -270,6 +269,9 @@ class _TxPdu:
     body: bytes  # header+payload as first transmitted
     retx_count: int = 0
     acked: bool = False
+    fi: int = 0  # original FI bits
+    pieces: tuple = ()  # original SDU fragments (for resegmentation)
+    next_so: int = 0  # resegmentation cursor
 
 
 def _sn_in_window(sn: int, lower: int) -> bool:
@@ -297,6 +299,7 @@ class RlcAm:
         self.vr_r = 0  # next expected in-sequence
         self.vr_h = 0  # highest received + 1
         self.rx_window: dict[int, tuple[int, list[bytes]]] = {}
+        self.rx_segments: dict[int, dict] = {}  # sn -> {so: (fi, pieces, lsf)}
         self.rx_sdu_queue: deque[bytes] = deque()
         self.rx_partial = b""
         self.rx_partial_valid = False
@@ -342,7 +345,7 @@ class RlcAm:
             if p is None or p.acked:
                 self.retx_queue.popleft()
                 continue
-            if len(p.body) <= nof_bytes:
+            if len(p.body) <= nof_bytes and p.next_so == 0:
                 self.retx_queue.popleft()
                 p.retx_count += 1
                 if p.retx_count >= self.cfg.max_retx:
@@ -351,7 +354,16 @@ class RlcAm:
                 body[0] |= 0x20  # set poll on retx
                 self._poll_sent()
                 return bytes(body)
-            return None  # no resegmentation: wait for a bigger grant
+            # resegmentation (TS 36.322 §6.2.1.5 AMD PDU segment, RF=1)
+            seg = self._build_segment(p, nof_bytes)
+            if seg is not None:
+                if p.next_so == 0:  # all segments of this pass sent
+                    self.retx_queue.popleft()
+                    p.retx_count += 1
+                    if p.retx_count >= self.cfg.max_retx:
+                        self.max_retx_hit = True
+                return seg
+            return None
         # 3. new data
         return self._build_new_pdu(nof_bytes)
 
@@ -402,11 +414,51 @@ class RlcAm:
         b0 = 0x80 | (poll << 5) | (fi << 3) | (e << 2) | (sn >> 8)  # D/C=1, RF=0
         hdr = bytes([b0, sn & 0xFF]) + (_pack_li_chain(lis) if lis else b"")
         body = hdr + b"".join(payloads)
-        self.tx_window[sn] = _TxPdu(sn, body)
+        self.tx_window[sn] = _TxPdu(sn, body, fi=fi, pieces=tuple(payloads))
         if poll:
             self._poll_sent()
             self.poll_sn = sn
         return body
+
+    def _build_segment(self, p: _TxPdu, nof_bytes: int) -> bytes | None:
+        """One RF=1 AMD PDU segment from the stored original pieces.
+        Header: D/C|RF|P|FI|E|SN + LSF|SO(15); data = original data
+        field bytes [so, so+room)."""
+        data = b"".join(p.pieces)
+        so = p.next_so
+        room = nof_bytes - 4  # fixed header (2) + LSF/SO (2); LIs extra
+        if room < 1 or so >= len(data):
+            return None
+        # piece boundaries inside the original data field
+        bounds = []
+        acc = 0
+        for piece in p.pieces:
+            acc += len(piece)
+            bounds.append(acc)
+        # fit sub-pieces + LI costs into room
+        end = min(len(data), so + room)
+        inner = [b for b in bounds if so < b < end]
+        # LI header cost: 1.5 bytes per boundary
+        while inner and (end - so) + (len(inner) * 3 + 1) // 2 > room:
+            end = min(end, inner.pop())
+        if end <= so:
+            end = min(len(data), so + room)
+            inner = []
+        seg = data[so:end]
+        lis = []
+        prev = so
+        for b in inner:
+            lis.append(b - prev)
+            prev = b
+        first_cont = (so not in [0] + bounds) or (so == 0 and bool(p.fi & 2))
+        last_cont = (end not in bounds) or (end == len(data) and bool(p.fi & 1))
+        fi = (2 if first_cont else 0) | (1 if last_cont else 0)
+        lsf = 1 if end == len(data) else 0
+        e = 1 if lis else 0
+        b0 = 0x80 | 0x40 | (fi << 3) | (e << 2) | (p.sn >> 8)  # D/C=1, RF=1
+        hdr = bytes([b0, p.sn & 0xFF, (lsf << 7) | ((so >> 8) & 0x7F), so & 0xFF])
+        p.next_so = 0 if lsf else end
+        return hdr + (_pack_li_chain(lis) if lis else b"") + seg
 
     def _should_poll(self, nof_bytes: int) -> int:
         self.pdus_since_poll += 1
@@ -438,7 +490,8 @@ class RlcAm:
         e = (pdu[0] >> 2) & 1
         sn = ((pdu[0] & 3) << 8) | pdu[1]
         if rf:
-            return  # resegmentation not supported (not produced by us either)
+            self._handle_segment(pdu, poll if False else (pdu[0] >> 5) & 1, fi, e, sn)
+            return
         rest = pdu[2:]
         lis, consumed = _unpack_li_chain(rest, e) if e else ([], 0)
         data = rest[consumed:]
@@ -454,6 +507,58 @@ class RlcAm:
                 self.vr_h = (sn + 1) % AM_MOD
         if poll:
             self.status_requested = True
+        self._reassemble()
+
+    def _handle_segment(self, pdu: bytes, poll: int, fi: int, e: int, sn: int):
+        lsf = (pdu[2] >> 7) & 1
+        so = ((pdu[2] & 0x7F) << 8) | pdu[3]
+        rest = pdu[4:]
+        lis, consumed = _unpack_li_chain(rest, e) if e else ([], 0)
+        data = rest[consumed:]
+        pieces = []
+        pos = 0
+        for li in lis:
+            pieces.append(data[pos : pos + li])
+            pos += li
+        pieces.append(data[pos:])
+        store = self.rx_segments.setdefault(sn, {})
+        store[so] = (fi, pieces, lsf)
+        if poll:
+            self.status_requested = True
+        # complete? contiguous coverage from 0 to an LSF segment
+        offset = 0
+        chain = []
+        while offset in store:
+            fi_s, pcs, lsf_s = store[offset]
+            chain.append((fi_s, pcs, lsf_s))
+            offset += sum(len(x) for x in pcs)
+            if lsf_s:
+                break
+        if not chain or not chain[-1][2]:
+            return
+        # merge the segment chains into one (fi, pieces) like a whole PDU
+        merged: list[bytes] = []
+        whole_fi_first = chain[0][0] & 2
+        whole_fi_last = chain[-1][0] & 1
+        carry: bytes | None = None
+        for fi_s, pcs, _ in chain:
+            pcs = list(pcs)
+            if carry is not None and (fi_s & 2):
+                pcs[0] = carry + pcs[0]
+            elif carry is not None:
+                merged.append(carry)
+            carry = pcs.pop() if (fi_s & 1) else None
+            if carry is None and pcs:
+                merged.extend(pcs)
+            elif pcs:
+                merged.extend(pcs)
+        if carry is not None:
+            merged.append(carry)
+        del self.rx_segments[sn]
+        if _sn_in_window(sn, self.vr_r):
+            self.rx_window[sn] = ((2 if whole_fi_first else 0) | (1 if whole_fi_last else 0), merged)
+            if ((sn - self.vr_r) % AM_MOD) >= ((self.vr_h - self.vr_r) % AM_MOD):
+                self.vr_h = (sn + 1) % AM_MOD
         self._reassemble()
 
     def _reassemble(self):

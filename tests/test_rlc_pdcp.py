@@ -149,3 +149,58 @@ def test_rlc_pdcp_stack():
         if len(out) == len(sdus):
             break
     assert out == sdus
+
+
+def test_rlc_am_resegmentation():
+    """A NACKed PDU retransmits through grants SMALLER than the original
+    PDU via RF=1 segments (TS 36.322 resegmentation)."""
+    tx, rx = RlcAm(AmConfig(poll_pdu=1)), RlcAm()
+    sdus = [bytes([i]) * 60 for i in range(3)]
+    for s in sdus:
+        tx.write_sdu(s)
+    pdu = tx.read_pdu(300)  # one big PDU with all three SDUs
+    assert pdu is not None and len(pdu) > 150
+    # lost: NACK it via the poll->status path
+    tx.write_pdu(rx.read_pdu(100) or b"")  # no status yet (nothing received)
+    # force status through a dummy exchange: send a later small PDU
+    tx.write_sdu(b"x" * 10)
+    p2 = tx.read_pdu(50)
+    rx.write_pdu(p2)  # rx sees SN 1, SN 0 missing
+    status = rx.read_pdu(100)
+    assert status is not None
+    tx.write_pdu(status)  # NACK for SN 0
+    # retransmit through 60-byte grants -> must resegment
+    for _ in range(10):
+        seg = tx.read_pdu(60)
+        if seg is None:
+            break
+        assert len(seg) <= 60
+        rx.write_pdu(seg)
+    got = []
+    while (s := rx.read_sdu()) is not None:
+        got.append(s)
+    assert got == sdus + [b"x" * 10]
+
+
+def test_rlc_am_resegmentation_stress():
+    rng = np.random.default_rng(9)
+    tx, rx = RlcAm(AmConfig(poll_pdu=2)), RlcAm()
+    sdus = [bytes(rng.integers(0, 256, rng.integers(20, 200)).astype(np.uint8)) for _ in range(30)]
+    for s in sdus:
+        tx.write_sdu(s)
+    received = []
+    for step in range(3000):
+        grant = int(rng.integers(30, 120))
+        pdu = tx.read_pdu(grant)
+        if pdu is not None and rng.random() > 0.25:
+            rx.write_pdu(pdu)
+        status = rx.read_pdu(80)
+        if status is not None and rng.random() > 0.25:
+            tx.write_pdu(status)
+        tx.tick()
+        rx.tick()
+        while (s := rx.read_sdu()) is not None:
+            received.append(s)
+        if len(received) == len(sdus):
+            break
+    assert received == sdus
