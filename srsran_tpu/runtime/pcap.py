@@ -69,3 +69,80 @@ class MacPcap:
 
     def __exit__(self, *a):
         self.close()
+
+
+NAS_LTE_DLT = 148
+RLC_LTE_DLT = 149
+S1AP_DLT = 150
+
+
+class NasPcap:
+    """NAS-EPS capture (DLT 148; lib/src/common/nas_pcap.cc): raw NAS
+    messages, dissected by Wireshark's nas-eps."""
+
+    def __init__(self, path: str, ue_id: int = 0):
+        self._f = open(path, "wb")
+        self.ue_id = ue_id
+        self._f.write(struct.pack("<IHHiIII", 0xA1B2C3D4, 2, 4, 0, 0, 65535, NAS_LTE_DLT))
+
+    def write_pdu(self, pdu: bytes):
+        t = time.time()
+        self._f.write(struct.pack("<IIII", int(t), int((t % 1) * 1e6), len(pdu), len(pdu)))
+        self._f.write(pdu)
+        self._f.flush()
+
+    def close(self):
+        self._f.close()
+
+
+class S1apPcap:
+    """S1AP capture (DLT 150; lib/src/common/s1ap_pcap.cc): raw control
+    messages (this framework's TLV codec rather than ASN.1 PER)."""
+
+    def __init__(self, path: str):
+        self._f = open(path, "wb")
+        self._f.write(struct.pack("<IHHiIII", 0xA1B2C3D4, 2, 4, 0, 0, 65535, S1AP_DLT))
+
+    def write_pdu(self, pdu: bytes):
+        t = time.time()
+        self._f.write(struct.pack("<IIII", int(t), int((t % 1) * 1e6), len(pdu), len(pdu)))
+        self._f.write(pdu)
+        self._f.flush()
+
+    def close(self):
+        self._f.close()
+
+
+class RlcPcap:
+    """RLC-LTE capture (DLT 149; lib/src/common/rlc_pcap.cc context
+    format): rlc-lte context header + PDU for the Wireshark dissector."""
+
+    RLC_TM, RLC_UM, RLC_AM = 1, 2, 4
+    _SN_LENGTH_TAG = 0x02
+    _DIRECTION_TAG = 0x03
+    _PRIORITY_TAG = 0x04
+    _UEID_TAG = 0x05
+    _CHANNEL_TYPE_TAG = 0x06
+    _CHANNEL_ID_TAG = 0x07
+    _PAYLOAD_TAG = 0x01
+
+    def __init__(self, path: str, ue_id: int = 1):
+        self._f = open(path, "wb")
+        self.ue_id = ue_id
+        self._f.write(struct.pack("<IHHiIII", 0xA1B2C3D4, 2, 4, 0, 0, 65535, RLC_LTE_DLT))
+
+    def write_pdu(self, pdu: bytes, mode: int = 4, direction: int = 1, lcid: int = 1, sn_bits: int = 10):
+        body = bytes([FDD_RADIO, mode, 0])  # radioType, rlcMode, priority=0
+        body += bytes([self._SN_LENGTH_TAG, sn_bits])
+        body += bytes([self._DIRECTION_TAG, direction])
+        body += bytes([self._UEID_TAG]) + struct.pack(">H", self.ue_id)
+        body += bytes([self._CHANNEL_TYPE_TAG, 4])  # DRB
+        body += bytes([self._CHANNEL_ID_TAG]) + struct.pack(">H", lcid)
+        body += bytes([self._PAYLOAD_TAG]) + pdu
+        t = time.time()
+        self._f.write(struct.pack("<IIII", int(t), int((t % 1) * 1e6), len(body), len(body)))
+        self._f.write(body)
+        self._f.flush()
+
+    def close(self):
+        self._f.close()

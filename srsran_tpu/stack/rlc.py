@@ -212,8 +212,8 @@ class RlcUm:
         self._deliver_in_order()
 
     def _deliver_in_order(self):
-        """In-sequence delivery from vr_ur (simplified reordering: deliver
-        whatever is contiguous)."""
+        """In-sequence delivery from vr_ur; a gap starts t-Reordering and
+        is skipped on expiry (TS 36.322 §5.1.2.2 vr_ux/t-Reordering)."""
         while self.vr_ur in self.rx_pdus:
             fi, pieces = self.rx_pdus.pop(self.vr_ur)
             first_cont = bool(fi & 2)
@@ -240,7 +240,25 @@ class RlcUm:
             self.vr_ur = (self.vr_ur + 1) % self.mod
 
     def tick(self):
-        pass  # reordering timer handling simplified: delivery is contiguous-only
+        """1 ms timer tick: run t-Reordering; on expiry advance vr_ur past
+        the gap (lost PDU) and deliver what follows."""
+        gap = self.vr_ur not in self.rx_pdus and bool(self.rx_pdus)
+        if gap and self.t_reorder < 0:
+            self.t_reorder = self.cfg.t_reordering_ms
+        elif not gap:
+            self.t_reorder = -1
+        if self.t_reorder > 0:
+            self.t_reorder -= 1
+            if self.t_reorder == 0:
+                # skip to the next received SN; partial SDU at the gap is lost
+                self.rx_partial = b""
+                self.rx_partial_valid = False
+                for _ in range(self.mod):
+                    self.vr_ur = (self.vr_ur + 1) % self.mod
+                    if self.vr_ur in self.rx_pdus:
+                        break
+                self.t_reorder = -1
+                self._deliver_in_order()
 
     def read_sdu(self) -> bytes | None:
         return self.rx_sdu_queue.popleft() if self.rx_sdu_queue else None

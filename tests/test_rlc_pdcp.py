@@ -204,3 +204,25 @@ def test_rlc_am_resegmentation_stress():
         if len(received) == len(sdus):
             break
     assert received == sdus
+
+
+def test_rlc_um_treordering_skips_lost_pdu():
+    """UM: a lost PDU stalls delivery until t-Reordering expires, then the
+    gap is skipped and later SDUs are delivered (TS 36.322 §5.1.2.2)."""
+    cfg = UmConfig(t_reordering_ms=5)
+    tx, rx = RlcUm(cfg), RlcUm(cfg)
+    pdus = []
+    for i in range(5):
+        tx.write_sdu(bytes([i]) * 20)
+        pdus.append(tx.read_pdu(100))
+    for i, p in enumerate(pdus):
+        if i != 1:  # lose SN 1
+            rx.write_pdu(p)
+    assert rx.read_sdu() == bytes([0]) * 20
+    assert rx.read_sdu() is None  # stalled on the gap
+    for _ in range(6):
+        rx.tick()
+    got = []
+    while (s := rx.read_sdu()) is not None:
+        got.append(s)
+    assert got == [bytes([i]) * 20 for i in (2, 3, 4)]

@@ -163,3 +163,18 @@ def test_state_roundtrip_types(tmp_path):
     back = load_state(p)
     np.testing.assert_array_equal(back["a"], st["a"])
     assert back["nested"] == st["nested"]
+
+
+def test_pcap_variants(tmp_path):
+    import struct
+    from srsran_tpu.runtime.pcap import NasPcap, RlcPcap, S1apPcap
+
+    for cls, dlt, args in ((NasPcap, 148, ()), (S1apPcap, 150, ()), (RlcPcap, 149, ())):
+        p = str(tmp_path / f"{cls.__name__}.pcap")
+        w = cls(p) if not args else cls(p, *args)
+        w.write_pdu(b"\x07\x41\x01")
+        w.close()
+        raw = open(p, "rb").read()
+        magic, _, _, _, _, _, network = struct.unpack("<IHHiIII", raw[:24])
+        assert magic == 0xA1B2C3D4 and network == dlt
+        assert len(raw) > 24 + 16
