@@ -8,7 +8,6 @@ render the subframe, and push samples to the sample link.
 
 from __future__ import annotations
 
-import dataclasses
 from collections import deque
 
 import numpy as np

@@ -16,8 +16,6 @@ per eNB instance exercised, persistent-size UL grants via DCI0.
 
 from __future__ import annotations
 
-import dataclasses
-
 import numpy as np
 
 from ..epc import Mme, Spgw, s1ap

@@ -12,8 +12,6 @@ All ops are built with `shard_map` over a mesh axis named `samples`.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -8,7 +8,6 @@ formulation as `chest_dl`.
 
 from __future__ import annotations
 
-from functools import lru_cache
 
 import jax.numpy as jnp
 import numpy as np

@@ -17,7 +17,7 @@ from ..ofdm import OfdmConfig, ofdm_tx_sf
 from ..phch.pbch import Mib, pbch_encode_np, pbch_re_indices
 from ..phch.pcfich import pcfich_put_np
 from ..phch.pdcch import pdcch_put_np
-from ..phch.pdsch import DlGrant, pdsch_encode_np
+from ..phch.pdsch import pdsch_encode_np
 from ..phch.phich import phich_put_np
 from ..sync.pss import put_pss_grid
 from ..sync.sss import put_sss_grid

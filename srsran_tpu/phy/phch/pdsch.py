@@ -22,7 +22,6 @@ from ..mimo import (
     layerdemap,
     layermap,
     precode_diversity2,
-    precode_single,
     predecode_diversity2,
     predecode_single_mrc,
     predecode_zf_mmse,

@@ -18,7 +18,7 @@ import numpy as np
 
 from ..common import Cell
 from ..sequence import gold_sequence_signs
-from .pcfich import pcfich_cinit, pcfich_re_indices
+from .pcfich import pcfich_cinit
 
 NSF = 4  # spreading factor (normal CP)
 PHICH_LEN = 12  # symbols per PHICH

@@ -16,7 +16,7 @@ from functools import lru_cache
 import jax.numpy as jnp
 import numpy as np
 
-from ..common import CP, Cell
+from ..common import Cell
 from ..chest.refsignal_ul import base_sequence
 from ..modem import Mod, demod_soft, modulate
 from ..sequence import gold_sequence

@@ -10,7 +10,6 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from .sequence import gold_sequence, gold_sequence_signs
 
 
 def scramble_bits(bits, seq):

@@ -16,15 +16,13 @@ parallelism" mapping (one cc_worker per carrier → shard axis).
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .phy.common import Cell
-from .phy.chest.chest_dl import ChestDlConfig, chest_dl
+from .phy.chest.chest_dl import chest_dl
 from .phy.mimo import (
     layerdemap,
     predecode_diversity2,
