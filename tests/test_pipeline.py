@@ -56,3 +56,37 @@ def test_graft_entry():
     out = jax.jit(fn)(*args)  # compile-check on zeros input
     assert len(out) == 3
     ge.dryrun_multichip(8)
+
+
+def test_multi_carrier_64_on_mesh():
+    """64 carriers sharded over the 8-device mesh (8 per device) — the
+    BASELINE 64-carrier configuration shape, validated for correctness."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from srsran_tpu.phy.common import Cell
+    from srsran_tpu.phy.chest.refsignal_dl import put_crs_np
+    from srsran_tpu.phy.modem import Mod
+    from srsran_tpu.phy.ofdm import OfdmConfig, ofdm_tx_sf
+    from srsran_tpu.phy.phch.pdsch import DlGrant, pdsch_encode_np
+    from srsran_tpu.pipeline import multi_carrier_ue_dl
+
+    n_car = 64
+    mesh = Mesh(np.array(jax.devices()), ("carriers",))
+    cell = Cell(nof_prb=6, nof_ports=1, id=5)
+    grant = DlGrant(prb=tuple(range(6)), mod=Mod.QPSK, tbs=408)
+    rng = np.random.default_rng(1)
+    tbs = [rng.integers(0, 2, grant.tbs).astype(np.uint8) for _ in range(n_car)]
+    samples = []
+    for tb in tbs:
+        grid = pdsch_encode_np(cell, 1, 1, grant, tb)
+        put_crs_np(grid, cell, 1)
+        samples.append(np.asarray(ofdm_tx_sf(OfdmConfig.from_cell(cell, normalize=True), grid)))
+    x = np.stack(samples).astype(np.complex64)  # (64, 1, sf_len)
+    fn = multi_carrier_ue_dl(cell, 1, 1, grant, mesh=mesh)
+    tb_hat, ok, total = fn(x)
+    assert int(jax.device_get(total)) == n_car
+    got = np.asarray(jax.device_get(tb_hat))
+    for i in (0, 31, 63):
+        np.testing.assert_array_equal(got[i], tbs[i])
