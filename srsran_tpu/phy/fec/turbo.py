@@ -246,6 +246,13 @@ def map_decoder(lx, lz, lx_tail, lz_tail, k: int, dtype=jnp.float32, backend: st
     c_spp0 = jnp.asarray(spp[:, 0:1], dtype)
     c_spp1 = jnp.asarray(spp[:, 1:2], dtype)
 
+    # No per-step renormalization: float32 has ~38 decimal orders of
+    # dynamic range and a window accumulates at most ~1e5 of metric
+    # growth; constant per-lane offsets cancel in the posterior m1-m0.
+    # (The reference's int8/16 paths renormalize every 1-2 steps,
+    # turbodecoder_win.h:181-184 — that is a fixed-point necessity.)
+    renorm = dtype == jnp.bfloat16
+
     def alpha_step(a, inputs):
         xt, zt = inputs  # (bn,)
         a0 = a[jnp.asarray(ps0)]  # (8, bn)
@@ -253,7 +260,7 @@ def map_decoder(lx, lz, lx_tail, lz_tail, k: int, dtype=jnp.float32, backend: st
         new = jnp.maximum(
             a0 + (c_spu0 * xt + c_spp0 * zt), a1 + (c_spu1 * xt + c_spp1 * zt)
         )
-        return new - new[0:1], None
+        return (new - new[0:1]) if renorm else new, None
 
     def alpha_step_out(a, inputs):
         new, _ = alpha_step(a, inputs)
@@ -312,7 +319,7 @@ def map_decoder(lx, lz, lx_tail, lz_tail, k: int, dtype=jnp.float32, backend: st
         xt, zt = inputs
         b0, b1 = beta_core(bta, xt, zt)
         new = jnp.maximum(b0, b1)
-        return new - new[0:1], None
+        return (new - new[0:1]) if renorm else new, None
 
     b_tr, _ = jax.lax.scan(
         beta_train_step, jnp.zeros((8, bn), dtype), (bx_train[::-1], bz_train[::-1])
@@ -329,7 +336,7 @@ def map_decoder(lx, lz, lx_tail, lz_tail, k: int, dtype=jnp.float32, backend: st
         m0 = jnp.max(alpha_t + b0, axis=0)  # (bn,)
         m1 = jnp.max(alpha_t + b1, axis=0)
         new = jnp.maximum(b0, b1)
-        return new - new[0:1], m1 - m0
+        return (new - new[0:1]) if renorm else new, m1 - m0
 
     _, llr_rev = jax.lax.scan(
         beta_post_step,
