@@ -653,3 +653,22 @@ class UeStack:
         mac_pdu = mac_pack(sdus, tb_bytes)
         tb_bits = np.unpackbits(np.frombuffer(mac_pdu, np.uint8))
         return ue_ul_encode(self.cell, sf_idx, pusch=(grant, tb_bits))
+
+
+def _enb_metrics(self) -> dict:
+    m = dict(self.stats)
+    m["rrc_state"] = self.rrc_state
+    m.update({f"sched_{k}": v for k, v in self.sched.metrics().items()})
+    return m
+
+
+def _ue_metrics(self) -> dict:
+    m = dict(self.stats)
+    m["rrc_state"] = self.rrc_state
+    m["nas_state"] = self.nas.state
+    m["ip"] = self.ue_ip
+    return m
+
+
+EnbStack.get_metrics = _enb_metrics
+UeStack.get_metrics = _ue_metrics
