@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..common import Cell
-from .refsignal_dl import crs_positions, crs_sequence
+from .refsignal_dl import crs_positions, crs_sequence_port
 
 
 @dataclasses.dataclass(frozen=True)
@@ -122,7 +122,7 @@ def _wiener_matrices(cell: Cell, cfg: ChestDlConfig, port: int, sf_idx: int):
         return np.sinc(dk * tau) * np.exp(-1j * np.pi * dk * tau)
 
     ws = []
-    for s in range(4):
+    for s in range(len(freqs)):
         p = freqs[s].astype(np.float64)
         k = np.arange(nre, dtype=np.float64)
         r_pp = corr(p[:, None] - p[None, :]) + s2 * np.eye(len(p))
@@ -135,11 +135,10 @@ def _wiener_matrices(cell: Cell, cfg: ChestDlConfig, port: int, sf_idx: int):
 def _chest_tables(cell: Cell, sf_idx: int, cfg: ChestDlConfig, port: int):
     """Precompute (syms, freqs, ref_conj, Wf (4, nre, npil), Wt (nsymb, 4))."""
     syms, freqs = crs_positions(cell, port)
-    seq = crs_sequence(cell, sf_idx)[port]  # (4, 2*nprb)
+    seq = crs_sequence_port(cell, sf_idx, port)  # (nref, 2*nprb)
     nre = cell.nof_re_per_symbol
-    sm = None
     wf = []
-    for s in range(4):
+    for s in range(len(syms)):
         m = _freq_interp_matrix(freqs[s], nre)
         if cfg.smooth_len > 1:
             m = m @ _smooth_matrix(freqs.shape[1], cfg.smooth_len)

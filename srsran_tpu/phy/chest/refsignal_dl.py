@@ -68,24 +68,54 @@ def crs_sequence(cell: Cell, sf_idx: int) -> np.ndarray:
 
 @lru_cache(maxsize=256)
 def crs_positions(cell: Cell, port: int):
-    """(symbol_indices (4,), freq_indices (4, 2*nof_prb)) for ports 0/1."""
-    assert port < 2, "4-port CRS deferred"
+    """(symbol_indices (nref,), freq_indices (nref, 2*nof_prb)).
+
+    Ports 0/1: 4 ref symbols per sf (l = 0 and nsymb-3 of each slot);
+    ports 2/3: 2 ref symbols (l = 1 of each slot), v alternating with
+    slot parity (TS 36.211 §6.10.1.2)."""
     nsymb = cell.nsymb_per_slot
     syms = []
     freqs = []
     for slot in range(2):
-        for ref in range(2):
-            syms.append(slot * nsymb + crs_symbol_in_slot(ref, cell.cp, port))
-            v = (crs_v(port, ref) + cell.id % 6) % 6
-            freqs.append(v + 6 * np.arange(2 * cell.nof_prb))
+        if port < 2:
+            for ref in range(2):
+                syms.append(slot * nsymb + crs_symbol_in_slot(ref, cell.cp, port))
+                v = (crs_v(port, ref) + cell.id % 6) % 6
+                freqs.append(v + 6 * np.arange(2 * cell.nof_prb))
+        else:
+            syms.append(slot * nsymb + 1)
+            # v = 3*(ns mod 2) for port 2; 3 + 3*(ns mod 2) for port 3
+            v0 = 3 * (slot % 2) if port == 2 else (3 + 3 * (slot % 2)) % 6
+            freqs.append((v0 + cell.id % 6) % 6 + 6 * np.arange(2 * cell.nof_prb))
     return np.array(syms, np.int32), np.stack(freqs).astype(np.int32)
+
+
+@lru_cache(maxsize=256)
+def crs_sequence_port(cell: Cell, sf_idx: int, port: int) -> np.ndarray:
+    """CRS values for one port: (nref, 2*nof_prb) complex64 — the Gold
+    sequence depends only on (ns, l), so all ports at the same (ns, l)
+    share values."""
+    if port < 2:
+        return crs_sequence(cell, sf_idx)[port]
+    n_cp = 1 if cell.cp == CP.NORM else 0
+    out = np.zeros((2, 2 * cell.nof_prb), np.complex64)
+    for slot in range(2):
+        ns = 2 * sf_idx + slot
+        lp = 1
+        c_init = 1024 * (7 * (ns + 1) + lp + 1) * (2 * cell.id + 1) + 2 * cell.id + n_cp
+        c = gold_sequence(c_init, 4 * MAX_PRB)
+        m = np.arange(2 * cell.nof_prb) + MAX_PRB - cell.nof_prb
+        re = (1.0 - 2.0 * c[2 * m]) * np.sqrt(0.5)
+        im = (1.0 - 2.0 * c[2 * m + 1]) * np.sqrt(0.5)
+        out[slot] = (re + 1j * im).astype(np.complex64)
+    return out
 
 
 def put_crs_np(grid: np.ndarray, cell: Cell, sf_idx: int) -> np.ndarray:
     """Insert CRS into a (nports, nsymb_sf, nre) numpy grid (tx side)."""
-    seq = crs_sequence(cell, sf_idx)
-    for p in range(min(cell.nof_ports, 2)):
+    for p in range(min(cell.nof_ports, grid.shape[0], 4)):
         syms, freqs = crs_positions(cell, p)
-        for s in range(4):
-            grid[p, syms[s], freqs[s]] = seq[p, s]
+        seq = crs_sequence_port(cell, sf_idx, p)
+        for s in range(len(syms)):
+            grid[p, syms[s], freqs[s]] = seq[s]
     return grid

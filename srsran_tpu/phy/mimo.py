@@ -247,3 +247,49 @@ def predecode_zf_mmse(y, h, nof_layers: int, noise_est=0.0, pmi: int | None = No
     csi1 = jnp.real(det / a00)
     csi = jnp.stack([csi0, csi1], axis=-2)
     return x, csi
+
+
+def precode_diversity4(symbols):
+    """SFBC-FSTD for 4 ports (TS 36.211 §6.3.4.3, precoding.c tx-div 4):
+    (..., M) with M % 4 == 0 → (..., 4, M).
+
+    Per group of 4 symbols (x0..x3) over 4 REs: ports (0,2) carry the
+    Alamouti pair of (x0,x1) on REs 0-1; ports (1,3) carry (x2,x3) on
+    REs 2-3; the other ports are zero on those REs.
+    """
+    m = symbols.shape[-1]
+    x = symbols.reshape(symbols.shape[:-1] + (m // 4, 4))
+    x0, x1, x2, x3 = (x[..., i] for i in range(4))
+    z = jnp.zeros_like(x0)
+    p0 = jnp.stack([x0, x1, z, z], axis=-1)
+    p1 = jnp.stack([z, z, x2, x3], axis=-1)
+    p2 = jnp.stack([-jnp.conj(x1), jnp.conj(x0), z, z], axis=-1)
+    p3 = jnp.stack([z, z, -jnp.conj(x3), jnp.conj(x2)], axis=-1)
+    out = jnp.stack([p0, p1, p2, p3], axis=-3) * SQRT2_INV
+    return out.reshape(symbols.shape[:-1] + (4, m))
+
+
+def predecode_diversity4(y, h):
+    """SFBC-FSTD receiver: y (nrx, M), h (nrx, 4, M) → (x (M,), csi (M,))."""
+    m = y.shape[-1]
+    yg = y.reshape(y.shape[:-1] + (m // 4, 4))
+    hg = h.reshape(h.shape[:-2] + (4, m // 4, 4))
+    out_pairs = []
+    csi_pairs = []
+    for pair, (pa, pb) in ((0, (0, 2)), (1, (1, 3))):
+        y0 = yg[..., 2 * pair]
+        y1 = yg[..., 2 * pair + 1]
+        h0 = hg[..., pa, :, 2 * pair]
+        h1 = hg[..., pb, :, 2 * pair]
+        gain = jnp.sum(jnp.abs(h0) ** 2 + jnp.abs(h1) ** 2, axis=0)
+        xa = jnp.sum(jnp.conj(h0) * y0 + h1 * jnp.conj(y1), axis=0) / (gain + 1e-12)
+        xb = jnp.sum(jnp.conj(h0) * y1 - h1 * jnp.conj(y0), axis=0) / (gain + 1e-12)
+        out_pairs.append((xa, xb))
+        csi_pairs.append(gain)
+    x = jnp.stack(
+        [out_pairs[0][0], out_pairs[0][1], out_pairs[1][0], out_pairs[1][1]], axis=-1
+    ).reshape(m) * np.sqrt(2.0)
+    csi = jnp.stack(
+        [csi_pairs[0], csi_pairs[0], csi_pairs[1], csi_pairs[1]], axis=-1
+    ).reshape(m)
+    return x.astype(jnp.complex64), csi

@@ -44,7 +44,7 @@ class DlGrant:
     tbs: int = 0
     rv: int = 0
     rnti: int = 0x1234
-    tx_scheme: str = "port0"  # port0 | diversity | cdd | spatialmux
+    tx_scheme: str = "port0"  # port0 | diversity | diversity4 | cdd | spatialmux
     nof_layers: int = 1
     pmi: int = 0
 
@@ -131,8 +131,8 @@ def pdsch_encode_np(
     """
     idx = pdsch_re_indices(cell, sf_idx, cfi, grant.prb)
     n_re = len(idx)
-    nof_ports = 2 if grant.tx_scheme in ("diversity", "cdd", "spatialmux") else 1
-    g = n_re * grant.qm * (grant.nof_layers if grant.tx_scheme != "diversity" else 1)
+    nof_ports = {"diversity": 2, "cdd": 2, "spatialmux": 2, "diversity4": 4}.get(grant.tx_scheme, 1)
+    g = n_re * grant.qm * (grant.nof_layers if grant.tx_scheme not in ("diversity", "diversity4") else 1)
     coding = TbCoding(tbs=grant.tbs, g=g, qm=grant.qm, rv=grant.rv, nof_layers=grant.nof_layers)
     bits = dlsch_encode_np(tb_bits, coding)
     seq = gold_sequence(pdsch_cinit(grant.rnti, sf_idx, cell.id), len(bits))
@@ -142,6 +142,10 @@ def pdsch_encode_np(
         ports = sym[None, :]
     elif grant.tx_scheme == "diversity":
         ports = np.asarray(precode_diversity2(sym))
+    elif grant.tx_scheme == "diversity4":
+        from ..mimo import precode_diversity4
+
+        ports = np.asarray(precode_diversity4(jnp.asarray(sym)))
     elif grant.tx_scheme == "spatialmux":
         layers = np.asarray(layermap([sym], grant.nof_layers))
         ports = np.asarray(precode_spatialmux(layers, grant.pmi))
@@ -184,6 +188,13 @@ def pdsch_decode(
         sym_cw = x
         csi_cw = csi
         nof_layers = 1
+    elif grant.tx_scheme == "diversity4":
+        from ..mimo import predecode_diversity4
+
+        x, csi = predecode_diversity4(y, h)
+        sym_cw = x
+        csi_cw = csi
+        nof_layers = 1
     elif grant.tx_scheme == "spatialmux":
         x, csi = predecode_zf_mmse(y, h, grant.nof_layers, noise_est, pmi=grant.pmi)
         sym_cw = layerdemap(x, 1)[0]
@@ -196,7 +207,7 @@ def pdsch_decode(
     # CSI weighting (reference csi option): scale LLRs by channel quality
     csi_rep = jnp.repeat(csi_cw, grant.qm, axis=-1)
     llr = llr * csi_rep
-    g = n_re * grant.qm * (nof_layers if grant.tx_scheme != "diversity" else 1)
+    g = n_re * grant.qm * (nof_layers if grant.tx_scheme not in ("diversity", "diversity4") else 1)
     signs = gold_sequence_signs(pdsch_cinit(grant.rnti, sf_idx, cell.id), g)
     llr = scramble_soft(llr, signs)
     coding = TbCoding(tbs=grant.tbs, g=g, qm=grant.qm, rv=grant.rv, nof_layers=nof_layers)

@@ -132,3 +132,17 @@ def test_pmi_selection_picks_matched_precoder():
     h2[1, 1] = 1.0
     best2, cap2, cond2 = mimo.select_pmi(h2, nof_layers=2)
     assert float(np.asarray(cond2)) < 1.0
+
+
+def test_diversity4_roundtrip():
+    """4-port SFBC-FSTD: encode on 4 ports, mix through a 1x4 channel,
+    Alamouti-decode both pairs."""
+    rng = np.random.default_rng(6)
+    m = 64
+    x = ((rng.integers(0, 2, m) * 2 - 1) + 1j * (rng.integers(0, 2, m) * 2 - 1)).astype(np.complex64) / np.sqrt(2)
+    ports = np.asarray(mimo.precode_diversity4(x))  # (4, m)
+    h = (rng.standard_normal(4) + 1j * rng.standard_normal(4)).astype(np.complex64)
+    y = np.einsum("p,pm->m", h, ports)[None, :]  # (1, m)
+    hfull = np.broadcast_to(h[None, :, None], (1, 4, m)).astype(np.complex64)
+    xh, csi = mimo.predecode_diversity4(y, hfull)
+    np.testing.assert_allclose(np.asarray(xh), x, atol=1e-4)

@@ -156,3 +156,35 @@ def test_pdsch_two_codeword_tm4_e2e():
     assert bool(np.asarray(ok1)) and bool(np.asarray(ok2))
     np.testing.assert_array_equal(np.asarray(tb1h), tb1)
     np.testing.assert_array_equal(np.asarray(tb2h), tb2)
+
+
+def test_pdsch_four_port_diversity_e2e():
+    """TM2 with 4 tx ports (SFBC-FSTD) through 4 independent channels,
+    4-port CRS channel estimation, TB CRC passes."""
+    from srsran_tpu.phy.chest.chest_dl import chest_dl
+    from srsran_tpu.phy.chest.refsignal_dl import put_crs_np
+    from srsran_tpu.phy.modem import Mod
+    from srsran_tpu.phy.phch.pdsch import DlGrant, pdsch_decode, pdsch_encode_np
+    from srsran_tpu.phy.phch.ra import dl_tbs
+
+    cell = Cell(nof_prb=25, nof_ports=4, id=91)
+    rng = np.random.default_rng(8)
+    grant = DlGrant(
+        prb=tuple(range(25)), mod=Mod.QPSK, tbs=dl_tbs(4, 25),
+        tx_scheme="diversity4", rnti=0x99,
+    )
+    tb = rng.integers(0, 2, grant.tbs).astype(np.uint8)
+    grid = pdsch_encode_np(cell, 4, 2, grant, tb)  # (4, nsymb, nre)
+    put_crs_np(grid, cell, 4)
+    h = (rng.standard_normal(4) + 1j * rng.standard_normal(4)).astype(np.complex64)
+    rx = np.einsum("p,pln->ln", h, grid)[None]  # 1 rx antenna
+    rx = rx + (rng.standard_normal(rx.shape) + 1j * rng.standard_normal(rx.shape)).astype(np.complex64) * 0.02
+    ch = chest_dl(rx, cell, 4, nof_ports=4)
+    ce = np.asarray(ch["ce"])  # (1, 4, nsymb, nre)
+    # chest accuracy per port
+    for p in range(4):
+        assert np.abs(np.mean(ce[0, p]) - h[p]) < 0.1, p
+    noise = float(np.mean(np.asarray(ch["noise"])))
+    tb_hat, ok, _ = pdsch_decode(rx, ce, noise, cell, 4, 2, grant)
+    assert bool(np.asarray(ok))
+    np.testing.assert_array_equal(np.asarray(tb_hat), tb)
