@@ -293,3 +293,21 @@ def predecode_diversity4(y, h):
         [csi_pairs[0], csi_pairs[0], csi_pairs[1], csi_pairs[1]], axis=-1
     ).reshape(m)
     return x.astype(jnp.complex64), csi
+
+
+def predecode_cdd2(y, h, noise_est=0.0):
+    """TM3 open-loop (large-delay CDD) receiver: fold W·D(i)·U into H per
+    RE parity, then the 2x2 MMSE solve. y (nrx, M), h (nrx, 2, M) →
+    (layers (2, M), csi (2, M))."""
+    m = y.shape[-1]
+    u = np.array([[1, 1], [1, -1]], np.complex64) / np.sqrt(2.0)
+    signs = jnp.asarray(np.where(np.arange(m) % 2 == 0, 1.0, -1.0), jnp.complex64)
+    # effective precoder per RE: P(i) = (1/sqrt2) * diag(1, (-1)^i) applied
+    # after U; fold into H: heff[:, l, :] = sum_k h[:, k, :] * M_kl(i)
+    # with M(i) = (1/sqrt2) * D(i) @ U acting on layers
+    d_row0 = jnp.asarray(u[0]) * SQRT2_INV  # port row applied to layers
+    d_row1 = jnp.asarray(u[1]) * SQRT2_INV
+    heff_l0 = h[..., 0, :] * d_row0[0] + h[..., 1, :] * d_row1[0] * signs
+    heff_l1 = h[..., 0, :] * d_row0[1] + h[..., 1, :] * d_row1[1] * signs
+    heff = jnp.stack([heff_l0, heff_l1], axis=-2)
+    return predecode_zf_mmse(y, heff, 2, noise_est, pmi=None)

@@ -146,6 +146,11 @@ def pdsch_encode_np(
         from ..mimo import precode_diversity4
 
         ports = np.asarray(precode_diversity4(jnp.asarray(sym)))
+    elif grant.tx_scheme == "cdd":
+        from ..mimo import precode_cdd2
+
+        layers = np.asarray(layermap([jnp.asarray(sym)], 2))
+        ports = np.asarray(precode_cdd2(jnp.asarray(layers)))
     elif grant.tx_scheme == "spatialmux":
         layers = np.asarray(layermap([sym], grant.nof_layers))
         ports = np.asarray(precode_spatialmux(layers, grant.pmi))
@@ -195,6 +200,13 @@ def pdsch_decode(
         sym_cw = x
         csi_cw = csi
         nof_layers = 1
+    elif grant.tx_scheme == "cdd":
+        from ..mimo import predecode_cdd2
+
+        x, csi = predecode_cdd2(y, h, noise_est)
+        sym_cw = layerdemap(x, 1)[0]
+        csi_cw = layerdemap(csi.astype(jnp.complex64), 1)[0].real
+        nof_layers = 2
     elif grant.tx_scheme == "spatialmux":
         x, csi = predecode_zf_mmse(y, h, grant.nof_layers, noise_est, pmi=grant.pmi)
         sym_cw = layerdemap(x, 1)[0]

@@ -188,3 +188,27 @@ def test_pdsch_four_port_diversity_e2e():
     tb_hat, ok, _ = pdsch_decode(rx, ce, noise, cell, 4, 2, grant)
     assert bool(np.asarray(ok))
     np.testing.assert_array_equal(np.asarray(tb_hat), tb)
+
+
+def test_pdsch_cdd_tm3_e2e():
+    """TM3 open-loop spatial multiplexing (large-delay CDD, 2 layers)
+    through a well-conditioned 2x2 channel."""
+    from srsran_tpu.phy.modem import Mod
+    from srsran_tpu.phy.phch.pdsch import DlGrant, pdsch_decode, pdsch_encode_np
+    from srsran_tpu.phy.phch.ra import dl_tbs
+
+    cell = Cell(nof_prb=25, nof_ports=2, id=55)
+    rng = np.random.default_rng(12)
+    grant = DlGrant(
+        prb=tuple(range(25)), mod=Mod.QPSK, tbs=dl_tbs(6, 25),
+        tx_scheme="cdd", nof_layers=2, rnti=0x77,
+    )
+    tb = rng.integers(0, 2, grant.tbs).astype(np.uint8)
+    grid = pdsch_encode_np(cell, 2, 2, grant, tb)
+    h = np.array([[1.0, 0.2 + 0.3j], [-0.3j, 0.8]], np.complex64)
+    rx = np.einsum("rp,pln->rln", h, grid)
+    rx += (rng.standard_normal(rx.shape) + 1j * rng.standard_normal(rx.shape)).astype(np.complex64) * 0.02
+    ce = np.broadcast_to(h[:, :, None, None], (2, 2) + grid.shape[1:]).astype(np.complex64)
+    tb_hat, ok, _ = pdsch_decode(rx, ce, 8e-4, cell, 2, 2, grant)
+    assert bool(np.asarray(ok))
+    np.testing.assert_array_equal(np.asarray(tb_hat), tb)
