@@ -212,3 +212,25 @@ def test_pdsch_cdd_tm3_e2e():
     tb_hat, ok, _ = pdsch_decode(rx, ce, 8e-4, cell, 2, 2, grant)
     assert bool(np.asarray(ok))
     np.testing.assert_array_equal(np.asarray(tb_hat), tb)
+
+
+def test_pdsch_256qam_e2e():
+    """256QAM (the baseline's '195 Mbps w/ QAM256' configuration) at high
+    SNR: full-band decode with zero bit errors."""
+    from srsran_tpu.phy.modem import Mod
+    from srsran_tpu.phy.phch.pdsch import DlGrant, pdsch_decode, pdsch_encode_np
+    from srsran_tpu.phy.phch.ra import dl_mcs_to_mod, dl_tbs
+
+    assert dl_mcs_to_mod(27, use_256qam=True) == Mod.QAM256
+    cell = Cell(nof_prb=25, nof_ports=1, id=3)
+    grant = DlGrant(
+        prb=tuple(range(25)), mod=Mod.QAM256, tbs=dl_tbs(27, 25, use_256qam=True), rnti=0x11
+    )
+    rng = np.random.default_rng(1)
+    tb = rng.integers(0, 2, grant.tbs).astype(np.uint8)
+    grid = pdsch_encode_np(cell, 3, 1, grant, tb)
+    rx = grid + (rng.standard_normal(grid.shape) + 1j * rng.standard_normal(grid.shape)).astype(np.complex64) * 0.005
+    ce = np.ones((1, 1) + grid.shape[1:], np.complex64)
+    tb_hat, ok, _ = pdsch_decode(rx, ce, 5e-5, cell, 3, 1, grant)
+    assert bool(np.asarray(ok))
+    np.testing.assert_array_equal(np.asarray(tb_hat), tb)
