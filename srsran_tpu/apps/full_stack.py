@@ -16,6 +16,9 @@ per eNB instance exercised, persistent-size UL grants via DCI0.
 
 from __future__ import annotations
 
+import dataclasses
+from collections import deque
+
 import numpy as np
 
 from ..epc import Mme, Spgw, s1ap
@@ -109,6 +112,30 @@ def _bearer_set(k_enb: bytes | None, cipher: int, integ: int, is_enb: bool):
 # ---------------------------------------------------------------------------
 
 
+@dataclasses.dataclass
+class _EnbUe:
+    """Per-UE eNB context (the phy_ue_db + rrc_ue pair of the reference)."""
+
+    crnti: int
+    enb_ue_id: int
+    dl_teid: int
+    rrc_state: int = 0
+    srb0: RlcTm = dataclasses.field(default_factory=RlcTm)
+    srb1_rlc: RlcAm = dataclasses.field(default_factory=RlcAm)
+    drb_rlc: RlcAm = dataclasses.field(default_factory=RlcAm)
+    srb1_pdcp: PdcpEntity = None
+    drb_pdcp: PdcpEntity = None
+    k_enb: bytes | None = None
+    mme_ue_id: int | None = None
+    pending_reconf_nas: bytes | None = None
+    last_ul_ok_tti: int = 0
+    rapid: int = -1
+
+    def __post_init__(self):
+        if self.srb1_pdcp is None:
+            self.srb1_pdcp, self.drb_pdcp = _bearer_set(None, 0, 0, is_enb=True)
+
+
 class EnbStack:
     RRC_IDLE, RRC_SETUP_SENT, RRC_CONNECTED, RRC_SMC_SENT, RRC_RECONF_SENT, RRC_ACTIVE = range(6)
 
@@ -117,30 +144,44 @@ class EnbStack:
         self.mme = mme
         self.spgw = spgw
         self.cfi = cfi
-        self.crnti = crnti
         self.mib = Mib(nof_prb=cell.nof_prb)
         self.prach_cfg = PrachConfig()
         self.sched = Scheduler(cell.nof_prb, mcs_max=mcs)
-        # UE context (single-UE integration)
-        self.rrc_state = self.RRC_IDLE
-        self.ue_attached_rnti: int | None = None
-        self.srb0 = RlcTm()
-        self.srb1_rlc = RlcAm()
-        self.drb_rlc = RlcAm()
-        self.srb1_pdcp, self.drb_pdcp = _bearer_set(None, 0, 0, is_enb=True)
+        self.mcs_max = mcs
+        # multi-UE contexts (phy_ue_db.cc analog)
+        self.ues: dict[int, _EnbUe] = {}
+        self._by_enb_id: dict[int, _EnbUe] = {}
+        self._next_crnti = crnti
+        self._next_enb_ue_id = 1
+        self._next_teid = 101
         self.cipher_alg, self.integ_alg = 2, 2
-        self.k_enb: bytes | None = None
-        self.pending_rar: tuple[int, int] | None = None  # (rapid, ta)
+        self.pending_rars: deque = deque()  # (rapid, ta, crnti)
         self.pending_ul: dict[int, tuple[int, UlGrant]] = {}  # tti -> (rnti, grant)
-        self.mme_ue_id: int | None = None
-        self.enb_ue_id = 1
         self.gtpu = GtpuEndpoint()
-        self.dl_teid = 101
-        self.pending_reconf_nas: bytes | None = None
         self.tti = 0
         self.stats = {"prach_detected": 0, "ul_crc_ok": 0, "ul_crc_ko": 0, "ue_released": 0}
-        self._last_ul_ok_tti = 0
         self.ul_inactivity_timeout = 40  # TTIs without UL → release context
+
+    # --- single-UE compatibility views ---
+    @property
+    def rrc_state(self) -> int:
+        return max((u.rrc_state for u in self.ues.values()), default=self.RRC_IDLE)
+
+    @property
+    def crnti(self) -> int:
+        return self._next_crnti
+
+    def _new_ue(self, rapid: int) -> _EnbUe:
+        ue = _EnbUe(
+            crnti=self._next_crnti, enb_ue_id=self._next_enb_ue_id,
+            dl_teid=self._next_teid, rapid=rapid, last_ul_ok_tti=self.tti,
+        )
+        self._next_crnti += 1
+        self._next_enb_ue_id += 1
+        self._next_teid += 1
+        self.ues[ue.crnti] = ue
+        self._by_enb_id[ue.enb_ue_id] = ue
+        return ue
 
     # --- S1AP plumbing (in-process "SCTP") ---
     def _s1ap_send(self, msg: bytes):
@@ -149,54 +190,56 @@ class EnbStack:
 
     def _s1ap_rx(self, data: bytes):
         m, _ = s1ap.unpack(data)
-        if m.msg_type == s1ap.DOWNLINK_NAS_TRANSPORT:
-            self.mme_ue_id = m.u32(s1ap.IE_MME_UE_ID)
-            self._send_srb1(rrc.pack(rrc.DL_INFO_TRANSFER, {rrc.IE_NAS_PDU: m.ies[s1ap.IE_NAS_PDU]}))
-        elif m.msg_type == s1ap.INITIAL_CONTEXT_SETUP_REQUEST:
-            self.mme_ue_id = m.u32(s1ap.IE_MME_UE_ID)
-            self.k_enb = m.ies[s1ap.IE_KENB]
+        ue = self._by_enb_id.get(m.u32(s1ap.IE_ENB_UE_ID)) if s1ap.IE_ENB_UE_ID in m.ies else None
+        if m.msg_type == s1ap.DOWNLINK_NAS_TRANSPORT and ue is not None:
+            ue.mme_ue_id = m.u32(s1ap.IE_MME_UE_ID)
+            self._send_srb1(ue, rrc.pack(rrc.DL_INFO_TRANSFER, {rrc.IE_NAS_PDU: m.ies[s1ap.IE_NAS_PDU]}))
+        elif m.msg_type == s1ap.INITIAL_CONTEXT_SETUP_REQUEST and ue is not None:
+            ue.mme_ue_id = m.u32(s1ap.IE_MME_UE_ID)
+            ue.k_enb = m.ies[s1ap.IE_KENB]
             spgw_teid = m.u32(s1ap.IE_TEID_UL)
-            self.gtpu.add_bearer(self.dl_teid, spgw_teid)
-            self.pending_reconf_nas = m.ies[s1ap.IE_NAS_PDU]
+            self.gtpu.add_bearer(ue.dl_teid, spgw_teid)
+            ue.pending_reconf_nas = m.ies[s1ap.IE_NAS_PDU]
             # AS security activation (rrc_ue.cc send_security_mode_command)
             self._send_srb1(
+                ue,
                 rrc.pack(
                     rrc.SECURITY_MODE_COMMAND,
                     {rrc.IE_CIPHER_ALG: self.cipher_alg, rrc.IE_INTEGRITY_ALG: self.integ_alg},
-                )
+                ),
             )
-            self.rrc_state = self.RRC_SMC_SENT
+            ue.rrc_state = self.RRC_SMC_SENT
             self._s1ap_send(
                 s1ap.pack(
                     s1ap.INITIAL_CONTEXT_SETUP_RESPONSE,
-                    {s1ap.IE_MME_UE_ID: self.mme_ue_id, s1ap.IE_TEID_DL: self.dl_teid},
+                    {s1ap.IE_MME_UE_ID: ue.mme_ue_id, s1ap.IE_TEID_DL: ue.dl_teid},
                 )
             )
 
-    def _send_srb1(self, rrc_pdu: bytes):
-        self.srb1_rlc.write_sdu(self.srb1_pdcp.write_sdu(rrc_pdu))
+    def _send_srb1(self, ue: _EnbUe, rrc_pdu: bytes):
+        ue.srb1_rlc.write_sdu(ue.srb1_pdcp.write_sdu(rrc_pdu))
 
     # --- RRC handling ---
-    def _handle_ccch(self, pdu: bytes):
+    def _handle_ccch(self, ue: _EnbUe, pdu: bytes):
         msg = rrc.unpack(pdu)
-        if msg.msg_type == rrc.CONN_REQUEST and self.rrc_state in (self.RRC_IDLE, self.RRC_SETUP_SENT):
-            setup = rrc.pack(rrc.CONN_SETUP, {rrc.IE_UE_IDENTITY: msg.ies[rrc.IE_UE_IDENTITY], rrc.IE_CRNTI: self.crnti})
-            self.srb0.write_sdu(setup)
-            self.sched.bearer_ue_cfg(self.crnti, LCID_CCCH, self.srb0)
-            self.sched.bearer_ue_cfg(self.crnti, LCID_SRB1, self.srb1_rlc)
-            self.rrc_state = self.RRC_SETUP_SENT
+        if msg.msg_type == rrc.CONN_REQUEST and ue.rrc_state in (self.RRC_IDLE, self.RRC_SETUP_SENT):
+            setup = rrc.pack(rrc.CONN_SETUP, {rrc.IE_UE_IDENTITY: msg.ies[rrc.IE_UE_IDENTITY], rrc.IE_CRNTI: ue.crnti})
+            ue.srb0.write_sdu(setup)
+            self.sched.bearer_ue_cfg(ue.crnti, LCID_CCCH, ue.srb0)
+            self.sched.bearer_ue_cfg(ue.crnti, LCID_SRB1, ue.srb1_rlc)
+            ue.rrc_state = self.RRC_SETUP_SENT
 
-    def _handle_srb1(self, pdcp_pdu: bytes):
-        rrc_pdu = self.srb1_pdcp.write_pdu(pdcp_pdu)
+    def _handle_srb1(self, ue: _EnbUe, pdcp_pdu: bytes):
+        rrc_pdu = ue.srb1_pdcp.write_pdu(pdcp_pdu)
         if rrc_pdu is None:
             return
         msg = rrc.unpack(rrc_pdu)
         if msg.msg_type == rrc.CONN_SETUP_COMPLETE:
-            self.rrc_state = self.RRC_CONNECTED
+            ue.rrc_state = self.RRC_CONNECTED
             self._s1ap_send(
                 s1ap.pack(
                     s1ap.INITIAL_UE_MESSAGE,
-                    {s1ap.IE_ENB_UE_ID: self.enb_ue_id, s1ap.IE_NAS_PDU: msg.ies[rrc.IE_NAS_PDU]},
+                    {s1ap.IE_ENB_UE_ID: ue.enb_ue_id, s1ap.IE_NAS_PDU: msg.ies[rrc.IE_NAS_PDU]},
                 )
             )
         elif msg.msg_type == rrc.UL_INFO_TRANSFER:
@@ -204,27 +247,26 @@ class EnbStack:
                 s1ap.pack(
                     s1ap.UPLINK_NAS_TRANSPORT,
                     {
-                        s1ap.IE_MME_UE_ID: self.mme_ue_id or 0,
-                        s1ap.IE_ENB_UE_ID: self.enb_ue_id,
+                        s1ap.IE_MME_UE_ID: ue.mme_ue_id or 0,
+                        s1ap.IE_ENB_UE_ID: ue.enb_ue_id,
                         s1ap.IE_NAS_PDU: msg.ies[rrc.IE_NAS_PDU],
                     },
                 )
             )
         elif msg.msg_type == rrc.SECURITY_MODE_COMPLETE:
             # switch SRB1/DRB to secured PDCP entities (counts reset)
-            self.srb1_pdcp, self.drb_pdcp = _bearer_set(
-                self.k_enb, self.cipher_alg, self.integ_alg, is_enb=True
+            ue.srb1_pdcp, ue.drb_pdcp = _bearer_set(
+                ue.k_enb, self.cipher_alg, self.integ_alg, is_enb=True
             )
             reconf = rrc.pack(
                 rrc.CONN_RECONFIGURATION,
-                {rrc.IE_DRB_ID: 1, rrc.IE_DRB_LCID: LCID_DRB1, rrc.IE_NAS_PDU: self.pending_reconf_nas or b""},
+                {rrc.IE_DRB_ID: 1, rrc.IE_DRB_LCID: LCID_DRB1, rrc.IE_NAS_PDU: ue.pending_reconf_nas or b""},
             )
-            self._send_srb1(reconf)
-            self.rrc_state = self.RRC_RECONF_SENT
+            self._send_srb1(ue, reconf)
+            ue.rrc_state = self.RRC_RECONF_SENT
         elif msg.msg_type == rrc.CONN_RECONFIGURATION_COMPLETE:
-            self.sched.bearer_ue_cfg(self.crnti, LCID_DRB1, self.drb_rlc)
-            self.rrc_state = self.RRC_ACTIVE
-            self.ue_attached_rnti = self.crnti
+            self.sched.bearer_ue_cfg(ue.crnti, LCID_DRB1, ue.drb_rlc)
+            ue.rrc_state = self.RRC_ACTIVE
 
     # --- TTI processing ---
     def run_tti(self, ul_samples: np.ndarray | None) -> np.ndarray:
@@ -232,32 +274,23 @@ class EnbStack:
         sf_idx = tti % 10
         self._process_ul(tti, sf_idx, ul_samples)
         # UL inactivity → UE context release (the eNB side of the RLF chain)
-        if (
-            self.rrc_state != self.RRC_IDLE
-            and tti - self._last_ul_ok_tti > self.ul_inactivity_timeout
-        ):
-            self._release_ue()
+        for ue in list(self.ues.values()):
+            if ue.rrc_state != self.RRC_IDLE and tti - ue.last_ul_ok_tti > self.ul_inactivity_timeout:
+                self._release_ue(ue)
         self._pump_spgw()
         dl = self._build_dl(tti, sf_idx)
         self.tti += 1
         return dl
 
-    def _release_ue(self):
-        """Reset the UE context so a fresh random access can re-establish
+    def _release_ue(self, ue: _EnbUe):
+        """Remove the UE context so a fresh random access can re-establish
         (s1ap UEContextRelease + rrc_ue removal in the reference)."""
         self.stats["ue_released"] += 1
-        self.rrc_state = self.RRC_IDLE
-        self.ue_attached_rnti = None
-        self.pending_rar = None
-        self.pending_ul.clear()
-        self.srb0 = RlcTm()
-        self.srb1_rlc, self.drb_rlc = RlcAm(), RlcAm()
-        self.srb1_pdcp, self.drb_pdcp = _bearer_set(None, 0, 0, is_enb=True)
-        self.k_enb = None
-        self.gtpu.rem_bearer(self.dl_teid)
-        self.dl_teid += 1  # fresh tunnel for the next attach
-        self.sched = Scheduler(self.cell.nof_prb, mcs_max=self.sched.mcs_max)
-        self._last_ul_ok_tti = self.tti
+        self.gtpu.rem_bearer(ue.dl_teid)
+        self.sched.ue_rem(ue.crnti)
+        self.ues.pop(ue.crnti, None)
+        self._by_enb_id.pop(ue.enb_ue_id, None)
+        self.pending_ul = {t: (r, g) for t, (r, g) in self.pending_ul.items() if r != ue.crnti}
 
     def _process_ul(self, tti: int, sf_idx: int, samples: np.ndarray | None):
         if samples is None:
@@ -265,55 +298,63 @@ class EnbStack:
         # the link delivers the UE's subframe one TTI later
         tti = tti - 1
         sf_idx = tti % 10
-        # PRACH occasion: sf_idx 1 (prach-ConfigIndex 3 analog)
-        if sf_idx == 1 and self.rrc_state == self.RRC_IDLE and self.pending_rar is None:
+        # PRACH occasion: sf_idx 1 (prach-ConfigIndex 3 analog); a PUSCH
+        # scheduled in the same subframe is decoded too (signals add)
+        if sf_idx == 1:
             cp = prach_cp_len(self.cell)
             win = samples[cp : cp + prach_nfft(self.cell)]
-            if len(win) == prach_nfft(self.cell):
+            if len(win) == prach_nfft(self.cell) and np.mean(np.abs(win) ** 2) > 1e-6:
                 metric, delay, det = [np.asarray(v) for v in prach_detect(self.cell, self.prach_cfg, win)]
-                hits = np.nonzero(det)[0]
-                if len(hits):
-                    rapid = int(hits[np.argmax(metric[hits])])
+                known = {u.rapid for u in self.ues.values()}
+                for rapid in np.nonzero(det)[0]:
+                    rapid = int(rapid)
+                    if rapid in known or any(r[0] == rapid for r in self.pending_rars):
+                        continue
                     ta = max(0, int(round(float(delay[rapid]))))
-                    self.pending_rar = (rapid, ta)
+                    ue = self._new_ue(rapid)
+                    self.pending_rars.append((rapid, ta, ue.crnti))
                     self.stats["prach_detected"] += 1
-            return
         # scheduled PUSCH
         if tti in self.pending_ul:
             rnti, grant = self.pending_ul.pop(tti)
+            ue = self.ues.get(rnti)
+            if ue is None:
+                return
             rx_grid = enb_ul_fft(self.cell, samples[None])
             tb, ok, _, _ = enb_ul_decode_pusch(self.cell, sf_idx, rx_grid, grant)
             if not ok:
                 self.stats["ul_crc_ko"] += 1
                 return
             self.stats["ul_crc_ok"] += 1
-            self._last_ul_ok_tti = self.tti
+            ue.last_ul_ok_tti = self.tti
             pdu = np.packbits(np.asarray(tb)).tobytes()
             bsr, sdus = parse_ul_pdu(pdu)
             if bsr:
                 self.sched.ul_bsr(rnti, bsr)
             for lcid, sdu in sdus:
                 if lcid == LCID_CCCH:
-                    self._handle_ccch(sdu)
+                    self._handle_ccch(ue, sdu)
                 elif lcid == LCID_SRB1:
-                    self.srb1_rlc.write_pdu(sdu)
-                    while (r := self.srb1_rlc.read_sdu()) is not None:
-                        self._handle_srb1(r)
+                    ue.srb1_rlc.write_pdu(sdu)
+                    while (r := ue.srb1_rlc.read_sdu()) is not None:
+                        self._handle_srb1(ue, r)
                 elif lcid == LCID_DRB1:
-                    self.drb_rlc.write_pdu(sdu)
-                    while (r := self.drb_rlc.read_sdu()) is not None:
-                        ip_pkt = self.drb_pdcp.write_pdu(r)
+                    ue.drb_rlc.write_pdu(sdu)
+                    while (r := ue.drb_rlc.read_sdu()) is not None:
+                        ip_pkt = ue.drb_pdcp.write_pdu(r)
                         if ip_pkt is not None:
-                            self.spgw.rx_from_enb(self.gtpu.tx(self.dl_teid, ip_pkt))
+                            self.spgw.rx_from_enb(self.gtpu.tx(ue.dl_teid, ip_pkt))
 
     def _pump_spgw(self):
+        teid_map = {u.dl_teid: u for u in self.ues.values()}
         while (pkt := self.spgw.pop_tx()) is not None:
             out = gtpu_unpack(pkt)
             if out is None:
                 continue
             hdr, payload = out
-            if hdr.teid == self.dl_teid:
-                self.drb_rlc.write_sdu(self.drb_pdcp.write_sdu(payload))
+            ue = teid_map.get(hdr.teid)
+            if ue is not None:
+                ue.drb_rlc.write_sdu(ue.drb_pdcp.write_sdu(payload))
 
     def _build_dl(self, tti: int, sf_idx: int) -> np.ndarray:
         sched = DlSched(cfi=self.cfi)
@@ -363,21 +404,19 @@ class EnbStack:
             sched.dcis.append((dci.pack(self.cell.nof_prb), rnti, agg, cce))
             sched.grants.append((grant, tb_bits))
 
-        # 1. RAR (addressed to RA-RNTI = 1 + sf_idx of the PRACH = 2)
-        if self.pending_rar is not None and sf_idx not in (0, 5):
-            rapid, ta = self.pending_rar
+        # 1. one pending RAR per TTI (RA-RNTI = 1 + prach sf_idx = 2)
+        if self.pending_rars and sf_idx not in (0, 5):
+            rapid, ta, crnti = self.pending_rars.popleft()
             grant20 = (riv_encode(self.cell.nof_prb, 0, self.cell.nof_prb) << 10) | (2 << 5)
-            rar = _pack_rar(rapid, ta, grant20, self.crnti)
+            rar = _pack_rar(rapid, ta, grant20, crnti)
             from ..phy.phch.ra import tbs_lookup as _tbsl
 
             mcs = 0
             while _tbsl(mcs, 3) // 8 < len(rar):
                 mcs += 1
-            if True:
-                add_dl_tb(1 + 1, mcs, rar)  # RA-RNTI for prach sf 1
-                # reserve the Msg3 PUSCH occasion
-                self.pending_ul[tti + FB_DELAY] = (self.crnti, _msg3_grant(self.cell, self.crnti, grant20))
-                self.pending_rar = None
+            add_dl_tb(1 + 1, mcs, rar)  # RA-RNTI for prach sf 1
+            # reserve the Msg3 PUSCH occasion
+            self.pending_ul[tti + FB_DELAY] = (crnti, _msg3_grant(self.cell, crnti, grant20))
         else:
             # 2. normal DL scheduling (one grant/TTI, MAC PDUs from RLC bearers)
             from ..phy.phch.pdsch import pdsch_nof_re
@@ -388,38 +427,36 @@ class EnbStack:
                 add_dl_tb(g.rnti, g.mcs, g.pdu, ndi=g.ndi, rv=g.rv, harq_pid=g.harq_pid)
                 # no PUCCH feedback modeled: assume delivery (ack now)
                 self.sched.ack_info(g.rnti, g.harq_pid, True)
-            # 3. UL grants via DCI0: BSR-driven, plus a periodic grant to the
-            # connected UE (the SR/semi-persistent-scheduling stand-in —
+            # 3. UL grants via DCI0: BSR-driven, plus a periodic round-robin
+            # grant to connected UEs (the SR/semi-persistent stand-in —
             # the reference's UE would send a PUCCH SR instead)
             ul_grants = self.sched.get_ul_sched(tti)
-            if (
-                not ul_grants
-                and self.rrc_state >= self.RRC_SETUP_SENT
-                and tti % 3 == 2
-                and (tti + FB_DELAY) not in self.pending_ul
-            ):
+            active = sorted(self.ues)
+            if not ul_grants and active and tti % 3 == 2 and (tti + FB_DELAY) not in self.pending_ul:
                 from ..stack.mac import UlSchedGrant
 
+                rnti = active[(tti // 3) % len(active)]
                 mcs = 5
                 tbs = tbs_lookup(ul_mcs_to_itbs(mcs), self.cell.nof_prb)
-                ul_grants = [UlSchedGrant(self.crnti, 0, self.cell.nof_prb, mcs, tbs, 0, 0, 0)]
-            if True:
-                for ug in ul_grants:
-                    dci0 = Dci0(riv=riv_encode(self.cell.nof_prb, ug.rb_start, ug.l_crb), mcs=ug.mcs, ndi=ug.ndi)
-                    loc = alloc_cce(ug.rnti)
-                    if loc is None:
-                        continue
-                    agg, cce = loc
-                    sched.dcis.append(
-                        (dci0.pack(self.cell.nof_prb, Dci1A.nof_bits(self.cell.nof_prb)), ug.rnti, agg, cce)
-                    )
-                    self.pending_ul[tti + FB_DELAY] = (
-                        ug.rnti,
-                        UlGrant(
-                            prb_start=ug.rb_start, nof_prb=ug.l_crb, mod=ul_mcs_to_mod(ug.mcs),
-                            tbs=ug.tbs_bits, rnti=ug.rnti,
-                        ),
-                    )
+                ul_grants = [UlSchedGrant(rnti, 0, self.cell.nof_prb, mcs, tbs, 0, 0, 0)]
+            for ug in ul_grants:
+                if (tti + FB_DELAY) in self.pending_ul:
+                    break  # one PUSCH per TTI
+                dci0 = Dci0(riv=riv_encode(self.cell.nof_prb, ug.rb_start, ug.l_crb), mcs=ug.mcs, ndi=ug.ndi)
+                loc = alloc_cce(ug.rnti)
+                if loc is None:
+                    continue
+                agg, cce = loc
+                sched.dcis.append(
+                    (dci0.pack(self.cell.nof_prb, Dci1A.nof_bits(self.cell.nof_prb)), ug.rnti, agg, cce)
+                )
+                self.pending_ul[tti + FB_DELAY] = (
+                    ug.rnti,
+                    UlGrant(
+                        prb_start=ug.rb_start, nof_prb=ug.l_crb, mod=ul_mcs_to_mod(ug.mcs),
+                        tbs=ug.tbs_bits, rnti=ug.rnti,
+                    ),
+                )
         _, samples = enb_dl_subframe(self.cell, sf_idx, sched, mib=self.mib, sfn=(tti // 10) % 1024)
         return samples[0]
 
@@ -432,14 +469,15 @@ class EnbStack:
 class UeStack:
     RRC_IDLE, RRC_WAIT_RAR, RRC_WAIT_SETUP, RRC_CONNECTED, RRC_ACTIVE = range(5)
 
-    def __init__(self, cell: Cell, usim: Usim, cfi: int = 2):
+    def __init__(self, cell: Cell, usim: Usim, cfi: int = 2, preamble: int = 17, attach_delay: int = 0):
         self.cell = cell
         self.cfi = cfi
         self.nas = UeNas(usim)
         self.mac = UeMac()
         self.rrc_state = self.RRC_IDLE
         self.crnti: int | None = None
-        self.preamble = 17
+        self.preamble = preamble
+        self.attach_delay = attach_delay
         self.srb1_rlc = RlcAm()
         self.drb_rlc = RlcAm()
         self.srb1_pdcp, self.drb_pdcp = _bearer_set(None, 0, 0, is_enb=False)
@@ -614,7 +652,7 @@ class UeStack:
 
     def _build_ul(self, tti: int, sf_idx: int) -> np.ndarray | None:
         # PRACH occasion
-        if self.rrc_state == self.RRC_IDLE and sf_idx == 1:
+        if self.rrc_state == self.RRC_IDLE and sf_idx == 1 and tti >= self.attach_delay:
             self.mac.start_ra(self.preamble)
             self.rrc_state = self.RRC_WAIT_RAR
             self._ra_deadline = tti + 10  # RA response window (proc_ra.cc)

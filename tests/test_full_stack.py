@@ -120,3 +120,64 @@ def test_radio_link_failure_and_reestablishment():
     assert ue.nas.state == ue.nas.REGISTERED
     assert ue.rrc_state == UeStack.RRC_ACTIVE
     assert ue.ue_ip != "" and ue.ue_ip != first_ip
+
+
+def test_two_ues_attach_and_traffic():
+    """Two UEs with different USIMs attach to one eNB (distinct preambles,
+    C-RNTIs, bearers, IPs) and both receive downlink IP traffic — the
+    multi-UE scheduler and per-UE contexts end to end."""
+    from srsran_tpu.epc import Hss, Mme, Spgw, Subscriber
+
+    IMSI2 = "001010999888777"
+    KEY2 = bytes(range(16))
+    OPC2 = sec.compute_opc(KEY2, bytes(16))
+
+    cell = Cell(nof_prb=15, nof_ports=1, id=7)
+    hss = Hss()
+    hss.add_subscriber(Subscriber("ue1", IMSI, KEY, OPC, amf=b"\x80\x00", sqn=0))
+    hss.add_subscriber(Subscriber("ue2", IMSI2, KEY2, OPC2, amf=b"\x80\x00", sqn=0))
+    spgw = Spgw()
+    mme = Mme(hss, spgw)
+    enb = EnbStack(cell, mme, spgw, mcs=5)
+    ue1 = UeStack(cell, Usim(IMSI, KEY, OPC), preamble=11)
+    ue2 = UeStack(cell, Usim(IMSI2, KEY2, OPC2), preamble=29, attach_delay=40)
+    ue2.ue_identity = b"\x99\x88\x77\x66\x55"
+
+    ul1 = ul2 = None
+    for tti in range(260):
+        dl = enb.run_tti(_sum(ul1, ul2))
+        ul1 = ue1.run_tti(dl)
+        ul2 = ue2.run_tti(dl)
+        if (
+            ue1.nas.state == ue1.nas.REGISTERED
+            and ue2.nas.state == ue2.nas.REGISTERED
+        ):
+            break
+    for _ in range(15):  # drain: let the Attach Completes reach the MME
+        dl = enb.run_tti(_sum(ul1, ul2))
+        ul1 = ue1.run_tti(dl)
+        ul2 = ue2.run_tti(dl)
+    assert ue1.nas.state == ue1.nas.REGISTERED
+    assert ue2.nas.state == ue2.nas.REGISTERED
+    assert ue1.crnti != ue2.crnti
+    assert ue1.ue_ip != ue2.ue_ip
+    assert IMSI in mme.attached_imsis and IMSI2 in mme.attached_imsis
+    # downlink traffic to both
+    spgw.sgi_tx(ue1.ue_ip, b"to-ue1" * 10)
+    spgw.sgi_tx(ue2.ue_ip, b"to-ue2" * 10)
+    for _ in range(40):
+        dl = enb.run_tti(_sum(ul1, ul2))
+        ul1 = ue1.run_tti(dl)
+        ul2 = ue2.run_tti(dl)
+        if ue1.ip_rx and ue2.ip_rx:
+            break
+    assert ue1.ip_rx == [b"to-ue1" * 10]
+    assert ue2.ip_rx == [b"to-ue2" * 10]
+
+
+def _sum(a, b):
+    if a is None:
+        return b
+    if b is None:
+        return a
+    return a + b
