@@ -44,3 +44,51 @@ def test_nsss_detection_all_hypotheses():
         assert int(np.asarray(nid_hat)) == nid
         assert int(np.asarray(f4_hat)) == f4
         assert float(np.asarray(conf)) > 0.5
+
+
+def test_nrs_roundtrip_chest():
+    import jax.numpy as jnp
+    from srsran_tpu.phy.phch.npbch import nrs_chest, put_nrs_np
+
+    rng = np.random.default_rng(2)
+    grid = np.zeros((14, 12), np.complex64)
+    put_nrs_np(grid, n_id_ncell=257, sf_idx=0)
+    h_true = np.complex64(0.7 + 0.5j)
+    rx = grid * h_true + (rng.standard_normal(grid.shape) + 1j * rng.standard_normal(grid.shape)).astype(np.complex64) * 0.02
+    h, noise = nrs_chest(jnp.asarray(rx), 257, 0)
+    assert abs(complex(np.asarray(h)) - h_true) < 0.05
+    assert float(np.asarray(noise)) < 0.01
+
+
+def test_npbch_mib_nb_roundtrip():
+    """MIB-NB through NPBCH with blind block detection and NRS-based
+    equalization — the npdsch_ue-style receive chain for the anchor
+    carrier."""
+    import jax.numpy as jnp
+    from srsran_tpu.phy.phch.npbch import (
+        MibNb,
+        npbch_decode,
+        npbch_encode_np,
+        npbch_re_indices,
+        nrs_chest,
+        put_nrs_np,
+    )
+
+    rng = np.random.default_rng(3)
+    ncell = 123
+    mib = MibNb(sfn_msb=9, sib1_sched=3, sys_info_tag=17, op_mode=3)
+    blocks = npbch_encode_np(mib, ncell)
+    idx = npbch_re_indices(ncell)
+    for blk in (0, 5, 7):
+        grid = np.zeros((14, 12), np.complex64)
+        grid.reshape(-1)[idx] = blocks[blk]
+        put_nrs_np(grid, ncell, 0)
+        h_true = np.complex64(0.9 * np.exp(-0.4j))
+        rx = grid * h_true
+        rx = rx + (rng.standard_normal(rx.shape) + 1j * rng.standard_normal(rx.shape)).astype(np.complex64) * 0.03
+        h, noise = nrs_chest(jnp.asarray(rx), ncell, 0)
+        hc = complex(np.asarray(h))
+        eq = rx.reshape(-1)[idx] * np.conj(hc) / (abs(hc) ** 2 + float(np.asarray(noise)))
+        mib_hat, blk_hat, ok = npbch_decode(eq, ncell)
+        assert ok and blk_hat == blk
+        assert mib_hat == mib
