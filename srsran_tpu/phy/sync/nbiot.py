@@ -120,3 +120,26 @@ def nsss_detect(grid):
     corr = jnp.abs(hyp @ d_rx)
     best = jnp.argmax(corr)
     return best // 4, best % 4, corr[best] / (jnp.linalg.norm(d_rx) * np.sqrt(132.0))
+
+
+def nbiot_cell_search(sf_grids):
+    """Anchor-carrier cell search over a stream of (nsf, 14, 12) subframe
+    grids (the `ue_cell_search_nbiot.c` flow, grid domain): find the NPSS
+    subframe phase, then detect (n_id_ncell, frame position) from the
+    NSSS 4 subframes later (sf 9 of even frames).
+
+    Returns (n_id_ncell, sf5_index, frame4, confidence) or None.
+    """
+    metric, best = npss_correlate(sf_grids)
+    best = int(np.asarray(best))
+    if float(np.asarray(metric[best])) < 0.5:
+        return None
+    nsss_idx = best + 4  # sf 9 of the same frame
+    if nsss_idx >= sf_grids.shape[0]:
+        nsss_idx = best - 6  # previous frame's sf 9 (even-frame caveat)
+    if nsss_idx < 0:
+        return None
+    nid, f4, conf = nsss_detect(sf_grids[nsss_idx])
+    if float(np.asarray(conf)) < 0.4:
+        return None
+    return int(np.asarray(nid)), best, int(np.asarray(f4)), float(np.asarray(conf))

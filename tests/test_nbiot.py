@@ -92,3 +92,35 @@ def test_npbch_mib_nb_roundtrip():
         mib_hat, blk_hat, ok = npbch_decode(eq, ncell)
         assert ok and blk_hat == blk
         assert mib_hat == mib
+
+
+def test_nbiot_cell_search_end_to_end():
+    """NPSS -> NSSS -> MIB-NB over a simulated anchor-carrier stream."""
+    import jax.numpy as jnp
+    from srsran_tpu.phy.sync.nbiot import nbiot_cell_search, put_npss_grid, put_nsss_grid
+    from srsran_tpu.phy.phch.npbch import (
+        MibNb, npbch_decode, npbch_encode_np, npbch_re_indices, nrs_chest, put_nrs_np,
+    )
+
+    rng = np.random.default_rng(7)
+    ncell, f4 = 311, 1
+    mib = MibNb(sfn_msb=2, op_mode=3)
+    # one radio frame: sf0 = NPBCH, sf5 = NPSS, sf9 = NSSS
+    frames = np.zeros((10, 14, 12), np.complex64)
+    idx = npbch_re_indices(ncell)
+    frames[0].reshape(-1)[idx] = npbch_encode_np(mib, ncell)[0]
+    put_nrs_np(frames[0], ncell, 0)
+    put_npss_grid(frames[5])
+    put_nsss_grid(frames[9], ncell, f4)
+    h = np.complex64(0.8 * np.exp(0.3j))
+    rx = frames * h + (rng.standard_normal(frames.shape) + 1j * rng.standard_normal(frames.shape)).astype(np.complex64) * 0.04
+    res = nbiot_cell_search(jnp.asarray(rx))
+    assert res is not None
+    nid, sf5, f4_hat, conf = res
+    assert nid == ncell and sf5 == 5 and f4_hat == f4
+    # decode MIB-NB at the frame's sf 0
+    hc, noise = nrs_chest(jnp.asarray(rx[sf5 - 5]), nid, 0)
+    hcv = complex(np.asarray(hc))
+    eq = rx[sf5 - 5].reshape(-1)[idx] * np.conj(hcv) / (abs(hcv) ** 2 + float(np.asarray(noise)))
+    mib_hat, blk, ok = npbch_decode(eq, nid)
+    assert ok and blk == 0 and mib_hat == mib
