@@ -124,3 +124,27 @@ def test_nbiot_cell_search_end_to_end():
     eq = rx[sf5 - 5].reshape(-1)[idx] * np.conj(hcv) / (abs(hcv) ** 2 + float(np.asarray(noise)))
     mib_hat, blk, ok = npbch_decode(eq, nid)
     assert ok and blk == 0 and mib_hat == mib
+
+
+def test_npdsch_roundtrip_and_dci_n1():
+    """NPDSCH TB over multiple subframes with DCI N1 scheduling fields."""
+    import jax.numpy as jnp
+    from srsran_tpu.phy.phch.npdsch import (
+        NB_TBS, DciN1, npdsch_decode, npdsch_encode_np, npdsch_re_indices,
+    )
+
+    dci = DciN1(i_sf=2, i_tbs=4, i_rep=0, ndi=1)
+    back = DciN1.unpack(dci.pack())
+    assert back == dci
+
+    rng = np.random.default_rng(5)
+    ncell, rnti = 77, 0x46
+    tbs = NB_TBS[(dci.i_tbs, dci.i_sf)]
+    tb = rng.integers(0, 2, tbs).astype(np.uint8)
+    sym = npdsch_encode_np(tb, ncell, rnti, dci.i_sf)
+    h = np.complex64(0.9 * np.exp(0.2j))
+    rx = sym * h + (rng.standard_normal(sym.shape) + 1j * rng.standard_normal(sym.shape)).astype(np.complex64) * 0.05
+    eq = rx * np.conj(h) / (abs(h) ** 2)
+    tb_hat, ok = npdsch_decode(jnp.asarray(eq), ncell, rnti, dci.i_sf, tbs)
+    assert ok
+    np.testing.assert_array_equal(tb_hat, tb)
