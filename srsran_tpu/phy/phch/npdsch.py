@@ -147,3 +147,49 @@ def npdsch_decode(
     bits = np.asarray(viterbi_decode(jnp.asarray(d[None]), tbs + 24))[0]
     ok = np.array_equal(bits[tbs:], crc_compute_np(bits[:tbs], LTE_CRC24A))
     return bits[:tbs], ok
+
+
+# --- NPDCCH -----------------------------------------------------------------
+
+NPDCCH_FMT1_BITS = 23  # DCI N1/N2 size
+
+
+def npdcch_cinit(sf_idx: int, n_id_ncell: int) -> int:
+    """TS 36.211 §10.2.5.2 (search-space scrambling)."""
+    return ((sf_idx % 10) << 9) + n_id_ncell
+
+
+def npdcch_encode_np(dci_bits: np.ndarray, rnti: int, n_id_ncell: int, sf_idx: int) -> np.ndarray:
+    """One aggregation-level-2 (full-subframe) NPDCCH candidate → (n_re,)
+    QPSK symbols (npdcch.c encode path)."""
+    from ..common import LTE_CRC16
+
+    idx = npdsch_re_indices(n_id_ncell)
+    n_re = len(idx)
+    crc = crc_compute_np(dci_bits.astype(np.uint8), LTE_CRC16)
+    mask = np.array([(rnti >> (15 - i)) & 1 for i in range(16)], np.uint8)
+    b = np.concatenate([dci_bits.astype(np.uint8), crc ^ mask])
+    coded = convcoder_encode_np(b).astype(np.float32)
+    e = np.asarray(conv_rate_match_tx(coded, 2 * n_re)).astype(np.uint8)
+    seq = gold_sequence(npdcch_cinit(sf_idx, n_id_ncell), 2 * n_re)
+    return np.asarray(modulate(Mod.QPSK, (e ^ seq).astype(np.uint8)))
+
+
+def npdcch_blind_search(sym_eq, rnti: int, n_id_ncell: int, sf_idx: int):
+    """Decode the aggregation-2 candidate; returns DciN1 or None
+    (npdcch.c srslte_npdcch_decode_msg: CRC-RNTI confirms)."""
+    import jax.numpy as jnp
+    from ..common import LTE_CRC16
+
+    n_re = sym_eq.shape[-1]
+    llr = np.asarray(demod_soft(Mod.QPSK, sym_eq))
+    signs = gold_sequence_signs(npdcch_cinit(sf_idx, n_id_ncell), 2 * n_re)
+    d = np.asarray(conv_rate_match_rx(jnp.asarray(llr * signs), NPDCCH_FMT1_BITS + 16))
+    bits = np.asarray(viterbi_decode(jnp.asarray(d[None]), NPDCCH_FMT1_BITS + 16))[0]
+    mask = np.array([(rnti >> (15 - i)) & 1 for i in range(16)], np.uint8)
+    if not np.array_equal(bits[NPDCCH_FMT1_BITS:] ^ mask, crc_compute_np(bits[:NPDCCH_FMT1_BITS], LTE_CRC16)):
+        return None
+    try:
+        return DciN1.unpack(bits[:NPDCCH_FMT1_BITS])
+    except ValueError:
+        return None

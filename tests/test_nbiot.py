@@ -148,3 +148,32 @@ def test_npdsch_roundtrip_and_dci_n1():
     tb_hat, ok = npdsch_decode(jnp.asarray(eq), ncell, rnti, dci.i_sf, tbs)
     assert ok
     np.testing.assert_array_equal(tb_hat, tb)
+
+
+def test_npdcch_to_npdsch_chain():
+    """NPDCCH DCI N1 blind decode drives an NPDSCH decode — the NB-IoT
+    anchor downlink control->data chain."""
+    import jax.numpy as jnp
+    from srsran_tpu.phy.phch.npdsch import (
+        NB_TBS, DciN1, npdcch_blind_search, npdcch_encode_np,
+        npdsch_decode, npdsch_encode_np, npdsch_re_indices,
+    )
+
+    rng = np.random.default_rng(6)
+    ncell, rnti = 100, 0x123
+    dci = DciN1(i_sf=1, i_tbs=2, ndi=1, delay=0)
+    ctrl_sym = npdcch_encode_np(dci.pack(), rnti, ncell, sf_idx=1)
+    h = np.complex64(0.85)
+    rx = ctrl_sym * h + (rng.standard_normal(ctrl_sym.shape) + 1j * rng.standard_normal(ctrl_sym.shape)).astype(np.complex64) * 0.05
+    eq = rx * np.conj(h) / abs(h) ** 2
+    dci_hat = npdcch_blind_search(jnp.asarray(eq), rnti, ncell, 1)
+    assert dci_hat == dci
+    # wrong RNTI → no detection
+    assert npdcch_blind_search(jnp.asarray(eq), 0x999, ncell, 1) is None
+    # use the decoded grant for the data
+    tbs = NB_TBS[(dci_hat.i_tbs, dci_hat.i_sf)]
+    tb = rng.integers(0, 2, tbs).astype(np.uint8)
+    data = npdsch_encode_np(tb, ncell, rnti, dci_hat.i_sf, sf_idx0=2)
+    tb_hat, ok = npdsch_decode(jnp.asarray(data), ncell, rnti, dci_hat.i_sf, tbs, sf_idx0=2)
+    assert ok
+    np.testing.assert_array_equal(tb_hat, tb)
