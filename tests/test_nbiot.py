@@ -177,3 +177,27 @@ def test_npdcch_to_npdsch_chain():
     tb_hat, ok = npdsch_decode(jnp.asarray(data), ncell, rnti, dci_hat.i_sf, tbs, sf_idx0=2)
     assert ok
     np.testing.assert_array_equal(tb_hat, tb)
+
+
+def test_nprach_detection():
+    """NPRACH single-tone hopping preambles detect at the right candidate
+    through noise; absent preambles stay below threshold."""
+    import jax.numpy as jnp
+    from srsran_tpu.phy.phch.nprach import nprach_detect, nprach_generate_np
+
+    rng = np.random.default_rng(4)
+    for n_init in (0, 5, 11):
+        p = nprach_generate_np(n_init)
+        rx = p * np.complex64(0.7) + (
+            rng.standard_normal(len(p)) + 1j * rng.standard_normal(len(p))
+        ).astype(np.complex64) * 0.1
+        metric, det, delay = nprach_detect(jnp.asarray(rx))
+        m = np.asarray(metric)
+        d = np.asarray(det)
+        assert d[n_init], (n_init, m)
+        # the true candidate has the highest metric
+        assert int(np.argmax(m)) == n_init
+    # pure noise: nothing detected
+    noise = (rng.standard_normal(5376) + 1j * rng.standard_normal(5376)).astype(np.complex64) * 0.1
+    _, det, _ = nprach_detect(jnp.asarray(noise))
+    assert not np.any(np.asarray(det))
