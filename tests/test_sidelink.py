@@ -1,0 +1,67 @@
+"""Sidelink sync tests incl. golden-vector detection on the reference's
+ideal TM2 capture (the psss_file_test analog)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from srsran_tpu.phy.common import Cell
+from srsran_tpu.phy.ofdm import OfdmConfig, ofdm_rx_sf, ofdm_tx_sf
+from srsran_tpu.phy.sync.sidelink import (
+    psss_find,
+    psss_seq_np,
+    put_sl_sync_grid,
+    ssss_detect,
+    ssss_seq_np,
+)
+import os
+
+VEC = os.path.join(os.path.dirname(__file__), "vectors")
+
+
+def test_psss_roots_distinct():
+    a, b = psss_seq_np(0), psss_seq_np(1)
+    assert np.abs(np.vdot(a, b)) / 62 < 0.2
+    np.testing.assert_allclose(np.abs(a), 1.0, atol=1e-5)
+
+
+def test_sl_sync_selfconsistent():
+    """put → OFDM → find/detect roundtrip for a high N_sl_id (root 37)."""
+    cell = Cell(nof_prb=6, nof_ports=1, id=0)
+    n_sl_id = 301
+    grid = np.zeros((cell.nsymb_per_sf, cell.nof_re_per_symbol), np.complex64)
+    put_sl_sync_grid(grid, cell, n_sl_id)
+    tx = np.asarray(ofdm_tx_sf(OfdmConfig.from_cell(cell, normalize=True, freq_shift_f=0.5), grid))
+    rng = np.random.default_rng(0)
+    rx = tx + (rng.standard_normal(len(tx)) + 1j * rng.standard_normal(len(tx))).astype(np.complex64) * 0.01
+    root, off, metric = psss_find(rx, 6)
+    assert root == 1 and metric > 8
+    ofdm = OfdmConfig.from_cell(cell, normalize=True, freq_shift_f=-0.5)
+    sf_start = off - ofdm.symbol_starts()[1]
+    assert abs(sf_start) <= 2
+    g = np.asarray(ofdm_rx_sf(ofdm, rx[max(sf_start, 0) : max(sf_start, 0) + cell.sf_len]))
+    k0 = cell.nof_re_per_symbol // 2 - 31
+    ce = g[1, k0 : k0 + 62] * np.conj(psss_seq_np(root))
+    eq = g[cell.nsymb_per_slot + 4, k0 : k0 + 62] * np.conj(ce) / (np.abs(ce) ** 2 + 1e-3)
+    nid, conf = ssss_detect(jnp.asarray(eq))
+    assert int(np.asarray(nid)) == n_sl_id
+
+
+def test_sidelink_golden_capture():
+    """The reference's ideal TM2 capture (6 PRB, SLSS id 0): PSSS root 0
+    found at the exact subframe start; SSSS resolves N_sl_id = 0 over all
+    336 hypotheses."""
+    x = np.fromfile(
+        os.path.join(VEC, "signal_sidelink_ideal_tm2_p6_c0_s1.92e6.dat"), np.complex64
+    )
+    cell = Cell(nof_prb=6, nof_ports=1, id=0)
+    root, off, metric = psss_find(x, 6)
+    assert root == 0 and metric > 8
+    ofdm = OfdmConfig.from_cell(cell, normalize=True, freq_shift_f=-0.5)
+    sf_start = off - ofdm.symbol_starts()[1]
+    assert sf_start == 0  # capture begins at the sync subframe
+    grid = np.asarray(ofdm_rx_sf(ofdm, x[: cell.sf_len]))
+    k0 = cell.nof_re_per_symbol // 2 - 31
+    ce = grid[1, k0 : k0 + 62] * np.conj(psss_seq_np(root))
+    eq = grid[cell.nsymb_per_slot + 4, k0 : k0 + 62] * np.conj(ce) / (np.abs(ce) ** 2 + 1e-3)
+    nid, conf = ssss_detect(jnp.asarray(eq))
+    assert int(np.asarray(nid)) == 0
