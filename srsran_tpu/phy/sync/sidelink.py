@@ -75,10 +75,10 @@ def put_sl_sync_grid(grid: np.ndarray, cell: Cell, n_sl_id: int, tm12: bool = Tr
 
 
 @lru_cache(maxsize=16)
-def _psss_replica_time(root_idx: int, nof_prb: int) -> np.ndarray:
+def _psss_replica_time(root_idx: int, nof_prb: int, standard_rates: bool = True) -> np.ndarray:
     """One PSSS symbol's time-domain waveform (with the UL 0.5-subcarrier
     shift), for correlation."""
-    cell = Cell(nof_prb=nof_prb, nof_ports=1, id=0)
+    cell = Cell(nof_prb=nof_prb, nof_ports=1, id=0, use_standard_rates=standard_rates)
     grid = np.zeros((cell.nsymb_per_sf, cell.nof_re_per_symbol), np.complex64)
     k0 = cell.nof_re_per_symbol // 2 - 31
     grid[1, k0 : k0 + PSSS_LEN] = psss_seq_np(root_idx)
@@ -88,12 +88,12 @@ def _psss_replica_time(root_idx: int, nof_prb: int) -> np.ndarray:
     return t[starts[1] : starts[2]].astype(np.complex64)
 
 
-def psss_find(samples, nof_prb: int = 6):
+def psss_find(samples, nof_prb: int = 6, standard_rates: bool = True):
     """Correlate both PSSS roots over the capture.
 
     Returns (root_idx, offset_of_symbol1, peak/avg metric)."""
     n = len(samples)
-    reps = [np.conj(_psss_replica_time(r, nof_prb)[::-1]) for r in range(2)]
+    reps = [np.conj(_psss_replica_time(r, nof_prb, standard_rates)[::-1]) for r in range(2)]
     m = len(reps[0])
     nfft = int(2 ** np.ceil(np.log2(n + m)))
     x = jnp.fft.fft(jnp.asarray(samples), nfft)

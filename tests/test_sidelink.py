@@ -65,3 +65,22 @@ def test_sidelink_golden_capture():
     eq = grid[cell.nsymb_per_slot + 4, k0 : k0 + 62] * np.conj(ce) / (np.abs(ce) ** 2 + 1e-3)
     nid, conf = ssss_detect(jnp.asarray(eq))
     assert int(np.asarray(nid)) == 0
+
+
+def test_sidelink_golden_capture_25prb():
+    """The 25-PRB ideal TM2 capture (SLSS id 168 → PSSS root 1) at the
+    standard 7.68 Msps rate: root and the full 336-way id both resolve."""
+    x = np.fromfile(
+        os.path.join(VEC, "signal_sidelink_ideal_tm2_p25_c168_s7.68e6.dat"), np.complex64
+    )
+    cell = Cell(nof_prb=25, nof_ports=1, id=0)
+    root, off, metric = psss_find(x, 25)
+    assert root == 1 and metric > 10
+    ofdm = OfdmConfig.from_cell(cell, normalize=True, freq_shift_f=-0.5)
+    sf_start = max(off - ofdm.symbol_starts()[1], 0)
+    grid = np.asarray(ofdm_rx_sf(ofdm, x[sf_start : sf_start + cell.sf_len]))
+    k0 = cell.nof_re_per_symbol // 2 - 31
+    ce = grid[1, k0 : k0 + 62] * np.conj(psss_seq_np(root))
+    eq = grid[cell.nsymb_per_slot + 4, k0 : k0 + 62] * np.conj(ce) / (np.abs(ce) ** 2 + 1e-3)
+    nid, conf = ssss_detect(jnp.asarray(eq))
+    assert int(np.asarray(nid)) == 168
