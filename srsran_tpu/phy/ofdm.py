@@ -109,12 +109,29 @@ class OfdmConfig:
 
 @lru_cache(maxsize=128)
 def _phase_tables(cfg: OfdmConfig):
-    """Host-precomputed (freq_shift, window_offset) phase ramps."""
+    """Host-precomputed (freq_shift, window_offset) phase ramps.
+
+    The half-subcarrier shift is referenced to EACH symbol's FFT window
+    start (phase zero at the window start), matching real-world UL/sidelink
+    waveforms — verified against the reference's sidelink captures, where
+    a subframe-continuous ramp leaves per-symbol constant rotations.
+    """
     n = cfg.symbol_sz
     shift = None
     if cfg.freq_shift_f != 0.0:
         t = np.arange(cfg.sf_sz, dtype=np.float64)
-        shift = np.exp(2j * np.pi * cfg.freq_shift_f * t / n).astype(np.complex64)
+        starts = cfg.symbol_starts()
+        ref = np.zeros(cfg.sf_sz, dtype=np.float64)
+        # each symbol's region spans from its CP start to the next CP start
+        cp_starts = []
+        prev_end = 0
+        for i, s in enumerate(starts):
+            cp_starts.append(prev_end)
+            prev_end = s + n
+        for i, cs in enumerate(cp_starts):
+            end = cfg.sf_sz if i == len(cp_starts) - 1 else cp_starts[i + 1]
+            ref[cs:end] = starts[i]
+        shift = np.exp(2j * np.pi * cfg.freq_shift_f * (t - ref) / n).astype(np.complex64)
     woff = None
     if cfg.window_offset_n:
         k = np.arange(n, dtype=np.float64)

@@ -84,3 +84,43 @@ def test_sidelink_golden_capture_25prb():
     eq = grid[cell.nsymb_per_slot + 4, k0 : k0 + 62] * np.conj(ce) / (np.abs(ce) ** 2 + 1e-3)
     nid, conf = ssss_detect(jnp.asarray(eq))
     assert int(np.asarray(nid)) == 168
+
+
+def test_psbch_selfconsistent():
+    from srsran_tpu.phy.phch.psbch import MibSl, psbch_decode, put_psbch_np
+
+    cell = Cell(nof_prb=6, nof_ports=1, id=0)
+    mib = MibSl(sl_bandwidth=0, direct_frame_number=123, direct_subframe_number=5, in_coverage=True)
+    rng = np.random.default_rng(0)
+    for nid in (0, 1, 255):
+        grid = np.zeros((cell.nsymb_per_sf, cell.nof_re_per_symbol), np.complex64)
+        put_psbch_np(grid, cell, mib, nid)
+        rx = grid * np.complex64(0.8 * np.exp(0.3j))
+        rx += (rng.standard_normal(grid.shape) + 1j * rng.standard_normal(grid.shape)).astype(np.complex64) * 0.02
+        mib_hat, ok = psbch_decode(rx, cell, nid)
+        assert ok and mib_hat == mib
+    # zero-signal guard: empty grid must NOT trivially pass CRC
+    empty = np.zeros((cell.nsymb_per_sf, cell.nof_re_per_symbol), np.complex64)
+    _, ok = psbch_decode(empty, cell, 0)
+    assert not ok
+
+
+def test_psbch_golden_captures():
+    """MIB-SL decodes from BOTH reference captures with the bandwidth field
+    matching the capture's PRB count — over-the-air parity for the full
+    sidelink chain (SC-FDMA DFT precoding, UL interleaver, PSBCH DMRS,
+    TBCC) and for the per-symbol-referenced half-subcarrier shift."""
+    from srsran_tpu.phy.phch.psbch import psbch_decode
+
+    for fn, prb, nid, bw in (
+        ("signal_sidelink_ideal_tm2_p6_c0_s1.92e6.dat", 6, 0, 0),
+        ("signal_sidelink_ideal_tm2_p25_c168_s7.68e6.dat", 25, 168, 2),
+    ):
+        x = np.fromfile(os.path.join(VEC, fn), np.complex64)
+        cell = Cell(nof_prb=prb, nof_ports=1, id=0)
+        ofdm = OfdmConfig.from_cell(cell, normalize=True, freq_shift_f=-0.5)
+        grid = np.asarray(ofdm_rx_sf(ofdm, x[: cell.sf_len]))
+        mib, ok = psbch_decode(grid, cell, nid)
+        assert ok, fn
+        assert mib.sl_bandwidth == bw
+        assert mib.in_coverage
