@@ -114,7 +114,10 @@ def test_psbch_golden_captures():
 
     for fn, prb, nid, bw in (
         ("signal_sidelink_ideal_tm2_p6_c0_s1.92e6.dat", 6, 0, 0),
+        ("signal_sidelink_ideal_tm2_p15_c84_s3.84e6.dat", 15, 84, 1),
         ("signal_sidelink_ideal_tm2_p25_c168_s7.68e6.dat", 25, 168, 2),
+        ("signal_sidelink_ideal_tm2_p50_c252_s15.36e6.dat", 50, 252, 3),
+        ("signal_sidelink_ideal_tm2_p100_c335_s30.72e6.dat", 100, 335, 5),
     ):
         x = np.fromfile(os.path.join(VEC, fn), np.complex64)
         cell = Cell(nof_prb=prb, nof_ports=1, id=0)
