@@ -127,3 +127,35 @@ def test_psbch_golden_captures():
         assert ok, fn
         assert mib.sl_bandwidth == bw
         assert mib.in_coverage
+
+
+def test_pscch_selfconsistent():
+    from srsran_tpu.phy.phch.pscch import Sci0, pscch_decode, put_pscch_np
+
+    cell = Cell(nof_prb=50, nof_ports=1, id=0)
+    sci = Sci0(riv=1001, trp_idx=10, mcs_idx=12, n_sa_id=99)
+    rng = np.random.default_rng(0)
+    grid = np.zeros((cell.nsymb_per_sf, cell.nof_re_per_symbol), np.complex64)
+    put_pscch_np(grid, cell, sci, prb_idx=7)
+    rx = grid * np.complex64(0.9 * np.exp(-0.2j))
+    rx += (rng.standard_normal(grid.shape) + 1j * rng.standard_normal(grid.shape)).astype(np.complex64) * 0.01
+    s_hat, ok = pscch_decode(rx, cell, 7)
+    assert ok and s_hat == sci
+    # no false positives on other PRBs
+    assert not pscch_decode(rx, cell, 8)[1]
+
+
+def test_pscch_golden_capture():
+    """SCI format 0 decodes (CRC16-confirmed) from the reference's 100-PRB
+    ideal TM2 capture — over-the-air parity for the PSCCH chain."""
+    from srsran_tpu.phy.phch.pscch import pscch_decode
+
+    x = np.fromfile(
+        os.path.join(VEC, "signal_sidelink_ideal_tm2_p100_c335_s30.72e6.dat"), np.complex64
+    )
+    cell = Cell(nof_prb=100, nof_ports=1, id=0)
+    ofdm = OfdmConfig.from_cell(cell, normalize=True, freq_shift_f=-0.5)
+    grid = np.asarray(ofdm_rx_sf(ofdm, x[cell.sf_len : 2 * cell.sf_len]))  # sf 1
+    sci, ok = pscch_decode(grid, cell, prb_idx=0)
+    assert ok
+    assert sci.trp_idx == 56 and sci.n_sa_id == 255 and not sci.freq_hopping
