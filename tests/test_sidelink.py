@@ -159,3 +159,46 @@ def test_pscch_golden_capture():
     sci, ok = pscch_decode(grid, cell, prb_idx=0)
     assert ok
     assert sci.trp_idx == 56 and sci.n_sa_id == 255 and not sci.freq_hopping
+
+
+def test_pssch_selfconsistent():
+    from srsran_tpu.phy.phch.pssch import pssch_decode, put_pssch_np
+    from srsran_tpu.phy.phch.ra import tbs_lookup, ul_mcs_to_itbs
+
+    cell = Cell(nof_prb=50, nof_ports=1, id=0)
+    rng = np.random.default_rng(0)
+    tbs = tbs_lookup(ul_mcs_to_itbs(5), 4)
+    tb = rng.integers(0, 2, tbs).astype(np.uint8)
+    grid = np.zeros((cell.nsymb_per_sf, cell.nof_re_per_symbol), np.complex64)
+    put_pssch_np(grid, cell, tb, n_x_id=255, mcs_idx=5, prb_start=10, nof_prb=4, sf_idx=3)
+    rx = grid * np.complex64(0.9 * np.exp(0.1j))
+    rx += (rng.standard_normal(grid.shape) + 1j * rng.standard_normal(grid.shape)).astype(np.complex64) * 0.01
+    tb_hat, ok = pssch_decode(rx, cell, 255, 5, 10, 4, 3)
+    assert ok
+    np.testing.assert_array_equal(tb_hat, tb)
+
+
+def test_sidelink_full_chain_golden():
+    """The complete sidelink TM2 receive chain against the reference's
+    100-PRB capture: SCI-0 from the PSCCH drives a CRC24A-confirmed
+    PSSCH transport-block decode (SL-SCH turbo chain, group-hopped DMRS,
+    N_x_id scrambling) — PSSS→SSSS→MIB-SL→SCI→data all over the air."""
+    from srsran_tpu.phy.phch.pscch import pscch_decode
+    from srsran_tpu.phy.phch.pssch import pssch_decode
+    from srsran_tpu.phy.phch.ra import riv_decode
+
+    x = np.fromfile(
+        os.path.join(VEC, "signal_sidelink_ideal_tm2_p100_c335_s30.72e6.dat"), np.complex64
+    )
+    cell = Cell(nof_prb=100, nof_ports=1, id=0)
+    ofdm = OfdmConfig.from_cell(cell, normalize=True, freq_shift_f=-0.5)
+    # SCI from subframe 1
+    grid1 = np.asarray(ofdm_rx_sf(ofdm, x[cell.sf_len : 2 * cell.sf_len]))
+    sci, ok = pscch_decode(grid1, cell, prb_idx=0)
+    assert ok
+    rb0, l_crb = riv_decode(100, sci.riv)
+    # data in subframe 3 (first TRP-allowed PSSCH subframe, rv 0)
+    grid3 = np.asarray(ofdm_rx_sf(ofdm, x[3 * cell.sf_len : 4 * cell.sf_len]))
+    tb, ok = pssch_decode(grid3, cell, sci.n_sa_id, sci.mcs_idx, rb0, l_crb, sf_idx=0, rv=0)
+    assert ok
+    assert np.packbits(tb).tobytes() == bytes.fromhex("c8e4")
