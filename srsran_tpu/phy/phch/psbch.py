@@ -151,3 +151,57 @@ def psbch_decode(grid, cell: Cell, n_sl_id: int):
     bits = np.asarray(viterbi_decode(jnp.asarray(d[None]), MIB_SL_LEN + 16))[0]
     ok = np.array_equal(bits[MIB_SL_LEN:], crc_compute_np(bits[:MIB_SL_LEN], LTE_CRC16))
     return MibSl.unpack(bits[:MIB_SL_LEN]), ok
+
+
+# --- TM3/4 (V2X) variant ----------------------------------------------------
+
+MIB_SL_V2X_LEN = 48
+DATA_SYMS_TM34 = (0, 3, 5, 7, 8, 10)  # 6 transmitted of 7 budgeted
+DMRS_SYMS_TM34 = (4, 6, 9)
+N_DATA_BUDGET_TM34 = 7
+E_BITS_TM34 = N_DATA_BUDGET_TM34 * M_SC * 2
+
+
+@lru_cache(maxsize=64)
+def psbch_dmrs_tm34_np(n_sl_id: int) -> np.ndarray:
+    """(3, 72) TM3/4 PSBCH DMRS: same base/shift as TM1/2, w = [1,1,1] for
+    even id else [1,-1,1] (chest_sl.c §9.8 TM3/4 branch)."""
+    u = (n_sl_id // 16) % 30
+    n_cs = (n_sl_id // 2) % 8
+    alpha = 2 * np.pi * n_cs / 12
+    r = base_sequence(u, M_SC) * np.exp(1j * alpha * np.arange(M_SC))
+    w = np.array([1.0, 1.0, 1.0]) if n_sl_id % 2 == 0 else np.array([1.0, -1.0, 1.0])
+    return (w[:, None] * r[None, :]).astype(np.complex64)
+
+
+def psbch_decode_tm34(grid, cell: Cell, n_sl_id: int):
+    """TM3/4 (V2X) MIB-SL decode → (payload_bits (48,), ok)."""
+    import jax.numpy as jnp
+
+    k0 = cell.nof_re_per_symbol // 2 - 36
+    dmrs = psbch_dmrs_tm34_np(n_sl_id)
+    ce = sum(
+        np.asarray(grid[l, k0 : k0 + M_SC]) * np.conj(dmrs[j])
+        for j, l in enumerate(DMRS_SYMS_TM34)
+    ) / len(DMRS_SYMS_TM34)
+    if float(np.mean(np.abs(ce))) < 1e-6:
+        return np.zeros(MIB_SL_V2X_LEN, np.uint8), False
+    noise = float(
+        np.mean(np.abs(np.asarray(grid[DMRS_SYMS_TM34[0], k0 : k0 + M_SC]) * np.conj(dmrs[0]) - ce) ** 2)
+    )
+    eq = np.stack(
+        [np.asarray(grid[l, k0 : k0 + M_SC]) * np.conj(ce) / (np.abs(ce) ** 2 + noise) for l in DATA_SYMS_TM34]
+    )
+    deprec = np.asarray(dft_predecode(jnp.asarray(eq)))
+    llr_tx = np.asarray(demod_soft(Mod.QPSK, jnp.asarray(deprec.reshape(-1))))
+    llr = np.zeros(E_BITS_TM34, np.float32)
+    llr[: len(llr_tx)] = llr_tx
+    signs = gold_sequence_signs(n_sl_id, E_BITS_TM34)
+    llr = llr * signs
+    idx = _interleaver_indices(E_BITS_TM34, 2, c_mux=N_DATA_BUDGET_TM34)
+    deinter = np.zeros(E_BITS_TM34, np.float32)
+    deinter[idx] = llr
+    d = np.asarray(conv_rate_match_rx(jnp.asarray(deinter), MIB_SL_V2X_LEN + 16))
+    bits = np.asarray(viterbi_decode(jnp.asarray(d[None]), MIB_SL_V2X_LEN + 16))[0]
+    ok = np.array_equal(bits[MIB_SL_V2X_LEN:], crc_compute_np(bits[:MIB_SL_V2X_LEN], LTE_CRC16))
+    return bits[:MIB_SL_V2X_LEN], ok
