@@ -144,3 +144,95 @@ def pscch_decode(grid, cell: Cell, prb_idx: int):
     bits = np.asarray(viterbi_decode(jnp.asarray(d[None]), n + 16))[0]
     ok = np.array_equal(bits[n:], crc_compute_np(bits[:n], LTE_CRC16))
     return Sci0.unpack(bits[:n], cell.nof_prb), ok
+
+
+# --- TM3/4 (V2X) variant ----------------------------------------------------
+
+SCI1_LEN = 32  # SCI format 1 is zero-padded to 32 bits (SRSLTE_SCI_TM34_LEN)
+DATA_SYMS_TM34 = (0, 1, 3, 4, 6, 7, 9, 10, 12)  # 9 transmitted of 10 budget
+DMRS_SYMS_TM34 = (2, 5, 8, 11)
+N_DATA_BUDGET_TM34 = 10
+NOF_PRB_TM34 = 2
+E_BITS_TM34 = N_DATA_BUDGET_TM34 * NOF_PRB_TM34 * 12 * 2
+
+
+@dataclasses.dataclass(frozen=True)
+class Sci1:
+    """SCI format 1 (V2X, TS 36.212 §5.4.3.1.2)."""
+
+    priority: int = 0
+    resource_reserv: int = 0
+    riv: int = 0
+    time_gap: int = 0
+    mcs_idx: int = 0
+    retransmission: bool = False
+
+    @staticmethod
+    def riv_nbits(num_sub_channel: int) -> int:
+        return int(math.ceil(math.log2(num_sub_channel * (num_sub_channel + 1) / 2)))
+
+    def pack(self, num_sub_channel: int) -> np.ndarray:
+        bits = []
+
+        def put(v, n):
+            bits.extend((v >> (n - 1 - i)) & 1 for i in range(n))
+
+        put(self.priority, 3)
+        put(self.resource_reserv, 4)
+        put(self.riv, Sci1.riv_nbits(num_sub_channel))
+        put(self.time_gap, 4)
+        put(self.mcs_idx, 5)
+        put(int(self.retransmission), 1)
+        bits += [0] * (SCI1_LEN - len(bits))
+        return np.array(bits, np.uint8)
+
+    @classmethod
+    def unpack(cls, bits, num_sub_channel: int) -> "Sci1":
+        b = list(map(int, bits))
+        pos = 0
+
+        def get(n):
+            nonlocal pos
+            v = int("".join(map(str, b[pos : pos + n])), 2)
+            pos += n
+            return v
+
+        return cls(get(3), get(4), get(Sci1.riv_nbits(num_sub_channel)), get(4), get(5), bool(get(1)))
+
+
+@lru_cache(maxsize=8)
+def pscch_dmrs_tm34_np(cyclic_shift: int) -> np.ndarray:
+    """(4, 24) TM3/4 PSCCH DMRS: u = 8, n_cs = given shift, w = ones."""
+    alpha = 2 * np.pi * cyclic_shift / 12
+    r = base_sequence(8, NOF_PRB_TM34 * 12) * np.exp(1j * alpha * np.arange(NOF_PRB_TM34 * 12))
+    return np.stack([r] * 4).astype(np.complex64)
+
+
+def pscch_decode_tm34(grid, cell: Cell, prb_start: int, cyclic_shift: int, num_sub_channel: int):
+    """TM3/4 SCI-1 decode from the 2 PSCCH PRBs; returns (Sci1, crc_bits, ok)."""
+    import jax.numpy as jnp
+
+    k0 = prb_start * 12
+    m_sc = NOF_PRB_TM34 * 12
+    dmrs = pscch_dmrs_tm34_np(cyclic_shift)
+    ce = sum(np.asarray(grid[l, k0 : k0 + m_sc]) * np.conj(dmrs[j]) for j, l in enumerate(DMRS_SYMS_TM34)) / 4
+    if float(np.mean(np.abs(ce))) < 1e-6:
+        return Sci1(), np.zeros(16, np.uint8), False
+    noise = float(np.mean(np.abs(np.asarray(grid[DMRS_SYMS_TM34[0], k0 : k0 + m_sc]) * np.conj(dmrs[0]) - ce) ** 2))
+    eq = np.stack(
+        [np.asarray(grid[l, k0 : k0 + m_sc]) * np.conj(ce) / (np.abs(ce) ** 2 + noise) for l in DATA_SYMS_TM34]
+    )
+    deprec = np.asarray(dft_predecode(jnp.asarray(eq)))
+    llr_tx = np.asarray(demod_soft(Mod.QPSK, jnp.asarray(deprec.reshape(-1))))
+    llr = np.zeros(E_BITS_TM34, np.float32)
+    llr[: len(llr_tx)] = llr_tx
+    signs = gold_sequence_signs(SCRAMBLING_SEED, E_BITS_TM34)
+    llr = llr * signs
+    idx = _interleaver_indices(E_BITS_TM34, 2, c_mux=N_DATA_BUDGET_TM34)
+    deinter = np.zeros(E_BITS_TM34, np.float32)
+    deinter[idx] = llr
+    d = np.asarray(conv_rate_match_rx(jnp.asarray(deinter), SCI1_LEN + 16))
+    bits = np.asarray(viterbi_decode(jnp.asarray(d[None]), SCI1_LEN + 16))[0]
+    crc_bits = crc_compute_np(bits[:SCI1_LEN], LTE_CRC16)
+    ok = np.array_equal(bits[SCI1_LEN:], crc_bits)
+    return Sci1.unpack(bits[:SCI1_LEN], num_sub_channel), crc_bits, ok

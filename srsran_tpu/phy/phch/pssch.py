@@ -116,3 +116,63 @@ def pssch_decode(grid, cell: Cell, n_x_id: int, mcs_idx: int, prb_start: int, no
     deinter[idx] = llr
     tb, ok = dlsch_decode(deinter, coding)[:2]
     return np.asarray(tb), bool(np.asarray(ok))
+
+
+# --- TM3/4 (V2X) variant ----------------------------------------------------
+
+from .pscch import DATA_SYMS_TM34, DMRS_SYMS_TM34  # same subframe layout
+
+N_DATA_BUDGET_TM34 = 10
+
+
+@lru_cache(maxsize=256)
+def pssch_dmrs_tm34_np(n_x_id: int, nof_prb: int, sf_idx: int) -> np.ndarray:
+    """(4, nof_prb*12) TM3/4 PSSCH DMRS: f_gh pattern indexed by
+    (4·(sf%10) + ns), f_ss = (N_x_id/16) % 30, w = ±1 by id parity."""
+    m_sc = nof_prb * 12
+    c = gold_sequence(n_x_id // 30, 8 * 40)
+    f_ss = (n_x_id // 16) % 30
+    n_cs = (n_x_id // 2) % 8
+    alpha = 2 * np.pi * n_cs / 12
+    w = (1.0, 1.0, 1.0, 1.0) if n_x_id % 2 == 0 else (1.0, -1.0, 1.0, -1.0)
+    out = []
+    for ns in range(4):
+        pat = (2 * 2 * (sf_idx % 10)) + ns
+        f_gh = sum(int(c[8 * pat + i]) << i for i in range(8))
+        u = (f_gh + f_ss) % 30
+        r = base_sequence(u, m_sc) * np.exp(1j * alpha * np.arange(m_sc))
+        out.append(w[ns] * r)
+    return np.stack(out).astype(np.complex64)
+
+
+def pssch_decode_tm34(grid, cell: Cell, n_x_id: int, mcs_idx: int, prb_start: int, nof_prb: int, sf_idx: int, rv: int = 0):
+    """TM3/4 PSSCH decode; returns (tb_bits, crc_ok)."""
+    import jax.numpy as jnp
+    from .pdsch import MOD_QM
+
+    k0 = prb_start * 12
+    m_sc = nof_prb * 12
+    dmrs = pssch_dmrs_tm34_np(n_x_id, nof_prb, sf_idx)
+    ce = sum(np.asarray(grid[l, k0 : k0 + m_sc]) * np.conj(dmrs[j]) for j, l in enumerate(DMRS_SYMS_TM34)) / 4
+    if float(np.mean(np.abs(ce))) < 1e-6:
+        return np.zeros(0, np.uint8), False
+    noise = float(np.mean(np.abs(np.asarray(grid[DMRS_SYMS_TM34[0], k0 : k0 + m_sc]) * np.conj(dmrs[0]) - ce) ** 2))
+    eq = np.stack(
+        [np.asarray(grid[l, k0 : k0 + m_sc]) * np.conj(ce) / (np.abs(ce) ** 2 + noise) for l in DATA_SYMS_TM34]
+    )
+    deprec = np.asarray(dft_predecode(jnp.asarray(eq)))
+    mod = ul_mcs_to_mod(mcs_idx)
+    qm = MOD_QM[mod]
+    tbs = tbs_lookup(ul_mcs_to_itbs(mcs_idx), nof_prb)
+    g = N_DATA_BUDGET_TM34 * m_sc * qm
+    coding = TbCoding(tbs=tbs, g=g, qm=qm, rv=rv, nof_layers=1)
+    llr_tx = np.asarray(demod_soft(mod, jnp.asarray(deprec.reshape(-1))))
+    llr = np.zeros(g, np.float32)
+    llr[: len(llr_tx)] = llr_tx
+    signs = gold_sequence_signs(pssch_cinit(n_x_id, sf_idx), g)
+    llr = llr * signs
+    idx = _interleaver_indices(g, qm, c_mux=N_DATA_BUDGET_TM34)
+    deinter = np.zeros(g, np.float32)
+    deinter[idx] = llr
+    tb, ok = dlsch_decode(deinter, coding)[:2]
+    return np.asarray(tb), bool(np.asarray(ok))

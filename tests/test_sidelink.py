@@ -226,3 +226,44 @@ def test_psbch_tm4_cmw500_golden():
     bits, ok = psbch_decode_tm34(grid, cell, 169)
     assert ok
     assert int("".join(map(str, bits[:3])), 2) == 3  # sl-Bandwidth = n50
+
+
+def test_tm4_uxm_tester_full_chain():
+    """A REAL Keysight UXM tester capture (V2X TM4, 50 PRB, 10 subchannels
+    of 5): SCI format 1 decodes in both subframes (mcs_idx = 12, matching
+    the reference test's expected 'mcs=12'), and the SCI's CRC-derived
+    N_x_id + resource allocation drive CRC24A-confirmed 1608-bit PSSCH
+    transport blocks — the complete V2X receive chain against commercial
+    test equipment."""
+    from srsran_tpu.phy.phch.pscch import pscch_decode_tm34
+    from srsran_tpu.phy.phch.pssch import pssch_decode_tm34
+    from srsran_tpu.phy.phch.ra import riv_decode
+
+    x = np.fromfile(
+        os.path.join(VEC, "signal_sidelink_uxm_s15.36e6_50prb_0prb_offset_mcs12.dat"),
+        np.complex64,
+    )
+    cell = Cell(nof_prb=50, nof_ports=1, id=0)
+    ofdm = OfdmConfig.from_cell(cell, normalize=True, freq_shift_f=-0.5)
+    n_tb = 0
+    for sf in range(2):
+        grid = np.asarray(ofdm_rx_sf(ofdm, x[sf * cell.sf_len : (sf + 1) * cell.sf_len]))
+        found = None
+        for sub in range(10):
+            for cs in (0, 3, 6, 9):
+                sci, crc, ok = pscch_decode_tm34(grid, cell, sub * 5, cs, 10)
+                if ok:
+                    found = (sub, sci, crc)
+        assert found is not None
+        sub, sci, crc = found
+        assert sci.mcs_idx == 12
+        n_x_id = int("".join(map(str, crc)), 2)
+        assert n_x_id == 23387
+        l_subch, start_subch = riv_decode(10, sci.riv)[1], riv_decode(10, sci.riv)[0]
+        # TS 36.213 §14.1.1.4C: pssch starts after the 2 PSCCH PRBs
+        prb_start = sub * 5 + 2
+        nof_prb = (l_subch + sub) * 5 - prb_start
+        tb, ok = pssch_decode_tm34(grid, cell, n_x_id, sci.mcs_idx, prb_start, nof_prb, sf_idx=sf, rv=0)
+        assert ok and len(tb) == 1608
+        n_tb += 1
+    assert n_tb == 2  # the reference expects num_decoded_tb=2 on this capture
