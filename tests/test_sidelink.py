@@ -267,3 +267,27 @@ def test_tm4_uxm_tester_full_chain():
         assert ok and len(tb) == 1608
         n_tb += 1
     assert n_tb == 2  # the reference expects num_decoded_tb=2 on this capture
+
+
+def test_tm4_qualcomm_chipset_sci():
+    """A REAL Qualcomm 9150 C-V2X chipset over-the-air capture: SCI
+    format 1 decodes CRC-confirmed at subchannel 2 (the '20offset' = PRB
+    20 in the filename), priority 2, with retransmission signalled."""
+    from srsran_tpu.phy.phch.pscch import pscch_decode_tm34
+
+    x = np.fromfile(
+        os.path.join(VEC, "signal_sidelink_qc9150_f5.92e9_s15.36e6_50prb_20offset.dat"),
+        np.complex64,
+    )
+    cell = Cell(nof_prb=50, nof_ports=1, id=0)
+    ofdm = OfdmConfig.from_cell(cell, normalize=True, freq_shift_f=-0.5)
+    grid = np.asarray(ofdm_rx_sf(ofdm, x[: cell.sf_len]))
+    hits = []
+    for sub in range(5):
+        for cs in (0, 3, 6, 9):
+            sci, crc, ok = pscch_decode_tm34(grid, cell, sub * 10, cs, 5)
+            if ok:
+                hits.append((sub, sci))
+    assert len(hits) == 1
+    sub, sci = hits[0]
+    assert sub == 2 and sci.priority == 2 and sci.mcs_idx == 6 and sci.retransmission
