@@ -291,3 +291,33 @@ def test_tm4_qualcomm_chipset_sci():
     assert len(hits) == 1
     sub, sci = hits[0]
     assert sub == 2 and sci.priority == 2 and sci.mcs_idx == 6 and sci.retransmission
+
+
+def test_tm4_huawei_tester_sci_with_retx():
+    """A REAL Huawei tester capture (reduced 11.52 Msps rate) containing an
+    initial transmission and its PHY retransmission: both SCI-1s decode at
+    subchannel 1 (the '10prb_offset'), identical scheduling fields, with
+    the retransmission flag flipping between them (time_gap = 3 matches
+    the 3-subframe spacing in the capture)."""
+    from srsran_tpu.phy.phch.pscch import pscch_decode_tm34
+
+    x = np.fromfile(
+        os.path.join(VEC, "signal_sidelink_huawei_s11.52e6_50prb_10prb_offset_with_retx.dat"),
+        np.complex64,
+    )
+    cell = Cell(nof_prb=50, nof_ports=1, id=0, use_standard_rates=False)
+    ofdm = OfdmConfig.from_cell(cell, normalize=True, freq_shift_f=-0.5)
+    found = {}
+    for sf in range(4):
+        grid = np.asarray(ofdm_rx_sf(ofdm, x[sf * cell.sf_len : (sf + 1) * cell.sf_len]))
+        for sub in range(5):
+            for cs in (0, 3, 6, 9):
+                sci, crc, ok = pscch_decode_tm34(grid, cell, sub * 10, cs, 5)
+                if ok:
+                    found[sf] = (sub, sci)
+    assert set(found) == {0, 3}
+    (sub0, sci0), (sub3, sci3) = found[0], found[3]
+    assert sub0 == sub3 == 1
+    assert not sci0.retransmission and sci3.retransmission
+    assert sci0.time_gap == sci3.time_gap == 3  # matches the 3-sf spacing
+    assert (sci0.riv, sci0.mcs_idx) == (sci3.riv, sci3.mcs_idx)
