@@ -153,12 +153,23 @@ def pssch_decode_tm34(grid, cell: Cell, n_x_id: int, mcs_idx: int, prb_start: in
     k0 = prb_start * 12
     m_sc = nof_prb * 12
     dmrs = pssch_dmrs_tm34_np(n_x_id, nof_prb, sf_idx)
-    ce = sum(np.asarray(grid[l, k0 : k0 + m_sc]) * np.conj(dmrs[j]) for j, l in enumerate(DMRS_SYMS_TM34)) / 4
+    # per-DMRS-symbol LS estimates: average magnitude/shape, and fit a
+    # linear common-phase ramp over the symbol index (residual CFO on
+    # real radio captures — the chest_sl sync_error/CFO handling analog)
+    ls = [np.asarray(grid[l, k0 : k0 + m_sc]) * np.conj(dmrs[j]) for j, l in enumerate(DMRS_SYMS_TM34)]
+    ce = sum(ls) / 4
     if float(np.mean(np.abs(ce))) < 1e-6:
         return np.zeros(0, np.uint8), False
-    noise = float(np.mean(np.abs(np.asarray(grid[DMRS_SYMS_TM34[0], k0 : k0 + m_sc]) * np.conj(dmrs[0]) - ce) ** 2))
+    ph = np.unwrap([np.angle(np.vdot(ce, l_)) for l_ in ls])
+    slope = np.polyfit(np.asarray(DMRS_SYMS_TM34, np.float64), ph, 1)[0]
+    rot = {l: np.exp(-1j * slope * (l - np.mean(DMRS_SYMS_TM34))) for l in DATA_SYMS_TM34}
+    ce = sum(l_ * np.exp(-1j * p) for l_, p in zip(ls, ph)) / 4
+    noise = float(np.mean(np.abs(ls[0] * np.exp(-1j * ph[0]) - ce) ** 2))
     eq = np.stack(
-        [np.asarray(grid[l, k0 : k0 + m_sc]) * np.conj(ce) / (np.abs(ce) ** 2 + noise) for l in DATA_SYMS_TM34]
+        [
+            np.asarray(grid[l, k0 : k0 + m_sc]) * rot[l] * np.conj(ce) / (np.abs(ce) ** 2 + noise)
+            for l in DATA_SYMS_TM34
+        ]
     )
     deprec = np.asarray(dft_predecode(jnp.asarray(eq)))
     mod = ul_mcs_to_mod(mcs_idx)
