@@ -201,3 +201,42 @@ def test_nprach_detection():
     noise = (rng.standard_normal(5376) + 1j * rng.standard_normal(5376)).astype(np.complex64) * 0.1
     _, det, _ = nprach_detect(jnp.asarray(noise))
     assert not np.any(np.asarray(det))
+
+
+def test_nbiot_ue_facade_acquire_and_data():
+    """ue_sync_nbiot/ue_dl_nbiot analog: acquire the cell from a simulated
+    anchor stream, then receive an NPDCCH-scheduled NPDSCH TB."""
+    import jax.numpy as jnp
+    from srsran_tpu.phy.phch.npbch import MibNb, npbch_encode_np, npbch_re_indices, put_nrs_np
+    from srsran_tpu.phy.phch.npdsch import NB_TBS, DciN1, npdcch_encode_np, npdsch_encode_np, npdsch_re_indices
+    from srsran_tpu.phy.sync.nbiot import put_npss_grid, put_nsss_grid
+    from srsran_tpu.phy.ue.ue_nbiot import nbiot_ue_acquire, nbiot_ue_rx_data
+
+    rng = np.random.default_rng(11)
+    ncell, rnti = 42, 0x85
+    mib = MibNb(sfn_msb=7, op_mode=3)
+    frames = np.zeros((10, 14, 12), np.complex64)
+    frames[0].reshape(-1)[npbch_re_indices(ncell)] = npbch_encode_np(mib, ncell)[0]
+    put_nrs_np(frames[0], ncell, 0)
+    put_npss_grid(frames[5])
+    put_nsss_grid(frames[9], ncell, 0)
+    # NPDCCH at sf 1, NPDSCH over sf 2-3
+    dci = DciN1(i_sf=1, i_tbs=4, ndi=1)
+    tbs = NB_TBS[(dci.i_tbs, dci.i_sf)]
+    tb = rng.integers(0, 2, tbs).astype(np.uint8)
+    idx = npdsch_re_indices(ncell)
+    frames[1].reshape(-1)[idx] = npdcch_encode_np(dci.pack(), rnti, ncell, 1)
+    put_nrs_np(frames[1], ncell, 1)
+    data = npdsch_encode_np(tb, ncell, rnti, dci.i_sf, sf_idx0=2)
+    for s in range(2):
+        frames[2 + s].reshape(-1)[idx] = data[s]
+        put_nrs_np(frames[2 + s], ncell, 2 + s)
+
+    h = np.complex64(0.8 * np.exp(-0.5j))
+    rx = frames * h + (rng.standard_normal(frames.shape) + 1j * rng.standard_normal(frames.shape)).astype(np.complex64) * 0.03
+
+    cell = nbiot_ue_acquire(rx)
+    assert cell is not None and cell.n_id_ncell == ncell and cell.mib == mib
+    dci_hat, tb_hat, ok = nbiot_ue_rx_data(rx[1], rx[2:4], cell, rnti, 1, 2)
+    assert ok and dci_hat == dci
+    np.testing.assert_array_equal(tb_hat, tb)
