@@ -321,3 +321,36 @@ def test_tm4_huawei_tester_sci_with_retx():
     assert not sci0.retransmission and sci3.retransmission
     assert sci0.time_gap == sci3.time_gap == 3  # matches the 3-sf spacing
     assert (sci0.riv, sci0.mcs_idx) == (sci3.riv, sci3.mcs_idx)
+
+
+def test_tm4_uxm_100prb_four_subframes():
+    """The 100-PRB Keysight UXM capture (reduced 23.04 Msps rate): SCI-1
+    decodes in all FOUR subframes (the reference expects
+    num_decoded_sci=4) and each drives a CRC24A-confirmed 9528-bit
+    multi-codeblock PSSCH transport block (48-PRB allocation from
+    riv=40)."""
+    from srsran_tpu.phy.phch.pscch import pscch_decode_tm34
+    from srsran_tpu.phy.phch.pssch import pssch_decode_tm34
+
+    x = np.fromfile(
+        os.path.join(VEC, "signal_sidelink_uxm_s23.04e6_100prb_1prb_offset_mcs12_padding.dat"),
+        np.complex64,
+    )
+    cell = Cell(nof_prb=100, nof_ports=1, id=0, use_standard_rates=False)
+    ofdm = OfdmConfig.from_cell(cell, normalize=True, freq_shift_f=-0.5)
+    n_sci = n_tb = 0
+    for sf in range(4):
+        grid = np.asarray(ofdm_rx_sf(ofdm, x[sf * cell.sf_len : (sf + 1) * cell.sf_len]))
+        sci_found = None
+        for cs in (0, 3, 6, 9):
+            sci, crc, ok = pscch_decode_tm34(grid, cell, 0, cs, 10)
+            if ok:
+                sci_found = (sci, int("".join(map(str, crc)), 2))
+        assert sci_found is not None
+        sci, n_x_id = sci_found
+        assert sci.mcs_idx == 12 and sci.riv == 40 and n_x_id == 28300
+        n_sci += 1
+        tb, ok = pssch_decode_tm34(grid, cell, n_x_id, 12, 2, 48, sf_idx=sf, rv=0)
+        assert ok and len(tb) == 9528
+        n_tb += 1
+    assert n_sci == 4 and n_tb == 4
