@@ -354,3 +354,29 @@ def test_tm4_uxm_100prb_four_subframes():
         assert ok and len(tb) == 9528
         n_tb += 1
     assert n_sci == 4 and n_tb == 4
+
+
+def test_tm4_uxm_its_capture():
+    """The 100-PRB UXM ITS capture at the standard 30.72 Msps rate:
+    SCI-1 + a 9528-bit PSSCH TB decode with sf_idx = 6 — matching the
+    reference test's '-m 6' subframe offset."""
+    from srsran_tpu.phy.phch.pscch import pscch_decode_tm34
+    from srsran_tpu.phy.phch.pssch import pssch_decode_tm34
+
+    x = np.fromfile(
+        os.path.join(VEC, "signal_sidelink_uxm_s30.72e6_100prb_1prb_offset_mcs12_its.dat"),
+        np.complex64,
+    )
+    cell = Cell(nof_prb=100, nof_ports=1, id=0)
+    ofdm = OfdmConfig.from_cell(cell, normalize=True, freq_shift_f=-0.5)
+    grid = np.asarray(ofdm_rx_sf(ofdm, x[: cell.sf_len]))
+    hit = None
+    for cs in (0, 3, 6, 9):
+        sci, crc, ok = pscch_decode_tm34(grid, cell, 0, cs, 10)
+        if ok:
+            hit = (sci, int("".join(map(str, crc)), 2))
+    assert hit is not None
+    sci, n_x_id = hit
+    assert sci.mcs_idx == 12
+    tb, ok = pssch_decode_tm34(grid, cell, n_x_id, 12, 2, 48, sf_idx=6, rv=0)
+    assert ok and len(tb) == 9528
