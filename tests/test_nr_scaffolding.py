@@ -1,0 +1,81 @@
+"""5G-NR scaffolding tests: NR MAC PDU codec, NR RLC UM/AM headers, and
+the VNF/PNF split-PHY message protocol (the reference's NR scope — it
+ships no NR PHY either, SURVEY Appendix C item 3)."""
+
+import numpy as np
+
+from srsran_tpu.stack.mac_nr import mac_nr_pack, mac_nr_unpack
+from srsran_tpu.stack.rlc_nr import (
+    SI_FIRST,
+    SI_FULL,
+    SI_LAST,
+    RlcUmNr,
+    am_pack,
+    am_unpack,
+    um_pack,
+    um_unpack,
+)
+from srsran_tpu.stack import vnf
+
+
+def test_mac_nr_roundtrip():
+    subpdus = [(4, b"short sdu"), (5, b"x" * 300)]  # 8-bit and 16-bit L
+    pdu = mac_nr_pack(subpdus, tb_size=400)
+    assert len(pdu) == 400
+    got = mac_nr_unpack(pdu)
+    assert got == subpdus
+    # UL with a CCCH subPDU (fixed 6 bytes, no L)
+    ul = mac_nr_pack([(0, b"\x01\x02\x03\x04\x05\x06"), (4, b"data")])
+    got_ul = mac_nr_unpack(ul, is_ul=True)
+    assert got_ul[0] == (0, b"\x01\x02\x03\x04\x05\x06") and got_ul[1] == (4, b"data")
+
+
+def test_rlc_um_nr_header_codec():
+    for sn_bits in (6, 12):
+        p = um_pack(SI_FIRST, 37, None, b"abc", sn_bits)
+        si, sn, so, data = um_unpack(p, sn_bits)
+        assert (si, sn, so, data) == (SI_FIRST, 37, None, b"abc")
+        p = um_pack(SI_LAST, 37, 512, b"xyz", sn_bits)
+        si, sn, so, data = um_unpack(p, sn_bits)
+        assert (si, sn, so, data) == (SI_LAST, 37, 512, b"xyz")
+    p = um_pack(SI_FULL, None, None, b"full")
+    assert um_unpack(p)[3] == b"full"
+
+
+def test_rlc_um_nr_segmentation_roundtrip():
+    tx, rx = RlcUmNr(), RlcUmNr()
+    sdus = [bytes([i]) * (20 + 40 * i) for i in range(5)]
+    for s in sdus:
+        tx.write_sdu(s)
+    while tx.has_data():
+        pdu = tx.read_pdu(50)
+        assert pdu is not None and len(pdu) <= 50
+        rx.write_pdu(pdu)
+    got = []
+    while (s := rx.read_sdu()) is not None:
+        got.append(s)
+    assert got == sdus
+
+
+def test_rlc_am_nr_header_codec():
+    for sn_bits in (12, 18):
+        p = am_pack(SI_LAST, 1234, 77, b"seg", poll=True, sn_bits=sn_bits)
+        si, sn, so, poll, data = am_unpack(p, sn_bits)
+        assert (si, sn, so, poll, data) == (SI_LAST, 1234, 77, True, b"seg")
+
+
+def test_vnf_pnf_slot_exchange():
+    """The basic_vnf split-PHY loop: PNF slot indications drive VNF
+    DL config + TX requests; UL data flows back."""
+    pnf, v = vnf.Pnf(), vnf.Vnf()
+    v.dl_source.append(b"dl mac pdu 0")
+    v.dl_source.append(b"dl mac pdu 1")
+    for _ in range(3):
+        for resp in v.handle(pnf.slot_indication()):
+            pnf.handle(resp)
+    assert pnf.dl_pdus[0] == [(0, b"dl mac pdu 0")]
+    assert pnf.dl_pdus[1] == [(0, b"dl mac pdu 1")]
+    # UL direction
+    for r in [pnf.ul_data(5, [b"ul pdu a", b"ul pdu b"])]:
+        v.handle(r)
+    assert list(v.rx_pdus) == [b"ul pdu a", b"ul pdu b"]
