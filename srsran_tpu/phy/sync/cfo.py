@@ -50,3 +50,35 @@ def sfo_estimate(t_offsets, period_s: float):
     """
     d = jnp.diff(t_offsets, axis=-1)
     return jnp.mean(d, axis=-1) / period_s
+
+
+def cp_detect(samples, symbol_sz: int):
+    """Detect normal vs extended CP from CP-correlation energy
+    (ref sync.c srslte_sync_detect_cp): correlate each candidate CP
+    length's guard against the symbol tail over one slot.
+
+    samples: (>= slot worth,) complex. Returns (is_extended, metric_norm,
+    metric_ext).
+    """
+    import jax.numpy as jnp
+    from ..common import cp_len_ext, cp_len_norm
+
+    n = symbol_sz
+
+    def metric(cp_lens):
+        pos = 0
+        acc = 0.0
+        eng = 1e-12
+        for cp in cp_lens:
+            a = jnp.asarray(samples[pos : pos + cp])
+            b = jnp.asarray(samples[pos + n : pos + n + cp])
+            acc = acc + jnp.abs(jnp.sum(a * jnp.conj(b)))
+            eng = eng + jnp.sqrt(jnp.sum(jnp.abs(a) ** 2) * jnp.sum(jnp.abs(b) ** 2))
+            pos += cp + n
+        return acc / eng
+
+    norm_lens = [cp_len_norm(l, n) for l in range(7)]
+    ext_lens = [cp_len_ext(n)] * 6
+    m_norm = float(metric(norm_lens))
+    m_ext = float(metric(ext_lens))
+    return m_ext > m_norm, m_norm, m_ext

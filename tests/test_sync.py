@@ -151,3 +151,20 @@ def test_sfo_estimate():
     offs = np.array([0.0, 1.5, 3.1, 4.4, 6.2])  # ~1.55 samples / period
     sfo = float(np.asarray(sfo_estimate(offs, period_s=0.005)))
     assert abs(sfo - 1.55 / 0.005) < 40
+
+
+def test_cp_detection():
+    """Normal vs extended CP detection from guard-interval correlation
+    (sync.c CP detect analog)."""
+    from srsran_tpu.phy.common import CP
+    from srsran_tpu.phy.sync.cfo import cp_detect
+
+    rng = np.random.default_rng(3)
+    for cp, expect_ext in ((CP.NORM, False), (CP.EXT, True)):
+        cell = Cell(nof_prb=6, nof_ports=1, id=1, cp=cp)
+        grid = (rng.standard_normal((cell.nsymb_per_sf, 72)) + 1j * rng.standard_normal((cell.nsymb_per_sf, 72))).astype(np.complex64)
+        ofdm = OfdmConfig.from_cell(cell, normalize=True)
+        tx = np.asarray(ofdm_tx_sf(ofdm, grid))
+        tx = tx + (rng.standard_normal(len(tx)) + 1j * rng.standard_normal(len(tx))).astype(np.complex64) * 0.05
+        is_ext, m_n, m_e = cp_detect(tx, cell.symbol_sz)
+        assert is_ext == expect_ext, (cp, m_n, m_e)
