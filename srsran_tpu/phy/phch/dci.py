@@ -1,7 +1,7 @@
 """DCI pack/unpack, TS 36.212 §5.3.3 (re-design of lib/src/phy/phch/dci.c).
 
-Round-1 scope: formats 1A (compact DL scheduling) and 0 (UL grant) — the two
-that carry the LTE data plane.  Other formats follow the same Bits helper.
+Formats: 0 (UL grant), 1 (RA type 0), 1A (compact), 1B (TM6 closed-loop),
+1C (SI/RAR/paging), 1D (TM5 MU-MIMO), 2 (TM4), 2A (TM3).
 """
 
 from __future__ import annotations
@@ -135,6 +135,111 @@ class Dci0:
         cs = r.get(3)
         cqi = bool(r.get(1))
         return cls(riv, mcs, ndi, tpc, cs, cqi, hop)
+
+
+@dataclasses.dataclass
+class Dci1B:
+    """DCI format 1B (single-layer closed-loop precoding, TM6;
+    TS 36.212 §5.3.3.1.3A, dci.c format1B).
+
+    Same body as 1A plus TPMI (2 bits for 2 ports, 4 for 4) and a PMI
+    confirmation flag.  Padded at the 1A "ambiguous" sizes."""
+
+    riv: int = 0
+    mcs: int = 0
+    harq_pid: int = 0
+    ndi: int = 0
+    rv: int = 0
+    tpc: int = 0
+    tpmi: int = 0
+    pmi_confirm: int = 0
+    distributed: bool = False
+
+    @staticmethod
+    def _tpmi_bits(nof_ports: int) -> int:
+        return 2 if nof_ports <= 2 else 4
+
+    @classmethod
+    def nof_bits(cls, nof_prb: int, nof_ports: int = 2) -> int:
+        n = 1 + riv_nbits(nof_prb) + 5 + 3 + 1 + 2 + 2 + cls._tpmi_bits(nof_ports) + 1
+        if n in Dci1A.AMBIGUOUS:
+            n += 1
+        return n
+
+    def pack(self, nof_prb: int, nof_ports: int = 2) -> np.ndarray:
+        w = _BitWriter()
+        w.put(int(self.distributed), 1)
+        w.put(self.riv, riv_nbits(nof_prb))
+        w.put(self.mcs, 5)
+        w.put(self.harq_pid, 3)
+        w.put(self.ndi, 1)
+        w.put(self.rv, 2)
+        w.put(self.tpc, 2)
+        w.put(self.tpmi, self._tpmi_bits(nof_ports))
+        w.put(self.pmi_confirm, 1)
+        out = w.array()
+        pad = Dci1B.nof_bits(nof_prb, nof_ports) - len(out)
+        if pad > 0:
+            out = np.concatenate([out, np.zeros(pad, np.uint8)])
+        return out
+
+    @classmethod
+    def unpack(cls, bits, nof_prb: int, nof_ports: int = 2) -> "Dci1B":
+        r = _BitReader(bits)
+        dist = bool(r.get(1))
+        riv = r.get(riv_nbits(nof_prb))
+        mcs, harq, ndi, rv, tpc = r.get(5), r.get(3), r.get(1), r.get(2), r.get(2)
+        tpmi = r.get(cls._tpmi_bits(nof_ports))
+        pmi = r.get(1)
+        return cls(riv, mcs, harq, ndi, rv, tpc, tpmi, pmi, dist)
+
+
+@dataclasses.dataclass
+class Dci1D:
+    """DCI format 1D (single-layer MU-MIMO, TM5; TS 36.212 §5.3.3.1.4A,
+    dci.c format1D).  As 1B but the confirmation bit is replaced by a
+    downlink power-offset flag (δ_power-offset selector)."""
+
+    riv: int = 0
+    mcs: int = 0
+    harq_pid: int = 0
+    ndi: int = 0
+    rv: int = 0
+    tpc: int = 0
+    tpmi: int = 0
+    power_offset: int = 0
+    distributed: bool = False
+
+    @classmethod
+    def nof_bits(cls, nof_prb: int, nof_ports: int = 2) -> int:
+        return Dci1B.nof_bits(nof_prb, nof_ports)
+
+    def pack(self, nof_prb: int, nof_ports: int = 2) -> np.ndarray:
+        w = _BitWriter()
+        w.put(int(self.distributed), 1)
+        w.put(self.riv, riv_nbits(nof_prb))
+        w.put(self.mcs, 5)
+        w.put(self.harq_pid, 3)
+        w.put(self.ndi, 1)
+        w.put(self.rv, 2)
+        w.put(self.tpc, 2)
+        w.put(self.tpmi, Dci1B._tpmi_bits(nof_ports))
+        w.put(self.power_offset, 1)
+        out = w.array()
+        pad = Dci1D.nof_bits(nof_prb, nof_ports) - len(out)
+        if pad > 0:
+            out = np.concatenate([out, np.zeros(pad, np.uint8)])
+        return out
+
+    @classmethod
+    def unpack(cls, bits, nof_prb: int, nof_ports: int = 2) -> "Dci1D":
+        r = _BitReader(bits)
+        dist = bool(r.get(1))
+        riv = r.get(riv_nbits(nof_prb))
+        mcs, harq, ndi, rv, tpc = r.get(5), r.get(3), r.get(1), r.get(2), r.get(2)
+        tpmi = r.get(Dci1B._tpmi_bits(nof_ports))
+        po = r.get(1)
+        return cls(riv, mcs, harq, ndi, rv, tpc, tpmi, po, dist)
 
 
 def _rbg_size(nof_prb: int) -> int:

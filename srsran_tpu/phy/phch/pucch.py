@@ -1,11 +1,13 @@
-"""PUCCH formats 1/1a/1b (SR, ACK/NACK) and 2 (CQI), TS 36.211 §5.4.
+"""PUCCH formats 1/1a/1b (SR, ACK/NACK), 2/2a/2b (CQI) and 3 (multi-ACK),
+TS 36.211 §5.4 / §5.4.2A.
 
 Re-design of `lib/src/phy/phch/pucch.c` (formats at :891): length-12
 cyclically-shifted base sequences, per-symbol cell-specific shift hopping
 (ncs_cell from the cell Gold sequence), orthogonal covers for format 1,
-RM(20,A)-coded QPSK for format 2, band-edge PRB mapping with slot hopping.
+RM(20,A)-coded QPSK for format 2, block-spread DFT-S-OFDM with RM(32,O)
+(single or dual) for format 3, band-edge PRB mapping with slot hopping.
 
-Round-1 scope: normal CP, no SRS shortening, single antenna.
+Scope: normal CP, no SRS shortening, single antenna.
 """
 
 from __future__ import annotations
@@ -249,3 +251,112 @@ def pucch_format2ab_decode(
         grid2[slot * 7 + second] *= np.conj(d)
     cqi, metric = pucch_format2_decode(jnp.asarray(grid2), cell, cfg, sf_idx, nof_cqi_bits)
     return cqi, ack, metric
+
+
+# ---------------------------------------------------------------------------
+# Format 3 (block-spread DFT-S-OFDM, up to 21 HARQ-ACK/SR bits)
+# ---------------------------------------------------------------------------
+
+# length-5 DFT orthogonal covers w_noc(i) = exp(j2*pi*noc*i/5)
+# (TS 36.211 Table 5.4.2A-1)
+_W5 = np.exp(2j * np.pi / 5 * np.outer(np.arange(5), np.arange(5))).astype(np.complex64)
+F3_DATA_SYMS = (0, 2, 3, 4, 6)
+F3_DMRS_SYMS = (1, 5)
+
+
+def _f3_coded_bits(uci_bits: np.ndarray) -> np.ndarray:
+    """48 coded bits: single RM(32,O) circularly repeated for O<=11, else
+    dual RM(32,.) with QPSK-pair interleaving (TS 36.212 §5.2.3.1)."""
+    o = len(uci_bits)
+    if o <= 11:
+        return rm_encode(uci_bits, 48)
+    # dual RM: split, encode each half to 24 bits, interleave in pairs
+    o1 = (o + 1) // 2
+    q1 = rm_encode(uci_bits[:o1], 24)
+    q2 = rm_encode(uci_bits[o1:], 24)
+    out = np.zeros(48, np.uint8)
+    for k in range(12):
+        out[4 * k : 4 * k + 2] = q1[2 * k : 2 * k + 2]
+        out[4 * k + 2 : 4 * k + 4] = q2[2 * k : 2 * k + 2]
+    return out
+
+
+def _f3_scramble_seq(cell: Cell, sf_idx: int, rnti: int) -> np.ndarray:
+    return gold_sequence(((sf_idx + 1) * (2 * cell.id + 1) << 16) + rnti, 48)
+
+
+def _f3_noc(cfg: PucchConfig, slot: int) -> int:
+    """Orthogonal-cover index per slot from the format-3 resource index
+    (TS 36.211 §5.4.2A: n_oc0 = n_pucch mod 5, n_oc1 = (3*n_oc0) mod 5)."""
+    noc0 = cfg.n_pucch % 5
+    return noc0 if slot == 0 else (3 * noc0) % 5
+
+
+def pucch_format3_encode_np(
+    cell: Cell, cfg: PucchConfig, sf_idx: int, uci_bits, rnti: int = 0
+) -> np.ndarray:
+    """Format 3: O <= 21 UCI bits → (nsymb_sf, 12) PRB-local grid.
+
+    48 coded bits → scramble → QPSK → 12 symbols per slot, DFT-precoded and
+    block-spread over the 5 data SC-FDMA symbols with a length-5 cover."""
+    uci_bits = np.asarray(uci_bits, np.uint8)
+    coded = _f3_coded_bits(uci_bits) ^ _f3_scramble_seq(cell, sf_idx, rnti)
+    d = np.asarray(modulate(Mod.QPSK, coded))  # (24,)
+    u = cell.id % 30
+    r = base_sequence(u, 12)
+    ncs = ncs_cell(cell)
+    n = np.arange(12)
+    out = np.zeros((cell.nsymb_per_sf, 12), np.complex64)
+    for slot in range(2):
+        ns = 2 * sf_idx + slot
+        noc = _f3_noc(cfg, slot)
+        blk = d[slot * 12 : (slot + 1) * 12]
+        y = np.fft.fft(blk) / np.sqrt(12)  # DFT precoding
+        for i, l in enumerate(F3_DATA_SYMS):
+            # quaternary per-symbol phase from the cell shift table
+            phase = np.exp(1j * np.pi * (ncs[ns, l] // 64) / 2)
+            out[slot * 7 + l] = _W5[noc, i] * phase * y
+        for i, l in enumerate(F3_DMRS_SYMS):
+            alpha = 2 * np.pi * ((ncs[ns, l] + noc) % 12) / 12
+            out[slot * 7 + l] = r * np.exp(1j * alpha * n)
+    return out
+
+
+def pucch_format3_decode(
+    prb_grid, cell: Cell, cfg: PucchConfig, sf_idx: int, nof_bits: int, rnti: int = 0
+):
+    """(nsymb_sf, 12) grid → (uci_bits, metric)."""
+    u = cell.id % 30
+    r = jnp.asarray(base_sequence(u, 12))
+    ncs = ncs_cell(cell)
+    n = np.arange(12)
+    llrs = []
+    for slot in range(2):
+        ns = 2 * sf_idx + slot
+        noc = _f3_noc(cfg, slot)
+        h_acc = 0.0
+        for l in F3_DMRS_SYMS:
+            alpha = 2 * np.pi * ((ncs[ns, l] + noc) % 12) / 12
+            ref = jnp.asarray((r * 0 + 1) * np.exp(1j * alpha * n).astype(np.complex64)) * r
+            h_acc = h_acc + prb_grid[slot * 7 + l] * jnp.conj(ref)
+        h = h_acc / 2  # per-subcarrier channel (DMRS are unit-modulus)
+        # despread: sum data symbols against the cover, then equalize + IDFT
+        z = 0.0
+        for i, l in enumerate(F3_DATA_SYMS):
+            phase = np.exp(1j * np.pi * (int(ncs[ns, l]) // 64) / 2)
+            z = z + prb_grid[slot * 7 + l] * np.conj(_W5[noc, i] * phase)
+        z = z / 5
+        eq = z * jnp.conj(h) / (jnp.abs(h) ** 2 + 1e-9)
+        blk = jnp.fft.ifft(eq) * jnp.sqrt(12.0)  # undo DFT precoding
+        llrs.append(demod_soft(Mod.QPSK, blk))
+    llr = jnp.concatenate(llrs)  # (48,)
+    seq = _f3_scramble_seq(cell, sf_idx, rnti)
+    llr = llr * jnp.asarray((1.0 - 2.0 * seq).astype(np.float32))
+    if nof_bits <= 11:
+        return rm_decode(llr, nof_bits)
+    o1 = (nof_bits + 1) // 2
+    idx1 = np.concatenate([[4 * k, 4 * k + 1] for k in range(12)])
+    idx2 = idx1 + 2
+    b1, m1 = rm_decode(llr[idx1], o1)
+    b2, m2 = rm_decode(llr[idx2], nof_bits - o1)
+    return jnp.concatenate([b1, b2]), (m1 + m2) / 2

@@ -127,3 +127,35 @@ def test_dci_format2_roundtrip():
         )
         back = Dci2.unpack(d.pack(25), 25, is_2a=is_2a)
         assert back == d
+
+
+def test_dci1b_1d_roundtrip():
+    from srsran_tpu.phy.phch.dci import Dci1B, Dci1D
+
+    for nof_prb in (6, 25, 50, 100):
+        for ports in (2, 4):
+            d = Dci1B(
+                riv=17, mcs=12, harq_pid=3, ndi=1, rv=2, tpc=1,
+                tpmi=3 if ports == 2 else 11, pmi_confirm=1, distributed=True,
+            )
+            bits = d.pack(nof_prb, ports)
+            assert len(bits) == Dci1B.nof_bits(nof_prb, ports)
+            assert Dci1B.unpack(bits, nof_prb, ports) == d
+            e = Dci1D(riv=9, mcs=5, harq_pid=7, tpmi=1, power_offset=1)
+            ebits = e.pack(nof_prb, ports)
+            assert len(ebits) == Dci1D.nof_bits(nof_prb, ports)
+            assert Dci1D.unpack(ebits, nof_prb, ports) == e
+
+
+def test_dci1b_padding_avoids_ambiguous_sizes():
+    from srsran_tpu.phy.phch.dci import Dci1A, Dci1B
+
+    for nof_prb in (6, 15, 25, 50, 75, 100):
+        for ports in (2, 4):
+            n = 1 + 5 + 3 + 1 + 2 + 2 + 1 + (2 if ports == 2 else 4)
+            raw = n + __import__("math").ceil(
+                __import__("math").log2(nof_prb * (nof_prb + 1) / 2)
+            )
+            nb = Dci1B.nof_bits(nof_prb, ports)
+            assert nb == raw + (1 if raw in Dci1A.AMBIGUOUS else 0)
+            assert nb not in Dci1A.AMBIGUOUS

@@ -1,3 +1,4 @@
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -87,3 +88,40 @@ def test_pucch_format2ab_roundtrip():
         cqi_hat, ack_hat, _ = pucch_format2ab_decode(noisy, cell, cfg, 2, 6, len(ack))
         assert list(np.asarray(ack_hat)) == ack
         np.testing.assert_array_equal(np.asarray(cqi_hat), cqi)
+
+
+@pytest.mark.parametrize("nbits", [1, 4, 11, 12, 21])
+def test_pucch_format3_roundtrip(nbits):
+    from srsran_tpu.phy.phch.pucch import pucch_format3_decode, pucch_format3_encode_np
+
+    cell = Cell(id=123, nof_prb=25)
+    cfg = PucchConfig(n_pucch=7)
+    rng = np.random.default_rng(nbits)
+    bits = rng.integers(0, 2, nbits).astype(np.uint8)
+    grid = pucch_format3_encode_np(cell, cfg, 3, bits, rnti=0x4601)
+    # flat channel + noise
+    grid = grid * 0.7 * np.exp(1j * 0.4)
+    grid = grid + (
+        rng.normal(0, 0.05, grid.shape) + 1j * rng.normal(0, 0.05, grid.shape)
+    ).astype(np.complex64)
+    out, metric = pucch_format3_decode(jnp.asarray(grid), cell, cfg, 3, nbits, rnti=0x4601)
+    assert np.array_equal(np.asarray(out), bits)
+    assert float(metric) > 0.5
+
+
+def test_pucch_format3_orthogonal_covers_separate_users():
+    """Two UEs on the same PRB with different n_oc must not interfere."""
+    from srsran_tpu.phy.phch.pucch import pucch_format3_decode, pucch_format3_encode_np
+
+    cell = Cell(id=42, nof_prb=25)
+    rng = np.random.default_rng(0)
+    bits_a = rng.integers(0, 2, 8).astype(np.uint8)
+    bits_b = rng.integers(0, 2, 8).astype(np.uint8)
+    ga = pucch_format3_encode_np(cell, PucchConfig(n_pucch=0), 2, bits_a, rnti=100)
+    gb = pucch_format3_encode_np(cell, PucchConfig(n_pucch=1), 2, bits_b, rnti=200)
+    mixed = jnp.asarray(ga + gb)
+    # data symbols are separated by the length-5 covers; DMRS by cyclic shift
+    out_a, _ = pucch_format3_decode(mixed, cell, PucchConfig(n_pucch=0), 2, 8, rnti=100)
+    out_b, _ = pucch_format3_decode(mixed, cell, PucchConfig(n_pucch=1), 2, 8, rnti=200)
+    assert np.array_equal(np.asarray(out_a), bits_a)
+    assert np.array_equal(np.asarray(out_b), bits_b)
