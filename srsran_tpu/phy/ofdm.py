@@ -203,3 +203,88 @@ def ofdm_tx_sf(cfg: OfdmConfig, grid):
     if shift is not None:
         out = out * jnp.asarray(shift)
     return out.astype(jnp.complex64)
+
+
+# ---------------------------------------------------------------------------
+# MBSFN mixed-CP subframes (ofdm.c:429-443 ofdm_rx_slot_mbsfn,
+# ofdm.c:543-560 ofdm_tx_slot_mbsfn)
+# ---------------------------------------------------------------------------
+
+
+def mbsfn_guard_len(non_mbsfn_region: int, symbol_sz: int) -> int:
+    """SRSLTE_NON_MBSFN_REGION_GUARD_LENGTH (phy_common.h:162-165): the gap
+    that realigns the normal-CP control region to the extended-CP grid."""
+    if non_mbsfn_region == 1:
+        return cp_len_ext(symbol_sz) - cp_len_norm(0, symbol_sz)
+    return (
+        2 * cp_len_ext(symbol_sz)
+        - cp_len_norm(0, symbol_sz)
+        - cp_len_norm(1, symbol_sz)
+    )
+
+
+def _mbsfn_layout(cfg: OfdmConfig, non_mbsfn_region: int):
+    """Per-symbol (cp_len, fft_window_start) for the 12-symbol mixed
+    subframe: slot 0 = non_mbsfn_region normal-CP symbols + guard +
+    extended-CP symbols; slot 1 = a regular extended-CP slot."""
+    n = cfg.symbol_sz
+    layout = []
+    t = 0
+    for i in range(6):  # slot 0 (mbsfn layout)
+        if i == non_mbsfn_region:
+            t += mbsfn_guard_len(non_mbsfn_region, n)
+        cp = cp_len_norm(i, n) if i < non_mbsfn_region else cp_len_ext(n)
+        layout.append((cp, t + cp))
+        t += cp + n
+    t = cfg.slot_sz
+    for _ in range(6):  # slot 1 (pure extended CP)
+        cp = cp_len_ext(n)
+        layout.append((cp, t + cp))
+        t += cp + n
+    return layout
+
+
+def ofdm_rx_sf_mbsfn(cfg: OfdmConfig, samples, non_mbsfn_region: int = 2):
+    """Demodulate an MBSFN subframe: (..., sf_sz) → (..., 12, nof_re).
+
+    The first `non_mbsfn_region` output symbols are the normal-CP control
+    region (CRS/PDCCH of the host cell); the rest is the extended-CP MBSFN
+    region.  `cfg.cp` must be CP.EXT (grid indexing is extended-CP)."""
+    n = cfg.symbol_sz
+    nre = cfg.nof_re
+    wins = [
+        samples[..., s : s + n] for _, s in _mbsfn_layout(cfg, non_mbsfn_region)
+    ]
+    x = jnp.stack(wins, axis=-2)
+    bins = jnp.fft.fft(x, axis=-1)
+    grid = jnp.concatenate(
+        [bins[..., n - nre // 2 :], bins[..., 1 : 1 + nre // 2]], axis=-1
+    )
+    if cfg.normalize:
+        grid = grid * (1.0 / np.sqrt(n))
+    return grid.astype(jnp.complex64)
+
+
+def ofdm_tx_sf_mbsfn(cfg: OfdmConfig, grid, non_mbsfn_region: int = 2):
+    """Modulate an MBSFN subframe: (..., 12, nof_re) → (..., sf_sz).
+
+    The guard between the control and MBSFN regions is left as zeros, as in
+    the reference (the TX output buffer is pre-zeroed and skipped)."""
+    n = cfg.symbol_sz
+    nre = cfg.nof_re
+    batch = grid.shape[:-2]
+    bins = jnp.zeros(batch + (12, n), dtype=jnp.complex64)
+    bins = bins.at[..., 1 : 1 + nre // 2].set(grid[..., nre // 2 :])
+    bins = bins.at[..., n - nre // 2 :].set(grid[..., : nre // 2])
+    sym = jnp.fft.ifft(bins, axis=-1) * n
+    if cfg.normalize:
+        sym = sym * (1.0 / np.sqrt(n))
+    pieces = []
+    guard = jnp.zeros(batch + (mbsfn_guard_len(non_mbsfn_region, n),), jnp.complex64)
+    for i, (cp, _) in enumerate(_mbsfn_layout(cfg, non_mbsfn_region)):
+        if i == non_mbsfn_region:
+            pieces.append(guard)
+        s = sym[..., i, :]
+        pieces.append(s[..., n - cp :])
+        pieces.append(s)
+    return jnp.concatenate(pieces, axis=-1).astype(jnp.complex64)

@@ -57,3 +57,48 @@ def test_pmch_roundtrip_through_ofdm():
     tb_hat, ok = pmch_decode(rx, cell, 3, area_id, Mod.QAM16, tbs)
     assert ok
     np.testing.assert_array_equal(tb_hat, tb)
+
+
+def test_pmch_mixed_cp_mbsfn_subframe():
+    """The real MBSFN layout (ofdm.c:429/543): 2 normal-CP control symbols +
+    guard + extended-CP MBSFN region in ONE subframe.  CRS port 0 in the
+    control region, PMCH in the MBSFN region; decode after the mixed-CP
+    waveform roundtrip."""
+    import jax.numpy as jnp
+
+    from srsran_tpu.phy.ofdm import (
+        mbsfn_guard_len,
+        ofdm_rx_sf_mbsfn,
+        ofdm_tx_sf_mbsfn,
+    )
+
+    cell = Cell(nof_prb=25, nof_ports=1, id=1, cp=CP.EXT)
+    rng = np.random.default_rng(2)
+    area_id = 9
+    tbs = dl_tbs(9, 25)
+    tb = rng.integers(0, 2, tbs).astype(np.uint8)
+    grid = pmch_encode_np(cell, 4, area_id, Mod.QAM16, tbs, tb)
+    # fill the control region with noise-like QPSK (stands in for CRS/PDCCH;
+    # the PMCH decoder must not look at it)
+    ctrl = (rng.integers(0, 2, (2, cell.nof_re_per_symbol)) * 2 - 1).astype(np.complex64)
+    grid[:2] = ctrl / np.sqrt(2)
+
+    ofdm = OfdmConfig.from_cell(cell, normalize=True)
+    tx = np.asarray(ofdm_tx_sf_mbsfn(ofdm, jnp.asarray(grid), 2))
+    assert tx.shape == (ofdm.sf_sz,)
+    # the guard between the regions must be silent
+    from srsran_tpu.phy.common import cp_len_norm
+
+    g0 = 2 * ofdm.symbol_sz + cp_len_norm(0, ofdm.symbol_sz) + cp_len_norm(1, ofdm.symbol_sz)
+    glen = mbsfn_guard_len(2, ofdm.symbol_sz)
+    assert np.max(np.abs(tx[g0 : g0 + glen])) == 0.0
+
+    rx_grid = np.asarray(ofdm_rx_sf_mbsfn(ofdm, jnp.asarray(tx), 2))
+    rx_grid = rx_grid + (
+        rng.standard_normal(rx_grid.shape) + 1j * rng.standard_normal(rx_grid.shape)
+    ).astype(np.complex64) * 0.01
+    # control region survives the mixed demodulation
+    assert np.max(np.abs(rx_grid[:2] - grid[:2])) < 0.1
+    tb_hat, ok = pmch_decode(rx_grid, cell, 4, area_id, Mod.QAM16, tbs)
+    assert ok
+    np.testing.assert_array_equal(tb_hat, tb)
