@@ -145,3 +145,42 @@ def test_hss_csv(tmp_path):
     hss.load_csv(str(p))
     av = hss.get_auth_vector(IMSI)
     assert av is not None and len(av.rand) == 16 and len(av.autn) == 16
+
+
+def test_mbms_gw_to_pmch_e2e():
+    """SGi-mb IP packet → MBMS-GW GTP-U (M1-U) → eNB M1-U receiver → PMCH
+    over a mixed-CP MBSFN subframe → UE-side decode returns the packet."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from srsran_tpu.epc import M1uReceiver, MbmsGw
+    from srsran_tpu.phy.common import CP, Cell
+    from srsran_tpu.phy.modem import Mod
+    from srsran_tpu.phy.ofdm import OfdmConfig, ofdm_rx_sf_mbsfn, ofdm_tx_sf_mbsfn
+    from srsran_tpu.phy.phch.pmch import pmch_decode, pmch_encode_np
+    from srsran_tpu.phy.phch.ra import dl_tbs
+
+    gw = MbmsGw()
+    rx_m1u = M1uReceiver()
+    ip_pkt = bytes(range(200)) * 3  # pretend multicast IP packet
+    gw.sgi_mb_rx(ip_pkt)
+    wire = gw.pop_tx()
+    assert wire is not None
+    rx_m1u.rx(wire)
+    sdu = rx_m1u.read_mch_sdu()
+    assert sdu == ip_pkt
+
+    # schedule the MCH SDU onto a PMCH subframe (length-prefixed MAC-style)
+    cell = Cell(nof_prb=50, nof_ports=1, id=1, cp=CP.EXT)
+    tbs = dl_tbs(11, 50)
+    payload = len(sdu).to_bytes(2, "big") + sdu
+    tb = np.unpackbits(np.frombuffer(payload.ljust(tbs // 8, b"\0"), np.uint8))[:tbs]
+    grid = pmch_encode_np(cell, 2, 1, Mod.QAM16, tbs, tb)
+    ofdm = OfdmConfig.from_cell(cell, normalize=True)
+    tx = ofdm_tx_sf_mbsfn(ofdm, jnp.asarray(grid), 2)
+    rx_grid = np.asarray(ofdm_rx_sf_mbsfn(ofdm, tx, 2))
+    tb_hat, ok = pmch_decode(rx_grid, cell, 2, 1, Mod.QAM16, tbs)
+    assert ok
+    out = np.packbits(tb_hat).tobytes()
+    n = int.from_bytes(out[:2], "big")
+    assert out[2 : 2 + n] == ip_pkt
