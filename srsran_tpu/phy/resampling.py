@@ -80,3 +80,54 @@ def decimate(x, factor: int, ntaps: int = 33):
         win = jnp.stack([xe[..., i : i + x.shape[-1]] for i in range(ntaps)], -1)
         y = jnp.einsum("...nt,t->...n", win, h[::-1])
     return y[..., ::factor]
+
+
+@lru_cache(maxsize=16)
+def _arb_polyphase_bank(nphases: int, ntaps: int, cutoff: float) -> np.ndarray:
+    """(nphases+1, ntaps) fractional-delay filter bank: row p holds a
+    windowed-sinc interpolation kernel at delay p/nphases (the analog of
+    `srslte_resample_arb_polyfilt`, resample_arb.c:29 — generated instead
+    of tabulated).  Row nphases == row 0 delayed one full sample, so phase
+    interpolation never wraps."""
+    center = ntaps // 2 - 1
+    beta = 8.0
+    half = ntaps / 2
+    bank = np.zeros((nphases + 1, ntaps), np.float64)
+    for p in range(nphases + 1):
+        u = np.arange(ntaps) - center - p / nphases
+        # continuous Kaiser window evaluated at the fractional delay
+        w = np.where(
+            np.abs(u) <= half,
+            np.i0(beta * np.sqrt(np.maximum(0.0, 1 - (u / half) ** 2))) / np.i0(beta),
+            0.0,
+        )
+        h = np.sinc(u * 2 * cutoff) * w
+        bank[p] = h / h.sum()  # unit DC gain per phase
+    return bank.astype(np.float32)
+
+
+def resample_arb(x, rate: float, nphases: int = 32, ntaps: int = 8):
+    """Arbitrary-ratio polyphase resampler (`resample_arb.c`): output k is
+    the input at time k/rate, interpolated by an 8-tap fractional-delay
+    filter with linear blending between the 32 bank phases.
+
+    TPU form: ONE gather of (n_out, ntaps) windows + one einsum against the
+    blended coefficients — no shift register, no per-sample loop.
+    x: (..., n) → (..., floor(n*rate)).
+    """
+    n = x.shape[-1]
+    n_out = int(np.floor(n * rate))
+    # anti-alias when decimating: scale the kernel cutoff by the rate
+    cutoff = 0.5 * min(1.0, rate)
+    bank = jnp.asarray(_arb_polyphase_bank(nphases, ntaps, cutoff))
+    t = np.arange(n_out, dtype=np.float64) / rate
+    idx = np.floor(t).astype(np.int32)
+    mu = (t - idx) * nphases
+    p0 = np.floor(mu).astype(np.int32)
+    frac = jnp.asarray((mu - p0).astype(np.float32))
+    center = ntaps // 2 - 1
+    pad = [(0, 0)] * (x.ndim - 1) + [(center, ntaps - center)]
+    xe = jnp.pad(x, pad)
+    win = xe[..., jnp.asarray(idx)[:, None] + jnp.arange(ntaps)[None, :]]
+    c = bank[p0] * (1.0 - frac)[:, None] + bank[p0 + 1] * frac[:, None]
+    return jnp.einsum("...kt,kt->...k", win, c).astype(x.dtype)

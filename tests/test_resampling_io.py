@@ -1,6 +1,7 @@
 import os
 import threading
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -117,3 +118,31 @@ def test_net_udp_roundtrip():
     np.testing.assert_array_equal(got, data)
     sink.close()
     src.close()
+
+
+def test_resample_arb_tone_accuracy():
+    """Polyphase arbitrary resampler: a passband tone resampled by a
+    non-rational rate matches the ideally resampled tone."""
+    from srsran_tpu.phy.resampling import resample_arb
+
+    n, f = 4096, 0.03
+    x = np.exp(2j * np.pi * f * np.arange(n)).astype(np.complex64)
+    for rate, bound_db in ((1.2345, -70), (0.75, -70), (1.92 / 1.5, -70), (0.5, -40)):
+        y = np.asarray(resample_arb(jnp.asarray(x), rate))
+        assert len(y) == int(np.floor(n * rate))
+        t = np.arange(len(y)) / rate
+        ref = np.exp(2j * np.pi * f * t)
+        sl = slice(32, len(y) - 32)
+        err = float(np.mean(np.abs(y[sl] - ref[sl]) ** 2))
+        assert 10 * np.log10(err) < bound_db, (rate, 10 * np.log10(err))
+
+
+def test_resample_arb_batched():
+    from srsran_tpu.phy.resampling import resample_arb
+
+    rng = np.random.default_rng(0)
+    x = (rng.standard_normal((3, 512)) + 1j * rng.standard_normal((3, 512))).astype(np.complex64)
+    y = np.asarray(resample_arb(jnp.asarray(x), 1.5))
+    y0 = np.asarray(resample_arb(jnp.asarray(x[1]), 1.5))
+    assert y.shape == (3, 768)
+    np.testing.assert_allclose(y[1], y0, rtol=1e-5, atol=1e-5)
