@@ -31,7 +31,7 @@ from .phy.mimo import (
 )
 from .phy.modem import demod_soft
 from .phy.ofdm import OfdmConfig, ofdm_rx_sf
-from .phy.phch.pdsch import DlGrant, pdsch_cinit, pdsch_re_indices
+from .phy.phch.pdsch import DlGrant, DlGrant2, pdsch_cinit, pdsch_re_indices
 from .phy.phch.sch import TbCoding, dlsch_decode_device
 from .phy.scrambling import scramble_soft
 from .phy.sequence import gold_sequence_signs
@@ -75,6 +75,50 @@ def ue_dl_subframe(cell: Cell, sf_idx: int, cfi: int, grant: DlGrant, max_iterat
         tb, ok = dlsch_decode_device(llr, coding, max_iterations)
         snr_db = 10.0 * jnp.log10(jnp.mean(res["snr"]))
         return tb, ok, snr_db
+
+    return fn
+
+
+def ue_dl_subframe_mimo(
+    cell: Cell, sf_idx: int, cfi: int, grant: DlGrant2, max_iterations: int = 5
+):
+    """Jittable 2x2 spatial-multiplexing (TM3/TM4) subframe decode — the
+    reference's 150 Mbps headline config (README.md:47).
+
+    Returns fn(samples (2, sf_len) complex64) ->
+      ((tb1, ok1), (tb2, ok2), snr_db)
+    """
+    ofdm = OfdmConfig.from_cell(cell, normalize=True)
+    idx = pdsch_re_indices(cell, sf_idx, cfi, grant.prb)
+    n_re = len(idx)
+    signs = [
+        gold_sequence_signs(
+            pdsch_cinit(grant.rnti, sf_idx, cell.id, q=q), n_re * qm
+        )
+        for q, qm in ((0, grant.qm1), (1, grant.qm2))
+    ]
+    codings = [
+        TbCoding(tbs=grant.tbs1, g=n_re * grant.qm1, qm=grant.qm1, rv=grant.rv1, nof_layers=1),
+        TbCoding(tbs=grant.tbs2, g=n_re * grant.qm2, qm=grant.qm2, rv=grant.rv2, nof_layers=1),
+    ]
+
+    def fn(samples):
+        rx_grid = ofdm_rx_sf(ofdm, samples)  # (2 rx, nsymb, nre)
+        res = chest_dl(rx_grid, cell, sf_idx, nof_ports=2)
+        noise = jnp.mean(res["noise"])
+        y = rx_grid.reshape(rx_grid.shape[0], -1)[:, jnp.asarray(idx)]
+        h = res["ce"].reshape(2, 2, -1)[:, :, jnp.asarray(idx)]
+        x, csi = predecode_zf_mmse(y, h, 2, noise, pmi=grant.pmi)
+        sym_cws = layerdemap(x, 2)
+        csi_cws = layerdemap(csi.astype(jnp.complex64), 2)
+        outs = []
+        for q, (mod, qm) in enumerate(((grant.mod1, grant.qm1), (grant.mod2, grant.qm2))):
+            llr = demod_soft(mod, sym_cws[q])
+            llr = llr * jnp.repeat(csi_cws[q].real, qm, axis=-1)
+            llr = scramble_soft(llr, signs[q])
+            outs.append(dlsch_decode_device(llr, codings[q], max_iterations))
+        snr_db = 10.0 * jnp.log10(jnp.mean(res["snr"]))
+        return outs[0], outs[1], snr_db
 
     return fn
 

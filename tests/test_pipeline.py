@@ -90,3 +90,37 @@ def test_multi_carrier_64_on_mesh():
     got = np.asarray(jax.device_get(tb_hat))
     for i in (0, 31, 63):
         np.testing.assert_array_equal(got[i], tbs[i])
+
+
+def test_ue_dl_subframe_mimo_jit():
+    """Jittable two-codeword TM4 pipeline: 2x2 channel, both TBs CRC-OK."""
+    import jax.numpy as jnp
+
+    from srsran_tpu.phy.phch.pdsch import DlGrant2, pdsch_encode2_np
+    from srsran_tpu.phy.phch.ra import dl_tbs
+    from srsran_tpu.pipeline import ue_dl_subframe_mimo
+
+    cell = Cell(nof_prb=25, nof_ports=2, id=7)
+    grant = DlGrant2(
+        prb=tuple(range(25)),
+        mod1=Mod.QAM16, tbs1=dl_tbs(12, 25),
+        mod2=Mod.QAM16, tbs2=dl_tbs(12, 25),
+        pmi=1,
+    )
+    rng = np.random.default_rng(0)
+    tb1 = rng.integers(0, 2, grant.tbs1).astype(np.uint8)
+    tb2 = rng.integers(0, 2, grant.tbs2).astype(np.uint8)
+    grid = pdsch_encode2_np(cell, 3, 1, grant, tb1, tb2)  # (2 ports, nsymb, nre)
+    put_crs_np(grid, cell, 3)
+    tx = np.asarray(ofdm_tx_sf(OfdmConfig.from_cell(cell, normalize=True), grid))
+    # well-conditioned 2x2 channel
+    H = np.array([[1.0 + 0.1j, 0.35 - 0.2j], [-0.3 + 0.25j, 0.9 - 0.15j]], np.complex64)
+    rx = H @ tx  # (2 rx, sf_len)
+    rx = rx + (rng.standard_normal(rx.shape) + 1j * rng.standard_normal(rx.shape)).astype(np.complex64) * 0.01
+
+    fn = jax.jit(ue_dl_subframe_mimo(cell, 3, 1, grant))
+    (tb1_hat, ok1), (tb2_hat, ok2), snr = fn(jnp.asarray(rx))
+    assert bool(ok1) and bool(ok2)
+    np.testing.assert_array_equal(np.asarray(tb1_hat), tb1)
+    np.testing.assert_array_equal(np.asarray(tb2_hat), tb2)
+    assert float(snr) > 15
