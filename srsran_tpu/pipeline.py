@@ -123,6 +123,56 @@ def ue_dl_subframe_mimo(
     return fn
 
 
+def enb_ul_subframe(cell: Cell, sf_idx: int, grant, max_iterations: int = 5):
+    """Jittable eNB UL PUSCH subframe decode — the reference's 50 Mbps UL
+    headline (README.md:67): SC-FDMA demod (-0.5 subcarrier shift) → DMRS
+    chest → MRC equalize → DFT de-precode → demod → de-interleave →
+    UL-SCH turbo decode.
+
+    Returns fn(samples (nrx, sf_len) complex64) -> (tb_bits, crc_ok, snr_db)
+    """
+    from .phy.chest.chest_ul import chest_ul
+    from .phy.dft_precoding import dft_predecode
+    from .phy.phch.pusch import (
+        _interleaver_indices,
+        pusch_cinit,
+        pusch_symbols_data,
+    )
+
+    ofdm = OfdmConfig.from_cell(cell, normalize=True, freq_shift_f=-0.5)
+    m_sc = 12 * grant.nof_prb
+    k0 = grant.prb_start * 12
+    data_syms = pusch_symbols_data(cell)
+    g = len(data_syms) * m_sc * grant.qm
+    coding = TbCoding(tbs=grant.tbs, g=g, qm=grant.qm, rv=grant.rv)
+    signs = gold_sequence_signs(pusch_cinit(grant.rnti, sf_idx, cell.id), g)
+    deint_idx = jnp.asarray(_interleaver_indices(g, grant.qm))
+
+    def fn(samples):
+        rx_grid = ofdm_rx_sf(ofdm, samples)  # (nrx, nsymb, nre)
+        ce, noise = chest_ul(rx_grid, cell, grant.prb_start, grant.nof_prb)
+        noise = jnp.mean(noise)
+        y = rx_grid[..., jnp.asarray(data_syms), k0 : k0 + m_sc]
+        h = ce[..., jnp.asarray(data_syms), :]
+        xf, csi = predecode_single_mrc(
+            y.reshape(y.shape[0], -1), h.reshape(h.shape[0], -1), noise
+        )
+        xf = xf.reshape(len(data_syms), m_sc)
+        csi = csi.reshape(len(data_syms), m_sc)
+        x = dft_predecode(xf)
+        llr = demod_soft(grant.mod, x.reshape(-1))
+        csi_t = jnp.repeat(jnp.mean(csi, axis=-1, keepdims=True), m_sc, axis=-1)
+        llr = llr * jnp.repeat(csi_t.reshape(-1), grant.qm)
+        llr = scramble_soft(llr, signs)
+        deint = jnp.zeros_like(llr).at[deint_idx].set(llr)
+        tb, ok = dlsch_decode_device(deint, coding, max_iterations)
+        sig = jnp.mean(jnp.abs(ce) ** 2)
+        snr_db = 10.0 * jnp.log10(sig / (noise + 1e-12))
+        return tb, ok, snr_db
+
+    return fn
+
+
 def multi_carrier_ue_dl(
     cell: Cell,
     sf_idx: int,

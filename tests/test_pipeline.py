@@ -124,3 +124,29 @@ def test_ue_dl_subframe_mimo_jit():
     np.testing.assert_array_equal(np.asarray(tb1_hat), tb1)
     np.testing.assert_array_equal(np.asarray(tb2_hat), tb2)
     assert float(snr) > 15
+
+
+def test_enb_ul_subframe_jit():
+    """Jittable eNB PUSCH decode pipeline over the SC-FDMA waveform."""
+    import jax.numpy as jnp
+
+    from srsran_tpu.phy.ofdm import ofdm_tx_sf as _tx
+    from srsran_tpu.phy.phch.pusch import UlGrant, pusch_encode_np
+    from srsran_tpu.phy.phch.ra import dl_tbs
+    from srsran_tpu.pipeline import enb_ul_subframe
+
+    cell = Cell(nof_prb=50, nof_ports=1, id=17)
+    grant = UlGrant(prb_start=5, nof_prb=40, mod=Mod.QAM16, tbs=dl_tbs(14, 40))
+    rng = np.random.default_rng(1)
+    tb = rng.integers(0, 2, grant.tbs).astype(np.uint8)
+    grid = pusch_encode_np(cell, 4, grant, tb)
+    ofdm = OfdmConfig.from_cell(cell, normalize=True, freq_shift_f=0.5)
+    tx = np.asarray(_tx(ofdm, grid))  # UE applies +0.5; eNB removes with -0.5
+    rx = tx[None, :] * (0.8 - 0.4j)
+    rx = rx + (rng.standard_normal(rx.shape) + 1j * rng.standard_normal(rx.shape)).astype(np.complex64) * 0.01
+
+    fn = jax.jit(enb_ul_subframe(cell, 4, grant))
+    tb_hat, ok, snr = fn(jnp.asarray(rx))
+    assert bool(ok)
+    np.testing.assert_array_equal(np.asarray(tb_hat), tb)
+    assert float(snr) > 20
