@@ -42,6 +42,13 @@ DMRS_SYMS = (3, 10)
 M_SC = 72  # 6 PRB
 E_BITS = N_DATA_BUDGET * M_SC * 2
 
+# extended-CP layout (srslte_psbch_symbol_map_tm12_ext, phy_common_sl.c:135;
+# budget SRSLTE_PSBCH_TM12_NUM_DATA_SYMBOLS_EXT = 6, 5 transmitted)
+N_DATA_BUDGET_EXT = 6
+DATA_SYMS_EXT = (3, 4, 5, 6, 7)
+DMRS_SYMS_EXT = (2, 8)
+E_BITS_EXT = N_DATA_BUDGET_EXT * M_SC * 2
+
 
 @dataclasses.dataclass(frozen=True)
 class MibSl:
@@ -119,33 +126,42 @@ def put_psbch_np(grid: np.ndarray, cell: Cell, mib: MibSl, n_sl_id: int):
 
 def psbch_decode(grid, cell: Cell, n_sl_id: int):
     """(nsymb_sf, nre) grid → (MibSl, ok). DMRS-equalized, SC-FDMA
-    de-precoded, the untransmitted 8th symbol contributes zero LLRs."""
+    de-precoded, the untransmitted last budget symbol contributes zero
+    LLRs.  Extended-CP cells use the tm12_ext symbol map."""
     import jax.numpy as jnp
+
+    from ..common import CP
+
+    ext = cell.cp == CP.EXT
+    data_syms = DATA_SYMS_EXT if ext else DATA_SYMS
+    dmrs_syms = DMRS_SYMS_EXT if ext else DMRS_SYMS
+    budget = N_DATA_BUDGET_EXT if ext else N_DATA_BUDGET
+    e_bits = E_BITS_EXT if ext else E_BITS
 
     k0 = cell.nof_re_per_symbol // 2 - 36
     dmrs = psbch_dmrs_np(n_sl_id)
     ce_acc = 0
-    for j, l in enumerate(DMRS_SYMS):
+    for j, l in enumerate(dmrs_syms):
         ce_acc = ce_acc + grid[l, k0 : k0 + M_SC] * np.conj(dmrs[j])
-    ce = ce_acc / len(DMRS_SYMS)
+    ce = ce_acc / len(dmrs_syms)
     if float(np.mean(np.abs(ce))) < 1e-6:
         # no signal: an all-zero LLR vector trivially satisfies the CRC
         return MibSl(), False
-    noise = float(np.mean(np.abs(grid[DMRS_SYMS[0], k0 : k0 + M_SC] * np.conj(dmrs[0]) - ce) ** 2))
+    noise = float(np.mean(np.abs(grid[dmrs_syms[0], k0 : k0 + M_SC] * np.conj(dmrs[0]) - ce) ** 2))
     eq = np.stack(
         [
             np.asarray(grid[l, k0 : k0 + M_SC]) * np.conj(ce) / (np.abs(ce) ** 2 + noise)
-            for l in DATA_SYMS
+            for l in data_syms
         ]
     )
-    deprec = np.asarray(dft_predecode(jnp.asarray(eq)))  # (7, 72)
-    llr7 = np.asarray(demod_soft(Mod.QPSK, jnp.asarray(deprec.reshape(-1))))
-    llr = np.zeros(E_BITS, np.float32)
-    llr[: len(llr7)] = llr7
-    signs = gold_sequence_signs(n_sl_id, E_BITS)
+    deprec = np.asarray(dft_predecode(jnp.asarray(eq)))  # (n_tx, 72)
+    llr_tx = np.asarray(demod_soft(Mod.QPSK, jnp.asarray(deprec.reshape(-1))))
+    llr = np.zeros(e_bits, np.float32)
+    llr[: len(llr_tx)] = llr_tx
+    signs = gold_sequence_signs(n_sl_id, e_bits)
     llr = llr * signs
-    idx = _interleaver_indices(E_BITS, 2, c_mux=N_DATA_BUDGET)
-    deinter = np.zeros(E_BITS, np.float32)
+    idx = _interleaver_indices(e_bits, 2, c_mux=budget)
+    deinter = np.zeros(e_bits, np.float32)
     deinter[idx] = llr
     d = np.asarray(conv_rate_match_rx(jnp.asarray(deinter), MIB_SL_LEN + 16))
     bits = np.asarray(viterbi_decode(jnp.asarray(d[None]), MIB_SL_LEN + 16))[0]

@@ -380,3 +380,117 @@ def test_tm4_uxm_its_capture():
     assert sci.mcs_idx == 12
     tb, ok = pssch_decode_tm34(grid, cell, n_x_id, 12, 2, 48, sf_idx=6, rv=0)
     assert ok and len(tb) == 9528
+
+
+def test_psbch_extended_cp_golden():
+    """The reference's extended-CP TM2 vector (psbch_file_test -e): the
+    tm12_ext symbol map (DMRS at l=2/8, 5 data symbols of a 6-symbol
+    rate-match budget) decodes MIB-SL with sl-Bandwidth = n50."""
+    from srsran_tpu.phy.common import CP
+    from srsran_tpu.phy.phch.psbch import psbch_decode
+
+    x = np.fromfile(
+        os.path.join(VEC, "signal_sidelink_ideal_tm2_p50_c252_s15.36e6_ext.dat"),
+        np.complex64,
+    )
+    cell = Cell(nof_prb=50, nof_ports=1, id=0, cp=CP.EXT)
+    ofdm = OfdmConfig.from_cell(cell, normalize=True, freq_shift_f=-0.5)
+    grid = np.asarray(ofdm_rx_sf(ofdm, x[: cell.sf_len]))
+    mib, ok = psbch_decode(grid, cell, 252)
+    assert ok
+    assert mib.sl_bandwidth == 3  # n50
+
+
+def test_tm4_cmw500_1ms_sci():
+    """The CMW500 1ms V2X capture (pssch_pscch_file_test -o 20): SCI-1
+    decodes CRC-confirmed at subchannel 0 after the 20-sample offset."""
+    from srsran_tpu.phy.phch.pscch import pscch_decode_tm34
+
+    x = np.fromfile(
+        os.path.join(VEC, "signal_sidelink_cmw500_f5.92e9_s11.52e6_50prb_0offset_1ms.dat"),
+        np.complex64,
+    )
+    cell = Cell(nof_prb=50, nof_ports=1, id=0, use_standard_rates=False)
+    ofdm = OfdmConfig.from_cell(cell, normalize=True, freq_shift_f=-0.5)
+    x = np.pad(x[20:], (0, 20))  # reference applies a 20-sample file offset
+    grid = np.asarray(ofdm_rx_sf(ofdm, x[: cell.sf_len]))
+    hits = []
+    for sub in range(5):
+        for cs in (0, 3, 6, 9):
+            sci, crc, ok = pscch_decode_tm34(grid, cell, sub * 10, cs, 5)
+            if ok:
+                hits.append((sub, sci))
+    assert len(hits) == 1
+    sub, sci = hits[0]
+    assert sub == 0 and sci.mcs_idx == 5
+
+
+def test_tm4_uxm_mcs28_five_subframes():
+    """The UXM mcs-28 'padding' capture (pssch_pscch_file_test -m 1):
+    SCI-1 with mcs_idx = 28 decodes in ALL FIVE subframes, and each drives
+    a CRC24A-confirmed 14688-bit 64QAM transport block on the
+    DFT-valid-reduced 20-PRB allocation (23 → 20,
+    srslte_dft_precoding_get_valid_prb) at rv = 2."""
+    from srsran_tpu.phy.dft_precoding import valid_nof_prb
+    from srsran_tpu.phy.phch.pscch import pscch_decode_tm34
+    from srsran_tpu.phy.phch.pssch import pssch_decode_tm34
+    from srsran_tpu.phy.phch.ra import riv_decode
+
+    x = np.fromfile(
+        os.path.join(VEC, "signal_sidelink_uxm_s15.36e6_50prb_0prb_offset_mcs28_padding_5ms.dat"),
+        np.complex64,
+    )
+    cell = Cell(nof_prb=50, nof_ports=1, id=0)
+    ofdm = OfdmConfig.from_cell(cell, normalize=True, freq_shift_f=-0.5)
+    n_tb = 0
+    for f in range(5):
+        grid = np.asarray(ofdm_rx_sf(ofdm, x[f * cell.sf_len : (f + 1) * cell.sf_len]))
+        found = None
+        for cs in (0, 3, 6, 9):
+            sci, crc, ok = pscch_decode_tm34(grid, cell, 0, cs, 10)
+            if ok:
+                found = (sci, crc)
+        assert found is not None
+        sci, crc = found
+        assert sci.mcs_idx == 28
+        n_x_id = int("".join(map(str, crc)), 2)
+        start_subch, l_subch = riv_decode(10, sci.riv)
+        prb_start = 2  # after the 2 PSCCH PRBs of subchannel 0
+        nof_prb = l_subch * 5 - prb_start
+        while not valid_nof_prb(nof_prb):
+            nof_prb -= 1
+        assert nof_prb == 20
+        # -m 1: the file starts at LTE subframe 1; V2X blind-retx RV cycle
+        tb, ok = pssch_decode_tm34(grid, cell, n_x_id, 28, prb_start, nof_prb, sf_idx=f + 1, rv=2)
+        assert ok and len(tb) == 14688
+        n_tb += 1
+    assert n_tb == 5
+
+
+def test_tm4_ideal_p100_sci():
+    """The reference's ideal TM4 100-PRB vector (pssch_pscch_file_test
+    -s 10 -n 10 -m 6; pass criterion there: num_decoded_sci > 0): SCI-1
+    decodes CRC-confirmed in the occupied subframe with a full 10-subchannel
+    allocation RIV."""
+    from srsran_tpu.phy.phch.pscch import pscch_decode_tm34
+    from srsran_tpu.phy.phch.ra import riv_decode
+
+    x = np.fromfile(
+        os.path.join(VEC, "signal_sidelink_ideal_tm4_p100_c335_size10_num10_cshift0_s30.72e6.dat"),
+        np.complex64,
+    )
+    cell = Cell(nof_prb=100, nof_ports=1, id=0)
+    ofdm = OfdmConfig.from_cell(cell, normalize=True, freq_shift_f=-0.5)
+    hits = []
+    for f in range(len(x) // cell.sf_len):
+        grid = np.asarray(ofdm_rx_sf(ofdm, x[f * cell.sf_len : (f + 1) * cell.sf_len]))
+        for sub in range(10):
+            for cs in (0, 3, 6, 9):
+                sci, crc, ok = pscch_decode_tm34(grid, cell, sub * 10, cs, 10)
+                if ok:
+                    hits.append((f, sub, sci))
+    assert len(hits) >= 1  # the reference's own pass bar
+    f, sub, sci = hits[0]
+    assert sub == 0 and sci.mcs_idx == 4
+    start, l_subch = riv_decode(10, sci.riv)
+    assert (start, l_subch) == (0, 10)  # full-band allocation
