@@ -2,3 +2,4 @@
 
 from .filesource import FileSink, FileSource, binsource  # noqa: F401
 from .net import NetSink, NetSource  # noqa: F401
+from .radio import ChannelMapping, Radio  # noqa: F401

@@ -146,3 +146,74 @@ def test_resample_arb_batched():
     y0 = np.asarray(resample_arb(jnp.asarray(x[1]), 1.5))
     assert y.shape == (3, 768)
     np.testing.assert_allclose(y[1], y0, rtol=1e-5, atol=1e-5)
+
+
+class _MemSink:
+    def __init__(self):
+        self.data = []
+
+    def write(self, samples):
+        self.data.append(np.asarray(samples, np.complex64))
+
+    def all(self):
+        return np.concatenate(self.data) if self.data else np.zeros(0, np.complex64)
+
+
+def test_radio_tx_gap_fill_and_trim():
+    """radio.cc:489-545 semantics: zero-gap fill for short gaps, leading
+    trim for overlaps, burst end for long gaps."""
+    from srsran_tpu.io.radio import Radio
+
+    sink = _MemSink()
+    r = Radio(sink, srate_hz=1000.0, tx_max_gap=0.5)
+    a = np.ones(100, np.complex64)
+    assert r.tx(a, timestamp=1.0)
+    # 50-sample gap (0.05 s < max): filled with zeros
+    assert r.tx(a * 2, timestamp=1.15)
+    out = sink.all()
+    assert len(out) == 250
+    assert np.all(out[:100] == 1) and np.all(out[100:150] == 0) and np.all(out[150:] == 2)
+    assert r.stats["gap_zeros"] == 50
+    # overlap by 30 samples: trimmed
+    assert r.tx(a * 3, timestamp=1.25 - 0.03)
+    out = sink.all()
+    assert len(out) == 250 + 70
+    assert np.all(out[250:] == 3)
+    assert r.stats["trimmed"] == 30
+    # entirely-past transmission is dropped
+    assert r.tx(a, timestamp=0.0)
+    assert len(sink.all()) == 320 and r.stats["late"] == 1
+    # long gap ends the burst (no zero fill)
+    assert r.tx(a * 4, timestamp=10.0)
+    out = sink.all()
+    assert len(out) == 420 and r.stats["burst_ends"] == 1
+    assert np.all(out[320:] == 4)
+
+
+def test_radio_channel_mapping_and_rx_timestamps():
+    from srsran_tpu.io.radio import ChannelMapping, Radio
+
+    m = ChannelMapping(2)
+    assert m.allocate_freq(5, 2.4e9) and m.allocate_freq(9, 3.5e9)
+    assert not m.allocate_freq(7, 1e9)  # full
+    assert m.get_device_mapping(5) == 0 and m.get_device_mapping(9) == 1
+    assert m.release_freq(5) and not m.is_allocated(5)
+    assert m.allocate_freq(7, 1e9) and m.get_device_mapping(7) == 0
+
+    class _Src:
+        def __init__(self):
+            self.n = 0
+
+        def read(self, n):
+            self.n += n
+            return np.zeros(n, np.complex64)
+
+    s0, s1 = _MemSink(), _MemSink()
+    r = Radio([s0, s1], source=_Src(), srate_hz=100.0)
+    r.mapping.allocate_freq(3, 1e9)
+    r.mapping.allocate_freq(8, 2e9)
+    r.tx(np.ones(10, np.complex64), 0.0, logical_ch=8)
+    assert len(s1.all()) == 10 and len(s0.all()) == 0
+    _, t0 = r.rx_now(100)
+    _, t1 = r.rx_now(100)
+    assert t0 == 0.0 and abs(t1 - 1.0) < 1e-9
