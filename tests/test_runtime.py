@@ -178,3 +178,29 @@ def test_pcap_variants(tmp_path):
         magic, _, _, _, _, _, network = struct.unpack("<IHHiIII", raw[:24])
         assert magic == 0xA1B2C3D4 and network == dlt
         assert len(raw) > 24 + 16
+
+
+def test_plots_render(tmp_path):
+    """srsGUI-analog scopes render PNGs headlessly (constellation from a
+    real equalized PDSCH, channel magnitude, PSD)."""
+    import numpy as np
+
+    from srsran_tpu.runtime.plots import LiveScope, plot_channel, plot_constellation, plot_psd
+
+    rng = np.random.default_rng(0)
+    qpsk = (rng.choice([-1, 1], 500) + 1j * rng.choice([-1, 1], 500)) / np.sqrt(2)
+    sym = qpsk + (rng.standard_normal(500) + 1j * rng.standard_normal(500)) * 0.05
+    p1 = plot_constellation(sym, str(tmp_path / "const.png"))
+    ce = 1.0 + 0.3 * np.exp(-2j * np.pi * np.arange(600) * 5 / 1024)
+    p2 = plot_channel(ce[None, :], str(tmp_path / "chan.png"))
+    x = np.exp(2j * np.pi * 0.1 * np.arange(8192)).astype(np.complex64)
+    p3 = plot_psd(x, 1.92e6, str(tmp_path / "psd.png"))
+    for p in (p1, p2, p3):
+        data = open(p, "rb").read()
+        assert data[:8] == b"\x89PNG\r\n\x1a\n" and len(data) > 2000
+
+    scope = LiveScope(str(tmp_path / "live.png"), period_s=0.0)
+    assert scope.update(sym)
+    scope.period_s = 100.0
+    assert not scope.update(sym)  # rate-limited
+    assert scope.frames == 1
