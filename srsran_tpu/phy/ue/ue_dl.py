@@ -30,6 +30,7 @@ class UeDlResult:
     rsrp: float = 0.0
     snr_db: float = 0.0
     noise: float = 0.0
+    pdsch_symbols: np.ndarray | None = None  # equalized REs (for scopes)
 
 
 def ue_dl_decode_subframe(
@@ -112,5 +113,10 @@ def ue_dl_decode_subframe(
             grid, ce, noise, cell, sf_idx, cfi, grant, max_iterations
         )
         res.tbs.append((tb, ok))
+        from ..phch.pdsch import pdsch_re_indices
+
+        res.pdsch_symbols = np.asarray(
+            equalize(pdsch_re_indices(cell, sf_idx, cfi, grant.prb))
+        )
         break  # one 1A grant per subframe (dedup across agg levels)
     return res

@@ -65,3 +65,35 @@ def test_e2e_ping_loop():
     assert m["rx_tbs_ok"] == m["rx_tbs"] and m["rx_tbs_ok"] >= 2
     assert ue.cell is not None and ue.cell.id == 42
     assert enb.get_metrics()["tx_bytes"] == sum(len(x) for x in msgs)
+
+
+def test_examples_pdsch_pair(tmp_path, capsys):
+    """examples/pdsch_enodeb.py → cf32 file → examples/cell_search.py +
+    examples/pdsch_ue.py decode everything (the lib/examples pair)."""
+    import importlib.util
+    import os
+    import sys
+
+    def load(name):
+        path = os.path.join(os.path.dirname(__file__), "..", "examples", f"{name}.py")
+        spec = importlib.util.spec_from_file_location(name, path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    out = str(tmp_path / "dl.cf32")
+    enodeb = load("pdsch_enodeb")
+    enodeb.main(["-o", out, "-p", "6", "-m", "4", "-n", "3", "-c", "2"])
+
+    search = load("cell_search")
+    assert search.main(["-i", out, "-p", "6"]) == 0
+    cap = capsys.readouterr().out
+    assert "PCI=2" in cap and "nof_prb=6" in cap
+
+    ue = load("pdsch_ue")
+    scope_dir = str(tmp_path)
+    assert ue.main(["-i", out, "-p", "6", "--scope", scope_dir]) == 0
+    cap = capsys.readouterr().out
+    assert "transport blocks CRC-OK" in cap
+    assert not cap.split("total: ")[1].startswith("0/")
+    assert (tmp_path / "pdsch_const.png").exists()
