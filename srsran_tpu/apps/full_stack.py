@@ -666,10 +666,16 @@ class UeStack:
         grant = self.pending_tx.pop(tti, None)
         if grant is None:
             return None
+        mac_pdu = self._build_ul_mac_pdu(grant.tbs // 8)
+        tb_bits = np.unpackbits(np.frombuffer(mac_pdu, np.uint8))
+        return ue_ul_encode(self.cell, sf_idx, pusch=(grant, tb_bits))
+
+    def _build_ul_mac_pdu(self, tb_bytes: int) -> bytes:
+        """Assemble one UL MAC PDU (Msg3/BSR/SRB1/DRB mux) — the PHY-free
+        seam the TTCN-3-style harness pulls from (apps/ttcn3.py)."""
         # move pending IP packets into the DRB
         while self.ip_tx_queue and self.rrc_state == self.RRC_ACTIVE:
             self.drb_rlc.write_sdu(self.drb_pdcp.write_sdu(self.ip_tx_queue.pop(0)))
-        tb_bytes = grant.tbs // 8
         sdus = []
         used = 0
         if self.msg3 is not None:
@@ -688,9 +694,7 @@ class UeStack:
                     break
                 sdus.append((lcid, pdu))
                 used += len(pdu) + 3
-        mac_pdu = mac_pack(sdus, tb_bytes)
-        tb_bits = np.unpackbits(np.frombuffer(mac_pdu, np.uint8))
-        return ue_ul_encode(self.cell, sf_idx, pusch=(grant, tb_bits))
+        return mac_pack(sdus, tb_bytes)
 
 
 def _enb_metrics(self) -> dict:

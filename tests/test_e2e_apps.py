@@ -97,3 +97,55 @@ def test_examples_pdsch_pair(tmp_path, capsys):
     assert "transport blocks CRC-OK" in cap
     assert not cap.split("total: ")[1].startswith("0/")
     assert (tmp_path / "pdsch_const.png").exists()
+
+
+def test_ttcn3_system_interface():
+    """TTCN-3-analog harness: the UE stack with a fake PHY driven over
+    JSON/TCP — attach signalling carried as MAC PDUs through the SYS port
+    (srsue/test/ttcn3 role)."""
+    import json
+    import socket
+
+    from srsran_tpu.apps.ttcn3 import SystemInterface
+    from srsran_tpu.stack import rrc
+    from srsran_tpu.apps.full_stack import LCID_SRB1
+    from srsran_tpu.stack.mac import LCID_CCCH
+    from srsran_tpu.stack.mac_pdu import mac_pack, mac_unpack
+
+    srv = SystemInterface()
+    srv.serve_background()
+    sock = socket.create_connection(("127.0.0.1", srv.port), timeout=5)
+    f = sock.makefile("rwb")
+
+    def rpc(**msg):
+        f.write((json.dumps(msg) + "\n").encode())
+        f.flush()
+        return json.loads(f.readline())
+
+    try:
+        assert rpc(cmd="cell_cfg", pci=7, nof_prb=6)["event"] == "cell_ready"
+        r = rpc(cmd="attach")
+        assert r["event"] == "prach" and r["preamble"] == 17
+        r = rpc(cmd="rar", rapid=17, temp_crnti=0x46)
+        assert r["crnti"] == 0x46
+        # pull Msg3: must contain an RRC ConnectionRequest on CCCH
+        ul = bytes.fromhex(rpc(cmd="ul_pdu", size=64)["data"])
+        sdus = dict(mac_unpack(ul))
+        assert LCID_CCCH in sdus
+        msg = rrc.unpack(sdus[LCID_CCCH])
+        assert msg.msg_type == rrc.CONN_REQUEST
+        ue_id = msg.ies[rrc.IE_UE_IDENTITY]
+        # system simulator answers with ConnectionSetup on CCCH
+        setup = rrc.pack(rrc.CONN_SETUP, {rrc.IE_UE_IDENTITY: ue_id, rrc.IE_CRNTI: 0x46})
+        dl = mac_pack([(LCID_CCCH, setup)], 128)
+        r = rpc(cmd="dl_pdu", data=dl.hex())
+        assert r["rrc_state"] >= 3  # RRC_CONNECTED
+        # the UE responds with SetupComplete (NAS attach request) on SRB1
+        ul = bytes.fromhex(rpc(cmd="ul_pdu", size=128)["data"])
+        sdus = dict(mac_unpack(ul))
+        assert LCID_SRB1 in sdus
+        st = rpc(cmd="status")
+        assert st["rrc_state"] >= 3 and st["crnti"] == 0x46
+    finally:
+        sock.close()
+        srv.close()
