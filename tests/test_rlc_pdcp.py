@@ -226,3 +226,43 @@ def test_rlc_um_treordering_skips_lost_pdu():
     while (s := rx.read_sdu()) is not None:
         got.append(s)
     assert got == [bytes([i]) * 20 for i in (2, 3, 4)]
+
+
+def test_rlc_am_stress_drop_duplicate_reorder():
+    """The full rlc_stress_test.cc fuzz profile: 15% drop + 15%
+    duplication + random reordering through a 6-PDU shuffle buffer, both
+    directions; AM still delivers losslessly in order."""
+    rng = np.random.default_rng(11)
+    tx, rx = RlcAm(AmConfig(poll_pdu=3)), RlcAm()
+    sdus = [bytes(rng.integers(0, 256, rng.integers(5, 200)).astype(np.uint8)) for _ in range(60)]
+    for s in sdus:
+        tx.write_sdu(s)
+
+    def channel(pdu, bag):
+        """drop / duplicate / delay via a shuffle bag."""
+        if pdu is None:
+            return
+        r = rng.random()
+        if r < 0.15:
+            return  # dropped
+        bag.append(pdu)
+        if r > 0.85:
+            bag.append(pdu)  # duplicated
+
+    fwd, back = [], []
+    received = []
+    for _ in range(4000):
+        channel(tx.read_pdu(70), fwd)
+        channel(rx.read_pdu(70), back)
+        # deliver a random element (reordering)
+        if fwd and rng.random() < 0.9:
+            rx.write_pdu(fwd.pop(rng.integers(0, len(fwd))))
+        if back and rng.random() < 0.9:
+            tx.write_pdu(back.pop(rng.integers(0, len(back))))
+        tx.tick()
+        rx.tick()
+        while (s := rx.read_sdu()) is not None:
+            received.append(s)
+        if len(received) == len(sdus):
+            break
+    assert received == sdus
