@@ -204,3 +204,22 @@ def test_plots_render(tmp_path):
     scope.period_s = 100.0
     assert not scope.update(sym)  # rate-limited
     assert scope.frames == 1
+
+
+def test_crash_handler_writes_backtrace(tmp_path):
+    """Unhandled exceptions append a timestamped backtrace to the crash
+    file (crash_handler.c contract), checked in a subprocess."""
+    import subprocess
+    import sys
+
+    crash = tmp_path / "bt.crash"
+    code = (
+        "from srsran_tpu.runtime import crash\n"
+        f"crash.enable({str(crash)!r})\n"
+        "raise RuntimeError('boom-for-test')\n"
+    )
+    p = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True)
+    assert p.returncode != 0
+    content = crash.read_text()
+    assert "srsran_tpu crashed" in content
+    assert "boom-for-test" in content and "RuntimeError" in content
