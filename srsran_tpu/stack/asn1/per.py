@@ -43,6 +43,14 @@ class Asn1Error(Exception):
     pass
 
 
+TRACE = False  # set True to print field-by-field decode positions
+
+
+def _trace(msg):
+    if TRACE:
+        print(msg)
+
+
 # ---------------------------------------------------------------- bit I/O
 
 
@@ -445,7 +453,21 @@ class Seq(Asn1Type):
 
     def encode(self, w, value: dict):
         if self.ext:
-            present = [self._group_present(g, value) for g in self.ext_additions]
+            # raw additions ("_extN" keys) preserve unknown extensions seen
+            # on decode, so decode→encode stays bit-exact even for schema
+            # versions newer than ours
+            raw_idx = [
+                int(k[4:]) for k in value
+                if isinstance(k, str) and k.startswith("_ext") and k[4:].isdigit()
+            ]
+            n_slots = max(
+                [len(self.ext_additions)] + [i + 1 for i in raw_idx]
+            )
+            present = [
+                (i < len(self.ext_additions) and self._group_present(self.ext_additions[i], value))
+                or (f"_ext{i}" in value)
+                for i in range(n_slots)
+            ]
             has_ext = any(present)
             w.put(1 if has_ext else 0, 1)
         for name, typ, pres, dflt in self.fields:
@@ -465,20 +487,31 @@ class Seq(Asn1Type):
                 if value.get(name, dflt) != dflt:
                     typ.encode(w, value[name])
         if self.ext and has_ext:
-            # §18.8: normally-small length = number of additions, lb = 1
-            count = max(i + 1 for i, p in enumerate(present) if p)
+            # §18.8: normally-small length = number of additions defined by
+            # the encoder's schema version.  "_ext_count" preserves the
+            # count observed on decode so repack stays bit-exact even when
+            # the sender's schema is newer/older than ours.
+            last = max(i + 1 for i, p in enumerate(present) if p)
+            count = max(value.get("_ext_count", n_slots), last)
+            present += [False] * (count - len(present))
             put_normally_small(w, count - 1)
             for i in range(count):
                 w.put(1 if present[i] else 0, 1)
             for i in range(count):
-                if present[i]:
-                    group = self.ext_additions[i]
-                    if len(group) == 1:
-                        # a lone addition is an open type of its own type
-                        # (§18.9); the bitmap already carries its presence
-                        put_open_type(w, group[0][1], value[group[0][0]])
-                    else:
-                        put_open_type(w, _GroupSeq(group), value)
+                if not present[i]:
+                    continue
+                if f"_ext{i}" in value:
+                    raw = value[f"_ext{i}"]
+                    put_length(w, len(raw))
+                    w.put_bytes(raw)
+                    continue
+                group = self.ext_additions[i]
+                if len(group) == 1:
+                    # a lone addition is an open type of its own type
+                    # (§18.9); the bitmap already carries its presence
+                    put_open_type(w, group[0][1], value[group[0][0]])
+                else:
+                    put_open_type(w, _GroupSeq(group), value)
 
     def decode(self, r):
         has_ext = bool(r.get(1)) if self.ext else False
@@ -488,20 +521,25 @@ class Seq(Asn1Type):
                 presence[name] = bool(r.get(1))
         out = {}
         for name, typ, pres, dflt in self.fields:
-            if pres == "M":
+            if pres == "M" or presence.get(name):
+                _trace(f"@{r.tell()} {name}")
                 out[name] = typ.decode(r)
-            elif presence.get(name):
-                out[name] = typ.decode(r)
+                _trace(f"@{r.tell()} {name} = {out[name]!r}" if not isinstance(typ, (Seq, Choice)) else f"@{r.tell()} {name} done")
             elif pres == "D":
                 out[name] = dflt
         if has_ext:
             count = get_normally_small(r) + 1
+            if count != len(self.ext_additions):
+                out["_ext_count"] = count
             flags = [bool(r.get(1)) for _ in range(count)]
             for i, flag in enumerate(flags):
                 if not flag:
                     continue
                 if i >= len(self.ext_additions):
-                    skip_open_type(r)  # unknown future addition
+                    # unknown future addition: keep the raw open type so a
+                    # re-encode reproduces the original bits
+                    octets = get_length(r)
+                    out[f"_ext{i}"] = r.get_bytes(octets)
                     continue
                 group = self.ext_additions[i]
                 if len(group) == 1:
@@ -555,6 +593,12 @@ class Choice(Asn1Type):
         if self.ext:
             if name in names:
                 w.put(0, 1)
+            elif name.startswith("_unknown_ext_"):
+                w.put(1, 1)
+                put_normally_small(w, int(name[13:]))
+                put_length(w, len(inner))
+                w.put_bytes(inner)
+                return
             else:
                 w.put(1, 1)
                 idx = [n for n, _ in self.ext_alts].index(name)
@@ -572,11 +616,26 @@ class Choice(Asn1Type):
             if idx < len(self.ext_alts):
                 name, typ = self.ext_alts[idx]
                 return (name, get_open_type(r, typ))
-            skip_open_type(r)
-            return (f"_unknown_ext_{idx}", None)
+            octets = get_length(r)
+            return (f"_unknown_ext_{idx}", r.get_bytes(octets))
         idx = get_constrained(r, 0, len(self.alts) - 1) if len(self.alts) > 1 else 0
         name, typ = self.alts[idx]
         return (name, typ.decode(r))
+
+
+class Todo(Asn1Type):
+    """Placeholder for a schema branch not yet defined (e.g. inter-RAT
+    structures).  Keeps CHOICE arities spec-correct — selecting the
+    alternative raises a clear error instead of silently mis-decoding."""
+
+    def __init__(self, what: str):
+        self.what = what
+
+    def encode(self, w, value):
+        raise Asn1Error(f"schema not implemented: {self.what}")
+
+    def decode(self, r):
+        raise Asn1Error(f"schema not implemented: {self.what}")
 
 
 def c1_spares(alts, n_spares: int, ext: bool = False):

@@ -599,3 +599,1359 @@ MIB = Seq(
 )
 
 BCCH_BCH_MESSAGE = Seq([M("msg", MIB)])
+
+# ======================================================================
+# Common configuration (HO variant) — RadioResourceConfigCommon tree
+# ======================================================================
+
+PHICH_CONFIG = Seq(
+    [
+        M("phich_dur", Enum(["normal", "extended"])),
+        M("phich_res", Enum(["one_sixth", "half", "one", "two"])),
+    ]
+)
+
+RACH_CONFIG_COMMON = Seq(
+    [
+        M(
+            "preamb_info",
+            Seq(
+                [
+                    M("nof_ra_preambs", Enum([f"n{v}" for v in range(4, 65, 4)])),
+                    O(
+                        "preambs_group_a_cfg",
+                        Seq(
+                            [
+                                M("size_of_ra_preambs_group_a", Enum([f"n{v}" for v in range(4, 61, 4)])),
+                                M("msg_size_group_a", Enum(["b56", "b144", "b208", "b256"])),
+                                M(
+                                    "msg_pwr_offset_group_b",
+                                    Enum(["minusinfinity", "db0", "db5", "db8", "db10", "db12", "db15", "db18"]),
+                                ),
+                            ],
+                            ext=True,
+                        ),
+                    ),
+                ]
+            ),
+        ),
+        M(
+            "pwr_ramp_params",
+            Seq(
+                [
+                    M("pwr_ramp_step", Enum(["db0", "db2", "db4", "db6"])),
+                    M(
+                        "preamb_init_rx_target_pwr",
+                        Enum([f"dbm_minus{v}" for v in range(120, 89, -2)]),
+                    ),
+                ]
+            ),
+        ),
+        M(
+            "ra_supervision_info",
+            Seq(
+                [
+                    M(
+                        "preamb_trans_max",
+                        Enum(["n3", "n4", "n5", "n6", "n7", "n8", "n10", "n20", "n50", "n100", "n200"]),
+                    ),
+                    M("ra_resp_win_size", Enum(["sf2", "sf3", "sf4", "sf5", "sf6", "sf7", "sf8", "sf10"])),
+                    M(
+                        "mac_contention_resolution_timer",
+                        Enum(["sf8", "sf16", "sf24", "sf32", "sf40", "sf48", "sf56", "sf64"]),
+                    ),
+                ]
+            ),
+        ),
+        M("max_harq_msg3_tx", Int(1, 8)),
+    ],
+    ext=True,
+)
+
+PRACH_CONFIG_INFO = Seq(
+    [
+        M("prach_cfg_idx", Int(0, 63)),
+        M("high_speed_flag", Bool()),
+        M("zero_correlation_zone_cfg", Int(0, 15)),
+        M("prach_freq_offset", Int(0, 94)),
+    ]
+)
+
+PRACH_CONFIG = Seq([M("root_seq_idx", Int(0, 837)), O("prach_cfg_info", PRACH_CONFIG_INFO)])
+PRACH_CONFIG_SIB = Seq([M("root_seq_idx", Int(0, 837)), M("prach_cfg_info", PRACH_CONFIG_INFO)])
+
+PDSCH_CONFIG_COMMON = Seq([M("ref_sig_pwr", Int(-60, 50)), M("p_b", Int(0, 3))])
+
+PUSCH_CONFIG_COMMON = Seq(
+    [
+        M(
+            "pusch_cfg_basic",
+            Seq(
+                [
+                    M("n_sb", Int(1, 4)),
+                    M("hop_mode", Enum(["inter_sub_frame", "intra_and_inter_sub_frame"])),
+                    M("pusch_hop_offset", Int(0, 98)),
+                    M("enable64_qam", Bool()),
+                ]
+            ),
+        ),
+        M(
+            "ul_ref_sigs_pusch",
+            Seq(
+                [
+                    M("group_hop_enabled", Bool()),
+                    M("group_assign_pusch", Int(0, 29)),
+                    M("seq_hop_enabled", Bool()),
+                    M("cyclic_shift", Int(0, 7)),
+                ]
+            ),
+        ),
+    ]
+)
+
+PUCCH_CONFIG_COMMON = Seq(
+    [
+        M("delta_pucch_shift", Enum(["ds1", "ds2", "ds3"])),
+        M("nrb_cqi", Int(0, 98)),
+        M("ncs_an", Int(0, 7)),
+        M("n1_pucch_an", Int(0, 2047)),
+    ]
+)
+
+SRS_UL_CONFIG_COMMON = setup_release(
+    Seq(
+        [
+            M("srs_bw_cfg", Enum([f"bw{i}" for i in range(8)])),
+            M("srs_sf_cfg", Enum([f"sc{i}" for i in range(16)])),
+            M("ack_nack_srs_simul_tx", Bool()),
+            O("srs_max_up_pts", Enum(["true_value"])),
+        ]
+    )
+)
+
+UL_POWER_CONTROL_COMMON = Seq(
+    [
+        M("p0_nominal_pusch", Int(-126, 24)),
+        M("alpha", Enum(["al0", "al04", "al05", "al06", "al07", "al08", "al09", "al1"])),
+        M("p0_nominal_pucch", Int(-127, -96)),
+        M(
+            "delta_flist_pucch",
+            Seq(
+                [
+                    M("delta_f_pucch_format1", Enum(["delta_f_minus2", "delta_f0", "delta_f2"])),
+                    M("delta_f_pucch_format1b", Enum(["delta_f1", "delta_f3", "delta_f5"])),
+                    M("delta_f_pucch_format2", Enum(["delta_f_minus2", "delta_f0", "delta_f1", "delta_f2"])),
+                    M("delta_f_pucch_format2a", Enum(["delta_f_minus2", "delta_f0", "delta_f2"])),
+                    M("delta_f_pucch_format2b", Enum(["delta_f_minus2", "delta_f0", "delta_f2"])),
+                ]
+            ),
+        ),
+        M("delta_preamb_msg3", Int(-1, 6)),
+    ]
+)
+
+ANTENNA_INFO_COMMON = Seq([M("ant_ports_count", Enum(["an1", "an2", "an4", "spare1"]))])
+
+TDD_CONFIG = Seq(
+    [
+        M("sf_assign", Enum([f"sa{i}" for i in range(7)])),
+        M("special_sf_patterns", Enum([f"ssp{i}" for i in range(9)])),
+    ]
+)
+
+RADIO_RESOURCE_CONFIG_COMMON = Seq(
+    [
+        O("rach_cfg_common", RACH_CONFIG_COMMON),
+        M("prach_cfg", PRACH_CONFIG),
+        O("pdsch_cfg_common", PDSCH_CONFIG_COMMON),
+        M("pusch_cfg_common", PUSCH_CONFIG_COMMON),
+        O("phich_cfg", PHICH_CONFIG),
+        O("pucch_cfg_common", PUCCH_CONFIG_COMMON),
+        O("srs_ul_cfg_common", SRS_UL_CONFIG_COMMON),
+        O("ul_pwr_ctrl_common", UL_POWER_CONTROL_COMMON),
+        O("ant_info_common", ANTENNA_INFO_COMMON),
+        O("p_max", Int(-30, 33)),
+        O("tdd_cfg", TDD_CONFIG),
+        M("ul_cp_len", Enum(["len1", "len2"])),
+    ],
+    ext=True,
+)
+
+# ======================================================================
+# Measurement configuration & results (36.331 §5.5 / §6.3.5)
+# ======================================================================
+
+Q_OFFSET_RANGE = Enum(
+    ["db_minus24", "db_minus22", "db_minus20", "db_minus18", "db_minus16", "db_minus14",
+     "db_minus12", "db_minus10", "db_minus8", "db_minus6", "db_minus5", "db_minus4",
+     "db_minus3", "db_minus2", "db_minus1", "db0", "db1", "db2", "db3", "db4", "db5",
+     "db6", "db8", "db10", "db12", "db14", "db16", "db18", "db20", "db22", "db24"]
+)
+assert len(Q_OFFSET_RANGE.names) == 31
+
+PHYS_CELL_ID = Int(0, 503)
+ARFCN = Int(0, 65535)
+CELL_INDEX_LIST = SeqOf(Int(1, 32), 1, 32)
+
+CELLS_TO_ADD_MOD = Seq(
+    [
+        M("cell_idx", Int(1, 32)),
+        M("pci", PHYS_CELL_ID),
+        M("cell_individual_offset", Q_OFFSET_RANGE),
+    ]
+)
+
+PHYS_CELL_ID_RANGE = Seq(
+    [
+        M("start", PHYS_CELL_ID),
+        O(
+            "range",
+            Enum(["n4", "n8", "n12", "n16", "n24", "n32", "n48", "n64", "n84", "n96",
+                  "n128", "n168", "n252", "n504", "spare2", "spare1"]),
+        ),
+    ]
+)
+
+BLACK_CELLS_TO_ADD_MOD = Seq([M("cell_idx", Int(1, 32)), M("pci_range", PHYS_CELL_ID_RANGE)])
+
+MEAS_OBJECT_EUTRA = Seq(
+    [
+        M("carrier_freq", ARFCN),
+        M("allowed_meas_bw", Enum(["mbw6", "mbw15", "mbw25", "mbw50", "mbw75", "mbw100"])),
+        M("presence_ant_port1", Bool()),
+        M("neigh_cell_cfg", BitStr(2)),
+        D("offset_freq", Q_OFFSET_RANGE, "db0"),
+        O("cells_to_rem_list", CELL_INDEX_LIST),
+        O("cells_to_add_mod_list", SeqOf(CELLS_TO_ADD_MOD, 1, 32)),
+        O("black_cells_to_rem_list", CELL_INDEX_LIST),
+        O("black_cells_to_add_mod_list", SeqOf(BLACK_CELLS_TO_ADD_MOD, 1, 32)),
+        O("cell_for_which_to_report_cgi", PHYS_CELL_ID),
+    ],
+    ext=True,
+)
+
+from .per import Todo  # noqa: E402
+
+MEAS_OBJECT_TO_ADD_MOD = Seq(
+    [
+        M("meas_obj_id", Int(1, 32)),
+        M(
+            "meas_obj",
+            Choice(
+                [
+                    ("meas_obj_eutra", MEAS_OBJECT_EUTRA),
+                    ("meas_obj_utra", Todo("MeasObjectUTRA")),
+                    ("meas_obj_geran", Todo("MeasObjectGERAN")),
+                    ("meas_obj_cdma2000", Todo("MeasObjectCDMA2000")),
+                ],
+                ext=True,
+            ),
+        ),
+    ]
+)
+
+THRESHOLD_EUTRA = Choice([("thres_rsrp", Int(0, 97)), ("thres_rsrq", Int(0, 34))])
+TIME_TO_TRIGGER = Enum(
+    ["ms0", "ms40", "ms64", "ms80", "ms100", "ms128", "ms160", "ms256", "ms320",
+     "ms480", "ms512", "ms640", "ms1024", "ms1280", "ms2560", "ms5120"]
+)
+
+REPORT_CONFIG_EUTRA = Seq(
+    [
+        M(
+            "trigger_type",
+            Choice(
+                [
+                    (
+                        "event",
+                        Seq(
+                            [
+                                M(
+                                    "event_id",
+                                    Choice(
+                                        [
+                                            ("event_a1", Seq([M("a1_thres", THRESHOLD_EUTRA)])),
+                                            ("event_a2", Seq([M("a2_thres", THRESHOLD_EUTRA)])),
+                                            (
+                                                "event_a3",
+                                                Seq([M("a3_offset", Int(-30, 30)), M("report_on_leave", Bool())]),
+                                            ),
+                                            ("event_a4", Seq([M("a4_thres", THRESHOLD_EUTRA)])),
+                                            (
+                                                "event_a5",
+                                                Seq([M("a5_thres1", THRESHOLD_EUTRA), M("a5_thres2", THRESHOLD_EUTRA)]),
+                                            ),
+                                        ],
+                                        ext=True,
+                                        ext_alts=[
+                                            ("event_a6_r10", Seq([M("a6_offset_r10", Int(-30, 30)), M("a6_report_on_leave_r10", Bool())])),
+                                        ],
+                                    ),
+                                ),
+                                M("hysteresis", Int(0, 30)),
+                                M("time_to_trigger", TIME_TO_TRIGGER),
+                            ]
+                        ),
+                    ),
+                    (
+                        "periodical",
+                        Seq([M("purpose", Enum(["report_strongest_cells", "report_cgi"]))]),
+                    ),
+                ]
+            ),
+        ),
+        M("trigger_quant", Enum(["rsrp", "rsrq"])),
+        M("report_quant", Enum(["same_as_trigger_quant", "both"])),
+        M("max_report_cells", Int(1, 8)),
+        M(
+            "report_interv",
+            Enum(["ms120", "ms240", "ms480", "ms640", "ms1024", "ms2048", "ms5120", "ms10240",
+                  "min1", "min6", "min12", "min30", "min60", "spare3", "spare2", "spare1"]),
+        ),
+        M("report_amount", Enum(["r1", "r2", "r4", "r8", "r16", "r32", "r64", "infinity"])),
+    ],
+    ext=True,
+)
+
+REPORT_CONFIG_TO_ADD_MOD = Seq(
+    [
+        M("report_cfg_id", Int(1, 32)),
+        M(
+            "report_cfg",
+            Choice(
+                [
+                    ("report_cfg_eutra", REPORT_CONFIG_EUTRA),
+                    ("report_cfg_inter_rat", Todo("ReportConfigInterRAT")),
+                ]
+            ),
+        ),
+    ]
+)
+
+MEAS_ID_TO_ADD_MOD = Seq(
+    [M("meas_id", Int(1, 32)), M("meas_obj_id", Int(1, 32)), M("report_cfg_id", Int(1, 32))]
+)
+
+QUANTITY_CONFIG = Seq(
+    [
+        O(
+            "quant_cfg_eutra",
+            Seq([D("filt_coef_rsrp", FILTER_COEFFICIENT, "fc4"), D("filt_coef_rsrq", FILTER_COEFFICIENT, "fc4")]),
+        ),
+        O("quant_cfg_utra", Todo("QuantityConfigUTRA")),
+        O("quant_cfg_geran", Todo("QuantityConfigGERAN")),
+        O("quant_cfg_cdma2000", Todo("QuantityConfigCDMA2000")),
+    ],
+    ext=True,
+)
+
+MEAS_GAP_CONFIG = setup_release(
+    Seq([M("gap_offset", Choice([("gp0", Int(0, 39)), ("gp1", Int(0, 79))], ext=True))])
+)
+
+SPEED_STATE_PARS = setup_release(
+    Seq(
+        [
+            M(
+                "mob_state_params",
+                Seq(
+                    [
+                        M("t_eval", Enum(["s30", "s60", "s120", "s180", "s240", "spare3", "spare2", "spare1"])),
+                        M("t_hyst_normal", Enum(["s30", "s60", "s120", "s180", "s240", "spare3", "spare2", "spare1"])),
+                        M("n_cell_change_medium", Int(1, 16)),
+                        M("n_cell_change_high", Int(1, 16)),
+                    ]
+                ),
+            ),
+            M(
+                "time_to_trigger_sf",
+                Seq(
+                    [
+                        M("sf_medium", Enum(["o_dot25", "o_dot5", "o_dot75", "l_dot0"])),
+                        M("sf_high", Enum(["o_dot25", "o_dot5", "o_dot75", "l_dot0"])),
+                    ]
+                ),
+            ),
+        ]
+    )
+)
+
+MEAS_CONFIG = Seq(
+    [
+        O("meas_obj_to_rem_list", SeqOf(Int(1, 32), 1, 32)),
+        O("meas_obj_to_add_mod_list", SeqOf(MEAS_OBJECT_TO_ADD_MOD, 1, 32)),
+        O("report_cfg_to_rem_list", SeqOf(Int(1, 32), 1, 32)),
+        O("report_cfg_to_add_mod_list", SeqOf(REPORT_CONFIG_TO_ADD_MOD, 1, 32)),
+        O("meas_id_to_rem_list", SeqOf(Int(1, 32), 1, 32)),
+        O("meas_id_to_add_mod_list", SeqOf(MEAS_ID_TO_ADD_MOD, 1, 32)),
+        O("quant_cfg", QUANTITY_CONFIG),
+        O("meas_gap_cfg", MEAS_GAP_CONFIG),
+        O("s_measure", Int(0, 97)),
+        O("pre_regist_info_hrpd", Todo("PreRegistrationInfoHRPD")),
+        O("speed_state_pars", SPEED_STATE_PARS),
+    ],
+    ext=True,
+)
+
+# ------------------------------------------------------------ MeasResults
+
+MCC_MNC_DIGIT = Int(0, 9)
+PLMN_IDENTITY = Seq(
+    [O("mcc", SeqOf(MCC_MNC_DIGIT, 3, 3)), M("mnc", SeqOf(MCC_MNC_DIGIT, 2, 3))]
+)
+CELL_GLOBAL_ID_EUTRA = Seq([M("plmn_id", PLMN_IDENTITY), M("cell_id", BitStr(28))])
+
+MEAS_RESULT_EUTRA = Seq(
+    [
+        M("pci", PHYS_CELL_ID),
+        O(
+            "cgi_info",
+            Seq(
+                [
+                    M("cell_global_id", CELL_GLOBAL_ID_EUTRA),
+                    M("tac", BitStr(16)),
+                    O("plmn_id_list", SeqOf(PLMN_IDENTITY, 1, 5)),
+                ]
+            ),
+        ),
+        M(
+            "meas_result",
+            Seq([O("rsrp_result", Int(0, 97)), O("rsrq_result", Int(0, 34))], ext=True),
+        ),
+    ]
+)
+
+MEAS_RESULTS = Seq(
+    [
+        M("meas_id", Int(1, 32)),
+        M("meas_result_pcell", Seq([M("rsrp_result", Int(0, 97)), M("rsrq_result", Int(0, 34))])),
+        O(
+            "meas_result_neigh_cells",
+            Choice(
+                [
+                    ("meas_result_list_eutra", SeqOf(MEAS_RESULT_EUTRA, 1, 8)),
+                    ("meas_result_list_utra", Todo("MeasResultListUTRA")),
+                    ("meas_result_list_geran", Todo("MeasResultListGERAN")),
+                    ("meas_results_cdma2000", Todo("MeasResultsCDMA2000")),
+                ],
+                ext=True,
+            ),
+        ),
+    ],
+    ext=True,
+)
+
+# ======================================================================
+# DL-DCCH messages
+# ======================================================================
+
+SECURITY_ALGORITHM_CONFIG = Seq(
+    [
+        M(
+            "ciphering_algorithm",
+            Enum(["eea0", "eea1", "eea2", "eea3_v1130", "spare4", "spare3", "spare2", "spare1"], ext=True),
+        ),
+        M(
+            "integrity_prot_algorithm",
+            Enum(["eia0_v920", "eia1", "eia2", "eia3_v1130", "spare4", "spare3", "spare2", "spare1"], ext=True),
+        ),
+    ]
+)
+
+SECURITY_CONFIG_HO = Seq(
+    [
+        M(
+            "handov_type",
+            Choice(
+                [
+                    (
+                        "intra_lte",
+                        Seq(
+                            [
+                                O("security_algorithm_cfg", SECURITY_ALGORITHM_CONFIG),
+                                M("key_change_ind", Bool()),
+                                M("next_hop_chaining_count", Int(0, 7)),
+                            ]
+                        ),
+                    ),
+                    (
+                        "inter_rat",
+                        Seq(
+                            [
+                                M("security_algorithm_cfg", SECURITY_ALGORITHM_CONFIG),
+                                M("nas_security_param_to_eutra", OctStr(6, 6)),
+                            ]
+                        ),
+                    ),
+                ]
+            ),
+        ),
+    ],
+    ext=True,
+)
+
+RACH_CONFIG_DEDICATED = Seq([M("ra_preamb_idx", Int(0, 63)), M("ra_prach_mask_idx", Int(0, 15))])
+
+CARRIER_BANDWIDTH_EUTRA = Seq(
+    [
+        M("dl_bw", Enum(["n6", "n15", "n25", "n50", "n75", "n100"] + [f"spare{i}" for i in range(10, 0, -1)])),
+        O("ul_bw", Enum(["n6", "n15", "n25", "n50", "n75", "n100"] + [f"spare{i}" for i in range(10, 0, -1)])),
+    ]
+)
+
+CARRIER_FREQ_EUTRA = Seq([M("dl_carrier_freq", ARFCN), O("ul_carrier_freq", ARFCN)])
+
+MOBILITY_CONTROL_INFO = Seq(
+    [
+        M("target_pci", PHYS_CELL_ID),
+        O("carrier_freq", CARRIER_FREQ_EUTRA),
+        O("carrier_bw", CARRIER_BANDWIDTH_EUTRA),
+        O("add_spec_emission", Int(1, 32)),
+        M("t304", Enum(["ms50", "ms100", "ms150", "ms200", "ms500", "ms1000", "ms2000", "ms10000_v1310"])),
+        M("new_ue_id", BitStr(16)),
+        M("rr_cfg_common", RADIO_RESOURCE_CONFIG_COMMON),
+        O("rach_cfg_ded", RACH_CONFIG_DEDICATED),
+    ],
+    ext=True,
+)
+
+DEDICATED_INFO_NAS = OctStr()
+
+RRC_CONN_RECFG = Seq(
+    [
+        M("rrc_transaction_id", Int(0, 3)),
+        M(
+            "crit_exts",
+            crit_ext_c1(
+                "rrc_conn_recfg",
+                Seq(
+                    [
+                        O("meas_cfg", MEAS_CONFIG),
+                        O("mob_ctrl_info", MOBILITY_CONTROL_INFO),
+                        O("ded_info_nas_list", SeqOf(DEDICATED_INFO_NAS, 1, 11)),
+                        O("rr_cfg_ded", RADIO_RESOURCE_CONFIG_DEDICATED),
+                        O("security_cfg_ho", SECURITY_CONFIG_HO),
+                        O("non_crit_ext", Seq([O("late_non_crit_ext", OctStr()), O("non_crit_ext", Seq([]))])),
+                    ]
+                ),
+                7,
+            ),
+        ),
+    ]
+)
+
+REDIRECTED_CARRIER_INFO = Choice(
+    [
+        ("eutra", ARFCN),
+        ("geran", Todo("CarrierFreqsGERAN")),
+        ("utra_fdd", Int(0, 16383)),
+        ("utra_tdd", Int(0, 16383)),
+        ("cdma2000_hrpd", Todo("CarrierFreqCDMA2000")),
+        ("cdma2000_1x_rtt", Todo("CarrierFreqCDMA2000")),
+    ],
+    ext=True,
+)
+
+FREQ_PRIORITY_EUTRA = Seq([M("carrier_freq", ARFCN), M("cell_resel_prio", Int(0, 7))])
+
+IDLE_MODE_MOBILITY_CONTROL_INFO = Seq(
+    [
+        O("freq_prio_list_eutra", SeqOf(FREQ_PRIORITY_EUTRA, 1, 8)),
+        O("freq_prio_list_geran", Todo("FreqsPriorityListGERAN")),
+        O("freq_prio_list_utra_fdd", Todo("FreqsPriorityListUTRA-FDD")),
+        O("freq_prio_list_utra_tdd", Todo("FreqsPriorityListUTRA-TDD")),
+        O("band_class_prio_list_hrpd", Todo("BandClassPriorityListHRPD")),
+        O("band_class_prio_list1_xrtt", Todo("BandClassPriorityList1XRTT")),
+        O("t320", Enum(["min5", "min10", "min20", "min30", "min60", "min120", "min180", "spare1"])),
+    ],
+    ext=True,
+)
+
+RRC_CONN_RELEASE = Seq(
+    [
+        M("rrc_transaction_id", Int(0, 3)),
+        M(
+            "crit_exts",
+            crit_ext_c1(
+                "rrc_conn_release",
+                Seq(
+                    [
+                        M(
+                            "release_cause",
+                            Enum(["load_balancing_ta_urequired", "other", "cs_fallback_high_prio_v1020", "rrc_suspend_v1320"]),
+                        ),
+                        O("redirected_carrier_info", REDIRECTED_CARRIER_INFO),
+                        O("idle_mode_mob_ctrl_info", IDLE_MODE_MOBILITY_CONTROL_INFO),
+                        O("non_crit_ext", Seq([O("late_non_crit_ext", OctStr()), O("non_crit_ext", Seq([]))])),
+                    ]
+                ),
+                3,
+            ),
+        ),
+    ]
+)
+
+SECURITY_MODE_COMMAND = Seq(
+    [
+        M("rrc_transaction_id", Int(0, 3)),
+        M(
+            "crit_exts",
+            crit_ext_c1(
+                "security_mode_cmd",
+                Seq(
+                    [
+                        M("security_cfg_smc", Seq([M("security_algorithm_cfg", SECURITY_ALGORITHM_CONFIG)], ext=True)),
+                        O("non_crit_ext", Seq([O("late_non_crit_ext", OctStr()), O("non_crit_ext", Seq([]))])),
+                    ]
+                ),
+                3,
+            ),
+        ),
+    ]
+)
+
+RAT_TYPE = Enum(
+    ["eutra", "utra", "geran_cs", "geran_ps", "cdma2000_1xrtt", "nr", "eutra_nr", "spare1"], ext=True
+)
+
+UE_CAPABILITY_ENQUIRY = Seq(
+    [
+        M("rrc_transaction_id", Int(0, 3)),
+        M(
+            "crit_exts",
+            crit_ext_c1(
+                "ue_cap_enquiry",
+                Seq(
+                    [
+                        M("ue_cap_request", SeqOf(RAT_TYPE, 1, 8)),
+                        O("non_crit_ext", Seq([O("late_non_crit_ext", OctStr()), O("non_crit_ext", Seq([]))])),
+                    ]
+                ),
+                3,
+            ),
+        ),
+    ]
+)
+
+DEDICATED_INFO_TYPE = Choice(
+    [
+        ("ded_info_nas", DEDICATED_INFO_NAS),
+        ("ded_info_cdma2000_1xrtt", OctStr()),
+        ("ded_info_cdma2000_hrpd", OctStr()),
+    ]
+)
+
+DL_INFO_TRANSFER = Seq(
+    [
+        M("rrc_transaction_id", Int(0, 3)),
+        M(
+            "crit_exts",
+            crit_ext_c1(
+                "dl_info_transfer",
+                Seq(
+                    [
+                        M("ded_info_type", DEDICATED_INFO_TYPE),
+                        O("non_crit_ext", Seq([O("late_non_crit_ext", OctStr()), O("non_crit_ext", Seq([]))])),
+                    ]
+                ),
+                3,
+            ),
+        ),
+    ]
+)
+
+DL_DCCH_MESSAGE = Seq(
+    [
+        M(
+            "msg",
+            Choice(
+                [
+                    (
+                        "c1",
+                        Choice(
+                            [
+                                ("csfb_params_resp_cdma2000", Todo("CSFBParametersResponseCDMA2000")),
+                                ("dl_info_transfer", DL_INFO_TRANSFER),
+                                ("ho_from_eutra_prep_request", Todo("HandoverFromEUTRAPreparationRequest")),
+                                ("mob_from_eutra_cmd", Todo("MobilityFromEUTRACommand")),
+                                ("rrc_conn_recfg", RRC_CONN_RECFG),
+                                ("rrc_conn_release", RRC_CONN_RELEASE),
+                                ("security_mode_cmd", SECURITY_MODE_COMMAND),
+                                ("ue_cap_enquiry", UE_CAPABILITY_ENQUIRY),
+                                ("counter_check", Todo("CounterCheck")),
+                                ("ue_info_request_r9", Todo("UEInformationRequest-r9")),
+                                ("logged_meas_cfg_r10", Todo("LoggedMeasurementConfiguration-r10")),
+                                ("rn_recfg_r10", Todo("RNReconfiguration-r10")),
+                                ("spare4", Null()),
+                                ("spare3", Null()),
+                                ("spare2", Null()),
+                                ("spare1", Null()),
+                            ]
+                        ),
+                    ),
+                    ("msg_class_ext", Seq([])),
+                ]
+            ),
+        )
+    ]
+)
+
+# ======================================================================
+# UL-CCCH / UL-DCCH messages
+# ======================================================================
+
+S_TMSI = Seq([M("mmec", BitStr(8)), M("m_tmsi", BitStr(32))])
+
+RRC_CONN_REQUEST = Seq(
+    [
+        M(
+            "crit_exts",
+            Choice(
+                [
+                    (
+                        "rrc_conn_request_r8",
+                        Seq(
+                            [
+                                M("ue_id", Choice([("s_tmsi", S_TMSI), ("random_value", BitStr(40))])),
+                                M(
+                                    "establishment_cause",
+                                    Enum(["emergency", "high_prio_access", "mt_access", "mo_sig",
+                                          "mo_data", "delay_tolerant_access_v1020", "mo_voice_call_v1280", "spare1"]),
+                                ),
+                                M("spare", BitStr(1)),
+                            ]
+                        ),
+                    ),
+                    ("crit_exts_future", Seq([])),
+                ]
+            ),
+        ),
+    ]
+)
+
+REESTAB_UE_IDENTITY = Seq(
+    [M("c_rnti", BitStr(16)), M("pci", PHYS_CELL_ID), M("short_mac_i", BitStr(16))]
+)
+
+RRC_CONN_REEST_REQUEST = Seq(
+    [
+        M(
+            "crit_exts",
+            Choice(
+                [
+                    (
+                        "rrc_conn_reest_request_r8",
+                        Seq(
+                            [
+                                M("ue_id", REESTAB_UE_IDENTITY),
+                                M(
+                                    "reest_cause",
+                                    Enum(["recfg_fail", "ho_fail", "other_fail", "spare1"]),
+                                ),
+                                M("spare", BitStr(2)),
+                            ]
+                        ),
+                    ),
+                    ("crit_exts_future", Seq([])),
+                ]
+            ),
+        ),
+    ]
+)
+
+UL_CCCH_MESSAGE = Seq(
+    [
+        M(
+            "msg",
+            Choice(
+                [
+                    (
+                        "c1",
+                        Choice(
+                            [
+                                ("rrc_conn_reest_request", RRC_CONN_REEST_REQUEST),
+                                ("rrc_conn_request", RRC_CONN_REQUEST),
+                            ]
+                        ),
+                    ),
+                    ("msg_class_ext", Seq([])),
+                ]
+            ),
+        )
+    ]
+)
+
+MEASUREMENT_REPORT = Seq(
+    [
+        M(
+            "crit_exts",
+            crit_ext_c1(
+                "meas_report",
+                Seq([M("meas_results", MEAS_RESULTS), O("non_crit_ext", Seq([]))]),
+                7,
+            ),
+        ),
+    ]
+)
+
+RRC_CONN_RECFG_COMPLETE = Seq(
+    [
+        M("rrc_transaction_id", Int(0, 3)),
+        M(
+            "crit_exts",
+            Choice(
+                [
+                    ("rrc_conn_recfg_complete_r8", Seq([O("non_crit_ext", Seq([O("late_non_crit_ext", OctStr()), O("non_crit_ext", Seq([]))]))])),
+                    ("crit_exts_future", Seq([])),
+                ]
+            ),
+        ),
+    ]
+)
+
+RRC_CONN_REEST_COMPLETE = Seq(
+    [
+        M("rrc_transaction_id", Int(0, 3)),
+        M(
+            "crit_exts",
+            Choice(
+                [
+                    ("rrc_conn_reest_complete_r8", Seq([O("non_crit_ext", Seq([O("late_non_crit_ext", OctStr()), O("non_crit_ext", Seq([]))]))])),
+                    ("crit_exts_future", Seq([])),
+                ]
+            ),
+        ),
+    ]
+)
+
+REGISTERED_MME = Seq([O("plmn_id", PLMN_IDENTITY), M("mmegi", BitStr(16)), M("mmec", BitStr(8))])
+
+RRC_CONN_SETUP_COMPLETE = Seq(
+    [
+        M("rrc_transaction_id", Int(0, 3)),
+        M(
+            "crit_exts",
+            Choice(
+                [
+                    (
+                        "c1",
+                        c1_spares(
+                            [
+                                (
+                                    "rrc_conn_setup_complete_r8",
+                                    Seq(
+                                        [
+                                            M("sel_plmn_id", Int(1, 6)),
+                                            O("registered_mme", REGISTERED_MME),
+                                            M("ded_info_nas", DEDICATED_INFO_NAS),
+                                            O("non_crit_ext", Seq([O("late_non_crit_ext", OctStr()), O("non_crit_ext", Seq([]))])),
+                                        ]
+                                    ),
+                                )
+                            ],
+                            3,
+                        ),
+                    ),
+                    ("crit_exts_future", Seq([])),
+                ]
+            ),
+        ),
+    ]
+)
+
+SECURITY_MODE_COMPLETE = Seq(
+    [
+        M("rrc_transaction_id", Int(0, 3)),
+        M(
+            "crit_exts",
+            Choice(
+                [
+                    ("security_mode_complete_r8", Seq([O("non_crit_ext", Seq([O("late_non_crit_ext", OctStr()), O("non_crit_ext", Seq([]))]))])),
+                    ("crit_exts_future", Seq([])),
+                ]
+            ),
+        ),
+    ]
+)
+
+SECURITY_MODE_FAILURE = Seq(
+    [
+        M("rrc_transaction_id", Int(0, 3)),
+        M(
+            "crit_exts",
+            Choice(
+                [
+                    ("security_mode_fail_r8", Seq([O("non_crit_ext", Seq([O("late_non_crit_ext", OctStr()), O("non_crit_ext", Seq([]))]))])),
+                    ("crit_exts_future", Seq([])),
+                ]
+            ),
+        ),
+    ]
+)
+
+UE_CAPABILITY_RAT_CONTAINER = Seq([M("rat_type", RAT_TYPE), M("ue_cap_rat_container", OctStr())])
+
+UE_CAPABILITY_INFORMATION = Seq(
+    [
+        M("rrc_transaction_id", Int(0, 3)),
+        M(
+            "crit_exts",
+            Choice(
+                [
+                    (
+                        "c1",
+                        c1_spares(
+                            [
+                                (
+                                    "ue_cap_info_r8",
+                                    Seq(
+                                        [
+                                            M("ue_cap_rat_container_list", SeqOf(UE_CAPABILITY_RAT_CONTAINER, 0, 8)),
+                                            O("non_crit_ext", Seq([O("late_non_crit_ext", OctStr()), O("non_crit_ext", Seq([]))])),
+                                        ]
+                                    ),
+                                )
+                            ],
+                            7,
+                        ),
+                    ),
+                    ("crit_exts_future", Seq([])),
+                ]
+            ),
+        ),
+    ]
+)
+
+UL_INFO_TRANSFER = Seq(
+    [
+        M(
+            "crit_exts",
+            crit_ext_c1(
+                "ul_info_transfer",
+                Seq(
+                    [
+                        M("ded_info_type", DEDICATED_INFO_TYPE),
+                        O("non_crit_ext", Seq([O("late_non_crit_ext", OctStr()), O("non_crit_ext", Seq([]))])),
+                    ]
+                ),
+                3,
+            ),
+        ),
+    ]
+)
+
+UL_DCCH_MESSAGE = Seq(
+    [
+        M(
+            "msg",
+            Choice(
+                [
+                    (
+                        "c1",
+                        Choice(
+                            [
+                                ("csfb_params_request_cdma2000", Todo("CSFBParametersRequestCDMA2000")),
+                                ("meas_report", MEASUREMENT_REPORT),
+                                ("rrc_conn_recfg_complete", RRC_CONN_RECFG_COMPLETE),
+                                ("rrc_conn_reest_complete", RRC_CONN_REEST_COMPLETE),
+                                ("rrc_conn_setup_complete", RRC_CONN_SETUP_COMPLETE),
+                                ("security_mode_complete", SECURITY_MODE_COMPLETE),
+                                ("security_mode_fail", SECURITY_MODE_FAILURE),
+                                ("ue_cap_info", UE_CAPABILITY_INFORMATION),
+                                ("ul_ho_prep_transfer", Todo("ULHandoverPreparationTransfer")),
+                                ("ul_info_transfer", UL_INFO_TRANSFER),
+                                ("counter_check_resp", Todo("CounterCheckResponse")),
+                                ("ue_info_resp_r9", Todo("UEInformationResponse-r9")),
+                                ("proximity_ind_r9", Todo("ProximityIndication-r9")),
+                                ("rn_recfg_complete_r10", Todo("RNReconfigurationComplete-r10")),
+                                ("mbms_count_resp_r10", Todo("MBMSCountingResponse-r10")),
+                                ("inter_freq_rstd_meas_ind_r10", Todo("InterFreqRSTDMeasurementIndication-r10")),
+                            ]
+                        ),
+                    ),
+                    ("msg_class_ext", Seq([])),
+                ]
+            ),
+        )
+    ]
+)
+
+# ======================================================================
+# System information: BCCH-DL-SCH (SIB1, SystemInformation/SIB2+)
+# ======================================================================
+
+AC_BARRING_CONFIG = Seq(
+    [
+        M(
+            "ac_barr_factor",
+            Enum(["p00", "p05", "p10", "p15", "p20", "p25", "p30", "p40",
+                  "p50", "p60", "p70", "p75", "p80", "p85", "p90", "p95"]),
+        ),
+        M("ac_barr_time", Enum(["s4", "s8", "s16", "s32", "s64", "s128", "s256", "s512"])),
+        M("ac_barr_for_special_ac", BitStr(5)),
+    ]
+)
+
+BCCH_CONFIG = Seq([M("mod_period_coeff", Enum(["n2", "n4", "n8", "n16"]))])
+
+PCCH_CONFIG = Seq(
+    [
+        M("default_paging_cycle", Enum(["rf32", "rf64", "rf128", "rf256"])),
+        M(
+            "nb",
+            Enum(["four_t", "two_t", "one_t", "half_t", "quarter_t", "one_eighth_t",
+                  "one_sixteenth_t", "one_thirty_second_t"]),
+        ),
+    ]
+)
+
+RADIO_RESOURCE_CONFIG_COMMON_SIB = Seq(
+    [
+        M("rach_cfg_common", RACH_CONFIG_COMMON),
+        M("bcch_cfg", BCCH_CONFIG),
+        M("pcch_cfg", PCCH_CONFIG),
+        M("prach_cfg", PRACH_CONFIG_SIB),
+        M("pdsch_cfg_common", PDSCH_CONFIG_COMMON),
+        M("pusch_cfg_common", PUSCH_CONFIG_COMMON),
+        M("pucch_cfg_common", PUCCH_CONFIG_COMMON),
+        M("srs_ul_cfg_common", SRS_UL_CONFIG_COMMON),
+        M("ul_pwr_ctrl_common", UL_POWER_CONTROL_COMMON),
+        M("ul_cp_len", Enum(["len1", "len2"])),
+    ],
+    ext=True,
+)
+
+UE_TIMERS_AND_CONSTANTS = Seq(
+    [
+        M("t300", Enum(["ms100", "ms200", "ms300", "ms400", "ms600", "ms1000", "ms1500", "ms2000"])),
+        M("t301", Enum(["ms100", "ms200", "ms300", "ms400", "ms600", "ms1000", "ms1500", "ms2000"])),
+        M("t310", Enum(["ms0", "ms50", "ms100", "ms200", "ms500", "ms1000", "ms2000"])),
+        M("n310", Enum(["n1", "n2", "n3", "n4", "n6", "n8", "n10", "n20"])),
+        M("t311", Enum(["ms1000", "ms3000", "ms5000", "ms10000", "ms15000", "ms20000", "ms30000"])),
+        M("n311", Enum(["n1", "n2", "n3", "n4", "n5", "n6", "n8", "n10"])),
+    ],
+    ext=True,
+)
+
+MBSFN_SUBFRAME_CONFIG = Seq(
+    [
+        M("radioframe_alloc_period", Enum(["n1", "n2", "n4", "n8", "n16", "n32"])),
+        M("radioframe_alloc_offset", Int(0, 7)),
+        M("sf_alloc", Choice([("one_frame", BitStr(6)), ("four_frames", BitStr(24))])),
+    ]
+)
+
+SIB2 = Seq(
+    [
+        O(
+            "ac_barr_info",
+            Seq(
+                [
+                    M("ac_barr_for_emergency", Bool()),
+                    O("ac_barr_for_mo_sig", AC_BARRING_CONFIG),
+                    O("ac_barr_for_mo_data", AC_BARRING_CONFIG),
+                ]
+            ),
+        ),
+        M("rr_cfg_common", RADIO_RESOURCE_CONFIG_COMMON_SIB),
+        M("ue_timers_and_consts", UE_TIMERS_AND_CONSTANTS),
+        M(
+            "freq_info",
+            Seq(
+                [
+                    O("ul_carrier_freq", ARFCN),
+                    O("ul_bw", Enum(["n6", "n15", "n25", "n50", "n75", "n100"])),
+                    M("add_spec_emission", Int(1, 32)),
+                ]
+            ),
+        ),
+        O("mbsfn_sf_cfg_list", SeqOf(MBSFN_SUBFRAME_CONFIG, 1, 8)),
+        M("time_align_timer_common", TIME_ALIGN_TIMER),
+    ],
+    ext=True,
+    ext_additions=[
+        M("late_non_crit_ext", OctStr()),
+    ],
+)
+
+SIB_TYPE = Enum(
+    ["sib_type3", "sib_type4", "sib_type5", "sib_type6", "sib_type7", "sib_type8",
+     "sib_type9", "sib_type10", "sib_type11", "sib_type12_v920", "sib_type13_v920",
+     "sib_type14_v1130", "sib_type15_v1130", "sib_type16_v1130", "sib_type17_v1250",
+     "sib_type18_v1250"],
+    ext=True,
+    ext_names=["sib_type19_v1250", "sib_type20_v1310", "sib_type21_v1430",
+               "sib_type24_v1530", "sib_type25_v1530", "sib_type26_v1530"],
+)
+
+SCHEDULING_INFO = Seq(
+    [
+        M("si_periodicity", Enum(["rf8", "rf16", "rf32", "rf64", "rf128", "rf256", "rf512"])),
+        M("sib_map_info", SeqOf(SIB_TYPE, 0, 31)),
+    ]
+)
+
+PLMN_IDENTITY_INFO = Seq(
+    [
+        M("plmn_id", PLMN_IDENTITY),
+        M("cell_reserved_for_oper", Enum(["reserved", "not_reserved"])),
+    ]
+)
+
+SIB1 = Seq(
+    [
+        M(
+            "cell_access_related_info",
+            Seq(
+                [
+                    M("plmn_id_list", SeqOf(PLMN_IDENTITY_INFO, 1, 6)),
+                    M("tac", BitStr(16)),
+                    M("cell_id", BitStr(28)),
+                    M("cell_barred", Enum(["barred", "not_barred"])),
+                    M("intra_freq_resel", Enum(["allowed", "not_allowed"])),
+                    M("csg_ind", Bool()),
+                    O("csg_id", BitStr(27)),
+                ]
+            ),
+        ),
+        M(
+            "cell_sel_info",
+            Seq([M("q_rx_lev_min", Int(-70, -22)), O("q_rx_lev_min_offset", Int(1, 8))]),
+        ),
+        O("p_max", Int(-30, 33)),
+        M("freq_band_ind", Int(1, 64)),
+        M("sched_info_list", SeqOf(SCHEDULING_INFO, 1, 32)),
+        O("tdd_cfg", TDD_CONFIG),
+        M("si_win_len", Enum(["ms1", "ms2", "ms5", "ms10", "ms15", "ms20", "ms40"])),
+        M("sys_info_value_tag", Int(0, 31)),
+        O("non_crit_ext", Seq([O("late_non_crit_ext", OctStr()), O("non_crit_ext", Seq([]))])),
+    ]
+)
+
+
+SPEED_STATE_SCALE_FACTORS = Seq(
+    [
+        M("sf_medium", Enum(["o_dot25", "o_dot5", "o_dot75", "l_dot0"])),
+        M("sf_high", Enum(["o_dot25", "o_dot5", "o_dot75", "l_dot0"])),
+    ]
+)
+
+SIB3 = Seq(
+    [
+        M(
+            "cell_resel_info_common",
+            Seq(
+                [
+                    M(
+                        "q_hyst",
+                        Enum(["db0", "db1", "db2", "db3", "db4", "db5", "db6", "db8", "db10",
+                              "db12", "db14", "db16", "db18", "db20", "db22", "db24"]),
+                    ),
+                    O(
+                        "speed_state_resel_pars",
+                        Seq(
+                            [
+                                M(
+                                    "mob_state_params",
+                                    Seq(
+                                        [
+                                            M("t_eval", Enum(["s30", "s60", "s120", "s180", "s240", "spare3", "spare2", "spare1"])),
+                                            M("t_hyst_normal", Enum(["s30", "s60", "s120", "s180", "s240", "spare3", "spare2", "spare1"])),
+                                            M("n_cell_change_medium", Int(1, 16)),
+                                            M("n_cell_change_high", Int(1, 16)),
+                                        ]
+                                    ),
+                                ),
+                                M(
+                                    "q_hyst_sf",
+                                    Seq(
+                                        [
+                                            M("sf_medium", Enum(["db_minus6", "db_minus4", "db_minus2", "db0"])),
+                                            M("sf_high", Enum(["db_minus6", "db_minus4", "db_minus2", "db0"])),
+                                        ]
+                                    ),
+                                ),
+                            ]
+                        ),
+                    ),
+                ]
+            ),
+        ),
+        M(
+            "cell_resel_serving_freq_info",
+            Seq(
+                [
+                    O("s_non_intra_search", Int(0, 31)),
+                    M("thresh_serving_low", Int(0, 31)),
+                    M("cell_resel_prio", Int(0, 7)),
+                ]
+            ),
+        ),
+        M(
+            "intra_freq_cell_resel_info",
+            Seq(
+                [
+                    M("q_rx_lev_min", Int(-70, -22)),
+                    O("p_max", Int(-30, 33)),
+                    O("s_intra_search", Int(0, 31)),
+                    O("allowed_meas_bw", Enum(["mbw6", "mbw15", "mbw25", "mbw50", "mbw75", "mbw100"])),
+                    M("presence_ant_port1", Bool()),
+                    M("neigh_cell_cfg", BitStr(2)),
+                    M("t_resel_eutra", Int(0, 7)),
+                    O("t_resel_eutra_sf", SPEED_STATE_SCALE_FACTORS),
+                ]
+            ),
+        ),
+    ],
+    ext=True,
+    ext_additions=[
+        M("late_non_crit_ext", OctStr()),
+    ],
+)
+
+SIB_TYPE_AND_INFO_ITEM = Choice(
+    [
+        ("sib2", SIB2),
+        ("sib3", SIB3),
+        ("sib4", Todo("SIB4")),
+        ("sib5", Todo("SIB5")),
+        ("sib6", Todo("SIB6")),
+        ("sib7", Todo("SIB7")),
+        ("sib8", Todo("SIB8")),
+        ("sib9", Todo("SIB9")),
+        ("sib10", Todo("SIB10")),
+        ("sib11", Todo("SIB11")),
+    ],
+    ext=True,
+    ext_alts=[
+        ("sib12_v920", Todo("SIB12-r9")),
+        ("sib13_v920", Todo("SIB13-r9")),
+    ],
+)
+
+SYSTEM_INFORMATION = Seq(
+    [
+        M(
+            "crit_exts",
+            Choice(
+                [
+                    (
+                        "sys_info_r8",
+                        Seq(
+                            [
+                                M("sib_type_and_info", SeqOf(SIB_TYPE_AND_INFO_ITEM, 1, 32)),
+                                O("non_crit_ext", Seq([O("late_non_crit_ext", OctStr()), O("non_crit_ext", Seq([]))])),
+                            ]
+                        ),
+                    ),
+                    ("crit_exts_future_r15", Seq([])),
+                ]
+            ),
+        ),
+    ]
+)
+
+BCCH_DL_SCH_MESSAGE = Seq(
+    [
+        M(
+            "msg",
+            Choice(
+                [
+                    ("c1", Choice([("sys_info", SYSTEM_INFORMATION), ("sib_type1", SIB1)])),
+                    ("msg_class_ext", Seq([])),
+                ]
+            ),
+        )
+    ]
+)
+
+# ======================================================================
+# MCCH (MBSFNAreaConfiguration-r9) and PCCH (Paging)
+# ======================================================================
+
+TMGI_R9 = Seq(
+    [
+        M("plmn_id_r9", Choice([("plmn_idx_r9", Int(1, 6)), ("explicit_value_r9", PLMN_IDENTITY)])),
+        M("service_id_r9", OctStr(3, 3)),
+    ]
+)
+
+MBMS_SESSION_INFO_R9 = Seq(
+    [
+        M("tmgi_r9", TMGI_R9),
+        O("session_id_r9", OctStr(1, 1)),
+        M("lc_ch_id_r9", Int(0, 28)),
+    ],
+    ext=True,
+)
+
+PMCH_CONFIG_R9 = Seq(
+    [
+        M("sf_alloc_end_r9", Int(0, 1535)),
+        M("data_mcs_r9", Int(0, 28)),
+        M("mch_sched_period_r9", Enum(["rf8", "rf16", "rf32", "rf64", "rf128", "rf256", "rf512", "rf1024"])),
+    ],
+    ext=True,
+)
+
+PMCH_INFO_R9 = Seq(
+    [
+        M("pmch_cfg_r9", PMCH_CONFIG_R9),
+        M("mbms_session_info_list_r9", SeqOf(MBMS_SESSION_INFO_R9, 0, 29)),
+    ],
+    ext=True,
+)
+
+MBSFN_AREA_CONFIGURATION_R9 = Seq(
+    [
+        M("common_sf_alloc_r9", SeqOf(MBSFN_SUBFRAME_CONFIG, 1, 8)),
+        M("common_sf_alloc_period_r9", Enum(["rf4", "rf8", "rf16", "rf32", "rf64", "rf128", "rf256"])),
+        M("pmch_info_list_r9", SeqOf(PMCH_INFO_R9, 0, 15)),
+        O("non_crit_ext", Seq([])),
+    ]
+)
+
+MCCH_MESSAGE = Seq(
+    [
+        M(
+            "msg",
+            Choice(
+                [
+                    ("c1", Choice([("mbsfn_area_cfg_r9", MBSFN_AREA_CONFIGURATION_R9)])),
+                    (
+                        "later",
+                        Choice(
+                            [
+                                ("c2", Choice([("mbms_count_request_r10", Todo("MBMSCountingRequest-r10"))])),
+                                ("msg_class_ext", Seq([])),
+                            ]
+                        ),
+                    ),
+                ]
+            ),
+        )
+    ]
+)
+
+IMSI = SeqOf(MCC_MNC_DIGIT, 6, 21)
+
+PAGING_RECORD = Seq(
+    [
+        M("ue_id", Choice([("s_tmsi", S_TMSI), ("imsi", IMSI)], ext=True)),
+        M("cn_domain", Enum(["ps", "cs"])),
+    ],
+    ext=True,
+)
+
+PAGING = Seq(
+    [
+        O("paging_record_list", SeqOf(PAGING_RECORD, 1, 16)),
+        O("sys_info_mod", Enum(["true_value"])),
+        O("etws_ind", Enum(["true_value"])),
+        O("non_crit_ext", Seq([O("late_non_crit_ext", OctStr()), O("non_crit_ext", Seq([]))])),
+    ]
+)
+
+PCCH_MESSAGE = Seq(
+    [M("msg", Choice([("c1", Choice([("paging", PAGING)])), ("msg_class_ext", Seq([]))]))]
+)
