@@ -45,8 +45,8 @@ from ..phy.ue.ue_ul import ue_prach_send, ue_ul_encode
 from ..stack import rrc
 from ..stack import security as sec
 from ..stack.gtpu import GtpuEndpoint, gtpu_unpack
-from ..stack.mac import Scheduler, UeMac, parse_ul_pdu
-from ..stack.mac_pdu import mac_pack, mac_unpack
+from ..stack.mac import LCID_CON_RES, Scheduler, UeMac, parse_ul_pdu
+from ..stack.mac_pdu import DL_CE_SIZES, UL_CE_SIZES, mac_pack, mac_unpack
 from ..stack.nas_ue import UeNas, Usim
 from ..stack.pdcp import PdcpConfig, PdcpEntity
 from ..stack.rlc import RlcAm, RlcTm
@@ -193,7 +193,7 @@ class EnbStack:
         ue = self._by_enb_id.get(m.u32(s1ap.IE_ENB_UE_ID)) if s1ap.IE_ENB_UE_ID in m.ies else None
         if m.msg_type == s1ap.DOWNLINK_NAS_TRANSPORT and ue is not None:
             ue.mme_ue_id = m.u32(s1ap.IE_MME_UE_ID)
-            self._send_srb1(ue, rrc.pack(rrc.DL_INFO_TRANSFER, {rrc.IE_NAS_PDU: m.ies[s1ap.IE_NAS_PDU]}))
+            self._send_srb1(ue, rrc.pack_dl_info_transfer(m.ies[s1ap.IE_NAS_PDU]))
         elif m.msg_type == s1ap.INITIAL_CONTEXT_SETUP_REQUEST and ue is not None:
             ue.mme_ue_id = m.u32(s1ap.IE_MME_UE_ID)
             ue.k_enb = m.ies[s1ap.IE_KENB]
@@ -201,13 +201,7 @@ class EnbStack:
             self.gtpu.add_bearer(ue.dl_teid, spgw_teid)
             ue.pending_reconf_nas = m.ies[s1ap.IE_NAS_PDU]
             # AS security activation (rrc_ue.cc send_security_mode_command)
-            self._send_srb1(
-                ue,
-                rrc.pack(
-                    rrc.SECURITY_MODE_COMMAND,
-                    {rrc.IE_CIPHER_ALG: self.cipher_alg, rrc.IE_INTEGRITY_ALG: self.integ_alg},
-                ),
-            )
+            self._send_srb1(ue, rrc.pack_security_mode_command(self.cipher_alg, self.integ_alg))
             ue.rrc_state = self.RRC_SMC_SENT
             self._s1ap_send(
                 s1ap.pack(
@@ -221,10 +215,11 @@ class EnbStack:
 
     # --- RRC handling ---
     def _handle_ccch(self, ue: _EnbUe, pdu: bytes):
-        msg = rrc.unpack(pdu)
-        if msg.msg_type == rrc.CONN_REQUEST and ue.rrc_state in (self.RRC_IDLE, self.RRC_SETUP_SENT):
-            setup = rrc.pack(rrc.CONN_SETUP, {rrc.IE_UE_IDENTITY: msg.ies[rrc.IE_UE_IDENTITY], rrc.IE_CRNTI: ue.crnti})
-            ue.srb0.write_sdu(setup)
+        kind, _fields = rrc.unpack_ul_ccch(pdu)
+        if kind == "rrc_conn_request" and ue.rrc_state in (self.RRC_IDLE, self.RRC_SETUP_SENT):
+            # Msg4: contention-resolution CE (first 48 bits of Msg3) + Setup
+            self.sched.push_ce(ue.crnti, LCID_CON_RES, rrc.contention_resolution_id(pdu))
+            ue.srb0.write_sdu(rrc.pack_conn_setup())
             self.sched.bearer_ue_cfg(ue.crnti, LCID_CCCH, ue.srb0)
             self.sched.bearer_ue_cfg(ue.crnti, LCID_SRB1, ue.srb1_rlc)
             ue.rrc_state = self.RRC_SETUP_SENT
@@ -233,38 +228,38 @@ class EnbStack:
         rrc_pdu = ue.srb1_pdcp.write_pdu(pdcp_pdu)
         if rrc_pdu is None:
             return
-        msg = rrc.unpack(rrc_pdu)
-        if msg.msg_type == rrc.CONN_SETUP_COMPLETE:
+        kind, body = rrc.unpack_ul_dcch(rrc_pdu)
+        if kind == "rrc_conn_setup_complete":
             ue.rrc_state = self.RRC_CONNECTED
             self._s1ap_send(
                 s1ap.pack(
                     s1ap.INITIAL_UE_MESSAGE,
-                    {s1ap.IE_ENB_UE_ID: ue.enb_ue_id, s1ap.IE_NAS_PDU: msg.ies[rrc.IE_NAS_PDU]},
+                    {s1ap.IE_ENB_UE_ID: ue.enb_ue_id, s1ap.IE_NAS_PDU: body["ded_info_nas"]},
                 )
             )
-        elif msg.msg_type == rrc.UL_INFO_TRANSFER:
+        elif kind == "ul_info_transfer":
             self._s1ap_send(
                 s1ap.pack(
                     s1ap.UPLINK_NAS_TRANSPORT,
                     {
                         s1ap.IE_MME_UE_ID: ue.mme_ue_id or 0,
                         s1ap.IE_ENB_UE_ID: ue.enb_ue_id,
-                        s1ap.IE_NAS_PDU: msg.ies[rrc.IE_NAS_PDU],
+                        s1ap.IE_NAS_PDU: body["ded_info_type"][1],
                     },
                 )
             )
-        elif msg.msg_type == rrc.SECURITY_MODE_COMPLETE:
+        elif kind == "security_mode_complete":
             # switch SRB1/DRB to secured PDCP entities (counts reset)
             ue.srb1_pdcp, ue.drb_pdcp = _bearer_set(
                 ue.k_enb, self.cipher_alg, self.integ_alg, is_enb=True
             )
-            reconf = rrc.pack(
-                rrc.CONN_RECONFIGURATION,
-                {rrc.IE_DRB_ID: 1, rrc.IE_DRB_LCID: LCID_DRB1, rrc.IE_NAS_PDU: ue.pending_reconf_nas or b""},
+            reconf = rrc.pack_reconfiguration(
+                drb_id=1, lcid=LCID_DRB1, eps_bearer_id=5,
+                nas_pdu=ue.pending_reconf_nas or b"",
             )
             self._send_srb1(ue, reconf)
             ue.rrc_state = self.RRC_RECONF_SENT
-        elif msg.msg_type == rrc.CONN_RECONFIGURATION_COMPLETE:
+        elif kind == "rrc_conn_recfg_complete":
             self.sched.bearer_ue_cfg(ue.crnti, LCID_DRB1, ue.drb_rlc)
             ue.rrc_state = self.RRC_ACTIVE
 
@@ -588,12 +583,17 @@ class UeStack:
         self.crnti = temp_crnti
         self.rrc_state = self.RRC_WAIT_SETUP
         # Msg3 = RRC ConnectionRequest on CCCH at tti+4
-        self.msg3 = rrc.pack(rrc.CONN_REQUEST, {rrc.IE_UE_IDENTITY: self.ue_identity})
+        self.msg3 = rrc.pack_conn_request(self.ue_identity)
+        self._msg3_sdu = self.msg3  # kept for MAC contention resolution
         self.pending_tx[tti + FB_DELAY] = _msg3_grant(self.cell, temp_crnti, grant20)
 
     def _handle_dl_pdu(self, pdu: bytes):
-        for lcid, sdu in mac_unpack(pdu):
-            if lcid == LCID_CCCH:
+        for lcid, sdu in mac_unpack(pdu, ce_sizes=DL_CE_SIZES):
+            if lcid == LCID_CON_RES:
+                self._con_res_ok = self.mac.handle_contention_resolution(
+                    sdu, rrc.contention_resolution_id(getattr(self, "_msg3_sdu", b""))
+                )
+            elif lcid == LCID_CCCH:
                 self._handle_ccch(sdu)
             elif lcid == LCID_SRB1:
                 self.srb1_rlc.write_pdu(sdu)
@@ -607,38 +607,33 @@ class UeStack:
                         self.ip_rx.append(pkt)
 
     def _handle_ccch(self, sdu: bytes):
-        msg = rrc.unpack(sdu)
-        if msg.msg_type == rrc.CONN_SETUP and msg.ies.get(rrc.IE_UE_IDENTITY) == self.ue_identity:
+        kind, _body = rrc.unpack_dl_ccch(sdu)
+        if kind == "rrc_conn_setup" and getattr(self, "_con_res_ok", False):
             self.rrc_state = self.RRC_CONNECTED
-            complete = rrc.pack(
-                rrc.CONN_SETUP_COMPLETE, {rrc.IE_NAS_PDU: self.nas.attach_request()}
-            )
-            self._send_srb1(complete)
+            self._send_srb1(rrc.pack_conn_setup_complete(self.nas.attach_request()))
 
     def _handle_srb1(self, pdcp_pdu: bytes):
         rrc_pdu = self.srb1_pdcp.write_pdu(pdcp_pdu)
         if rrc_pdu is None:
             return
-        msg = rrc.unpack(rrc_pdu)
-        if msg.msg_type == rrc.DL_INFO_TRANSFER:
-            resp = self.nas.handle_dl(msg.ies[rrc.IE_NAS_PDU])
+        kind, body = rrc.unpack_dl_dcch(rrc_pdu)
+        if kind == "dl_info_transfer":
+            resp = self.nas.handle_dl(body["ded_info_type"][1])
             if resp is not None:
-                self._send_srb1(rrc.pack(rrc.UL_INFO_TRANSFER, {rrc.IE_NAS_PDU: resp}))
-        elif msg.msg_type == rrc.SECURITY_MODE_COMMAND:
-            self.cipher_alg = msg.u32(rrc.IE_CIPHER_ALG)
-            self.integ_alg = msg.u32(rrc.IE_INTEGRITY_ALG)
+                self._send_srb1(rrc.pack_ul_info_transfer(resp))
+        elif kind == "security_mode_cmd":
+            self.cipher_alg, self.integ_alg = rrc.smc_algorithms(body)
             # respond on the old (unsecured) entity, then switch
-            self._send_srb1(rrc.pack(rrc.SECURITY_MODE_COMPLETE))
+            self._send_srb1(rrc.pack_security_mode_complete())
             self.srb1_pdcp, self.drb_pdcp = _bearer_set(
                 self.nas.get_k_enb(), self.cipher_alg, self.integ_alg, is_enb=False
             )
-        elif msg.msg_type == rrc.CONN_RECONFIGURATION:
-            nas_pdu = msg.ies.get(rrc.IE_NAS_PDU, b"")
-            if nas_pdu:
+        elif kind == "rrc_conn_recfg":
+            for nas_pdu in body.get("ded_info_nas_list", []):
                 resp = self.nas.handle_dl(nas_pdu)
                 if resp is not None:
-                    self._send_srb1(rrc.pack(rrc.UL_INFO_TRANSFER, {rrc.IE_NAS_PDU: resp}))
-            self._send_srb1(rrc.pack(rrc.CONN_RECONFIGURATION_COMPLETE))
+                    self._send_srb1(rrc.pack_ul_info_transfer(resp))
+            self._send_srb1(rrc.pack_reconfiguration_complete())
             self.rrc_state = self.RRC_ACTIVE
 
     def _send_srb1(self, rrc_pdu: bytes):
@@ -694,7 +689,7 @@ class UeStack:
                     break
                 sdus.append((lcid, pdu))
                 used += len(pdu) + 3
-        return mac_pack(sdus, tb_bytes)
+        return mac_pack(sdus, tb_bytes, ce_sizes=UL_CE_SIZES)
 
 
 def _enb_metrics(self) -> dict:

@@ -17,7 +17,7 @@ from __future__ import annotations
 import dataclasses
 from collections import deque
 
-from .mac_pdu import LCID_PADDING, mac_pack, mac_unpack
+from .mac_pdu import DL_CE_SIZES, LCID_PADDING, UL_CE_SIZES, mac_pack, mac_unpack
 
 # UL-SCH MAC control element LCIDs (TS 36.321 Table 6.2.1-2)
 LCID_CCCH = 0
@@ -245,7 +245,7 @@ class Scheduler:
                 if ue.dl_buffer_override:
                     ue.dl_buffer_override = 0
                 continue
-            mac = mac_pack(sdus, tb_bytes)
+            mac = mac_pack(sdus, tb_bytes, ce_sizes=DL_CE_SIZES)
             h.new_tx(tti, mac, tbs_bits, mcs, self.nof_prb)
             ue.dl_bytes += used
             return [
@@ -348,7 +348,7 @@ class UeMac:
         """Process a CRC-ok TB; returns delivered (lcid, sdu) list."""
         if not self.dl_harq[harq_pid].is_new_tx(ndi):
             return []  # duplicate retx of an already-delivered TB
-        out = mac_unpack(pdu)
+        out = mac_unpack(pdu, ce_sizes=DL_CE_SIZES)
         self.stats["dl_pdus"] += 1
         self.stats["dl_bytes"] += sum(len(s) for _, s in out)
         self.rx_sdus.extend(out)
@@ -378,14 +378,14 @@ class UeMac:
                 used += len(s) + 3
         if used > tb_bytes:
             return None
-        return mac_pack(sdus, tb_bytes)
+        return mac_pack(sdus, tb_bytes, ce_sizes=UL_CE_SIZES)
 
 
 def parse_ul_pdu(pdu: bytes) -> tuple[int, list[tuple[int, bytes]]]:
     """eNB-side UL-SCH demux: returns (bsr_bytes_estimate, sdus)."""
     bsr = 0
     sdus = []
-    for lcid, payload in mac_unpack(pdu):
+    for lcid, payload in mac_unpack(pdu, ce_sizes=UL_CE_SIZES):
         if lcid == LCID_SHORT_BSR and payload:
             idx = payload[0] & 0x3F
             # invert bsr_index: representative value

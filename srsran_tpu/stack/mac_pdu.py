@@ -10,27 +10,51 @@ from __future__ import annotations
 LCID_PADDING = 31
 LCID_DTCH = 3  # first data bearer
 
+# Fixed-size MAC control elements (TS 36.321 §6.1.3): their subheaders
+# carry no F/L field.  The LCID space differs per direction (pdu.cc
+# dl_sch_lcid vs ul_sch_lcid).
+DL_CE_SIZES = {
+    28: 6,  # UE Contention Resolution Identity
+    29: 1,  # Timing Advance Command
+    30: 0,  # DRX Command
+}
+UL_CE_SIZES = {
+    26: 1,  # Power Headroom Report
+    27: 2,  # C-RNTI
+    28: 1,  # Truncated BSR
+    29: 1,  # Short BSR
+    30: 3,  # Long BSR
+}
 
-def _sdu_subheader(lcid: int, length: int, is_last: bool) -> bytes:
-    """R/R/E/LCID (+F/L unless last-in-chain)."""
+
+def _sdu_subheader(lcid: int, length: int, is_last: bool, fixed: bool) -> bytes:
+    """R/R/E/LCID (+F/L unless last-in-chain or a fixed-size CE)."""
     if is_last:
         return bytes([lcid & 0x1F])  # E=0, no L
+    if fixed:
+        return bytes([0x20 | (lcid & 0x1F)])  # E=1, no L (fixed-size CE)
     if length < 128:
         return bytes([0x20 | (lcid & 0x1F), length & 0x7F])
     return bytes([0x20 | (lcid & 0x1F), 0x80 | ((length >> 8) & 0x7F), length & 0xFF])
 
 
-def mac_pack(sdus: list[tuple[int, bytes]], tb_size: int) -> bytes:
+def mac_pack(sdus: list[tuple[int, bytes]], tb_size: int, ce_sizes: dict[int, int] | None = None) -> bytes:
     """Pack (lcid, payload) SDUs into a TB of tb_size bytes, padding as
     needed (TS 36.321 §6.1.2: 1-2 padding subheaders lead the chain; larger
-    padding is one E=0 padding subheader at the end of it)."""
+    padding is one E=0 padding subheader at the end of it).  Pass
+    DL_CE_SIZES/UL_CE_SIZES as ce_sizes so control elements get their
+    spec-true fixed-size subheaders."""
     assert sdus, "at least one SDU"
+    ce_sizes = ce_sizes or {}
+    for lcid, pl in sdus:
+        if lcid in ce_sizes and len(pl) != ce_sizes[lcid]:
+            raise ValueError(f"CE lcid {lcid} must be {ce_sizes[lcid]} bytes, got {len(pl)}")
 
     def layout(trailing_pad: bool):
         hdr = bytearray()
         for i, (lcid, pl) in enumerate(sdus):
             is_last = (i == len(sdus) - 1) and not trailing_pad
-            hdr += _sdu_subheader(lcid, len(pl), is_last)
+            hdr += _sdu_subheader(lcid, len(pl), is_last, lcid in ce_sizes)
         if trailing_pad:
             hdr.append(LCID_PADDING)  # E=0 padding subheader closes the chain
         return hdr
@@ -52,8 +76,9 @@ def mac_pack(sdus: list[tuple[int, bytes]], tb_size: int) -> bytes:
     return bytes(hdr) + b"".join(p for _, p in sdus)
 
 
-def mac_unpack(pdu: bytes) -> list[tuple[int, bytes]]:
+def mac_unpack(pdu: bytes, ce_sizes: dict[int, int] | None = None) -> list[tuple[int, bytes]]:
     """Unpack a MAC PDU → list of (lcid, payload), padding stripped."""
+    ce_sizes = ce_sizes or {}
     subheaders = []  # (lcid, length or None)
     pos = 0
     while pos < len(pdu):
@@ -67,6 +92,11 @@ def mac_unpack(pdu: bytes) -> list[tuple[int, bytes]]:
                 continue
             subheaders.append((lcid, None))
             break
+        if lcid in ce_sizes:
+            subheaders.append((lcid, ce_sizes[lcid]))
+            if e == 0:
+                break
+            continue
         if e == 0:
             subheaders.append((lcid, None))  # last: rest of PDU
             break

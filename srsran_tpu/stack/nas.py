@@ -36,6 +36,8 @@ IDENTITY_RESPONSE = 0x56
 PDN_CONNECTIVITY_REQUEST = 0xD0
 ACT_DEF_BEARER_REQUEST = 0xC1
 ACT_DEF_BEARER_ACCEPT = 0xC2
+ACT_DED_BEARER_REQUEST = 0xC5
+ACT_DED_BEARER_ACCEPT = 0xC6
 
 SEC_HDR_PLAIN = 0
 SEC_HDR_INTEGRITY = 1
@@ -139,6 +141,70 @@ def pack_attach_complete(ebi: int = 5) -> bytes:
     return bytes([PD_EMM, ATTACH_COMPLETE]) + len(esm).to_bytes(2, "big") + esm
 
 
+# --------------------------------------------------------------------------
+# Traffic Flow Template (TS 24.008 §10.5.6.12), used by dedicated bearers
+# --------------------------------------------------------------------------
+
+TFT_OP_CREATE = 1  # create new TFT
+TFT_DIR_PRE_REL7 = 0
+TFT_DIR_DOWNLINK = 1
+TFT_DIR_UPLINK = 2
+TFT_DIR_BIDIRECTIONAL = 3
+
+
+@dataclasses.dataclass
+class TftPacketFilter:
+    fid: int
+    direction: int
+    precedence: int
+    components: bytes  # raw component list (type octet + value per component)
+
+
+@dataclasses.dataclass
+class Tft:
+    op_code: int
+    filters: list[TftPacketFilter]
+    params: bytes = b""
+
+    def pack(self) -> bytes:
+        out = bytearray([(self.op_code << 5) | (1 if self.params else 0) << 4 | len(self.filters)])
+        for f in self.filters:
+            out.append(((f.direction & 0x3) << 4) | (f.fid & 0xF))
+            out.append(f.precedence)
+            out.append(len(f.components))
+            out += f.components
+        out += self.params
+        return bytes(out)
+
+    @classmethod
+    def unpack(cls, data: bytes) -> "Tft":
+        op = data[0] >> 5
+        n = data[0] & 0x0F
+        pos = 1
+        filters = []
+        for _ in range(n):
+            fid = data[pos] & 0x0F
+            direction = (data[pos] >> 4) & 0x3
+            precedence = data[pos + 1]
+            clen = data[pos + 2]
+            filters.append(TftPacketFilter(fid, direction, precedence, data[pos + 3 : pos + 3 + clen]))
+            pos += 3 + clen
+        return cls(op, filters, data[pos:])
+
+
+def pack_activate_dedicated_bearer_request(
+    ebi: int, linked_ebi: int, qci: int, tft: Tft, pti: int = 0
+) -> bytes:
+    """Activate Dedicated EPS Bearer Context Request (TS 24.301 §8.3.3)."""
+    t = tft.pack()
+    return (
+        bytes([PD_ESM | (ebi << 4), pti, ACT_DED_BEARER_REQUEST, linked_ebi & 0x0F])
+        + bytes([1, qci])  # EPS QoS (LV)
+        + bytes([len(t)])
+        + t
+    )
+
+
 @dataclasses.dataclass
 class NasMessage:
     pd: int
@@ -156,6 +222,18 @@ def unpack(msg: bytes) -> NasMessage:
         if mt == PDN_CONNECTIVITY_REQUEST:
             alen = msg[4]
             f["apn"] = msg[5 : 5 + alen].decode()
+        elif mt == ACT_DED_BEARER_REQUEST:
+            f["pti"] = msg[1]
+            f["linked_ebi"] = msg[3] & 0x0F
+            pos = 4
+            qlen = msg[pos]
+            f["qos"] = msg[pos + 1 : pos + 1 + qlen]
+            f["qci"] = msg[pos + 1]
+            pos += 1 + qlen
+            tlen = msg[pos]
+            f["tft"] = Tft.unpack(msg[pos + 1 : pos + 1 + tlen])
+            pos += 1 + tlen
+            f["opts"] = msg[pos:]  # remaining optional IEs, kept raw
         elif mt == ACT_DEF_BEARER_REQUEST:
             pos = 3
             qlen = msg[pos]

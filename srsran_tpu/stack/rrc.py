@@ -1,67 +1,277 @@
-"""RRC-lite: connection-management messages + procedures (re-design of the
-semantics of `srsue/src/stack/rrc/rrc.cc` and `srsenb/src/stack/rrc/`).
+"""RRC message plane: real TS 36.331 UPER encodings over asn1.rrc.
 
-The reference encodes RRC with generated ASN.1 PER (lib/src/asn1/
-rrc_asn1.cc, 119 kLoC). Here the same procedure set — connection
-establishment, NAS transfer, AS security activation, reconfiguration
-with DRB setup — is carried by a compact TLV codec (this framework's own
-wire format; the IE semantics match TS 36.331).
+Replaces the reference's generated codec usage in `srsue/src/stack/rrc/
+rrc.cc` and `srsenb/src/stack/rrc/rrc.cc` with builder/parser helpers for
+the procedure set the stack runs: connection establishment, NAS transfer,
+AS security activation, reconfiguration with DRB setup, release.
 
 CCCH messages (ConnectionRequest/Setup) ride SRB0 = RLC TM; everything
-else rides SRB1 = RLC AM under PDCP with integrity.
+else rides SRB1 = RLC AM under PDCP with integrity.  Contention
+resolution uses the MAC UE Contention Resolution Identity CE (first 48
+bits of the UL CCCH SDU, TS 36.321 §6.1.3.4) — see stack/mac_pdu.py.
 """
 
 from __future__ import annotations
 
-import dataclasses
+from .asn1 import rrc as asn1
 
-# message types (TS 36.331 procedure set)
-CONN_REQUEST = 1
-CONN_SETUP = 2
-CONN_SETUP_COMPLETE = 3
-DL_INFO_TRANSFER = 4
-UL_INFO_TRANSFER = 5
-SECURITY_MODE_COMMAND = 6
-SECURITY_MODE_COMPLETE = 7
-CONN_RECONFIGURATION = 8
-CONN_RECONFIGURATION_COMPLETE = 9
-CONN_RELEASE = 10
+# indices map the stack's integer algorithm ids (security.py: 0=EEA0/EIA0,
+# 1=SNOW3G, 2=AES, 3=ZUC) onto the 36.331 enumerators
+CIPHER_ALGS = ["eea0", "eea1", "eea2", "eea3_v1130"]
+INTEG_ALGS = ["eia0_v920", "eia1", "eia2", "eia3_v1130"]
 
-# IE tags
-IE_UE_IDENTITY = 1
-IE_NAS_PDU = 2
-IE_CIPHER_ALG = 3
-IE_INTEGRITY_ALG = 4
-IE_DRB_ID = 5
-IE_DRB_LCID = 6
-IE_EPS_BEARER_ID = 7
-IE_CRNTI = 8
+_NON_CRIT = "non_crit_ext"
 
 
-def pack(msg_type: int, ies: dict[int, bytes | int] | None = None) -> bytes:
-    body = bytearray()
-    for tag, val in sorted((ies or {}).items()):
-        if isinstance(val, int):
-            val = val.to_bytes(4, "big")
-        body += bytes([tag, len(val)]) + val
-    return bytes([msg_type, len(body)]) + bytes(body)
+# ----------------------------------------------------------- UL-CCCH / Msg3
 
 
-@dataclasses.dataclass
-class RrcMessage:
-    msg_type: int
-    ies: dict[int, bytes]
+def pack_conn_request(ue_identity: bytes, cause: str = "mo_data") -> bytes:
+    """RRCConnectionRequest with a 40-bit random ue-Identity."""
+    assert len(ue_identity) == 5
+    v = {
+        "msg": ("c1", ("rrc_conn_request", {
+            "crit_exts": ("rrc_conn_request_r8", {
+                "ue_id": ("random_value", int.from_bytes(ue_identity, "big")),
+                "establishment_cause": cause,
+                "spare": 0,
+            }),
+        })),
+    }
+    return asn1.UL_CCCH_MESSAGE.to_bytes(v)
 
-    def u32(self, tag: int) -> int:
-        return int.from_bytes(self.ies[tag], "big")
+
+def unpack_ul_ccch(data: bytes):
+    v = asn1.UL_CCCH_MESSAGE.from_bytes(data)
+    kind, msg = v["msg"][1]
+    return kind, msg["crit_exts"][1]
 
 
-def unpack(data: bytes) -> RrcMessage:
-    ies = {}
-    pos = 2
-    end = 2 + data[1]
-    while pos + 2 <= end:
-        tag, ln = data[pos], data[pos + 1]
-        ies[tag] = data[pos + 2 : pos + 2 + ln]
-        pos += 2 + ln
-    return RrcMessage(data[0], ies)
+def conn_request_identity(fields: dict) -> bytes:
+    """The ue-Identity of a decoded ConnectionRequest, as bytes."""
+    kind, val = fields["ue_id"]
+    if kind == "random_value":
+        return val.to_bytes(5, "big")
+    return val["mmec"].to_bytes(1, "big") + val["m_tmsi"].to_bytes(4, "big")
+
+
+def contention_resolution_id(ccch_sdu: bytes) -> bytes:
+    """UE Contention Resolution Identity = first 48 bits of the UL CCCH SDU
+    (TS 36.321 §6.1.3.4)."""
+    return (ccch_sdu + b"\x00" * 6)[:6]
+
+
+# ----------------------------------------------------------- DL-CCCH / Msg4
+
+# Default SRB1 + dedicated-PHY configuration carried by ConnectionSetup —
+# values mirror srsenb's defaults (rr.conf.example / rrc_ue.cc).
+_SRB1_CFG = {
+    "srb_id": 1,
+    "rlc_cfg": ("explicit_value", ("am", {
+        "ul_am_rlc": {"t_poll_retx": "ms60", "poll_pdu": "pinfinity",
+                      "poll_byte": "kbinfinity", "max_retx_thres": "t32"},
+        "dl_am_rlc": {"t_reordering": "ms45", "t_status_prohibit": "ms0"},
+    })),
+    "lc_ch_cfg": ("default_value", None),
+}
+
+
+def default_rr_cfg_ded() -> dict:
+    return {
+        "srb_to_add_mod_list": [dict(_SRB1_CFG)],
+        "mac_main_cfg": ("explicit_value", {
+            "ul_sch_cfg": {"max_harq_tx": "n5", "periodic_bsr_timer": "sf20",
+                           "retx_bsr_timer": "sf320", "tti_bundling": False},
+            "time_align_timer_ded": "infinity",
+            "phr_cfg": ("release", None),
+        }),
+        "phys_cfg_ded": {
+            "pdsch_cfg_ded": {"p_a": "db0"},
+            "pusch_cfg_ded": {"beta_offset_ack_idx": 9, "beta_offset_ri_idx": 6,
+                              "beta_offset_cqi_idx": 6},
+            "sched_request_cfg": ("setup", {"sr_pucch_res_idx": 0, "sr_cfg_idx": 15,
+                                            "dsr_trans_max": "n64"}),
+        },
+    }
+
+
+def pack_conn_setup(transaction_id: int = 0) -> bytes:
+    v = {
+        "msg": ("c1", ("rrc_conn_setup", {
+            "rrc_transaction_id": transaction_id,
+            "crit_exts": ("c1", ("rrc_conn_setup_r8", {"rr_cfg_ded": default_rr_cfg_ded()})),
+        })),
+    }
+    return asn1.DL_CCCH_MESSAGE.to_bytes(v)
+
+
+def unpack_dl_ccch(data: bytes):
+    v = asn1.DL_CCCH_MESSAGE.from_bytes(data)
+    kind, msg = v["msg"][1]
+    crit = msg["crit_exts"]
+    body = crit[1][1] if crit[0] == "c1" else crit[1]
+    return kind, body
+
+
+# ------------------------------------------------------------------ UL-DCCH
+
+
+def pack_conn_setup_complete(nas_pdu: bytes, transaction_id: int = 0) -> bytes:
+    v = {
+        "msg": ("c1", ("rrc_conn_setup_complete", {
+            "rrc_transaction_id": transaction_id,
+            "crit_exts": ("c1", ("rrc_conn_setup_complete_r8", {
+                "sel_plmn_id": 1,
+                "ded_info_nas": nas_pdu,
+            })),
+        })),
+    }
+    return asn1.UL_DCCH_MESSAGE.to_bytes(v)
+
+
+def pack_ul_info_transfer(nas_pdu: bytes) -> bytes:
+    v = {
+        "msg": ("c1", ("ul_info_transfer", {
+            "crit_exts": ("c1", ("ul_info_transfer_r8", {
+                "ded_info_type": ("ded_info_nas", nas_pdu),
+            })),
+        })),
+    }
+    return asn1.UL_DCCH_MESSAGE.to_bytes(v)
+
+
+def pack_security_mode_complete(transaction_id: int = 0) -> bytes:
+    v = {
+        "msg": ("c1", ("security_mode_complete", {
+            "rrc_transaction_id": transaction_id,
+            "crit_exts": ("security_mode_complete_r8", {}),
+        })),
+    }
+    return asn1.UL_DCCH_MESSAGE.to_bytes(v)
+
+
+def pack_reconfiguration_complete(transaction_id: int = 0) -> bytes:
+    v = {
+        "msg": ("c1", ("rrc_conn_recfg_complete", {
+            "rrc_transaction_id": transaction_id,
+            "crit_exts": ("rrc_conn_recfg_complete_r8", {}),
+        })),
+    }
+    return asn1.UL_DCCH_MESSAGE.to_bytes(v)
+
+
+def unpack_ul_dcch(data: bytes):
+    v = asn1.UL_DCCH_MESSAGE.from_bytes(data)
+    kind, msg = v["msg"][1]
+    crit = msg.get("crit_exts")
+    body = crit[1][1] if crit[0] == "c1" else crit[1]
+    return kind, body
+
+
+# ------------------------------------------------------------------ DL-DCCH
+
+
+def pack_dl_info_transfer(nas_pdu: bytes, transaction_id: int = 0) -> bytes:
+    v = {
+        "msg": ("c1", ("dl_info_transfer", {
+            "rrc_transaction_id": transaction_id,
+            "crit_exts": ("c1", ("dl_info_transfer_r8", {
+                "ded_info_type": ("ded_info_nas", nas_pdu),
+            })),
+        })),
+    }
+    return asn1.DL_DCCH_MESSAGE.to_bytes(v)
+
+
+def pack_security_mode_command(cipher_alg: int, integ_alg: int, transaction_id: int = 0) -> bytes:
+    v = {
+        "msg": ("c1", ("security_mode_cmd", {
+            "rrc_transaction_id": transaction_id,
+            "crit_exts": ("c1", ("security_mode_cmd_r8", {
+                "security_cfg_smc": {"security_algorithm_cfg": {
+                    "ciphering_algorithm": CIPHER_ALGS[cipher_alg],
+                    "integrity_prot_algorithm": INTEG_ALGS[integ_alg],
+                }},
+            })),
+        })),
+    }
+    return asn1.DL_DCCH_MESSAGE.to_bytes(v)
+
+
+def _default_drb(drb_id: int, lcid: int, eps_bearer_id: int) -> dict:
+    return {
+        "eps_bearer_id": eps_bearer_id,
+        "drb_id": drb_id,
+        "pdcp_cfg": {
+            "discard_timer": "infinity",
+            "rlc_am": {"status_report_required": False},
+            "hdr_compress": ("not_used", None),
+        },
+        "rlc_cfg": ("am", {
+            "ul_am_rlc": {"t_poll_retx": "ms120", "poll_pdu": "p64",
+                          "poll_byte": "kb750", "max_retx_thres": "t16"},
+            "dl_am_rlc": {"t_reordering": "ms50", "t_status_prohibit": "ms50"},
+        }),
+        "lc_ch_id": lcid,
+        "lc_ch_cfg": {
+            "ul_specific_params": {"prio": 13, "prioritised_bit_rate": "kbps8",
+                                   "bucket_size_dur": "ms100", "lc_ch_group": 2},
+        },
+    }
+
+
+def pack_reconfiguration(
+    drb_id: int = 0,
+    lcid: int = 0,
+    eps_bearer_id: int = 0,
+    nas_pdu: bytes = b"",
+    transaction_id: int = 0,
+) -> bytes:
+    """RRCConnectionReconfiguration, optionally with a DRB setup and a
+    piggybacked NAS PDU (rrc_ue.cc send_connection_reconf)."""
+    r8: dict = {}
+    if drb_id:
+        r8["rr_cfg_ded"] = {"drb_to_add_mod_list": [_default_drb(drb_id, lcid, eps_bearer_id)]}
+    if nas_pdu:
+        r8["ded_info_nas_list"] = [nas_pdu]
+    v = {
+        "msg": ("c1", ("rrc_conn_recfg", {
+            "rrc_transaction_id": transaction_id,
+            "crit_exts": ("c1", ("rrc_conn_recfg_r8", r8)),
+        })),
+    }
+    return asn1.DL_DCCH_MESSAGE.to_bytes(v)
+
+
+def pack_conn_release(cause: str = "other", transaction_id: int = 0) -> bytes:
+    v = {
+        "msg": ("c1", ("rrc_conn_release", {
+            "rrc_transaction_id": transaction_id,
+            "crit_exts": ("c1", ("rrc_conn_release_r8", {"release_cause": cause})),
+        })),
+    }
+    return asn1.DL_DCCH_MESSAGE.to_bytes(v)
+
+
+def unpack_dl_dcch(data: bytes):
+    v = asn1.DL_DCCH_MESSAGE.from_bytes(data)
+    kind, msg = v["msg"][1]
+    crit = msg.get("crit_exts")
+    body = crit[1][1] if crit[0] == "c1" else crit[1]
+    return kind, body
+
+
+def smc_algorithms(body: dict) -> tuple[int, int]:
+    """(cipher_alg, integ_alg) ints from a decoded SecurityModeCommand."""
+    cfg = body["security_cfg_smc"]["security_algorithm_cfg"]
+    return CIPHER_ALGS.index(cfg["ciphering_algorithm"]), INTEG_ALGS.index(cfg["integrity_prot_algorithm"])
+
+
+def reconfiguration_drb(body: dict) -> tuple[int, int, int] | None:
+    """(drb_id, lcid, eps_bearer_id) from a decoded reconfiguration, if a
+    DRB is being set up."""
+    drbs = body.get("rr_cfg_ded", {}).get("drb_to_add_mod_list") or []
+    if not drbs:
+        return None
+    d = drbs[0]
+    return d["drb_id"], d.get("lc_ch_id", d["drb_id"] + 2), d.get("eps_bearer_id", 0)

@@ -129,20 +129,25 @@ def test_ttcn3_system_interface():
         r = rpc(cmd="rar", rapid=17, temp_crnti=0x46)
         assert r["crnti"] == 0x46
         # pull Msg3: must contain an RRC ConnectionRequest on CCCH
+        from srsran_tpu.stack.mac import LCID_CON_RES
+        from srsran_tpu.stack.mac_pdu import DL_CE_SIZES, UL_CE_SIZES
+
         ul = bytes.fromhex(rpc(cmd="ul_pdu", size=64)["data"])
-        sdus = dict(mac_unpack(ul))
+        sdus = dict(mac_unpack(ul, ce_sizes=UL_CE_SIZES))
         assert LCID_CCCH in sdus
-        msg = rrc.unpack(sdus[LCID_CCCH])
-        assert msg.msg_type == rrc.CONN_REQUEST
-        ue_id = msg.ies[rrc.IE_UE_IDENTITY]
-        # system simulator answers with ConnectionSetup on CCCH
-        setup = rrc.pack(rrc.CONN_SETUP, {rrc.IE_UE_IDENTITY: ue_id, rrc.IE_CRNTI: 0x46})
-        dl = mac_pack([(LCID_CCCH, setup)], 128)
+        kind, fields = rrc.unpack_ul_ccch(sdus[LCID_CCCH])
+        assert kind == "rrc_conn_request"
+        # system simulator answers with contention-resolution CE + Setup
+        dl = mac_pack(
+            [(LCID_CON_RES, rrc.contention_resolution_id(sdus[LCID_CCCH])),
+             (LCID_CCCH, rrc.pack_conn_setup())],
+            128, ce_sizes=DL_CE_SIZES,
+        )
         r = rpc(cmd="dl_pdu", data=dl.hex())
         assert r["rrc_state"] >= 3  # RRC_CONNECTED
         # the UE responds with SetupComplete (NAS attach request) on SRB1
         ul = bytes.fromhex(rpc(cmd="ul_pdu", size=128)["data"])
-        sdus = dict(mac_unpack(ul))
+        sdus = dict(mac_unpack(ul, ce_sizes=UL_CE_SIZES))
         assert LCID_SRB1 in sdus
         st = rpc(cmd="status")
         assert st["rrc_state"] >= 3 and st["crnti"] == 0x46

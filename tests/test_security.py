@@ -165,3 +165,36 @@ def test_cipher_integrity_roundtrip_all_algs():
     for alg in (1, 2, 3):
         mac = sec.INTEGRITY_ALGS[alg](key, 7, 3, 0, data)
         assert len(mac) == 4
+
+
+def test_nas_golden_dedicated_bearer():
+    """Golden NAS vector from the reference's srslte_asn1_nas_test.cc:52 —
+    a security-protected Activate Dedicated EPS Bearer Context Request.
+    The 6-byte security header (PD/type + MAC + seq) is stripped; the inner
+    plain message must parse to the reference test's asserted fields and
+    repack byte-exactly."""
+    from srsran_tpu.stack import nas
+
+    pdu = bytes([0x27, 0x35, 0x11, 0xfd, 0xf6, 0x07, 0x62, 0x00, 0xc5, 0x05, 0x01, 0x01, 0x07,
+                 0x21, 0x31, 0x00, 0x03, 0x40, 0x08, 0xae, 0x5d, 0x02, 0x00, 0xc2, 0x81, 0x34,
+                 0x01, 0x4d])
+    inner = pdu[6:]
+    m = nas.unpack(inner)
+    assert m.pd == nas.PD_ESM and m.msg_type == nas.ACT_DED_BEARER_REQUEST
+    # reference assertions (srslte_asn1_nas_test.cc:70-92)
+    assert m.fields["ebi"] == 6
+    assert m.fields["pti"] == 0
+    assert m.fields["linked_ebi"] == 5
+    assert m.fields["qci"] == 1
+    tft = m.fields["tft"]
+    assert tft.op_code == nas.TFT_OP_CREATE
+    assert not tft.params
+    assert len(tft.filters) == 1
+    assert tft.filters[0].direction == nas.TFT_DIR_BIDIRECTIONAL
+    assert tft.filters[0].fid == 1
+    assert tft.filters[0].precedence == 0
+    assert len(tft.filters[0].components) == 3
+    # repack: message builder reproduces the inner message (sans optional IEs)
+    rebuilt = nas.pack_activate_dedicated_bearer_request(
+        ebi=6, linked_ebi=5, qci=1, tft=tft) + m.fields["opts"]
+    assert rebuilt == inner
