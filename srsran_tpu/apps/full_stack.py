@@ -189,24 +189,24 @@ class EnbStack:
             self._s1ap_rx(resp)
 
     def _s1ap_rx(self, data: bytes):
-        m, _ = s1ap.unpack(data)
-        ue = self._by_enb_id.get(m.u32(s1ap.IE_ENB_UE_ID)) if s1ap.IE_ENB_UE_ID in m.ies else None
-        if m.msg_type == s1ap.DOWNLINK_NAS_TRANSPORT and ue is not None:
-            ue.mme_ue_id = m.u32(s1ap.IE_MME_UE_ID)
-            self._send_srb1(ue, rrc.pack_dl_info_transfer(m.ies[s1ap.IE_NAS_PDU]))
-        elif m.msg_type == s1ap.INITIAL_CONTEXT_SETUP_REQUEST and ue is not None:
-            ue.mme_ue_id = m.u32(s1ap.IE_MME_UE_ID)
-            ue.k_enb = m.ies[s1ap.IE_KENB]
-            spgw_teid = m.u32(s1ap.IE_TEID_UL)
+        name, ies = s1ap.unpack(data)
+        ue = self._by_enb_id.get(ies.get("enb_ue_s1ap_id"))
+        if name == "dl_nas_transport" and ue is not None:
+            ue.mme_ue_id = ies["mme_ue_s1ap_id"]
+            self._send_srb1(ue, rrc.pack_dl_info_transfer(ies["nas_pdu"]))
+        elif name == "init_context_setup_request" and ue is not None:
+            ue.mme_ue_id = ies["mme_ue_s1ap_id"]
+            ue.k_enb = ies["security_key"].to_bytes(32, "big")
+            erab = ies["erab_to_be_setup_list_ctxt_su_req"][0]
+            spgw_teid = int.from_bytes(erab["gtp_teid"], "big")
             self.gtpu.add_bearer(ue.dl_teid, spgw_teid)
-            ue.pending_reconf_nas = m.ies[s1ap.IE_NAS_PDU]
+            ue.pending_reconf_nas = erab.get("nas_pdu", b"")
             # AS security activation (rrc_ue.cc send_security_mode_command)
             self._send_srb1(ue, rrc.pack_security_mode_command(self.cipher_alg, self.integ_alg))
             ue.rrc_state = self.RRC_SMC_SENT
             self._s1ap_send(
-                s1ap.pack(
-                    s1ap.INITIAL_CONTEXT_SETUP_RESPONSE,
-                    {s1ap.IE_MME_UE_ID: ue.mme_ue_id, s1ap.IE_TEID_DL: ue.dl_teid},
+                s1ap.pack_initial_context_setup_response(
+                    ue.mme_ue_id, ue.enb_ue_id, enb_teid=ue.dl_teid, ebi=erab["erab_id"]
                 )
             )
 
@@ -232,21 +232,11 @@ class EnbStack:
         if kind == "rrc_conn_setup_complete":
             ue.rrc_state = self.RRC_CONNECTED
             self._s1ap_send(
-                s1ap.pack(
-                    s1ap.INITIAL_UE_MESSAGE,
-                    {s1ap.IE_ENB_UE_ID: ue.enb_ue_id, s1ap.IE_NAS_PDU: body["ded_info_nas"]},
-                )
+                s1ap.pack_initial_ue_message(ue.enb_ue_id, body["ded_info_nas"])
             )
         elif kind == "ul_info_transfer":
             self._s1ap_send(
-                s1ap.pack(
-                    s1ap.UPLINK_NAS_TRANSPORT,
-                    {
-                        s1ap.IE_MME_UE_ID: ue.mme_ue_id or 0,
-                        s1ap.IE_ENB_UE_ID: ue.enb_ue_id,
-                        s1ap.IE_NAS_PDU: body["ded_info_type"][1],
-                    },
-                )
+                s1ap.pack_ul_nas(ue.mme_ue_id or 0, ue.enb_ue_id, body["ded_info_type"][1])
             )
         elif kind == "security_mode_complete":
             # switch SRB1/DRB to secured PDCP entities (counts reset)

@@ -57,34 +57,25 @@ class Mme:
         self.attached_imsis: set[str] = set()
 
     def handle(self, data: bytes) -> list[bytes]:
-        out = []
-        while True:
-            r = s1ap.unpack(data)
-            if r is None:
-                break
-            msg, data = r
-            out += self._dispatch(msg)
-        return out
-
-    def _dispatch(self, m: s1ap.S1apMessage) -> list[bytes]:
-        t = m.msg_type
-        if t == s1ap.S1_SETUP_REQUEST:
-            return [s1ap.pack(s1ap.S1_SETUP_RESPONSE, {s1ap.IE_PLMN: self.plmn})]
-        if t == s1ap.INITIAL_UE_MESSAGE:
-            return self._initial_ue(m)
-        if t == s1ap.UPLINK_NAS_TRANSPORT:
-            return self._ul_nas(m)
-        if t == s1ap.INITIAL_CONTEXT_SETUP_RESPONSE:
-            return self._ctx_setup_response(m)
+        """Process ONE S1AP PDU (the SCTP-datagram framing contract)."""
+        name, ies = s1ap.unpack(data)
+        if name == "s1_setup_request":
+            return [s1ap.pack_s1_setup_response(plmn=self.plmn)]
+        if name == "init_ue_msg":
+            return self._initial_ue(ies)
+        if name == "ul_nas_transport":
+            return self._ul_nas(ies)
+        if name == "init_context_setup_response":
+            return self._ctx_setup_response(ies)
         return []
 
     # --- procedures ---
-    def _initial_ue(self, m: s1ap.S1apMessage) -> list[bytes]:
-        enb_ue_id = m.u32(s1ap.IE_ENB_UE_ID)
+    def _initial_ue(self, ies: dict) -> list[bytes]:
+        enb_ue_id = ies["enb_ue_s1ap_id"]
         ue = UeCtx(self.next_mme_ue_id, enb_ue_id)
         self.next_mme_ue_id += 1
         self.ues[ue.mme_ue_id] = ue
-        msg = nas.unpack(m.ies[s1ap.IE_NAS_PDU])
+        msg = nas.unpack(ies["nas_pdu"])
         if msg.msg_type != nas.ATTACH_REQUEST:
             return []
         ue.imsi = msg.fields["imsi"]
@@ -97,11 +88,11 @@ class Mme:
         pdu = nas.pack_authentication_request(av.rand, av.autn)
         return [self._dl_nas(ue, pdu)]
 
-    def _ul_nas(self, m: s1ap.S1apMessage) -> list[bytes]:
-        ue = self.ues.get(m.u32(s1ap.IE_MME_UE_ID))
+    def _ul_nas(self, ies: dict) -> list[bytes]:
+        ue = self.ues.get(ies["mme_ue_s1ap_id"])
         if ue is None:
             return []
-        pdu = m.ies[s1ap.IE_NAS_PDU]
+        pdu = ies["nas_pdu"]
         if ue.sec_ctx is not None and (pdu[0] >> 4) != nas.SEC_HDR_PLAIN:
             inner = ue.sec_ctx.unprotect(pdu)
             if inner is None:
@@ -127,16 +118,9 @@ class Mme:
             k_enb = sec.generate_k_enb(ue.k_asme, 0)
             ue.state = EMM_ATTACH_ACCEPTED
             return [
-                s1ap.pack(
-                    s1ap.INITIAL_CONTEXT_SETUP_REQUEST,
-                    {
-                        s1ap.IE_MME_UE_ID: ue.mme_ue_id,
-                        s1ap.IE_ENB_UE_ID: ue.enb_ue_id,
-                        s1ap.IE_NAS_PDU: prot,
-                        s1ap.IE_KENB: k_enb,
-                        s1ap.IE_TEID_UL: ue.spgw_teid,
-                        s1ap.IE_EBI: ue.ebi,
-                    },
+                s1ap.pack_initial_context_setup_request(
+                    ue.mme_ue_id, ue.enb_ue_id, prot, k_enb,
+                    spgw_teid=ue.spgw_teid, ebi=ue.ebi,
                 )
             ]
         if msg.msg_type == nas.ATTACH_COMPLETE and ue.state == EMM_ATTACH_ACCEPTED:
@@ -145,17 +129,14 @@ class Mme:
             return []
         return []
 
-    def _ctx_setup_response(self, m: s1ap.S1apMessage) -> list[bytes]:
-        ue = self.ues.get(m.u32(s1ap.IE_MME_UE_ID))
+    def _ctx_setup_response(self, ies: dict) -> list[bytes]:
+        ue = self.ues.get(ies["mme_ue_s1ap_id"])
         if ue is None:
             return []
-        enb_teid = m.u32(s1ap.IE_TEID_DL)
+        enb_teid = int.from_bytes(ies["erab_setup_list_ctxt_su_res"][0]["gtp_teid"], "big")
         self.spgw.teid_to_enb[ue.spgw_teid] = enb_teid
         self.spgw.gtpu.tx_map[ue.spgw_teid] = enb_teid
         return []
 
     def _dl_nas(self, ue: UeCtx, pdu: bytes) -> bytes:
-        return s1ap.pack(
-            s1ap.DOWNLINK_NAS_TRANSPORT,
-            {s1ap.IE_MME_UE_ID: ue.mme_ue_id, s1ap.IE_ENB_UE_ID: ue.enb_ue_id, s1ap.IE_NAS_PDU: pdu},
-        )
+        return s1ap.pack_dl_nas(ue.mme_ue_id, ue.enb_ue_id, pdu)

@@ -1,76 +1,153 @@
-"""S1AP-lite: the eNB↔MME control protocol (re-design of the semantics of
-`srsenb/src/stack/upper/s1ap.cc` / `srsepc/src/mme/s1ap*.cc`).
+"""S1AP message plane: real TS 36.413 ALIGNED-PER encodings.
 
-The reference uses full ASN.1 PER S1AP over SCTP (lib/src/asn1/
-s1ap_asn1.cc, 60 kLoC generated). Here the same procedures are carried by
-a compact deterministic TLV codec over any reliable byte pipe (TCP or an
-in-process queue) — the procedure set and IE semantics match; the wire
-format is this framework's own.
+Builder/parser helpers over `stack.asn1.s1ap` for the procedures the
+eNB↔MME pair runs (re-design of `srsenb/src/stack/upper/s1ap.cc` /
+`srsepc/src/mme/s1ap*.cc`): S1 Setup, Initial UE Message, DL/UL NAS
+Transport, Initial Context Setup (E-RAB with GTP TEIDs + security key),
+UE Context Release.
 
-Procedures: S1SetupRequest/Response, InitialUEMessage, Downlink/Uplink
-NASTransport, InitialContextSetupRequest/Response, UEContextRelease.
+Transport contract: one S1AP PDU per `handle()` call — the framing SCTP
+provides in the reference (mme.cc:25).
 """
 
 from __future__ import annotations
 
-import dataclasses
+from ..stack.asn1 import s1ap as codec
 
-# message types
-S1_SETUP_REQUEST = 1
-S1_SETUP_RESPONSE = 2
-INITIAL_UE_MESSAGE = 3
-DOWNLINK_NAS_TRANSPORT = 4
-UPLINK_NAS_TRANSPORT = 5
-INITIAL_CONTEXT_SETUP_REQUEST = 6
-INITIAL_CONTEXT_SETUP_RESPONSE = 7
-UE_CONTEXT_RELEASE = 8
-
-# IE tags
-IE_ENB_ID = 1
-IE_MME_UE_ID = 2
-IE_ENB_UE_ID = 3
-IE_NAS_PDU = 4
-IE_TEID_UL = 5
-IE_TEID_DL = 6
-IE_KENB = 7
-IE_EBI = 8
-IE_PLMN = 9
-IE_TAC = 10
-IE_CAUSE = 11
-IE_ADDR = 12
+DEFAULT_PLMN = b"\x00\xf1\x10"
+DEFAULT_TAC = b"\x00\x01"
 
 
-def pack(msg_type: int, ies: dict[int, bytes | int]) -> bytes:
-    body = bytearray()
-    for tag, val in sorted(ies.items()):
-        if isinstance(val, int):
-            val = val.to_bytes(4, "big")
-        body += bytes([tag]) + len(val).to_bytes(2, "big") + val
-    return bytes([msg_type]) + len(body).to_bytes(2, "big") + bytes(body)
+def _ip_to_bits(ip: str) -> tuple[int, int]:
+    """IPv4 dotted-quad → 32-bit transportLayerAddress BIT STRING value."""
+    v = 0
+    for part in ip.split("."):
+        v = (v << 8) | int(part)
+    return (v, 32)
 
 
-@dataclasses.dataclass
-class S1apMessage:
-    msg_type: int
-    ies: dict[int, bytes]
-
-    def u32(self, tag: int) -> int:
-        return int.from_bytes(self.ies[tag], "big")
+def bits_to_ip(addr: tuple[int, int]) -> str:
+    v, n = addr
+    assert n == 32
+    return ".".join(str((v >> s) & 0xFF) for s in (24, 16, 8, 0))
 
 
-def unpack(data: bytes) -> tuple[S1apMessage, bytes] | None:
-    """Parse one message from a byte stream; returns (msg, remainder)."""
-    if len(data) < 3:
-        return None
-    length = int.from_bytes(data[1:3], "big")
-    if len(data) < 3 + length:
-        return None
-    body = data[3 : 3 + length]
-    ies = {}
-    pos = 0
-    while pos + 3 <= len(body):
-        tag = body[pos]
-        ln = int.from_bytes(body[pos + 1 : pos + 3], "big")
-        ies[tag] = body[pos + 3 : pos + 3 + ln]
-        pos += 3 + ln
-    return S1apMessage(data[0], ies), data[3 + length :]
+def unpack(data: bytes):
+    """One S1AP PDU → (message_name, ies dict)."""
+    return codec.unpack(data)
+
+
+def pack_s1_setup_request(enb_id: int = 0x19B, name: str = "srsenb01",
+                          plmn: bytes = DEFAULT_PLMN, tac: bytes = DEFAULT_TAC) -> bytes:
+    return codec.pack("s1_setup_request", {
+        "global_enb_id": {"plmn_id": plmn, "enb_id": ("macro_enb_id", enb_id)},
+        "enbname": name,
+        "supported_tas": [{"tac": tac, "broadcast_plmns": [plmn]}],
+        "default_paging_drx": "v128",
+    })
+
+
+def pack_s1_setup_response(name: str = "srsmme01", plmn: bytes = DEFAULT_PLMN,
+                           mme_group: bytes = b"\x00\x01", mmec: bytes = b"\x1a") -> bytes:
+    return codec.pack("s1_setup_response", {
+        "mmename": name,
+        "served_gummeis": [{"served_plmns": [plmn], "served_group_ids": [mme_group],
+                            "served_mmecs": [mmec]}],
+        "relative_mme_capacity": 10,
+    })
+
+
+def pack_initial_ue_message(enb_ue_id: int, nas_pdu: bytes, cell_id: int = 0x19B0,
+                            cause: str = "mo_data", plmn: bytes = DEFAULT_PLMN,
+                            tac: bytes = DEFAULT_TAC) -> bytes:
+    return codec.pack("init_ue_msg", {
+        "enb_ue_s1ap_id": enb_ue_id,
+        "nas_pdu": nas_pdu,
+        "tai": {"plmn_id": plmn, "tac": tac},
+        "eutran_cgi": {"plmn_id": plmn, "cell_id": cell_id},
+        "rrc_establishment_cause": cause,
+    })
+
+
+def pack_dl_nas(mme_ue_id: int, enb_ue_id: int, nas_pdu: bytes) -> bytes:
+    return codec.pack("dl_nas_transport", {
+        "mme_ue_s1ap_id": mme_ue_id, "enb_ue_s1ap_id": enb_ue_id, "nas_pdu": nas_pdu,
+    })
+
+
+def pack_ul_nas(mme_ue_id: int, enb_ue_id: int, nas_pdu: bytes, cell_id: int = 0x19B0,
+                plmn: bytes = DEFAULT_PLMN, tac: bytes = DEFAULT_TAC) -> bytes:
+    return codec.pack("ul_nas_transport", {
+        "mme_ue_s1ap_id": mme_ue_id, "enb_ue_s1ap_id": enb_ue_id, "nas_pdu": nas_pdu,
+        "eutran_cgi": {"plmn_id": plmn, "cell_id": cell_id},
+        "tai": {"plmn_id": plmn, "tac": tac},
+    })
+
+
+def pack_initial_context_setup_request(
+    mme_ue_id: int, enb_ue_id: int, nas_pdu: bytes, k_enb: bytes,
+    spgw_teid: int, ebi: int = 5, spgw_addr: str = "10.0.0.1",
+) -> bytes:
+    return codec.pack("init_context_setup_request", {
+        "mme_ue_s1ap_id": mme_ue_id,
+        "enb_ue_s1ap_id": enb_ue_id,
+        "ue_aggregate_maximum_bitrate": {
+            "ue_aggregate_maximum_bit_rate_dl": 1_000_000_000,
+            "ue_aggregate_maximum_bit_rate_ul": 1_000_000_000,
+        },
+        "erab_to_be_setup_list_ctxt_su_req": [{
+            "erab_id": ebi,
+            "erab_level_qos_params": {
+                "qci": 9,
+                "alloc_retention_prio": {
+                    "prio_level": 15,
+                    "pre_emption_cap": "shall_not_trigger_pre_emption",
+                    "pre_emption_vulnerability": "not_pre_emptable",
+                },
+            },
+            "transport_layer_address": _ip_to_bits(spgw_addr),
+            "gtp_teid": spgw_teid.to_bytes(4, "big"),
+            "nas_pdu": nas_pdu,
+        }],
+        "ue_security_cap": {
+            "encryption_algorithms": 0b1110000000000000,
+            "integrity_protection_algorithms": 0b1110000000000000,
+        },
+        "security_key": int.from_bytes(k_enb, "big"),
+    })
+
+
+def pack_initial_context_setup_response(
+    mme_ue_id: int, enb_ue_id: int, enb_teid: int, ebi: int = 5,
+    enb_addr: str = "10.0.0.2",
+) -> bytes:
+    return codec.pack("init_context_setup_response", {
+        "mme_ue_s1ap_id": mme_ue_id,
+        "enb_ue_s1ap_id": enb_ue_id,
+        "erab_setup_list_ctxt_su_res": [{
+            "erab_id": ebi,
+            "transport_layer_address": _ip_to_bits(enb_addr),
+            "gtp_teid": enb_teid.to_bytes(4, "big"),
+        }],
+    })
+
+
+def pack_ue_context_release_request(mme_ue_id: int, enb_ue_id: int,
+                                    cause=("radio_network", "radio_conn_with_ue_lost")) -> bytes:
+    return codec.pack("ue_context_release_request", {
+        "mme_ue_s1ap_id": mme_ue_id, "enb_ue_s1ap_id": enb_ue_id, "cause": cause,
+    })
+
+
+def pack_ue_context_release_command(mme_ue_id: int, enb_ue_id: int,
+                                    cause=("nas", "normal_release")) -> bytes:
+    return codec.pack("ue_context_release_cmd", {
+        "ue_s1ap_ids": ("ue_s1ap_id_pair", {"mme_ue_s1ap_id": mme_ue_id, "enb_ue_s1ap_id": enb_ue_id}),
+        "cause": cause,
+    })
+
+
+def pack_ue_context_release_complete(mme_ue_id: int, enb_ue_id: int) -> bytes:
+    return codec.pack("ue_context_release_complete", {
+        "mme_ue_s1ap_id": mme_ue_id, "enb_ue_s1ap_id": enb_ue_id,
+    })

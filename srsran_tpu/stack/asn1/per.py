@@ -55,8 +55,9 @@ def _trace(msg):
 
 
 class BitWriter:
-    def __init__(self):
+    def __init__(self, aligned: bool = False):
         self._bits: list[int] = []
+        self.aligned = aligned
 
     def put(self, value: int, nbits: int) -> None:
         if nbits < 0 or (nbits == 0 and value):
@@ -91,10 +92,16 @@ class BitWriter:
 
 
 class BitReader:
-    def __init__(self, data: bytes, nbits: int | None = None):
+    def __init__(self, data: bytes, nbits: int | None = None, aligned: bool = False):
         self._data = data
         self._pos = 0
         self._end = len(data) * 8 if nbits is None else nbits
+        self.aligned = aligned
+
+    def align(self) -> None:
+        pad = (-self._pos) % 8
+        if pad:
+            self.skip(pad)
 
     def get(self, nbits: int) -> int:
         if self._pos + nbits > self._end:
@@ -129,24 +136,59 @@ def _bitlen(n: int) -> int:
 
 
 def put_constrained(w: BitWriter, n: int, lo: int, hi: int) -> None:
-    """§10.5.7 unaligned: minimal bit-field over the range, no alignment."""
+    """§10.5.7 constrained whole number.  Unaligned: minimal bit-field.
+    Aligned: bit-field for range ≤ 255, 1/2 aligned octets up to 64K,
+    length-prefixed minimal octets beyond."""
     if not lo <= n <= hi:
         raise Asn1Error(f"{n} outside [{lo},{hi}]")
     rng = hi - lo
     if rng == 0:
         return
-    w.put(n - lo, _bitlen(rng))
+    if not w.aligned:
+        w.put(n - lo, _bitlen(rng))
+        return
+    if rng < 255:
+        w.put(n - lo, _bitlen(rng))
+    elif rng == 255:
+        w.align()
+        w.put(n - lo, 8)
+    elif rng < 65536:
+        w.align()
+        w.put(n - lo, 16)
+    else:
+        v = n - lo
+        octets = max(1, (v.bit_length() + 7) // 8)
+        max_octets = (rng.bit_length() + 7) // 8
+        put_constrained(w, octets, 1, max_octets)  # small range → bit-field
+        w.align()
+        w.put(v, octets * 8)
 
 
 def get_constrained(r: BitReader, lo: int, hi: int) -> int:
     rng = hi - lo
     if rng == 0:
         return lo
-    return lo + r.get(_bitlen(rng))
+    if not r.aligned:
+        return lo + r.get(_bitlen(rng))
+    if rng < 255:
+        return lo + r.get(_bitlen(rng))
+    if rng == 255:
+        r.align()
+        return lo + r.get(8)
+    if rng < 65536:
+        r.align()
+        return lo + r.get(16)
+    max_octets = (rng.bit_length() + 7) // 8
+    octets = get_constrained(r, 1, max_octets)
+    r.align()
+    return lo + r.get(octets * 8)
 
 
 def put_length(w: BitWriter, n: int) -> None:
-    """§10.9 general (unconstrained) length determinant."""
+    """§10.9 general (unconstrained) length determinant (octet-aligned in
+    the aligned variant)."""
+    if w.aligned:
+        w.align()
     if n < 128:
         w.put(n, 8)
     elif n < 16384:
@@ -157,6 +199,8 @@ def put_length(w: BitWriter, n: int) -> None:
 
 
 def get_length(r: BitReader) -> int:
+    if r.aligned:
+        r.align()
     if r.get(1) == 0:
         return r.get(7)
     if r.get(1) == 0:
@@ -241,7 +285,7 @@ def get_constrained_length(r: BitReader, lo: int, hi: int | None) -> int:
 
 def put_open_type(w: BitWriter, typ: "Asn1Type", value) -> None:
     """§10.2: contents padded to octets, preceded by an octet count."""
-    inner = BitWriter()
+    inner = BitWriter(aligned=w.aligned)
     typ.encode(inner, value)
     if inner.nbits() == 0:
         inner.put(0, 8)  # an empty encoding still occupies one octet
@@ -254,7 +298,7 @@ def put_open_type(w: BitWriter, typ: "Asn1Type", value) -> None:
 def get_open_type(r: BitReader, typ: "Asn1Type"):
     octets = get_length(r)
     data = r.get_bytes(octets)
-    sub = BitReader(data)
+    sub = BitReader(data, aligned=r.aligned)
     return typ.decode(sub)
 
 
@@ -273,13 +317,13 @@ class Asn1Type:
     def decode(self, r: BitReader):
         raise NotImplementedError
 
-    def to_bytes(self, value) -> bytes:
-        w = BitWriter()
+    def to_bytes(self, value, aligned: bool = False) -> bytes:
+        w = BitWriter(aligned=aligned)
         self.encode(w, value)
         return w.to_bytes()
 
-    def from_bytes(self, data: bytes):
-        return self.decode(BitReader(data))
+    def from_bytes(self, data: bytes, aligned: bool = False):
+        return self.decode(BitReader(data, aligned=aligned))
 
 
 class Int(Asn1Type):
@@ -365,18 +409,26 @@ class BitStr(Asn1Type):
         if self.ext:
             w.put(0, 1)  # sizes outside the root are not used by 36.331
         if self.hi == self.lo:
+            if w.aligned and self.lo > 16:
+                w.align()
             w.put(value, self.lo)
             return
         v, n = value
         put_constrained_length(w, n, self.lo, self.hi)
+        if w.aligned and n > 0:
+            w.align()
         w.put(v, n)
 
     def decode(self, r):
         if self.ext and r.get(1):
             raise Asn1Error("extended BIT STRING size not supported")
         if self.hi == self.lo:
+            if r.aligned and self.lo > 16:
+                r.align()
             return r.get(self.lo)
         n = get_constrained_length(r, self.lo, self.hi)
+        if r.aligned and n > 0:
+            r.align()
         return (r.get(n), n)
 
 
@@ -387,15 +439,21 @@ class OctStr(Asn1Type):
 
     def encode(self, w, value):
         if self.contained is not None:
-            value = self.contained.to_bytes(value)
+            value = self.contained.to_bytes(value, aligned=w.aligned)
+        fixed_small = self.hi == self.lo and self.hi is not None and self.hi <= 2
         put_constrained_length(w, len(value), self.lo, self.hi)
+        if w.aligned and len(value) and not fixed_small:
+            w.align()
         w.put_bytes(value)
 
     def decode(self, r):
+        fixed_small = self.hi == self.lo and self.hi is not None and self.hi <= 2
         n = get_constrained_length(r, self.lo, self.hi)
+        if r.aligned and n and not fixed_small:
+            r.align()
         data = r.get_bytes(n)
         if self.contained is not None:
-            return self.contained.from_bytes(data)
+            return self.contained.from_bytes(data, aligned=r.aligned)
         return data
 
 
@@ -621,6 +679,32 @@ class Choice(Asn1Type):
         idx = get_constrained(r, 0, len(self.alts) - 1) if len(self.alts) > 1 else 0
         name, typ = self.alts[idx]
         return (name, typ.decode(r))
+
+
+class CharStr(Asn1Type):
+    """Known-multiplier character string with 8-bit characters in the
+    aligned variant (PrintableString/IA5String as used by S1AP §30).
+    Value = str."""
+
+    def __init__(self, lo: int = 0, hi: int | None = None, ext: bool = False):
+        self.lo, self.hi, self.ext = lo, hi, ext
+
+    def encode(self, w, value: str):
+        data = value.encode("ascii")
+        if self.ext:
+            w.put(0, 1)
+        put_constrained_length(w, len(data), self.lo, self.hi)
+        if w.aligned and (len(data) * 8 > 16 or self.hi != self.lo):
+            w.align()
+        w.put_bytes(data)
+
+    def decode(self, r):
+        if self.ext and r.get(1):
+            raise Asn1Error("extended string size not supported")
+        n = get_constrained_length(r, self.lo, self.hi)
+        if r.aligned and (n * 8 > 16 or self.hi != self.lo):
+            r.align()
+        return r.get_bytes(n).decode("ascii")
 
 
 class Todo(Asn1Type):

@@ -46,53 +46,32 @@ def test_nas_imsi_bcd_roundtrip():
 
 def run_attach(mme, ue_nas, enb_ue_id=1):
     """Drive the S1AP attach flow as the eNB would (s1ap.cc glue)."""
-    msgs = mme.handle(
-        s1ap.pack(
-            s1ap.INITIAL_UE_MESSAGE,
-            {s1ap.IE_ENB_UE_ID: enb_ue_id, s1ap.IE_NAS_PDU: ue_nas.attach_request()},
-        )
-    )
+    msgs = mme.handle(s1ap.pack_initial_ue_message(enb_ue_id, ue_nas.attach_request()))
     k_enb = None
     spgw_ul_teid = None
     for _ in range(10):
         nxt = []
         for m_bytes in msgs:
-            m, _ = s1ap.unpack(m_bytes)
-            if m.msg_type == s1ap.DOWNLINK_NAS_TRANSPORT:
-                resp = ue_nas.handle_dl(m.ies[s1ap.IE_NAS_PDU])
+            name, ies = s1ap.unpack(m_bytes)
+            if name == "dl_nas_transport":
+                resp = ue_nas.handle_dl(ies["nas_pdu"])
                 if resp is not None:
                     nxt += mme.handle(
-                        s1ap.pack(
-                            s1ap.UPLINK_NAS_TRANSPORT,
-                            {
-                                s1ap.IE_MME_UE_ID: m.u32(s1ap.IE_MME_UE_ID),
-                                s1ap.IE_ENB_UE_ID: enb_ue_id,
-                                s1ap.IE_NAS_PDU: resp,
-                            },
-                        )
+                        s1ap.pack_ul_nas(ies["mme_ue_s1ap_id"], enb_ue_id, resp)
                     )
-            elif m.msg_type == s1ap.INITIAL_CONTEXT_SETUP_REQUEST:
-                k_enb = m.ies[s1ap.IE_KENB]
-                spgw_ul_teid = m.u32(s1ap.IE_TEID_UL)
-                resp = ue_nas.handle_dl(m.ies[s1ap.IE_NAS_PDU])
-                mme_id = m.u32(s1ap.IE_MME_UE_ID)
+            elif name == "init_context_setup_request":
+                k_enb = ies["security_key"].to_bytes(32, "big")
+                erab = ies["erab_to_be_setup_list_ctxt_su_req"][0]
+                spgw_ul_teid = int.from_bytes(erab["gtp_teid"], "big")
+                resp = ue_nas.handle_dl(erab["nas_pdu"])
+                mme_id = ies["mme_ue_s1ap_id"]
                 nxt += mme.handle(
-                    s1ap.pack(
-                        s1ap.INITIAL_CONTEXT_SETUP_RESPONSE,
-                        {s1ap.IE_MME_UE_ID: mme_id, s1ap.IE_TEID_DL: 100 + enb_ue_id},
+                    s1ap.pack_initial_context_setup_response(
+                        mme_id, enb_ue_id, enb_teid=100 + enb_ue_id, ebi=erab["erab_id"]
                     )
                 )
                 if resp is not None:
-                    nxt += mme.handle(
-                        s1ap.pack(
-                            s1ap.UPLINK_NAS_TRANSPORT,
-                            {
-                                s1ap.IE_MME_UE_ID: mme_id,
-                                s1ap.IE_ENB_UE_ID: enb_ue_id,
-                                s1ap.IE_NAS_PDU: resp,
-                            },
-                        )
-                    )
+                    nxt += mme.handle(s1ap.pack_ul_nas(mme_id, enb_ue_id, resp))
         if not nxt:
             break
         msgs = nxt
@@ -130,9 +109,10 @@ def test_attach_wrong_key_fails():
 
 def test_s1_setup():
     mme, _ = make_epc()
-    out = mme.handle(s1ap.pack(s1ap.S1_SETUP_REQUEST, {s1ap.IE_ENB_ID: 0x19B}))
-    m, _ = s1ap.unpack(out[0])
-    assert m.msg_type == s1ap.S1_SETUP_RESPONSE
+    out = mme.handle(s1ap.pack_s1_setup_request(enb_id=0x19B))
+    name, ies = s1ap.unpack(out[0])
+    assert name == "s1_setup_response"
+    assert ies["served_gummeis"][0]["served_plmns"] == [mme.plmn]
 
 
 def test_hss_csv(tmp_path):
