@@ -209,6 +209,12 @@ class EnbStack:
                     ue.mme_ue_id, ue.enb_ue_id, enb_teid=ue.dl_teid, ebi=erab["erab_id"]
                 )
             )
+        elif name == "ue_context_release_cmd":
+            _, ids = ies["ue_s1ap_ids"]
+            rel = self._by_enb_id.get(ids.get("enb_ue_s1ap_id")) if isinstance(ids, dict) else None
+            if rel is not None:
+                self._s1ap_send(s1ap.pack_ue_context_release_complete(
+                    rel.mme_ue_id or 0, rel.enb_ue_id))
 
     def _send_srb1(self, ue: _EnbUe, rrc_pdu: bytes):
         ue.srb1_rlc.write_sdu(ue.srb1_pdcp.write_sdu(rrc_pdu))
@@ -269,8 +275,12 @@ class EnbStack:
 
     def _release_ue(self, ue: _EnbUe):
         """Remove the UE context so a fresh random access can re-establish
-        (s1ap UEContextRelease + rrc_ue removal in the reference)."""
+        (s1ap UEContextRelease + rrc_ue removal in the reference). The MME
+        is told first so it releases the access bearers at the SPGW
+        (→ ECM-IDLE; further DL traffic triggers DDN + paging)."""
         self.stats["ue_released"] += 1
+        if ue.mme_ue_id:
+            self._s1ap_send(s1ap.pack_ue_context_release_request(ue.mme_ue_id, ue.enb_ue_id))
         self.gtpu.rem_bearer(ue.dl_teid)
         self.sched.ue_rem(ue.crnti)
         self.ues.pop(ue.crnti, None)

@@ -1,25 +1,40 @@
-"""MME: S1AP endpoint + per-UE NAS EMM state machine (re-design of
-`srsepc/src/mme/mme.cc`, `nas.cc` 1,969 LoC).
+"""MME: S1AP endpoint + per-UE NAS EMM state machine + S11 GTP-C client
+(re-design of `srsepc/src/mme/mme.cc`, `nas.cc` 1,969 LoC, `mme_gtpc.cc`).
 
 Message-driven: `handle(s1ap_bytes) -> [s1ap_bytes...]` — the caller owns
-the transport (TCP socket or in-process queue). Attach call flow per
-TS 23.401 §5.3.2:
+the transport (TCP socket or in-process queue). The S11 side toward the
+SPGW is a request/response callable carrying serialized TS 29.274 GTP-Cv2
+(the reference passes in-memory structs between `mme_gtpc` and
+`spgw::gtpc`; here the real wire format crosses the boundary).
+
+Attach call flow per TS 23.401 §5.3.2:
 
   InitialUEMessage(AttachRequest)
     → DownlinkNASTransport(AuthenticationRequest)
   UplinkNASTransport(AuthenticationResponse)      [XRES check]
     → DownlinkNASTransport(SecurityModeCommand)   [integrity, new ctx]
   UplinkNASTransport(SecurityModeComplete)        [protected]
+    → S11 CreateSessionRequest / Response         [PAA + S1-U SGW TEID]
     → InitialContextSetupRequest(AttachAccept + ActivateDefaultBearer,
                                  K_eNB, SPGW UL TEID)
-  InitialContextSetupResponse(eNB DL TEID)        [bearer switched]
+  InitialContextSetupResponse(eNB DL TEID)
+    → S11 ModifyBearerRequest                     [bearer switched]
+
+Idle-mode chain (TS 23.401 §5.3.4.3 / §5.3.5):
+
+  UEContextReleaseRequest → S11 ReleaseAccessBearers
+    → UEContextReleaseCommand (ECM-IDLE)
+  [DL data] S11 DownlinkDataNotification → Ack + S1AP Paging
+  InitialUEMessage(ServiceRequest, s-TMSI)        [short-MAC check]
+    → InitialContextSetupRequest (no NAS)
+  InitialContextSetupResponse → S11 ModifyBearer  [buffered DL flushed]
 """
 
 from __future__ import annotations
 
 import dataclasses
 
-from ..stack import nas, security as sec
+from ..stack import gtpc, nas, security as sec
 from . import s1ap
 from .hss import Hss
 from .spgw import Spgw
@@ -29,6 +44,8 @@ EMM_AUTH_PENDING = 1
 EMM_SMC_PENDING = 2
 EMM_ATTACH_ACCEPTED = 3
 EMM_REGISTERED = 4
+
+MMEC = 0x1A
 
 
 @dataclasses.dataclass
@@ -41,19 +58,31 @@ class UeCtx:
     k_asme: bytes = b""
     sec_ctx: nas.NasSecurityContext | None = None
     ue_ip: str = ""
-    spgw_teid: int = 0
+    m_tmsi: int = 0
+    spgw_teid: int = 0       # S1-U SGW TEID (from Create Session Response)
+    sgw_ctrl_teid: int = 0   # S11 SGW control TEID
     ebi: int = 5
+    ecm_connected: bool = False
+    nas_ksi: int = 0
+    kenb_ncc: int = 0
 
 
 class Mme:
-    def __init__(self, hss: Hss, spgw: Spgw, eea: int = 2, eia: int = 2, plmn: bytes = b"\x00\xf1\x10"):
+    def __init__(self, hss: Hss, spgw: Spgw, eea: int = 2, eia: int = 2,
+                 plmn: bytes = b"\x00\xf1\x10", ip: str = "127.0.1.2"):
         self.hss = hss
         self.spgw = spgw
+        self.ip = ip
+        # S11 request/response channel; default: in-process serialized call
+        self.s11 = spgw.handle_gtpc
         self.eea = eea
         self.eia = eia
         self.plmn = plmn
         self.next_mme_ue_id = 1
+        self.next_m_tmsi = 0xA0001000
+        self._s11_seq = 0
         self.ues: dict[int, UeCtx] = {}
+        self.by_tmsi: dict[int, UeCtx] = {}
         self.attached_imsis: set[str] = set()
 
     def handle(self, data: bytes) -> list[bytes]:
@@ -67,15 +96,84 @@ class Mme:
             return self._ul_nas(ies)
         if name == "init_context_setup_response":
             return self._ctx_setup_response(ies)
+        if name == "ue_context_release_request":
+            return self._release_request(ies)
+        if name == "ue_context_release_complete":
+            ue = self.ues.get(ies["mme_ue_s1ap_id"])
+            if ue is not None:
+                ue.ecm_connected = False
+            return []
         return []
+
+    def handle_gtpc(self, data: bytes) -> list[bytes]:
+        """SPGW-initiated GTP-C (Downlink Data Notification) → S1AP out."""
+        msg_type, teid, seq, ies = gtpc.unpack(data)
+        if msg_type != gtpc.DOWNLINK_DATA_NOTIFICATION:
+            return []
+        self.s11(gtpc.pack(gtpc.DOWNLINK_DATA_NOTIFICATION_ACK, 0, seq,
+                           [(gtpc.IE_CAUSE, 0, gtpc.CAUSE_REQUEST_ACCEPTED)]))
+        ue = self.ues.get(teid or 0)  # our S11 TEID == mme_ue_id
+        if ue is None or ue.ecm_connected:
+            return []
+        return [s1ap.pack_paging(ue.m_tmsi, mmec=MMEC, plmn=self.plmn, imsi=None)]
+
+    # --- S11 helpers ---
+    def _s11_request(self, msg_type: int, teid: int, ies) -> tuple[int, list] | None:
+        self._s11_seq += 1
+        resp = self.s11(gtpc.pack(msg_type, teid, self._s11_seq, ies))
+        if resp is None:
+            return None
+        rtype, _rteid, _rseq, ries = gtpc.unpack(resp)
+        return rtype, ries
+
+    def _create_session(self, ue: UeCtx) -> bool:
+        bearer = [(gtpc.IE_EBI, 0, ue.ebi),
+                  (gtpc.IE_BEARER_QOS, 0, {"qci": 9, "pl": 15})]
+        out = self._s11_request(gtpc.CREATE_SESSION_REQUEST, 0, [
+            (gtpc.IE_IMSI, 0, ue.imsi),
+            (gtpc.IE_RAT_TYPE, 0, gtpc.RAT_TYPE_EUTRAN),
+            (gtpc.IE_FTEID, 0, {"iface": gtpc.FTEID_S11_MME, "teid": ue.mme_ue_id, "ip": self.ip}),
+            (gtpc.IE_APN, 0, "srsapn"),
+            (gtpc.IE_PAA, 0, "0.0.0.0"),
+            (gtpc.IE_AMBR, 0, (1_000_000, 1_000_000)),
+            (gtpc.IE_BEARER_CONTEXT, 0, bearer),
+        ])
+        if out is None:
+            return False
+        _, ries = out
+        if gtpc.find_ie(ries, gtpc.IE_CAUSE) != gtpc.CAUSE_REQUEST_ACCEPTED:
+            return False
+        ue.ue_ip = gtpc.find_ie(ries, gtpc.IE_PAA) or ""
+        sgw_fteid = gtpc.find_ie(ries, gtpc.IE_FTEID, 0) or {"teid": 0}
+        ue.sgw_ctrl_teid = sgw_fteid["teid"]
+        bctx = gtpc.find_ie(ries, gtpc.IE_BEARER_CONTEXT, 0) or []
+        s1u = gtpc.find_ie(bctx, gtpc.IE_FTEID, 0) or {"teid": 0}
+        ue.spgw_teid = s1u["teid"]
+        return True
+
+    def _modify_bearer(self, ue: UeCtx, enb_teid: int, enb_ip: str = "10.0.0.2"):
+        bearer = [(gtpc.IE_EBI, 0, ue.ebi),
+                  (gtpc.IE_FTEID, 0, {"iface": gtpc.FTEID_S1U_ENB, "teid": enb_teid, "ip": enb_ip})]
+        self._s11_request(gtpc.MODIFY_BEARER_REQUEST, ue.sgw_ctrl_teid,
+                          [(gtpc.IE_BEARER_CONTEXT, 0, bearer)])
+
+    def _release_access_bearers(self, ue: UeCtx):
+        self._s11_request(gtpc.RELEASE_ACCESS_BEARERS_REQUEST, ue.sgw_ctrl_teid, [])
+
+    def delete_session(self, ue: UeCtx):
+        self._s11_request(gtpc.DELETE_SESSION_REQUEST, ue.sgw_ctrl_teid,
+                          [(gtpc.IE_EBI, 0, ue.ebi)])
 
     # --- procedures ---
     def _initial_ue(self, ies: dict) -> list[bytes]:
         enb_ue_id = ies["enb_ue_s1ap_id"]
+        pdu = ies["nas_pdu"]
+        if (pdu[0] >> 4) == nas.SEC_HDR_SERVICE_REQUEST:
+            return self._service_request(enb_ue_id, ies, pdu)
         ue = UeCtx(self.next_mme_ue_id, enb_ue_id)
         self.next_mme_ue_id += 1
         self.ues[ue.mme_ue_id] = ue
-        msg = nas.unpack(ies["nas_pdu"])
+        msg = nas.unpack(pdu)
         if msg.msg_type != nas.ATTACH_REQUEST:
             return []
         ue.imsi = msg.fields["imsi"]
@@ -85,8 +183,27 @@ class Mme:
         ue.xres = av.xres
         ue.k_asme = av.k_asme
         ue.state = EMM_AUTH_PENDING
+        ue.ecm_connected = True
         pdu = nas.pack_authentication_request(av.rand, av.autn)
         return [self._dl_nas(ue, pdu)]
+
+    def _service_request(self, enb_ue_id: int, ies: dict, pdu: bytes) -> list[bytes]:
+        """UE-triggered (or paging-response) transition ECM-IDLE→CONNECTED."""
+        s_tmsi = ies.get("s_tmsi")
+        if s_tmsi is None:
+            return []
+        ue = self.by_tmsi.get(int.from_bytes(s_tmsi["m_tmsi"], "big"))
+        if ue is None or ue.sec_ctx is None or ue.state != EMM_REGISTERED:
+            return []
+        if not ue.sec_ctx.check_service_request(pdu):
+            return []
+        ue.enb_ue_id = enb_ue_id
+        ue.ecm_connected = True
+        # new K_eNB from the current NAS UL count (TS 33.401 §7.2.8 simplified)
+        k_enb = sec.generate_k_enb(ue.k_asme, ue.sec_ctx.rx_count - 1)
+        return [s1ap.pack_initial_context_setup_request(
+            ue.mme_ue_id, ue.enb_ue_id, b"", k_enb,
+            spgw_teid=ue.spgw_teid, ebi=ue.ebi)]
 
     def _ul_nas(self, ies: dict) -> list[bytes]:
         ue = self.ues.get(ies["mme_ue_s1ap_id"])
@@ -111,9 +228,13 @@ class Mme:
             prot = ue.sec_ctx.protect(smc, ciphered=False, new_ctx=True)
             return [self._dl_nas(ue, prot)]
         if msg.msg_type == nas.SECURITY_MODE_COMPLETE and ue.state == EMM_SMC_PENDING:
-            # allocate bearer now; eNB DL TEID arrives in ctx setup response
-            ue.spgw_teid, ue.ue_ip = self.spgw.alloc_bearer(enb_dl_teid=0)
-            accept = nas.pack_attach_accept(ue.ue_ip, ebi=ue.ebi)
+            # default-bearer session via S11; eNB DL TEID arrives in ctx setup rsp
+            if not self._create_session(ue):
+                return []
+            ue.m_tmsi = self.next_m_tmsi
+            self.next_m_tmsi += 1
+            self.by_tmsi[ue.m_tmsi] = ue
+            accept = nas.pack_attach_accept(ue.ue_ip, m_tmsi=ue.m_tmsi, ebi=ue.ebi)
             prot = ue.sec_ctx.protect(accept)
             k_enb = sec.generate_k_enb(ue.k_asme, 0)
             ue.state = EMM_ATTACH_ACCEPTED
@@ -134,9 +255,18 @@ class Mme:
         if ue is None:
             return []
         enb_teid = int.from_bytes(ies["erab_setup_list_ctxt_su_res"][0]["gtp_teid"], "big")
-        self.spgw.teid_to_enb[ue.spgw_teid] = enb_teid
-        self.spgw.gtpu.tx_map[ue.spgw_teid] = enb_teid
+        self._modify_bearer(ue, enb_teid)
         return []
+
+    def _release_request(self, ies: dict) -> list[bytes]:
+        """eNB-initiated S1 release (TS 23.401 §5.3.5): access bearers
+        released at the SPGW, UE goes ECM-IDLE but stays EMM-REGISTERED."""
+        ue = self.ues.get(ies["mme_ue_s1ap_id"])
+        if ue is None:
+            return []
+        self._release_access_bearers(ue)
+        ue.ecm_connected = False
+        return [s1ap.pack_ue_context_release_command(ue.mme_ue_id, ue.enb_ue_id)]
 
     def _dl_nas(self, ue: UeCtx, pdu: bytes) -> bytes:
         return s1ap.pack_dl_nas(ue.mme_ue_id, ue.enb_ue_id, pdu)

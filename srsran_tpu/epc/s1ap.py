@@ -59,14 +59,18 @@ def pack_s1_setup_response(name: str = "srsmme01", plmn: bytes = DEFAULT_PLMN,
 
 def pack_initial_ue_message(enb_ue_id: int, nas_pdu: bytes, cell_id: int = 0x19B0,
                             cause: str = "mo_data", plmn: bytes = DEFAULT_PLMN,
-                            tac: bytes = DEFAULT_TAC) -> bytes:
-    return codec.pack("init_ue_msg", {
+                            tac: bytes = DEFAULT_TAC,
+                            m_tmsi: int | None = None, mmec: int = 0x1A) -> bytes:
+    ies = {
         "enb_ue_s1ap_id": enb_ue_id,
         "nas_pdu": nas_pdu,
         "tai": {"plmn_id": plmn, "tac": tac},
         "eutran_cgi": {"plmn_id": plmn, "cell_id": cell_id},
         "rrc_establishment_cause": cause,
-    })
+    }
+    if m_tmsi is not None:
+        ies["s_tmsi"] = {"mmec": bytes([mmec]), "m_tmsi": m_tmsi.to_bytes(4, "big")}
+    return codec.pack("init_ue_msg", ies)
 
 
 def pack_dl_nas(mme_ue_id: int, enb_ue_id: int, nas_pdu: bytes) -> bytes:
@@ -107,7 +111,7 @@ def pack_initial_context_setup_request(
             },
             "transport_layer_address": _ip_to_bits(spgw_addr),
             "gtp_teid": spgw_teid.to_bytes(4, "big"),
-            "nas_pdu": nas_pdu,
+            **({"nas_pdu": nas_pdu} if nas_pdu else {}),
         }],
         "ue_security_cap": {
             "encryption_algorithms": 0b1110000000000000,
@@ -150,4 +154,23 @@ def pack_ue_context_release_command(mme_ue_id: int, enb_ue_id: int,
 def pack_ue_context_release_complete(mme_ue_id: int, enb_ue_id: int) -> bytes:
     return codec.pack("ue_context_release_complete", {
         "mme_ue_s1ap_id": mme_ue_id, "enb_ue_s1ap_id": enb_ue_id,
+    })
+
+
+def pack_paging(m_tmsi: int, mmec: int = 0x1A, plmn: bytes = DEFAULT_PLMN,
+                tac: bytes = DEFAULT_TAC, imsi: str | None = None) -> bytes:
+    """S1AP Paging (36.413 §9.1.6); UE identity index = IMSI mod 1024
+    stands in by m_tmsi mod 1024 when paging by s-TMSI (srsepc pages by
+    IMSI-derived index, `srsepc/src/mme/s1ap_paging.cc`)."""
+    if imsi is not None:
+        pid = ("imsi", bytes.fromhex(imsi + "f" * (len(imsi) % 2)))
+        idx = int(imsi) % 1024
+    else:
+        pid = ("s_tmsi", {"mmec": bytes([mmec]), "m_tmsi": m_tmsi.to_bytes(4, "big")})
+        idx = m_tmsi % 1024
+    return codec.pack("paging", {
+        "ue_id_idx_value": idx,
+        "ue_paging_id": pid,
+        "cn_domain": "ps",
+        "tai_list": [{"tai": {"plmn_id": plmn, "tac": tac}}],
     })

@@ -415,6 +415,20 @@ UE_CONTEXT_RELEASE_COMPLETE = ie_message(
     Ie(8, "enb_ue_s1ap_id", "ignore", ENB_UE_S1AP_ID),
 )
 
+# Paging (36.413 §9.1.6); UEPagingID §9.2.3.13, CNDomain §9.2.3.22
+UE_PAGING_ID = Choice([("s_tmsi", S_TMSI), ("imsi", OctStr(3, 8))], ext=True)
+CN_DOMAIN = Enum(["ps", "cs"])
+TAI_ITEM = Seq([M("tai", TAI), O("ie_exts", IE_EXTS)], ext=True)
+TAI_LIST = SingleContainerList(Ie(47, "tai_item", "ignore", TAI_ITEM))
+
+PAGING = ie_message(
+    Ie(80, "ue_id_idx_value", "ignore", BitStr(10, 10)),
+    Ie(43, "ue_paging_id", "ignore", UE_PAGING_ID),
+    Ie(44, "paging_drx", "ignore", PAGING_DRX),
+    Ie(109, "cn_domain", "reject", CN_DOMAIN),
+    Ie(46, "tai_list", "ignore", TAI_LIST),
+)
+
 # procedure code → per-class message type (36.413 §9.1; elementary
 # procedure registry, the analog of s1ap_elem_procs_o)
 PROCEDURES = {
@@ -426,6 +440,7 @@ PROCEDURES = {
     ("init_msg", 17): ("s1_setup_request", S1_SETUP_REQUEST),
     ("successful_outcome", 17): ("s1_setup_response", S1_SETUP_RESPONSE),
     ("unsuccessful_outcome", 17): ("s1_setup_failure", S1_SETUP_FAILURE),
+    ("init_msg", 10): ("paging", PAGING),
     ("init_msg", 18): ("ue_context_release_request", UE_CONTEXT_RELEASE_REQUEST),
     ("init_msg", 23): ("ue_context_release_cmd", UE_CONTEXT_RELEASE_COMMAND),
     ("successful_outcome", 23): ("ue_context_release_complete", UE_CONTEXT_RELEASE_COMPLETE),
@@ -434,8 +449,8 @@ _BY_NAME = {name: (cls, code, typ) for (cls, code), (name, typ) in PROCEDURES.it
 _CLASSES = ["init_msg", "successful_outcome", "unsuccessful_outcome"]
 
 # default criticality per procedure code (36.413 §9.3.7 value assignments)
-_PROC_CRIT = {9: "reject", 11: "ignore", 12: "ignore", 13: "ignore", 17: "reject",
-              18: "ignore", 23: "reject"}
+_PROC_CRIT = {9: "reject", 10: "ignore", 11: "ignore", 12: "ignore", 13: "ignore",
+              17: "reject", 18: "ignore", 23: "reject"}
 
 
 class S1apPdu(Asn1Type):

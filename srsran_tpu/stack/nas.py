@@ -44,6 +44,12 @@ SEC_HDR_INTEGRITY = 1
 SEC_HDR_INTEGRITY_CIPHERED = 2
 SEC_HDR_INTEGRITY_NEW_CTX = 3
 SEC_HDR_INTEGRITY_CIPHERED_NEW_CTX = 4
+SEC_HDR_SERVICE_REQUEST = 12
+
+# SERVICE REQUEST has no message-type octet (TS 24.301 §8.2.25, the short
+# format identified by security header type 12); 0x4D is the conventional
+# pseudo-type (reference `liblte_mme.h` LIBLTE_MME_MSG_TYPE_SERVICE_REQUEST).
+SERVICE_REQUEST = 0x4D
 
 
 def imsi_to_bcd(imsi: str) -> bytes:
@@ -215,6 +221,11 @@ class NasMessage:
 def unpack(msg: bytes) -> NasMessage:
     """Parse any of the supported plain messages."""
     pd = msg[0] & 0x0F
+    if pd == PD_EMM and (msg[0] >> 4) == SEC_HDR_SERVICE_REQUEST:
+        # short format: KSI(3)|seq(5) + 16-bit short MAC (§9.9.3.28)
+        return NasMessage(PD_EMM, SERVICE_REQUEST, {
+            "ksi": msg[1] >> 5, "seq": msg[1] & 0x1F, "short_mac": msg[2:4],
+        })
     if pd == PD_ESM:
         ebi = msg[0] >> 4
         mt = msg[2]
@@ -310,6 +321,32 @@ class NasSecurityContext:
             else b"\x00\x00\x00\x00"
         )
         return bytes([(sht << 4) | PD_EMM]) + mac + bytes([seq]) + body
+
+    def pack_service_request(self, ksi: int = 0) -> bytes:
+        """SERVICE REQUEST (UE side): short format with 16-bit short MAC —
+        the 2 LSBytes of the NAS-MAC over the first two octets
+        (TS 24.301 §9.9.3.28)."""
+        count = self.tx_count
+        self.tx_count += 1
+        hdr = bytes([(SEC_HDR_SERVICE_REQUEST << 4) | PD_EMM, ((ksi & 7) << 5) | (count & 0x1F)])
+        if not self.eia:
+            return hdr + b"\x00\x00"
+        mac = sec.INTEGRITY_ALGS[self.eia](self.k_int, count, 0, self.tx_dir, hdr)
+        return hdr + mac[2:4]
+
+    def check_service_request(self, pdu: bytes) -> bool:
+        """Network side: recover the UL count from the 5-bit seq and verify
+        the short MAC."""
+        seq5 = pdu[1] & 0x1F
+        count = (self.rx_count & ~0x1F) | seq5
+        if seq5 < (self.rx_count & 0x1F):
+            count += 0x20
+        if self.eia:
+            exp = sec.INTEGRITY_ALGS[self.eia](self.k_int, count, 0, 1 - self.tx_dir, pdu[:2])
+            if exp[2:4] != pdu[2:4]:
+                return False
+        self.rx_count = count + 1
+        return True
 
     def unprotect(self, pdu: bytes) -> bytes | None:
         sht = pdu[0] >> 4

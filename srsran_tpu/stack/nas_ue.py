@@ -52,6 +52,17 @@ class UeNas:
     def get_k_enb(self) -> bytes:
         return sec.generate_k_enb(self.k_asme, 0)
 
+    def service_request(self) -> bytes:
+        """SERVICE REQUEST for the ECM-IDLE→CONNECTED transition (short
+        format, TS 24.301 §8.2.25). Requires a live security context."""
+        assert self.sec_ctx is not None
+        return self.sec_ctx.pack_service_request()
+
+    def get_k_enb_service(self) -> bytes:
+        """K_eNB for a service-request re-access: derived from the UL NAS
+        count the SERVICE REQUEST was sent with."""
+        return sec.generate_k_enb(self.k_asme, self.sec_ctx.tx_count - 1)
+
     def handle_dl(self, pdu: bytes) -> bytes | None:
         sht = pdu[0] >> 4
         if sht != nas.SEC_HDR_PLAIN:
