@@ -498,15 +498,20 @@ class Seq(Asn1Type):
     def __init__(self, fields, ext: bool = False, ext_additions=()):
         self.fields = list(fields)
         self.ext = ext or bool(ext_additions)
+        # A bare field tuple is a lone addition (open type = the value);
+        # a list is a version-bracket group `[[ ... ]]` (open type = presence
+        # bits + values), even when it contains a single field — X.691 §18.9
+        # encodes the two differently.
         norm = []
         for add in ext_additions:
             if isinstance(add, tuple) and len(add) == 4 and isinstance(add[0], str):
-                norm.append([add])  # single-field addition
+                norm.append(("single", [add]))
             else:
-                norm.append(list(add))  # version-bracket group
+                norm.append(("group", list(add)))
         self.ext_additions = norm
 
-    def _group_present(self, group, value: dict) -> bool:
+    def _group_present(self, add, value: dict) -> bool:
+        _kind, group = add
         return any(name in value for (name, _t, _p, _d) in group)
 
     def encode(self, w, value: dict):
@@ -563,8 +568,8 @@ class Seq(Asn1Type):
                     put_length(w, len(raw))
                     w.put_bytes(raw)
                     continue
-                group = self.ext_additions[i]
-                if len(group) == 1:
+                kind, group = self.ext_additions[i]
+                if kind == "single":
                     # a lone addition is an open type of its own type
                     # (§18.9); the bitmap already carries its presence
                     put_open_type(w, group[0][1], value[group[0][0]])
@@ -599,8 +604,8 @@ class Seq(Asn1Type):
                     octets = get_length(r)
                     out[f"_ext{i}"] = r.get_bytes(octets)
                     continue
-                group = self.ext_additions[i]
-                if len(group) == 1:
+                kind, group = self.ext_additions[i]
+                if kind == "single":
                     out[group[0][0]] = get_open_type(r, group[0][1])
                 else:
                     out.update(get_open_type(r, _GroupSeq(group)))
