@@ -1,7 +1,7 @@
 """DCI pack/unpack, TS 36.212 §5.3.3 (re-design of lib/src/phy/phch/dci.c).
 
 Formats: 0 (UL grant), 1 (RA type 0), 1A (compact), 1B (TM6 closed-loop),
-1C (SI/RAR/paging), 1D (TM5 MU-MIMO), 2 (TM4), 2A (TM3).
+1C (SI/RAR/paging), 1D (TM5 MU-MIMO), 2 (TM4), 2A (TM3), 2B (TM8).
 """
 
 from __future__ import annotations
@@ -339,29 +339,57 @@ class Dci1C:
 
 @dataclasses.dataclass
 class Dci2:
-    """DCI formats 2/2A (closed/open-loop spatial multiplexing, 2 ports,
-    FDD; TS 36.212 §5.3.3.1.5/.5A, dci.c format2/2a).
+    """DCI formats 2/2A/2B (TS 36.212 §5.3.3.1.5/.5A/.5B; dci.c
+    dci_format2AB_pack/unpack, sizes dci_format2{,A,B}_sizeof).
 
-    Two transport blocks, each with mcs/ndi/rv; precoding info is present
-    for format 2 (TM4) and absent-for-2-ports... carried here as 2 bits
-    for 2-port codebooks (0 = tx-div fallback, 1-2 = codebook index)."""
+    2 = closed-loop spatial multiplexing (TM4), precoding info 3/6 bits
+    for 2/4 ports; 2A = open-loop (TM3), 0/2 bits; 2B = dual-layer
+    beamforming (TM8), no precoding info and the swap bit carries the
+    scrambling identity (sram_id, dci.c:1114).  RA type 0 only (the
+    header bit exists when nof_prb > 10); FDD, no CIF; payload padded
+    past the TS 36.212 §5.3.3.1.2 ambiguous sizes like the reference."""
 
     rbg_bitmap: int = 0
     tpc: int = 0
     harq_pid: int = 0
-    swap_flag: int = 0
+    swap_flag: int = 0  # format 2B: scrambling identity n_SCID
     mcs1: int = 0
     ndi1: int = 0
     rv1: int = 0
     mcs2: int = 0
     ndi2: int = 0
     rv2: int = 0
-    precoding_info: int = 0  # format 2 only
-    is_2a: bool = False  # 2A: open loop (no precoding field)
+    precoding_info: int = 0  # formats 2 and 2A (4 ports) only
+    fmt: str = "2"  # "2" | "2a" | "2b"
 
-    def pack(self, nof_prb: int) -> np.ndarray:
+    _AMBIGUOUS = frozenset({12, 14, 16, 20, 24, 26, 32, 40, 44, 56})
+
+    @property
+    def is_2a(self) -> bool:
+        return self.fmt == "2a"
+
+    @staticmethod
+    def _pinfo_bits(fmt: str, nof_ports: int) -> int:
+        if fmt == "2":
+            return 3 if nof_ports <= 2 else 6  # precoding_bits_f2
+        if fmt == "2a":
+            return 0 if nof_ports <= 2 else 2  # precoding_bits_f2a
+        return 0  # 2B: none
+
+    @classmethod
+    def nof_bits(cls, nof_prb: int, fmt: str = "2", nof_ports: int = 2) -> int:
+        n = Dci1.nof_rbg(nof_prb) + 2 + 3 + 1 + 2 * (5 + 1 + 2)
+        n += cls._pinfo_bits(fmt, nof_ports)
+        if nof_prb > 10:
+            n += 1  # RA type header bit
+        while n in cls._AMBIGUOUS:
+            n += 1
+        return n
+
+    def pack(self, nof_prb: int, nof_ports: int = 2) -> np.ndarray:
         w = _BitWriter()
-        w.put(0, 1)  # RA type 0
+        if nof_prb > 10:
+            w.put(0, 1)  # RA type 0
         w.put(self.rbg_bitmap, Dci1.nof_rbg(nof_prb))
         w.put(self.tpc, 2)
         w.put(self.harq_pid, 3)
@@ -370,14 +398,20 @@ class Dci2:
             w.put(mcs, 5)
             w.put(ndi, 1)
             w.put(rv, 2)
-        if not self.is_2a:
-            w.put(self.precoding_info, 2)
+        nb = self._pinfo_bits(self.fmt, nof_ports)
+        if nb:
+            w.put(self.precoding_info, nb)
+        while len(w.bits) < self.nof_bits(nof_prb, self.fmt, nof_ports):
+            w.put(0, 1)
         return w.array()
 
     @classmethod
-    def unpack(cls, bits, nof_prb: int, is_2a: bool = False) -> "Dci2":
+    def unpack(cls, bits, nof_prb: int, is_2a: bool = False, fmt: str | None = None,
+               nof_ports: int = 2) -> "Dci2":
+        if fmt is None:
+            fmt = "2a" if is_2a else "2"
         r = _BitReader(bits)
-        if r.get(1) != 0:
+        if nof_prb > 10 and r.get(1) != 0:
             raise ValueError("RA type 1 not supported")
         bitmap = r.get(Dci1.nof_rbg(nof_prb))
         tpc = r.get(2)
@@ -385,5 +419,6 @@ class Dci2:
         swap = r.get(1)
         mcs1, ndi1, rv1 = r.get(5), r.get(1), r.get(2)
         mcs2, ndi2, rv2 = r.get(5), r.get(1), r.get(2)
-        pinfo = 0 if is_2a else r.get(2)
-        return cls(bitmap, tpc, harq, swap, mcs1, ndi1, rv1, mcs2, ndi2, rv2, pinfo, is_2a)
+        nb = cls._pinfo_bits(fmt, nof_ports)
+        pinfo = r.get(nb) if nb else 0
+        return cls(bitmap, tpc, harq, swap, mcs1, ndi1, rv1, mcs2, ndi2, rv2, pinfo, fmt)

@@ -118,15 +118,27 @@ def test_dci_format1c_roundtrip():
 def test_dci_format2_roundtrip():
     from srsran_tpu.phy.phch.dci import Dci1, Dci2
 
-    for is_2a in (False, True):
-        d = Dci2(
-            rbg_bitmap=Dci1.bitmap_for_prbs(tuple(range(25)), 25),
-            tpc=2, harq_pid=5, swap_flag=1,
-            mcs1=15, ndi1=1, rv1=0, mcs2=9, ndi2=0, rv2=3,
-            precoding_info=0 if is_2a else 2, is_2a=is_2a,
-        )
-        back = Dci2.unpack(d.pack(25), 25, is_2a=is_2a)
-        assert back == d
+    for fmt in ("2", "2a", "2b"):
+        for nof_prb, nof_ports in ((25, 2), (100, 4), (6, 2)):
+            d = Dci2(
+                rbg_bitmap=Dci1.bitmap_for_prbs(tuple(range(min(6, nof_prb))), nof_prb),
+                tpc=2, harq_pid=5, swap_flag=1,
+                mcs1=15, ndi1=1, rv1=0, mcs2=9, ndi2=0, rv2=3,
+                precoding_info=2 if Dci2._pinfo_bits(fmt, nof_ports) >= 2 else 0, fmt=fmt,
+            )
+            bits = d.pack(nof_prb, nof_ports)
+            assert len(bits) == Dci2.nof_bits(nof_prb, fmt, nof_ports)
+            assert len(bits) not in Dci2._AMBIGUOUS  # TS 36.212 table 5.3.3.1.2-1
+            back = Dci2.unpack(bits, nof_prb, fmt=fmt, nof_ports=nof_ports)
+            assert back == d
+    # 2B differs from 2A only by carrying n_SCID in the swap-bit slot and is
+    # the same size (dci_format2B_sizeof == 2A for 2 ports)
+    assert Dci2.nof_bits(50, "2b", 2) == Dci2.nof_bits(50, "2a", 2)
+    # 2A at 50 PRB lands on ambiguous size 40 and pads to 41; format 2 adds
+    # 3 pinfo bits on the unpadded 40 -> 43 (dci.c is_ambiguous_size)
+    assert Dci2.nof_bits(50, "2a", 2) == 41
+    assert Dci2.nof_bits(50, "2", 2) == 43
+
 
 
 def test_dci1b_1d_roundtrip():
