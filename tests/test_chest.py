@@ -138,3 +138,64 @@ def test_srs_roundtrip():
     ce = np.asarray(ce)[0]
     np.testing.assert_allclose(np.mean(ce), h, atol=0.02)
     assert float(np.asarray(snr)[0]) > 100
+
+
+def test_adaptive_wiener_tracks_measured_channel():
+    """The runtime-adapted Wiener (wiener_dl.c role) learns the channel's
+    own delay spread from pilots and beats both linear interpolation and
+    the fixed-model Wiener once adapted."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from srsran_tpu.phy.common import Cell
+    from srsran_tpu.phy.chest.chest_dl import ChestDlConfig, chest_dl
+    from srsran_tpu.phy.chest.refsignal_dl import crs_positions, crs_sequence_port
+    from srsran_tpu.phy.chest.wiener_dl import chest_dl_adaptive, wiener_init
+
+    cell = Cell(nof_prb=50, nof_ports=1, id=17)
+    nre = cell.nof_re_per_symbol
+    rng = np.random.default_rng(5)
+    # 4-tap channel, ~2.2 us delay spread (longer than the fixed model's
+    # default assumption), static across the subframe
+    taus = np.array([0.0, 0.018, 0.045, 0.075])  # fractions of symbol span
+    gains = np.array([1.0, 0.7, 0.5, 0.3]) * np.exp(2j * np.pi * rng.random(4))
+    k = np.arange(nre)
+    h_true = (gains[None, :] * np.exp(-2j * np.pi * np.outer(k, taus))).sum(1)
+    h_true = (h_true / np.sqrt(np.mean(np.abs(h_true) ** 2))).astype(np.complex64)
+
+    syms, freqs = crs_positions(cell, 0)
+    snr_lin = 10 ** (15 / 10)
+
+    def make_grid(sf_idx):
+        grid = np.zeros((cell.nsymb_per_sf, nre), np.complex64)
+        seq = crs_sequence_port(cell, sf_idx, 0)
+        for s in range(len(syms)):
+            grid[syms[s], freqs[s]] = seq[s] * h_true[freqs[s]]
+        grid += (rng.standard_normal(grid.shape) + 1j * rng.standard_normal(grid.shape)
+                 ).astype(np.complex64) * np.sqrt(0.5 / snr_lin)
+        return jnp.asarray(grid)
+
+    def mse(ce):
+        est = np.asarray(ce)[0]  # port 0: (nsymb, nre)
+        return float(np.mean(np.abs(est - h_true[None, :]) ** 2))
+
+    state = wiener_init()
+    adaptive_mse = None
+    for sf in range(8):
+        res, state = chest_dl_adaptive(make_grid(sf % 10), cell, sf % 10, state)
+        adaptive_mse = mse(res["ce"])
+
+    grid9 = make_grid(9)
+    lin = mse(chest_dl(grid9, cell, 9, ChestDlConfig(algorithm="interpolate"))["ce"])
+    fixed = mse(chest_dl(grid9, cell, 9, ChestDlConfig(algorithm="wiener"))["ce"])
+    state_before = state
+    res, state = chest_dl_adaptive(grid9, cell, 9, state)
+    adaptive_mse = mse(res["ce"])
+
+    assert adaptive_mse < lin, (adaptive_mse, lin)
+    assert adaptive_mse < 0.6 * fixed, (adaptive_mse, fixed)
+    assert adaptive_mse < 0.03
+    # jit-compatibility of the carried state (scan-style usage)
+    jitted = jax.jit(lambda g, st: chest_dl_adaptive(g, cell, 9, st))
+    res2, _ = jitted(grid9, state_before)
+    assert np.allclose(np.asarray(res2["ce"]), np.asarray(res["ce"]), atol=1e-4)
