@@ -93,3 +93,53 @@ class SampleRing:
             self.close()
         except Exception:
             pass
+
+
+class NativeLogBackend:
+    """Async file-sink log backend (native/log_backend.cpp) — the srslog
+    backend_worker role: `write()` never blocks on I/O; one native thread
+    drains a bounded queue into the file."""
+
+    def __init__(self, path: str, queue_capacity: int = 8192):
+        lib = _load()
+        if not hasattr(lib.slog_create, "_configured"):
+            lib.slog_create.restype = ctypes.c_void_p
+            lib.slog_create.argtypes = [ctypes.c_char_p, ctypes.c_size_t]
+            lib.slog_write.restype = ctypes.c_int
+            lib.slog_write.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_size_t]
+            for f in ("slog_dropped", "slog_written"):
+                getattr(lib, f).restype = ctypes.c_uint64
+                getattr(lib, f).argtypes = [ctypes.c_void_p]
+            lib.slog_flush.argtypes = [ctypes.c_void_p]
+            lib.slog_destroy.argtypes = [ctypes.c_void_p]
+            lib.slog_create._configured = True
+        self._lib = lib
+        self._h = lib.slog_create(path.encode(), queue_capacity)
+        if not self._h:
+            raise OSError(f"cannot open log sink {path}")
+
+    def write(self, line: str) -> bool:
+        data = line.encode()
+        return bool(self._lib.slog_write(self._h, data, len(data)))
+
+    def flush(self):
+        self._lib.slog_flush(self._h)
+
+    @property
+    def dropped(self) -> int:
+        return self._lib.slog_dropped(self._h)
+
+    @property
+    def written(self) -> int:
+        return self._lib.slog_written(self._h)
+
+    def close(self):
+        if self._h:
+            self._lib.slog_destroy(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

@@ -56,9 +56,32 @@ def _get_backend() -> _Backend:
         return _backend
 
 
-def set_log_file(path: str):
+def set_log_file(path: str, native: bool = True):
+    """Route log output to `path`.  With native=True (default) the file
+    sink is the C++ async backend (native/log_backend.cpp, the srslog
+    backend_worker role) — the Python queue thread then only relays to
+    it, and the actual I/O happens entirely off the GIL."""
     b = _get_backend()
+    if native:
+        try:
+            from ..native import NativeLogBackend
+
+            b.sinks = [_NativeSink(NativeLogBackend(path))]
+            return
+        except Exception:
+            pass  # toolchain unavailable: fall back to the Python sink
     b.sinks = [open(path, "a")]
+
+
+class _NativeSink:
+    def __init__(self, backend):
+        self.backend = backend
+
+    def write(self, line: str):
+        self.backend.write(line)
+
+    def flush(self):
+        self.backend.flush()
 
 
 class Logger:

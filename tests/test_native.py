@@ -50,3 +50,44 @@ def test_udp_pump():
     np.testing.assert_array_equal(got, data)
     sock.close()
     r.close()
+
+
+def test_native_log_backend_roundtrip(tmp_path):
+    from srsran_tpu.native import NativeLogBackend
+
+    path = tmp_path / "native.log"
+    b = NativeLogBackend(str(path))
+    n = 5000
+    for i in range(n):
+        assert b.write(f"line {i}\n")
+    b.flush()
+    assert b.written == n and b.dropped == 0
+    b.close()
+    lines = path.read_text().splitlines()
+    assert len(lines) == n and lines[0] == "line 0" and lines[-1] == f"line {n-1}"
+
+
+def test_native_log_backend_drops_under_pressure(tmp_path):
+    import time
+    from srsran_tpu.native import NativeLogBackend
+
+    b = NativeLogBackend(str(tmp_path / "tiny.log"), queue_capacity=4)
+    sent = sum(b.write("x" * 512 + "\n") for _ in range(20000))
+    b.flush()
+    assert sent + b.dropped == 20000
+    b.close()
+
+
+def test_logger_routes_through_native_sink(tmp_path):
+    from srsran_tpu.runtime import logger as L
+
+    path = tmp_path / "routed.log"
+    L.set_log_file(str(path))
+    lg = L.get_logger("TEST8", "debug")
+    lg.info("hello native", hexdata=b"\x01\x02")
+    lg.error("boom")
+    L.flush()
+    for s in L._get_backend().sinks:
+        s.flush()
+    text = path.read_text()
+    assert "hello native" in text and "boom" in text and "01 02" in text
