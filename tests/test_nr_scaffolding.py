@@ -204,3 +204,48 @@ def test_pdcp_nr_sn_wrap_hfn():
         out = rx.write_pdu(tx.write_sdu(sdu))
         assert out == [sdu]
     assert rx.rx_deliv == n
+
+
+# ------------------------------------------------------------ NR PDSCH DMRS
+
+
+def test_dmrs_nr_symbol_tables():
+    from srsran_tpu.phy.phch.dmrs_nr import DmrsPdschConfig, symbols_idx
+
+    # TS 38.211 Table 7.4.1.1.2-3 (single), reference dmrs_pdsch.c:49-135
+    assert symbols_idx(DmrsPdschConfig(duration=14, additional_pos=0)) == [2]
+    assert symbols_idx(DmrsPdschConfig(duration=14, additional_pos=1)) == [2, 11]
+    assert symbols_idx(DmrsPdschConfig(duration=14, additional_pos=2)) == [2, 7, 11]
+    assert symbols_idx(DmrsPdschConfig(duration=14, additional_pos=3)) == [2, 5, 8, 11]
+    assert symbols_idx(DmrsPdschConfig(duration=12, additional_pos=2)) == [2, 6, 9]
+    assert symbols_idx(DmrsPdschConfig(duration=9, additional_pos=2)) == [2, 7]
+    assert symbols_idx(DmrsPdschConfig(duration=14, additional_pos=1, typeA_pos=3)) == [3, 11]
+    # Table 7.4.1.1.2-4 (double)
+    assert symbols_idx(DmrsPdschConfig(duration=14, additional_pos=1, length=2)) == [2, 3, 10, 11]
+    assert symbols_idx(DmrsPdschConfig(duration=12, additional_pos=1, length=2)) == [2, 3, 8, 9]
+    assert symbols_idx(DmrsPdschConfig(duration=9, additional_pos=1, length=2)) == [2, 3]
+
+
+def test_dmrs_nr_put_get_roundtrip():
+    import numpy as np
+    from srsran_tpu.phy.phch.dmrs_nr import DmrsPdschConfig, get_sf, put_sf, sc_idx
+
+    for typ, density in ((1, 6), (2, 4)):
+        cfg = DmrsPdschConfig(nof_prb=24, type=typ, additional_pos=2, n_id=77, n_scid=1)
+        assert len(sc_idx(cfg)) == 24 * density
+        grid = np.zeros((14, 24 * 12), np.complex64)
+        put_sf(cfg, tti=3, grid=grid)
+        # pilots are unit-power QPSK
+        k = sc_idx(cfg)
+        vals = grid[2, k]
+        assert np.allclose(np.abs(vals), 1.0, atol=1e-5)
+        # flat channel h -> LS estimates all equal h
+        h = 0.8 - 0.6j
+        ls = get_sf(cfg, tti=3, grid=grid * h)
+        assert ls.shape == (3, 24 * density)
+        assert np.allclose(ls, h, atol=1e-5)
+        # different n_scid -> different sequence
+        cfg2 = DmrsPdschConfig(nof_prb=24, type=typ, additional_pos=2, n_id=77, n_scid=0)
+        grid2 = np.zeros_like(grid)
+        put_sf(cfg2, tti=3, grid=grid2)
+        assert not np.allclose(grid2[2, k], vals)
