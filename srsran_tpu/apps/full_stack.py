@@ -367,11 +367,12 @@ class EnbStack:
                         return agg, cce
             return None
 
-        def add_dl_tb(rnti: int, mcs: int, tb_bytes_pdu: bytes, ndi: int = 1, rv: int = 0, harq_pid: int = 0):
+        def add_dl_tb(rnti: int, mcs: int, tb_bytes_pdu: bytes, ndi: int = 1, rv: int = 0, harq_pid: int = 0,
+                      rb_start: int = 0, l_crb: int | None = None):
             from ..phy.modem import Mod
             from ..phy.phch.ra import tbs_lookup
 
-            l_crb = self.cell.nof_prb
+            l_crb = self.cell.nof_prb if l_crb is None else l_crb
             is_common = rnti >= 0xFFF4 or rnti <= 0x0042  # SI/P/RA-RNTI
             if is_common:
                 # TS 36.213 §7.1.7.2 common grants: QPSK, i_tbs = mcs,
@@ -384,7 +385,7 @@ class EnbStack:
                 return  # does not fit the common-grant TBS
             tb_bits = np.concatenate([tb_bits, np.zeros(tbs_bits - len(tb_bits), np.uint8)])
             dci = Dci1A(
-                riv=riv_encode(self.cell.nof_prb, 0, l_crb), mcs=mcs, ndi=ndi, rv=rv,
+                riv=riv_encode(self.cell.nof_prb, rb_start, l_crb), mcs=mcs, ndi=ndi, rv=rv,
                 harq_pid=harq_pid, tpc=1 if is_common else 0,
             )
             loc = alloc_cce(rnti)
@@ -392,7 +393,7 @@ class EnbStack:
                 return
             agg, cce = loc
             grant = DlGrant(
-                prb=tuple(range(l_crb)),
+                prb=tuple(range(rb_start, rb_start + l_crb)),
                 mod=Mod.QPSK if is_common else dl_mcs_to_mod(mcs),
                 tbs=tbs_bits, rnti=rnti, rv=rv,
             )
@@ -419,7 +420,8 @@ class EnbStack:
             n_re = pdsch_nof_re(self.cell, sf_idx, self.cfi, tuple(range(self.cell.nof_prb)))
             grants = self.sched.get_dl_sched(tti, pdsch_nof_re=n_re)
             for g in grants:
-                add_dl_tb(g.rnti, g.mcs, g.pdu, ndi=g.ndi, rv=g.rv, harq_pid=g.harq_pid)
+                add_dl_tb(g.rnti, g.mcs, g.pdu, ndi=g.ndi, rv=g.rv, harq_pid=g.harq_pid,
+                          rb_start=g.rb_start, l_crb=g.l_crb)
                 # no PUCCH feedback modeled: assume delivery (ack now)
                 self.sched.ack_info(g.rnti, g.harq_pid, True)
             # 3. UL grants via DCI0: BSR-driven, plus a periodic round-robin

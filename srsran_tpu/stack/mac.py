@@ -57,6 +57,13 @@ def bsr_index(nof_bytes: int) -> int:
 # ---------------------------------------------------------------------------
 
 
+# CQI -> spectral efficiency (bits/RE), TS 36.213 Table 7.2.3-1
+# (reference cqi.c:541-556 cqi_to_coderate; scheduler_ue.cc:1214 picks the
+# highest MCS whose efficiency stays under min(cqi_eff, 0.93*Qm))
+CQI_TO_EFFICIENCY = [0.0, 0.1523, 0.2344, 0.3770, 0.6016, 0.8770, 1.1758, 1.4766,
+                     1.9141, 2.4063, 2.7305, 3.3223, 3.9023, 4.5234, 5.1152, 5.5547]
+
+
 @dataclasses.dataclass
 class DlHarqProc:
     """eNB-side DL HARQ process state (scheduler_harq.cc)."""
@@ -68,18 +75,21 @@ class DlHarqProc:
     tbs_bits: int = 0
     mcs: int = 0
     n_prb: int = 0
+    rb_start: int = 0
     pending_ack: bool = False
     tx_tti: int = -1
     retx_count: int = 0
     max_retx: int = 4
 
-    def new_tx(self, tti: int, pdu: bytes, tbs_bits: int, mcs: int, n_prb: int):
+    def new_tx(self, tti: int, pdu: bytes, tbs_bits: int, mcs: int, n_prb: int,
+               rb_start: int = 0):
         self.ndi ^= 1
         self.rv_idx = 0
         self.pdu = pdu
         self.tbs_bits = tbs_bits
         self.mcs = mcs
         self.n_prb = n_prb
+        self.rb_start = rb_start
         self.pending_ack = True
         self.tx_tti = tti
         self.retx_count = 0
@@ -150,11 +160,14 @@ class _SchedUe:
 class Scheduler:
     """Round-robin DL/UL scheduler (sched class, scheduler.h:60)."""
 
-    def __init__(self, nof_prb: int, mcs_max: int = 9, get_tbs=None):
+    def __init__(self, nof_prb: int, mcs_max: int = 9, get_tbs=None,
+                 max_grants_per_tti: int = 4, max_retx: int = 4):
         from ..phy.phch.ra import dl_tbs
 
         self.nof_prb = nof_prb
         self.mcs_max = mcs_max
+        self.max_grants_per_tti = max_grants_per_tti
+        self.max_retx = max_retx
         self.ues: dict[int, _SchedUe] = {}
         self.rr_next = 0
         self._tbs = get_tbs or dl_tbs
@@ -163,7 +176,8 @@ class Scheduler:
     # --- config plane (rrc->mac, enb_interfaces.h:273) ---
     def ue_cfg(self, rnti: int):
         if rnti not in self.ues:
-            self.ues[rnti] = _SchedUe(rnti, [DlHarqProc(i) for i in range(N_HARQ)], {})
+            self.ues[rnti] = _SchedUe(
+                rnti, [DlHarqProc(i, max_retx=self.max_retx) for i in range(N_HARQ)], {})
 
     def ue_rem(self, rnti: int):
         self.ues.pop(rnti, None)
@@ -185,6 +199,12 @@ class Scheduler:
     def ul_crc_info(self, rnti: int, ok: bool):
         pass  # UL HARQ simplification: synchronous retx not modeled
 
+    def cqi_info(self, rnti: int, cqi: int):
+        """Wideband CQI report (mac.cc cqi_info -> sched_ue::set_dl_cqi)."""
+        ue = self.ues.get(rnti)
+        if ue is not None:
+            ue.cqi = max(1, min(15, cqi))
+
     def ul_bsr(self, rnti: int, nof_bytes: int):
         ue = self.ues.get(rnti)
         if ue is not None:
@@ -197,33 +217,57 @@ class Scheduler:
         return n + ue.dl_buffer_override
 
     def get_dl_sched(self, tti: int, pdsch_nof_re: int | None = None) -> list[DlSchedGrant]:
-        """One grant per TTI (single contiguous allocation, DCI 1A)."""
+        """Grants for one TTI (mac.cc:555 / scheduler_grid.cc).
+
+        Retransmissions first (same TBS, so the original PRB count is
+        kept), then round-robin new data.  Multiple UEs share the band as
+        contiguous type-2 allocations (DCI 1A) split at the allocation
+        cursor — up to `max_grants_per_tti`, each later paired with its
+        own PDCCH candidate by the caller (alloc_cce)."""
         if not self.ues:
             return []
         rntis = sorted(self.ues)
-        # 1. HARQ retransmissions first
+        grants: list[DlSchedGrant] = []
+        cursor = 0  # next free PRB
+
+        # 1. HARQ retransmissions (original l_crb preserved for equal TBS)
         for rnti in rntis:
             ue = self.ues[rnti]
             for h in ue.dl_harq:
-                if h.pdu is not None and not h.pending_ack and h.retx_count < h.max_retx:
-                    h.retx(tti)
-                    return [
-                        DlSchedGrant(
-                            rnti, 0, self.nof_prb, h.mcs, h.tbs_bits, h.ndi, h.rv, h.pid, h.pdu
-                        )
-                    ]
-        # 2. round-robin new data
-        order = rntis[self.rr_next % len(rntis) :] + rntis[: self.rr_next % len(rntis)]
+                if h.pdu is None or h.pending_ack or h.retx_count >= h.max_retx:
+                    continue
+                if len(grants) >= self.max_grants_per_tti or cursor + h.n_prb > self.nof_prb:
+                    continue
+                h.retx(tti)
+                grants.append(DlSchedGrant(
+                    rnti, cursor, h.n_prb, h.mcs, h.tbs_bits, h.ndi, h.rv, h.pid, h.pdu))
+                cursor += h.n_prb
+
+        # 2. round-robin new data over the remaining band
+        order = rntis[self.rr_next % len(rntis):] + rntis[: self.rr_next % len(rntis)]
         self.rr_next += 1
+        pending_ues = []
         for rnti in order:
             ue = self.ues[rnti]
+            if any(g.rnti == rnti for g in grants):
+                continue
+            if self._dl_pending(ue) == 0:
+                continue
+            if not any(h.pdu is None and not h.pending_ack for h in ue.dl_harq):
+                continue
+            pending_ues.append(ue)
+        pending_ues = pending_ues[: self.max_grants_per_tti - len(grants)]
+
+        for i, ue in enumerate(pending_ues):
+            free = self.nof_prb - cursor
+            if free <= 0:
+                break
+            share = free if i == len(pending_ues) - 1 else max(1, free // (len(pending_ues) - i))
             pending = self._dl_pending(ue)
-            if pending == 0:
-                continue
-            h = next((h for h in ue.dl_harq if h.pdu is None and not h.pending_ack), None)
-            if h is None:
-                continue
-            mcs, tbs_bits = self._pick_mcs(pending, pdsch_nof_re)
+            n_re = None
+            if pdsch_nof_re is not None:
+                n_re = max(1, pdsch_nof_re * share // self.nof_prb)
+            mcs, tbs_bits = self._pick_mcs(pending, share, n_re, ue.cqi)
             if tbs_bits == 0:
                 continue
             tb_bytes = tbs_bits // 8
@@ -245,25 +289,29 @@ class Scheduler:
                 if ue.dl_buffer_override:
                     ue.dl_buffer_override = 0
                 continue
+            h = next(h for h in ue.dl_harq if h.pdu is None and not h.pending_ack)
             mac = mac_pack(sdus, tb_bytes, ce_sizes=DL_CE_SIZES)
-            h.new_tx(tti, mac, tbs_bits, mcs, self.nof_prb)
+            h.new_tx(tti, mac, tbs_bits, mcs, share, rb_start=cursor)
             ue.dl_bytes += used
-            return [
-                DlSchedGrant(rnti, 0, self.nof_prb, mcs, tbs_bits, h.ndi, 0, h.pid, mac)
-            ]
-        return []
+            grants.append(DlSchedGrant(ue.rnti, cursor, share, mcs, tbs_bits, h.ndi, 0, h.pid, mac))
+            cursor += share
+        return grants
 
-    def _pick_mcs(self, pending_bytes: int, pdsch_nof_re: int | None) -> tuple[int, int]:
-        """Smallest (mcs, tbs) covering pending bytes, capped by mcs_max and
-        (optionally) a 0.75 code-rate bound on available REs."""
+    def _pick_mcs(self, pending_bytes: int, l_crb: int, pdsch_nof_re: int | None,
+                  cqi: int = 15) -> tuple[int, int]:
+        """Highest MCS under the CQI efficiency cap (scheduler_ue.cc:1214
+        alloc_tbs: coderate <= min(cqi_eff, 0.93*Qm)), stopping early once
+        the TBS covers the pending bytes."""
         from ..phy.phch.ra import dl_mcs_to_mod
 
+        max_eff = CQI_TO_EFFICIENCY[max(1, min(15, cqi))]
         best = (0, 0)
         for mcs in range(self.mcs_max + 1):
-            tbs = self._tbs(mcs, self.nof_prb)
+            tbs = self._tbs(mcs, l_crb)
             if pdsch_nof_re is not None:
                 qm = dl_mcs_to_mod(mcs).bits_per_symbol
-                if (tbs + 24) / (pdsch_nof_re * qm) > 0.75:
+                eff = (tbs + 24) / pdsch_nof_re
+                if eff > min(max_eff, 0.93 * qm) and best[1] > 0:
                     break
             best = (mcs, tbs)
             if tbs // 8 >= pending_bytes + 8:

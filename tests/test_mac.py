@@ -138,7 +138,7 @@ def test_scheduler_randomized_invariants():
             return out
 
     rng = random.Random(7)
-    sched = Scheduler(nof_prb=25, mcs_max=15)
+    sched = Scheduler(nof_prb=25, mcs_max=15, max_retx=64)  # exactly-once model: no TB drops
     bearers: dict[int, FifoBearer] = {}
     sent: dict[int, int] = {}
     delivered: dict[int, int] = {}
@@ -167,7 +167,7 @@ def test_scheduler_randomized_invariants():
                 sent[rnti] += n
 
         grants = sched.get_dl_sched(tti)
-        assert len(grants) <= 1  # single-allocation scheduler
+        assert len(grants) <= 4  # bounded by max_grants_per_tti
         for g in grants:
             assert g.rnti in bearers, "grant for a removed UE"
             assert g.tbs_bits // 8 >= len(g.pdu) or True
@@ -205,3 +205,42 @@ def test_scheduler_randomized_invariants():
             sched.ack_info(g.rnti, g.harq_pid, True)
     for rnti, b in bearers.items():
         assert delivered.get(rnti, 0) + b.buffer_state() == sent[rnti], rnti
+
+
+def test_scheduler_multi_ue_per_tti_and_cqi():
+    """Multiple UEs share one TTI as disjoint contiguous allocations
+    (scheduler_grid.cc role); CQI caps the MCS (scheduler_ue.cc:1214)."""
+    from srsran_tpu.stack.mac import Scheduler
+
+    class FatBearer:
+        def __init__(self):
+            self.n = 100000
+        def buffer_state(self):
+            return self.n
+        def read_pdu(self, nof_bytes):
+            if self.n == 0 or nof_bytes < 1:
+                return None
+            take = min(self.n, nof_bytes)
+            self.n -= take
+            return b"\x5a" * take
+
+    sched = Scheduler(nof_prb=50, mcs_max=28)
+    for rnti in (0x50, 0x51, 0x52):
+        sched.ue_cfg(rnti)
+        sched.bearer_ue_cfg(rnti, 3, FatBearer())
+    sched.cqi_info(0x52, 3)  # poor channel -> low MCS
+
+    grants = sched.get_dl_sched(0, pdsch_nof_re=50 * 120)
+    assert len(grants) == 3
+    # disjoint, contiguous, in-band
+    spans = sorted((g.rb_start, g.rb_start + g.l_crb) for g in grants)
+    assert spans[0][0] >= 0 and spans[-1][1] <= 50
+    for (a0, a1), (b0, b1) in zip(spans, spans[1:]):
+        assert a1 <= b0, "overlapping allocations"
+    by_rnti = {g.rnti: g for g in grants}
+    assert by_rnti[0x52].mcs < by_rnti[0x50].mcs, "CQI=3 UE must get a lower MCS"
+    # NDI toggles independently per UE on the next TTI after ACK
+    for g in grants:
+        sched.ack_info(g.rnti, g.harq_pid, True)
+    grants2 = sched.get_dl_sched(1, pdsch_nof_re=50 * 120)
+    assert {g.rnti for g in grants2} == {0x50, 0x51, 0x52}
