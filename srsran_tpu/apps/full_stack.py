@@ -130,6 +130,9 @@ class _EnbUe:
     pending_reconf_nas: bytes | None = None
     last_ul_ok_tti: int = 0
     rapid: int = -1
+    spgw_teid: int = 0
+    cf_preamble: int = -1  # dedicated contention-free preamble (HO target)
+    is_ho_target: bool = False
 
     def __post_init__(self):
         if self.srb1_pdcp is None:
@@ -161,6 +164,11 @@ class EnbStack:
         self.tti = 0
         self.stats = {"prach_detected": 0, "ul_crc_ok": 0, "ul_crc_ko": 0, "ue_released": 0}
         self.ul_inactivity_timeout = 40  # TTIs without UL → release context
+        # mobility (rrc_mobility.cc roles): measurement config sent with the
+        # bearer reconfiguration, and coordinator hooks
+        self.meas_cfg: dict | None = None
+        self.on_meas_report = None  # (enb, ue, meas_results) -> None
+        self.on_ho_complete = None  # (enb, ue) -> None
 
     # --- single-UE compatibility views ---
     @property
@@ -199,6 +207,7 @@ class EnbStack:
             ue.k_enb = ies["security_key"].to_bytes(32, "big")
             erab = ies["erab_to_be_setup_list_ctxt_su_req"][0]
             spgw_teid = int.from_bytes(erab["gtp_teid"], "big")
+            ue.spgw_teid = spgw_teid
             self.gtpu.add_bearer(ue.dl_teid, spgw_teid)
             ue.pending_reconf_nas = erab.get("nas_pdu", b"")
             # AS security activation (rrc_ue.cc send_security_mode_command)
@@ -252,12 +261,20 @@ class EnbStack:
             reconf = rrc.pack_reconfiguration(
                 drb_id=1, lcid=LCID_DRB1, eps_bearer_id=5,
                 nas_pdu=ue.pending_reconf_nas or b"",
+                meas_cfg=self.meas_cfg,
             )
             self._send_srb1(ue, reconf)
             ue.rrc_state = self.RRC_RECONF_SENT
         elif kind == "rrc_conn_recfg_complete":
             self.sched.bearer_ue_cfg(ue.crnti, LCID_DRB1, ue.drb_rlc)
             ue.rrc_state = self.RRC_ACTIVE
+            if ue.is_ho_target:
+                ue.is_ho_target = False
+                if self.on_ho_complete:
+                    self.on_ho_complete(self, ue)
+        elif kind == "meas_report":
+            if self.on_meas_report:
+                self.on_meas_report(self, ue, body["meas_results"])
 
     # --- TTI processing ---
     def run_tti(self, ul_samples: np.ndarray | None) -> np.ndarray:
@@ -273,18 +290,47 @@ class EnbStack:
         self.tti += 1
         return dl
 
-    def _release_ue(self, ue: _EnbUe):
+    def prepare_handover_target(self, src_ue: _EnbUe, preamble: int,
+                                cipher_alg: int, integ_alg: int) -> int:
+        """Admit an incoming intra-eNB handover (rrc_mobility.cc
+        ho_prep/target admission): new C-RNTI, dedicated CF preamble,
+        re-established secured bearers with the source keys, and the SAME
+        S1/GTP identifiers — no path switch needed."""
+        ue = _EnbUe(
+            crnti=self._next_crnti, enb_ue_id=src_ue.enb_ue_id,
+            dl_teid=src_ue.dl_teid, last_ul_ok_tti=self.tti,
+        )
+        self._next_crnti += 1
+        ue.k_enb = src_ue.k_enb
+        ue.mme_ue_id = src_ue.mme_ue_id
+        ue.spgw_teid = src_ue.spgw_teid
+        ue.cf_preamble = preamble
+        ue.is_ho_target = True
+        ue.rrc_state = self.RRC_RECONF_SENT
+        ue.srb1_pdcp, ue.drb_pdcp = _bearer_set(ue.k_enb, cipher_alg, integ_alg, is_enb=True)
+        self.ues[ue.crnti] = ue
+        self._by_enb_id[ue.enb_ue_id] = ue
+        if ue.spgw_teid:
+            self.gtpu.add_bearer(ue.dl_teid, ue.spgw_teid)
+        self.sched.ue_cfg(ue.crnti)
+        self.sched.bearer_ue_cfg(ue.crnti, LCID_SRB1, ue.srb1_rlc)
+        return ue.crnti
+
+    def _release_ue(self, ue: _EnbUe, notify_mme: bool = True):
         """Remove the UE context so a fresh random access can re-establish
         (s1ap UEContextRelease + rrc_ue removal in the reference). The MME
         is told first so it releases the access bearers at the SPGW
-        (→ ECM-IDLE; further DL traffic triggers DDN + paging)."""
+        (→ ECM-IDLE; further DL traffic triggers DDN + paging).
+        notify_mme=False: source-side cleanup after intra-eNB handover —
+        the S1 context lives on at the target cell."""
         self.stats["ue_released"] += 1
-        if ue.mme_ue_id:
+        if ue.mme_ue_id and notify_mme:
             self._s1ap_send(s1ap.pack_ue_context_release_request(ue.mme_ue_id, ue.enb_ue_id))
         self.gtpu.rem_bearer(ue.dl_teid)
         self.sched.ue_rem(ue.crnti)
         self.ues.pop(ue.crnti, None)
-        self._by_enb_id.pop(ue.enb_ue_id, None)
+        if self._by_enb_id.get(ue.enb_ue_id) is ue:
+            self._by_enb_id.pop(ue.enb_ue_id, None)
         self.pending_ul = {t: (r, g) for t, (r, g) in self.pending_ul.items() if r != ue.crnti}
 
     def _process_ul(self, tti: int, sf_idx: int, samples: np.ndarray | None):
@@ -306,8 +352,14 @@ class EnbStack:
                     if rapid in known or any(r[0] == rapid for r in self.pending_rars):
                         continue
                     ta = max(0, int(round(float(delay[rapid]))))
-                    ue = self._new_ue(rapid)
-                    self.pending_rars.append((rapid, ta, ue.crnti))
+                    pre = next((u for u in self.ues.values()
+                                if u.cf_preamble == rapid and u.rapid < 0), None)
+                    if pre is not None:  # contention-free RA (HO target)
+                        pre.rapid = rapid
+                        self.pending_rars.append((rapid, ta, pre.crnti))
+                    else:
+                        ue = self._new_ue(rapid)
+                        self.pending_rars.append((rapid, ta, ue.crnti))
                     self.stats["prach_detected"] += 1
         # scheduled PUSCH
         if tti in self.pending_ul:
@@ -486,7 +538,12 @@ class UeStack:
         self.ip_rx: list[bytes] = []
         self.ip_tx_queue: list[bytes] = []
         self.tti = 0
-        self.stats = {"dl_tbs_ok": 0, "rar": 0, "rlf": 0}
+        self.stats = {"dl_tbs_ok": 0, "rar": 0, "rlf": 0, "meas_report": 0, "ho": 0}
+        # measurements + mobility (rrc_meas.cc / mobility execution)
+        self.meas_cfg: dict | None = None  # decoded measConfig
+        self._samp_hist: deque = deque(maxlen=10)
+        self._meas_prohibit_tti = 0
+        self._ho_cf_preamble: int | None = None  # pending CF-RA on target
         # radio-link monitoring (the rrc.cc:428-437 N310/T310 chain)
         self.n310 = 5  # consecutive out-of-sync indications to start T310
         self.t310_ms = 20
@@ -542,14 +599,43 @@ class UeStack:
         tti = self.tti
         sf_idx = tti % 10
         self._radio_link_monitor(dl_samples)
+        self._samp_hist.append(np.asarray(dl_samples))
         self._process_dl(tti, sf_idx, dl_samples)
+        if sf_idx == 9:
+            self._run_measurements(tti)
         ul = self._build_ul(tti, sf_idx)
         self.tti += 1
         return ul
 
+    def _run_measurements(self, tti: int):
+        """Intra-frequency neighbour search + A3 evaluation over the last
+        10 subframes (intra_measure.cc role; rrc_meas.cc event logic)."""
+        if (self.meas_cfg is None or self.rrc_state != self.RRC_ACTIVE
+                or len(self._samp_hist) < 10 or tti < self._meas_prohibit_tti):
+            return
+        from ..phy.ue.intra_measure import measure_cells
+        from ..stack.rrc import meas_config_a3_offset_db
+
+        samples = np.concatenate(list(self._samp_hist))
+        # serving_pci=None: we need the serving cell's RSRP for the A3
+        # comparison as well as the neighbours'
+        cells = measure_cells(samples, self.cell.nof_prb, serving_pci=None)
+        serving = next((c for c in cells if c.pci == self.cell.id), None)
+        neighbours = [c for c in cells if c.pci != self.cell.id]
+        if serving is None or not neighbours:
+            return
+        a3 = meas_config_a3_offset_db(self.meas_cfg)
+        best = max(neighbours, key=lambda c: c.rsrp_dbfs)
+        if best.rsrp_dbfs > serving.rsrp_dbfs + a3:
+            meas_id = self.meas_cfg["meas_id_to_add_mod_list"][0]["meas_id"]
+            self._send_srb1(rrc.pack_measurement_report(
+                meas_id, serving.rsrp_dbfs, [(best.pci, best.rsrp_dbfs)]))
+            self.stats["meas_report"] += 1
+            self._meas_prohibit_tti = tti + 100  # reportInterval stand-in
+
     def _process_dl(self, tti: int, sf_idx: int, samples: np.ndarray):
         rntis = []
-        if self.rrc_state == self.RRC_WAIT_RAR:
+        if self.rrc_state == self.RRC_WAIT_RAR or getattr(self, "_ho_in_progress", False):
             rntis.append(1 + 1)  # RA-RNTI for prach sf 1
         if self.crnti is not None:
             rntis.append(self.crnti)
@@ -582,6 +668,14 @@ class UeStack:
         if not self.mac.handle_rar(rapid, ta, temp_crnti):
             return
         self.stats["rar"] += 1
+        if getattr(self, "_ho_in_progress", False):
+            # contention-free RA on the HO target: the "temp" C-RNTI is the
+            # one mobilityControlInfo assigned; Msg3 carries the queued
+            # ReconfigurationComplete on SRB1
+            self._ho_in_progress = False
+            self.rrc_state = self.RRC_ACTIVE
+            self.pending_tx[tti + FB_DELAY] = _msg3_grant(self.cell, self.crnti, grant20)
+            return
         self.crnti = temp_crnti
         self.rrc_state = self.RRC_WAIT_SETUP
         # Msg3 = RRC ConnectionRequest on CCCH at tti+4
@@ -631,12 +725,40 @@ class UeStack:
                 self.nas.get_k_enb(), self.cipher_alg, self.integ_alg, is_enb=False
             )
         elif kind == "rrc_conn_recfg":
+            if "mob_ctrl_info" in body:
+                self._execute_handover(body["mob_ctrl_info"])
+                return  # complete is sent on the target cell after RA
+            if "meas_cfg" in body:
+                self.meas_cfg = body["meas_cfg"]
             for nas_pdu in body.get("ded_info_nas_list", []):
                 resp = self.nas.handle_dl(nas_pdu)
                 if resp is not None:
                     self._send_srb1(rrc.pack_ul_info_transfer(resp))
             self._send_srb1(rrc.pack_reconfiguration_complete())
             self.rrc_state = self.RRC_ACTIVE
+
+    def _execute_handover(self, mci: dict):
+        """Apply mobilityControlInfo (TS 36.331 §5.3.5.4; the reference's
+        rrc.cc handover execution): retune to the target PCI, take the new
+        C-RNTI, re-establish RLC/PDCP with the same keys, queue the
+        ReconfigurationComplete for delivery after contention-free RA."""
+        import dataclasses as _dc
+
+        self.stats["ho"] += 1
+        self.cell = _dc.replace(self.cell, id=mci["target_pci"])
+        self.crnti = mci["new_ue_id"]
+        self.mac = UeMac()
+        self.pending_tx.clear()
+        self.msg3 = None
+        self.srb1_rlc, self.drb_rlc = RlcAm(), RlcAm()
+        self.srb1_pdcp, self.drb_pdcp = _bearer_set(
+            self.nas.get_k_enb(), self.cipher_alg, self.integ_alg, is_enb=False
+        )
+        self._send_srb1(rrc.pack_reconfiguration_complete())
+        self._ho_cf_preamble = mci.get("rach_cfg_ded", {}).get("ra_preamb_idx", self.preamble)
+        self._con_res_ok = True  # CF-RA: no contention resolution
+        self._samp_hist.clear()
+        self._meas_prohibit_tti = self.tti + 100
 
     def _send_srb1(self, rrc_pdu: bytes):
         self.srb1_rlc.write_sdu(self.srb1_pdcp.write_sdu(rrc_pdu))
@@ -648,6 +770,17 @@ class UeStack:
         return n
 
     def _build_ul(self, tti: int, sf_idx: int) -> np.ndarray | None:
+        # contention-free RA on the handover target cell
+        if self._ho_cf_preamble is not None and sf_idx == 1:
+            pre = self._ho_cf_preamble
+            self._ho_cf_preamble = None
+            self._ho_in_progress = True
+            self.mac.start_ra(pre)
+            self._ra_deadline = tti + 20
+            p = ue_prach_send(self.cell, self.prach_cfg, pre)
+            out = np.zeros(self.cell.sf_len, np.complex64)
+            out[: len(p)] = p[: self.cell.sf_len]
+            return out
         # PRACH occasion
         if self.rrc_state == self.RRC_IDLE and sf_idx == 1 and tti >= self.attach_delay:
             self.mac.start_ra(self.preamble)
@@ -692,6 +825,82 @@ class UeStack:
                 sdus.append((lcid, pdu))
                 used += len(pdu) + 3
         return mac_pack(sdus, tb_bytes, ce_sizes=UL_CE_SIZES)
+
+
+# ---------------------------------------------------------------------------
+# Intra-eNB handover coordinator
+# ---------------------------------------------------------------------------
+
+HO_CF_PREAMBLE = 11  # dedicated contention-free preamble for handovers
+
+
+class TwoCellEnb:
+    """One eNB with two cells and intra-eNB handover (rrc_mobility.cc:
+    meas report → target admission → RRCConnectionReconfiguration with
+    mobilityControlInfo → CF-RA at the target → source context cleanup).
+    The S1 context and GTP-U TEIDs survive the move — no path switch,
+    exactly like the reference's intra-eNB case."""
+
+    def __init__(self, cell_a: Cell, cell_b: Cell, mme: Mme, spgw: Spgw, **kw):
+        assert cell_a.id != cell_b.id
+        self.cells = [
+            EnbStack(cell_a, mme, spgw, **kw),
+            EnbStack(cell_b, mme, spgw, crnti=0x70, **kw),
+        ]
+        self.spgw = spgw
+        for c in self.cells:
+            c.meas_cfg = rrc.make_meas_config(a3_offset_db=-10.0)
+            c.on_meas_report = self._on_meas_report
+            c.on_ho_complete = self._on_ho_complete
+        self._ho_src: dict[int, tuple[EnbStack, _EnbUe]] = {}  # target crnti -> source
+        self.stats = {"ho_started": 0, "ho_completed": 0}
+
+    def run_tti(self, ul_by_cell) -> list[np.ndarray]:
+        self._route_spgw()
+        return [c.run_tti(ul) for c, ul in zip(self.cells, ul_by_cell)]
+
+    def _route_spgw(self):
+        """Central SPGW→cell routing by TEID (each cell's own pump would
+        drop packets for the other cell's UEs)."""
+        by_teid = {u.dl_teid: u for c in self.cells for u in c.ues.values()}
+        while (pkt := self.spgw.pop_tx()) is not None:
+            out = gtpu_unpack(pkt)
+            if out is None:
+                continue
+            hdr, payload = out
+            ue = by_teid.get(hdr.teid)
+            if ue is not None:
+                ue.drb_rlc.write_sdu(ue.drb_pdcp.write_sdu(payload))
+
+    def _on_meas_report(self, src: EnbStack, ue: _EnbUe, results: dict):
+        neigh = results.get("meas_result_neigh_cells")
+        if not neigh or neigh[0] != "meas_result_list_eutra":
+            return
+        if any(s is src and old is ue for s, old in self._ho_src.values()):
+            return  # HO already in flight for this UE
+        target_pci = neigh[1][0]["pci"]
+        tgt = next((c for c in self.cells if c.cell.id == target_pci and c is not src), None)
+        if tgt is None:
+            return
+        new_crnti = tgt.prepare_handover_target(ue, HO_CF_PREAMBLE,
+                                                src.cipher_alg, src.integ_alg)
+        mob = rrc.make_mobility_control(tgt.cell.id, new_crnti, HO_CF_PREAMBLE)
+        src._send_srb1(ue, rrc.pack_reconfiguration(mob_ctrl=mob, transaction_id=3))
+        self._ho_src[new_crnti] = (src, ue)
+        self.stats["ho_started"] += 1
+
+    def _on_ho_complete(self, tgt: EnbStack, ue: _EnbUe):
+        ent = self._ho_src.pop(ue.crnti, None)
+        if ent is not None:
+            src, old = ent
+            src._release_ue(old, notify_mme=False)
+            self.stats["ho_completed"] += 1
+
+    def get_metrics(self) -> dict:
+        m = dict(self.stats)
+        for i, c in enumerate(self.cells):
+            m[f"cell{i}"] = c.get_metrics()
+        return m
 
 
 def _enb_metrics(self) -> dict:

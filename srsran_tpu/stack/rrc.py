@@ -226,10 +226,18 @@ def pack_reconfiguration(
     eps_bearer_id: int = 0,
     nas_pdu: bytes = b"",
     transaction_id: int = 0,
+    meas_cfg: dict | None = None,
+    mob_ctrl: dict | None = None,
 ) -> bytes:
-    """RRCConnectionReconfiguration, optionally with a DRB setup and a
-    piggybacked NAS PDU (rrc_ue.cc send_connection_reconf)."""
+    """RRCConnectionReconfiguration, optionally with a DRB setup, a
+    piggybacked NAS PDU, a measurement configuration, and/or
+    mobilityControlInfo (handover command) — rrc_ue.cc
+    send_connection_reconf / rrc_mobility.cc fill_mobility_reconf."""
     r8: dict = {}
+    if meas_cfg is not None:
+        r8["meas_cfg"] = meas_cfg
+    if mob_ctrl is not None:
+        r8["mob_ctrl_info"] = mob_ctrl
     if drb_id:
         r8["rr_cfg_ded"] = {"drb_to_add_mod_list": [_default_drb(drb_id, lcid, eps_bearer_id)]}
     if nas_pdu:
@@ -241,6 +249,98 @@ def pack_reconfiguration(
         })),
     }
     return asn1.DL_DCCH_MESSAGE.to_bytes(v)
+
+
+def make_meas_config(carrier_arfcn: int = 3400, a3_offset_db: int = 3,
+                     hysteresis_db: float = 0.0, meas_id: int = 1) -> dict:
+    """Intra-frequency A3 measurement config (rrc_mobility.cc
+    fill_meas_cfg: one measObjectEUTRA + one reportConfig eventA3 +
+    one measId).  Offsets are in dB; the IE carries 0.5 dB steps."""
+    return {
+        "meas_obj_to_add_mod_list": [{
+            "meas_obj_id": 1,
+            "meas_obj": ("meas_obj_eutra", {
+                "carrier_freq": carrier_arfcn,
+                "allowed_meas_bw": "mbw50",
+                "presence_ant_port1": False,
+                "neigh_cell_cfg": 0b01,
+            }),
+        }],
+        "report_cfg_to_add_mod_list": [{
+            "report_cfg_id": 1,
+            "report_cfg": ("report_cfg_eutra", {
+                "trigger_type": ("event", {
+                    "event_id": ("event_a3", {"a3_offset": int(round(2 * a3_offset_db)),
+                                              "report_on_leave": False}),
+                    "hysteresis": int(round(2 * hysteresis_db)),
+                    "time_to_trigger": "ms0",
+                }),
+                "trigger_quant": "rsrp",
+                "report_quant": "both",
+                "max_report_cells": 4,
+                "report_interv": "ms480",
+                "report_amount": "r1",
+            }),
+        }],
+        "meas_id_to_add_mod_list": [{"meas_id": meas_id, "meas_obj_id": 1, "report_cfg_id": 1}],
+    }
+
+
+def meas_config_a3_offset_db(meas_cfg: dict) -> float:
+    ev = meas_cfg["report_cfg_to_add_mod_list"][0]["report_cfg"][1]["trigger_type"][1]
+    a3 = ev["event_id"][1]["a3_offset"]
+    return (a3 + ev["hysteresis"]) / 2.0
+
+
+def make_mobility_control(target_pci: int, new_crnti: int, preamble: int,
+                          root_seq_idx: int = 0) -> dict:
+    """mobilityControlInfo for an intra-frequency handover with a
+    contention-free dedicated preamble (rrc_mobility.cc
+    fill_mobility_reconf -> mob_ctrl_info)."""
+    return {
+        "target_pci": target_pci,
+        "t304": "ms100",
+        "new_ue_id": new_crnti,
+        "rr_cfg_common": {
+            "prach_cfg": {"root_seq_idx": root_seq_idx},
+            "pusch_cfg_common": {
+                "pusch_cfg_basic": {"n_sb": 1, "hop_mode": "inter_sub_frame",
+                                    "pusch_hop_offset": 0, "enable64_qam": True},
+                "ul_ref_sigs_pusch": {"group_hop_enabled": False, "group_assign_pusch": 0,
+                                      "seq_hop_enabled": False, "cyclic_shift": 0},
+            },
+            "ul_cp_len": "len1",
+        },
+        "rach_cfg_ded": {"ra_preamb_idx": preamble, "ra_prach_mask_idx": 0},
+    }
+
+
+def _rsrp_to_idx(rsrp_dbm: float) -> int:
+    """TS 36.133 §9.1.4 RSRP report mapping (value 0..97)."""
+    return max(0, min(97, int(round(rsrp_dbm + 141))))
+
+
+def pack_measurement_report(meas_id: int, pcell_rsrp_dbm: float,
+                            neighbours: list[tuple[int, float]],
+                            transaction_id: int = 0) -> bytes:
+    """MeasurementReport with EUTRA neighbour results (rrc_meas.cc)."""
+    v = {
+        "msg": ("c1", ("meas_report", {
+            "crit_exts": ("c1", ("meas_report_r8", {
+                "meas_results": {
+                    "meas_id": meas_id,
+                    "meas_result_pcell": {"rsrp_result": _rsrp_to_idx(pcell_rsrp_dbm),
+                                          "rsrq_result": 17},
+                    "meas_result_neigh_cells": ("meas_result_list_eutra", [
+                        {"pci": pci,
+                         "meas_result": {"rsrp_result": _rsrp_to_idx(rsrp)}}
+                        for pci, rsrp in neighbours
+                    ]),
+                },
+            })),
+        })),
+    }
+    return asn1.UL_DCCH_MESSAGE.to_bytes(v)
 
 
 def pack_conn_release(cause: str = "other", transaction_id: int = 0) -> bytes:

@@ -1,0 +1,94 @@
+"""Intra-eNB handover E2E over the PHY (rrc_mobility.cc role).
+
+Two co-channel cells of one eNB.  The UE attaches on cell A while cell B
+is off; then B powers up stronger than A.  The UE's intra-frequency
+measurements (intra_measure) trigger the configured A3 report, the eNB
+admits the UE at B (new C-RNTI + dedicated preamble, same S1/GTP
+context), sends RRCConnectionReconfiguration with mobilityControlInfo,
+and the UE executes: retune, contention-free RA, ReconfigurationComplete
+on the target.  IP traffic must survive the move with no path switch.
+"""
+
+import numpy as np
+
+from srsran_tpu.apps.full_stack import TwoCellEnb, EnbStack, UeStack
+from srsran_tpu.epc import Hss, Mme, Spgw, Subscriber
+from srsran_tpu.phy.common import Cell
+from srsran_tpu.stack import security as sec
+from srsran_tpu.stack.nas_ue import Usim
+
+IMSI = "001010123456789"
+KEY = bytes.fromhex("00112233445566778899aabbccddeeff")
+OPC = sec.compute_opc(KEY, bytes.fromhex("63bfa50ee6523365ff14c1f45f88737d"))
+
+
+def test_intra_enb_handover():
+    cell_a = Cell(nof_prb=6, nof_ports=1, id=1)
+    cell_b = Cell(nof_prb=6, nof_ports=1, id=2)
+    hss = Hss()
+    hss.add_subscriber(Subscriber("ue1", IMSI, KEY, OPC, amf=b"\x80\x00", sqn=0))
+    spgw = Spgw()
+    mme = Mme(hss, spgw)
+    enb = TwoCellEnb(cell_a, cell_b, mme, spgw, mcs=5)
+    ue = UeStack(cell_a, Usim(IMSI, KEY, OPC))
+
+    gain_b = 0.0  # cell B off during attach
+    ul = None
+    served_by = lambda: 0 if ue.cell.id == cell_a.id else 1
+
+    def step():
+        nonlocal ul
+        uls = [None, None]
+        uls[served_by()] = ul
+        dls = enb.run_tti(uls)
+        dl = dls[0] + gain_b * dls[1]
+        ul = ue.run_tti(dl)
+
+    for _ in range(120):
+        step()
+        if ue.rrc_state == UeStack.RRC_ACTIVE and ue.nas.state == ue.nas.REGISTERED:
+            break
+    assert ue.nas.state == ue.nas.REGISTERED
+    assert ue.meas_cfg is not None, "measConfig must arrive with the reconfiguration"
+    crnti_a = ue.crnti
+
+    # sanity traffic on cell A
+    spgw.sgi_tx(ue.ue_ip, b"\xaa" * 40)
+    for _ in range(20):
+        step()
+        if ue.ip_rx:
+            break
+    assert ue.ip_rx == [b"\xaa" * 40]
+    ue.ip_rx.clear()
+
+    # cell B appears 6 dB above A -> A3 (offset -10 dB) fires
+    gain_b = 2.0
+    for _ in range(400):
+        step()
+        if enb.stats["ho_completed"]:
+            break
+    assert ue.stats["meas_report"] >= 1, "A3 measurement report not sent"
+    assert enb.stats["ho_started"] == 1
+    assert enb.stats["ho_completed"] == 1
+    assert ue.stats["ho"] == 1
+    assert ue.cell.id == cell_b.id and ue.crnti != crnti_a
+    assert ue.rrc_state == UeStack.RRC_ACTIVE
+    # source context cleaned up, target owns the UE
+    assert not enb.cells[0].ues
+    assert any(u.crnti == ue.crnti for u in enb.cells[1].ues.values())
+    # S1 context survived: MME never saw a release
+    assert IMSI in mme.attached_imsis
+
+    # user plane continues THROUGH CELL B with the same TEIDs (no path switch)
+    spgw.sgi_tx(ue.ue_ip, b"\xbb" * 48)
+    for _ in range(30):
+        step()
+        if ue.ip_rx:
+            break
+    assert ue.ip_rx == [b"\xbb" * 48]
+    ue.send_ip_packet(b"\xcc" * 44)
+    for _ in range(40):
+        step()
+        if spgw.sgi_rx:
+            break
+    assert spgw.sgi_rx and spgw.sgi_rx[-1][1] == b"\xcc" * 44
