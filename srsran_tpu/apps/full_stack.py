@@ -133,18 +133,27 @@ class _EnbUe:
     spgw_teid: int = 0
     cf_preamble: int = -1  # dedicated contention-free preamble (HO target)
     is_ho_target: bool = False
+    s1_ho: bool = False  # target admitted via S1 HandoverRequest
+    ho_in_flight: bool = False  # source-side guard
 
     def __post_init__(self):
         if self.srb1_pdcp is None:
             self.srb1_pdcp, self.drb_pdcp = _bearer_set(None, 0, 0, is_enb=True)
 
 
+HO_CF_PREAMBLE = 11  # dedicated contention-free preamble for handovers
+
+
 class EnbStack:
     RRC_IDLE, RRC_SETUP_SENT, RRC_CONNECTED, RRC_SMC_SENT, RRC_RECONF_SENT, RRC_ACTIVE = range(6)
 
-    def __init__(self, cell: Cell, mme: Mme, spgw: Spgw, crnti: int = 0x46, mcs: int = 5, cfi: int = 2):
+    def __init__(self, cell: Cell, mme: Mme, spgw: Spgw, crnti: int = 0x46, mcs: int = 5, cfi: int = 2,
+                 enb_id: int = 0x19B):
         self.cell = cell
         self.mme = mme
+        self.enb_id = enb_id
+        if hasattr(mme, "register_enb"):
+            mme.register_enb(enb_id, self._s1ap_rx)
         self.spgw = spgw
         self.cfi = cfi
         self.mib = Mib(nof_prb=cell.nof_prb)
@@ -169,6 +178,7 @@ class EnbStack:
         self.meas_cfg: dict | None = None
         self.on_meas_report = None  # (enb, ue, meas_results) -> None
         self.on_ho_complete = None  # (enb, ue) -> None
+        self.s1_neighbors: dict[int, int] = {}  # target PCI -> macro eNB id (rr.conf nbr list)
 
     # --- single-UE compatibility views ---
     @property
@@ -193,7 +203,7 @@ class EnbStack:
 
     # --- S1AP plumbing (in-process "SCTP") ---
     def _s1ap_send(self, msg: bytes):
-        for resp in self.mme.handle(msg):
+        for resp in self.mme.handle(msg, enb_id=self.enb_id):
             self._s1ap_rx(resp)
 
     def _s1ap_rx(self, data: bytes):
@@ -224,6 +234,18 @@ class EnbStack:
             if rel is not None:
                 self._s1ap_send(s1ap.pack_ue_context_release_complete(
                     rel.mme_ue_id or 0, rel.enb_ue_id))
+                # MME-commanded release (e.g. after a successful S1 HO):
+                # drop the local context without re-requesting release
+                self._release_ue(rel, notify_mme=False)
+        elif name == "ho_request":
+            self._admit_s1_handover(ies)
+        elif name == "ho_cmd":
+            src_ue = self._by_enb_id.get(ies.get("enb_ue_s1ap_id"))
+            if src_ue is not None:
+                # the transparent container IS the target's RRC handover
+                # command (reconfiguration with mobilityControlInfo) —
+                # forwarded to the UE verbatim (rrc_mobility.cc)
+                self._send_srb1(src_ue, ies["target_to_source_transparent_container"])
 
     def _send_srb1(self, ue: _EnbUe, rrc_pdu: bytes):
         ue.srb1_rlc.write_sdu(ue.srb1_pdcp.write_sdu(rrc_pdu))
@@ -270,11 +292,16 @@ class EnbStack:
             ue.rrc_state = self.RRC_ACTIVE
             if ue.is_ho_target:
                 ue.is_ho_target = False
-                if self.on_ho_complete:
+                if ue.s1_ho:
+                    ue.s1_ho = False
+                    self._s1ap_send(s1ap.pack_handover_notify(ue.mme_ue_id or 0, ue.enb_ue_id))
+                elif self.on_ho_complete:
                     self.on_ho_complete(self, ue)
         elif kind == "meas_report":
             if self.on_meas_report:
                 self.on_meas_report(self, ue, body["meas_results"])
+            else:
+                self._maybe_s1_handover(ue, body["meas_results"])
 
     # --- TTI processing ---
     def run_tti(self, ul_samples: np.ndarray | None) -> np.ndarray:
@@ -289,6 +316,55 @@ class EnbStack:
         dl = self._build_dl(tti, sf_idx)
         self.tti += 1
         return dl
+
+    def _maybe_s1_handover(self, ue: _EnbUe, results: dict):
+        """Source side of an S1 handover (rrc_mobility.cc S1 path): the
+        reported PCI maps to a configured neighbour eNB, so ask the MME."""
+        neigh = results.get("meas_result_neigh_cells")
+        if not neigh or neigh[0] != "meas_result_list_eutra" or ue.ho_in_flight:
+            return
+        pci = neigh[1][0]["pci"]
+        target_enb = self.s1_neighbors.get(pci)
+        if target_enb is None or ue.mme_ue_id is None:
+            return
+        ue.ho_in_flight = True
+        container = bytes([self.cipher_alg, self.integ_alg])
+        self._s1ap_send(s1ap.pack_handover_required(
+            ue.mme_ue_id, ue.enb_ue_id, target_enb, container))
+
+    def _admit_s1_handover(self, ies: dict):
+        """Target side: S1AP HandoverRequest → admit, build the RRC
+        handover command, answer HandoverRequestAcknowledge."""
+        container = ies["source_to_target_transparent_container"]
+        cipher_alg, integ_alg = (container[0], container[1]) if len(container) >= 2 else (2, 2)
+        erab = ies["erab_to_be_setup_list_ho_req"][0]
+        ue = _EnbUe(
+            crnti=self._next_crnti, enb_ue_id=self._next_enb_ue_id,
+            dl_teid=self._next_teid, last_ul_ok_tti=self.tti,
+        )
+        self._next_crnti += 1
+        self._next_enb_ue_id += 1
+        self._next_teid += 1
+        ue.k_enb = ies["security_context"]["next_hop_param"].to_bytes(32, "big")
+        ue.mme_ue_id = ies["mme_ue_s1ap_id"]
+        ue.spgw_teid = int.from_bytes(erab["gtp_teid"], "big")
+        ue.cf_preamble = HO_CF_PREAMBLE
+        ue.is_ho_target = True
+        ue.s1_ho = True
+        ue.rrc_state = self.RRC_RECONF_SENT
+        ue.srb1_pdcp, ue.drb_pdcp = _bearer_set(ue.k_enb, cipher_alg, integ_alg, is_enb=True)
+        self.ues[ue.crnti] = ue
+        self._by_enb_id[ue.enb_ue_id] = ue
+        self.gtpu.add_bearer(ue.dl_teid, ue.spgw_teid)
+        self.sched.ue_cfg(ue.crnti)
+        self.sched.bearer_ue_cfg(ue.crnti, LCID_SRB1, ue.srb1_rlc)
+        rrc_cmd = rrc.pack_reconfiguration(
+            mob_ctrl=rrc.make_mobility_control(self.cell.id, ue.crnti, HO_CF_PREAMBLE),
+            transaction_id=3,
+            security_ho_ncc=ies["security_context"]["next_hop_chaining_count"],
+        )
+        self._s1ap_send(s1ap.pack_handover_request_ack(
+            ue.mme_ue_id, ue.enb_ue_id, ue.dl_teid, rrc_cmd, ebi=erab["erab_id"]))
 
     def prepare_handover_target(self, src_ue: _EnbUe, preamble: int,
                                 cipher_alg: int, integ_alg: int) -> int:
@@ -394,6 +470,7 @@ class EnbStack:
 
     def _pump_spgw(self):
         teid_map = {u.dl_teid: u for u in self.ues.values()}
+        requeue = []
         while (pkt := self.spgw.pop_tx()) is not None:
             out = gtpu_unpack(pkt)
             if out is None:
@@ -402,6 +479,9 @@ class EnbStack:
             ue = teid_map.get(hdr.teid)
             if ue is not None:
                 ue.drb_rlc.write_sdu(ue.drb_pdcp.write_sdu(payload))
+            else:
+                requeue.append(pkt)  # another eNB's bearer (S1 HO): leave it
+        self.spgw.tx_queue.extendleft(reversed(requeue))
 
     def _build_dl(self, tti: int, sf_idx: int) -> np.ndarray:
         sched = DlSched(cfi=self.cfi)
@@ -726,7 +806,7 @@ class UeStack:
             )
         elif kind == "rrc_conn_recfg":
             if "mob_ctrl_info" in body:
-                self._execute_handover(body["mob_ctrl_info"])
+                self._execute_handover(body["mob_ctrl_info"], body.get("security_cfg_ho"))
                 return  # complete is sent on the target cell after RA
             if "meas_cfg" in body:
                 self.meas_cfg = body["meas_cfg"]
@@ -737,7 +817,7 @@ class UeStack:
             self._send_srb1(rrc.pack_reconfiguration_complete())
             self.rrc_state = self.RRC_ACTIVE
 
-    def _execute_handover(self, mci: dict):
+    def _execute_handover(self, mci: dict, sec_ho: dict | None = None):
         """Apply mobilityControlInfo (TS 36.331 §5.3.5.4; the reference's
         rrc.cc handover execution): retune to the target PCI, take the new
         C-RNTI, re-establish RLC/PDCP with the same keys, queue the
@@ -751,8 +831,15 @@ class UeStack:
         self.pending_tx.clear()
         self.msg3 = None
         self.srb1_rlc, self.drb_rlc = RlcAm(), RlcAm()
+        if sec_ho is not None:  # S1 HO: vertical key from NH chaining count
+            from ..stack import security as _sec
+
+            ncc = sec_ho["handov_type"][1]["next_hop_chaining_count"]
+            k_enb = _sec.generate_k_enb(self.nas.k_asme, ncc)
+        else:  # intra-eNB: same KeNB (keyChangeIndicator absent/false)
+            k_enb = self.nas.get_k_enb()
         self.srb1_pdcp, self.drb_pdcp = _bearer_set(
-            self.nas.get_k_enb(), self.cipher_alg, self.integ_alg, is_enb=False
+            k_enb, self.cipher_alg, self.integ_alg, is_enb=False
         )
         self._send_srb1(rrc.pack_reconfiguration_complete())
         self._ho_cf_preamble = mci.get("rach_cfg_ded", {}).get("ra_preamb_idx", self.preamble)
@@ -830,9 +917,6 @@ class UeStack:
 # ---------------------------------------------------------------------------
 # Intra-eNB handover coordinator
 # ---------------------------------------------------------------------------
-
-HO_CF_PREAMBLE = 11  # dedicated contention-free preamble for handovers
-
 
 class TwoCellEnb:
     """One eNB with two cells and intra-eNB handover (rrc_mobility.cc:

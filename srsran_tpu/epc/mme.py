@@ -65,6 +65,7 @@ class UeCtx:
     ecm_connected: bool = False
     nas_ksi: int = 0
     kenb_ncc: int = 0
+    serving_enb_id: int | None = None
 
 
 class Mme:
@@ -84,14 +85,30 @@ class Mme:
         self.ues: dict[int, UeCtx] = {}
         self.by_tmsi: dict[int, UeCtx] = {}
         self.attached_imsis: set[str] = set()
+        # S1 handover plumbing: registered eNB links + in-flight HO state
+        self.enb_links: dict[int, object] = {}  # macro enb id -> rx callable
+        self._ho: dict[int, dict] = {}  # mme_ue_id -> {src_enb, src_enb_ue_id, ...}
 
-    def handle(self, data: bytes) -> list[bytes]:
-        """Process ONE S1AP PDU (the SCTP-datagram framing contract)."""
+    def register_enb(self, enb_id: int, link):
+        """Associate an eNB's S1AP receive callback (the SCTP association
+        the reference keeps per eNB, mme.cc:113)."""
+        self.enb_links[enb_id] = link
+
+    def handle(self, data: bytes, enb_id: int | None = None) -> list[bytes]:
+        """Process ONE S1AP PDU (the SCTP-datagram framing contract).
+        `enb_id` identifies the sending eNB association (for procedures
+        that must answer toward a DIFFERENT eNB — S1 handover)."""
         name, ies = s1ap.unpack(data)
         if name == "s1_setup_request":
             return [s1ap.pack_s1_setup_response(plmn=self.plmn)]
+        if name == "ho_required":
+            return self._ho_required(ies, enb_id)
+        if name == "ho_request_ack":
+            return self._ho_request_ack(ies)
+        if name == "ho_notify":
+            return self._ho_notify(ies, enb_id)
         if name == "init_ue_msg":
-            return self._initial_ue(ies)
+            return self._initial_ue(ies, enb_id)
         if name == "ul_nas_transport":
             return self._ul_nas(ies)
         if name == "init_context_setup_response":
@@ -165,12 +182,66 @@ class Mme:
                           [(gtpc.IE_EBI, 0, ue.ebi)])
 
     # --- procedures ---
-    def _initial_ue(self, ies: dict) -> list[bytes]:
+    # --- S1 handover (36.413 §8.4; rrc_mobility.cc S1 path + mme HO relay) ---
+    def _ho_required(self, ies: dict, src_enb_id: int | None) -> list[bytes]:
+        ue = self.ues.get(ies["mme_ue_s1ap_id"])
+        tgt = ies["target_id"]
+        if ue is None or tgt[0] != "targetenb_id":
+            return []
+        target_enb_id = tgt[1]["global_enb_id"]["enb_id"][1]
+        link = self.enb_links.get(target_enb_id)
+        if link is None:
+            return []
+        # NH chaining (TS 33.401 §7.2.8.4 simplified: fresh vertical KeNB)
+        ue.kenb_ncc += 1
+        next_hop = sec.generate_k_enb(ue.k_asme, ue.kenb_ncc)
+        self._ho[ue.mme_ue_id] = {
+            "src_enb": src_enb_id, "src_enb_ue_id": ies["enb_ue_s1ap_id"],
+            "target_enb": target_enb_id,
+        }
+        link(s1ap.pack_handover_request(
+            ue.mme_ue_id, ue.spgw_teid,
+            ies["source_to_target_transparent_container"],
+            next_hop, ncc=ue.kenb_ncc, ebi=ue.ebi))
+        return []
+
+    def _ho_request_ack(self, ies: dict) -> list[bytes]:
+        ue = self.ues.get(ies["mme_ue_s1ap_id"])
+        ho = self._ho.get(ies["mme_ue_s1ap_id"])
+        if ue is None or ho is None:
+            return []
+        ho["target_enb_ue_id"] = ies["enb_ue_s1ap_id"]
+        ho["target_teid"] = int.from_bytes(
+            ies["erab_admitted_list"][0]["gtp_teid"], "big")
+        src_link = self.enb_links.get(ho["src_enb"])
+        if src_link is not None:
+            src_link(s1ap.pack_handover_command(
+                ue.mme_ue_id, ho["src_enb_ue_id"],
+                ies["target_to_source_transparent_container"]))
+        return []
+
+    def _ho_notify(self, ies: dict, enb_id: int | None) -> list[bytes]:
+        ue = self.ues.get(ies["mme_ue_s1ap_id"])
+        ho = self._ho.pop(ies["mme_ue_s1ap_id"], None)
+        if ue is None or ho is None:
+            return []
+        # path switch: point the SGW's S1-U at the target eNB (S11 Modify
+        # Bearer — the reference's mme_gtpc.cc on HandoverNotify)
+        self._modify_bearer(ue, ho["target_teid"])
+        ue.enb_ue_id = ies["enb_ue_s1ap_id"]
+        ue.serving_enb_id = ho["target_enb"]
+        src_link = self.enb_links.get(ho["src_enb"])
+        if src_link is not None:
+            src_link(s1ap.pack_ue_context_release_command(
+                ue.mme_ue_id, ho["src_enb_ue_id"], cause=("radio_network", "successful_ho")))
+        return []
+
+    def _initial_ue(self, ies: dict, enb_id: int | None = None) -> list[bytes]:
         enb_ue_id = ies["enb_ue_s1ap_id"]
         pdu = ies["nas_pdu"]
         if (pdu[0] >> 4) == nas.SEC_HDR_SERVICE_REQUEST:
             return self._service_request(enb_ue_id, ies, pdu)
-        ue = UeCtx(self.next_mme_ue_id, enb_ue_id)
+        ue = UeCtx(self.next_mme_ue_id, enb_ue_id, serving_enb_id=enb_id)
         self.next_mme_ue_id += 1
         self.ues[ue.mme_ue_id] = ue
         msg = nas.unpack(pdu)

@@ -157,6 +157,92 @@ def pack_ue_context_release_complete(mme_ue_id: int, enb_ue_id: int) -> bytes:
     })
 
 
+def pack_handover_required(mme_ue_id: int, enb_ue_id: int, target_enb_id: int,
+                           container: bytes, plmn: bytes = DEFAULT_PLMN) -> bytes:
+    """S1AP HandoverRequired (36.413 §8.4.1; the source side of
+    rrc_mobility.cc's S1 handover)."""
+    return codec.pack("ho_required", {
+        "mme_ue_s1ap_id": mme_ue_id,
+        "enb_ue_s1ap_id": enb_ue_id,
+        "handov_type": "intralte",
+        "cause": ("radio_network", "ho_desirable_for_radio_reason"),
+        "target_id": ("targetenb_id", {
+            "global_enb_id": {"plmn_id": plmn, "enb_id": ("macro_enb_id", target_enb_id)},
+            "sel_tai": {"plmn_id": plmn, "tac": b"\x00\x07"},
+        }),
+        "source_to_target_transparent_container": container,
+    })
+
+
+def pack_handover_request(mme_ue_id: int, spgw_teid: int, container: bytes,
+                          next_hop: bytes, ncc: int = 1, ebi: int = 5,
+                          spgw_addr: str = "10.0.0.1") -> bytes:
+    """S1AP HandoverRequest toward the target eNB (36.413 §8.4.2)."""
+    return codec.pack("ho_request", {
+        "mme_ue_s1ap_id": mme_ue_id,
+        "handov_type": "intralte",
+        "cause": ("radio_network", "ho_desirable_for_radio_reason"),
+        "ue_aggregate_maximum_bitrate": {
+            "ue_aggregate_maximum_bit_rate_dl": 1_000_000_000,
+            "ue_aggregate_maximum_bit_rate_ul": 1_000_000_000,
+        },
+        "erab_to_be_setup_list_ho_req": [{
+            "erab_id": ebi,
+            "transport_layer_address": _ip_to_bits(spgw_addr),
+            "gtp_teid": spgw_teid.to_bytes(4, "big"),
+            "erab_level_qos_params": {
+                "qci": 9,
+                "alloc_retention_prio": {
+                    "prio_level": 15,
+                    "pre_emption_cap": "shall_not_trigger_pre_emption",
+                    "pre_emption_vulnerability": "not_pre_emptable",
+                },
+            },
+        }],
+        "source_to_target_transparent_container": container,
+        "ue_security_cap": {
+            "encryption_algorithms": 0b1110000000000000,
+            "integrity_protection_algorithms": 0b1110000000000000,
+        },
+        "security_context": {"next_hop_chaining_count": ncc,
+                             "next_hop_param": int.from_bytes(next_hop, "big")},
+    })
+
+
+def pack_handover_request_ack(mme_ue_id: int, enb_ue_id: int, enb_teid: int,
+                              container: bytes, ebi: int = 5,
+                              enb_addr: str = "10.0.0.3") -> bytes:
+    return codec.pack("ho_request_ack", {
+        "mme_ue_s1ap_id": mme_ue_id,
+        "enb_ue_s1ap_id": enb_ue_id,
+        "erab_admitted_list": [{
+            "erab_id": ebi,
+            "transport_layer_address": _ip_to_bits(enb_addr),
+            "gtp_teid": enb_teid.to_bytes(4, "big"),
+        }],
+        "target_to_source_transparent_container": container,
+    })
+
+
+def pack_handover_command(mme_ue_id: int, enb_ue_id: int, container: bytes) -> bytes:
+    return codec.pack("ho_cmd", {
+        "mme_ue_s1ap_id": mme_ue_id,
+        "enb_ue_s1ap_id": enb_ue_id,
+        "handov_type": "intralte",
+        "target_to_source_transparent_container": container,
+    })
+
+
+def pack_handover_notify(mme_ue_id: int, enb_ue_id: int, cell_id: int = 0x19C0,
+                         plmn: bytes = DEFAULT_PLMN) -> bytes:
+    return codec.pack("ho_notify", {
+        "mme_ue_s1ap_id": mme_ue_id,
+        "enb_ue_s1ap_id": enb_ue_id,
+        "eutran_cgi": {"plmn_id": plmn, "cell_id": cell_id},
+        "tai": {"plmn_id": plmn, "tac": b"\x00\x07"},
+    })
+
+
 def pack_paging(m_tmsi: int, mmec: int = 0x1A, plmn: bytes = DEFAULT_PLMN,
                 tac: bytes = DEFAULT_TAC, imsi: str | None = None) -> bytes:
     """S1AP Paging (36.413 §9.1.6); UE identity index = IMSI mod 1024

@@ -341,6 +341,55 @@ ERAB_SETUP_LIST_CTXT_SU_RES = SingleContainerList(
     Ie(50, "erab_setup_item_ctxt_su_res", "ignore", ERAB_SETUP_ITEM_CTXT_SU_RES)
 )
 
+HANDOVER_TYPE = Enum(["intralte", "ltetoutran", "ltetogeran", "utrantolte", "gerantolte"],
+                     ext=True)
+
+TARGET_ENB_ID = Seq(
+    [M("global_enb_id", GLOBAL_ENB_ID), M("sel_tai", TAI), O("ie_exts", IE_EXTS)], ext=True
+)
+TARGET_ID = Choice(
+    [("targetenb_id", TARGET_ENB_ID), ("target_rnc_id", OctStr()), ("cgi", OctStr())],
+    ext=True,
+)
+
+SECURITY_CONTEXT = Seq(
+    [
+        M("next_hop_chaining_count", Int(0, 7)),
+        M("next_hop_param", BitStr(256)),
+        O("ie_exts", IE_EXTS),
+    ],
+    ext=True,
+)
+
+ERAB_TO_BE_SETUP_ITEM_HO_REQ = Seq(
+    [
+        M("erab_id", ERAB_ID),
+        M("transport_layer_address", TRANSPORT_LAYER_ADDRESS),
+        M("gtp_teid", GTP_TEID),
+        M("erab_level_qos_params", ERAB_LEVEL_QOS_PARAMETERS),
+        O("ie_exts", IE_EXTS),
+    ],
+    ext=True,
+)
+ERAB_TO_BE_SETUP_LIST_HO_REQ = SingleContainerList(
+    Ie(27, "erab_to_be_setup_item_ho_req", "reject", ERAB_TO_BE_SETUP_ITEM_HO_REQ)
+)
+
+ERAB_ADMITTED_ITEM = Seq(
+    [
+        M("erab_id", ERAB_ID),
+        M("transport_layer_address", TRANSPORT_LAYER_ADDRESS),
+        M("gtp_teid", GTP_TEID),
+        O("dl_transport_layer_address", TRANSPORT_LAYER_ADDRESS),
+        O("dl_gtp_teid", GTP_TEID),
+        O("ul_transport_layer_address", TRANSPORT_LAYER_ADDRESS),
+        O("ul_gtp_teid", GTP_TEID),
+        O("ie_exts", IE_EXTS),
+    ],
+    ext=True,
+)
+ERAB_ADMITTED_LIST = SingleContainerList(Ie(20, "erab_admitted_item", "ignore", ERAB_ADMITTED_ITEM))
+
 # ------------------------------------------------------------ the messages
 
 S1_SETUP_REQUEST = ie_message(
@@ -429,9 +478,56 @@ PAGING = ie_message(
     Ie(46, "tai_list", "ignore", TAI_LIST),
 )
 
+# S1 handover signalling (36.413 §8.4; rrc_mobility.cc S1 handover path)
+HANDOVER_REQUIRED = ie_message(
+    Ie(0, "mme_ue_s1ap_id", "reject", MME_UE_S1AP_ID),
+    Ie(8, "enb_ue_s1ap_id", "reject", ENB_UE_S1AP_ID),
+    Ie(1, "handov_type", "reject", HANDOVER_TYPE),
+    Ie(2, "cause", "ignore", CAUSE),
+    Ie(4, "target_id", "reject", TARGET_ID),
+    Ie(104, "source_to_target_transparent_container", "reject", OctStr()),
+)
+
+HANDOVER_COMMAND = ie_message(
+    Ie(0, "mme_ue_s1ap_id", "reject", MME_UE_S1AP_ID),
+    Ie(8, "enb_ue_s1ap_id", "reject", ENB_UE_S1AP_ID),
+    Ie(1, "handov_type", "reject", HANDOVER_TYPE),
+    Ie(123, "target_to_source_transparent_container", "reject", OctStr()),
+)
+
+HANDOVER_REQUEST = ie_message(
+    Ie(0, "mme_ue_s1ap_id", "reject", MME_UE_S1AP_ID),
+    Ie(1, "handov_type", "reject", HANDOVER_TYPE),
+    Ie(2, "cause", "ignore", CAUSE),
+    Ie(66, "ue_aggregate_maximum_bitrate", "reject", UE_AGGREGATE_MAXIMUM_BITRATE),
+    Ie(53, "erab_to_be_setup_list_ho_req", "reject", ERAB_TO_BE_SETUP_LIST_HO_REQ),
+    Ie(104, "source_to_target_transparent_container", "reject", OctStr()),
+    Ie(107, "ue_security_cap", "reject", UE_SECURITY_CAPABILITIES),
+    Ie(40, "security_context", "reject", SECURITY_CONTEXT),
+)
+
+HANDOVER_REQUEST_ACKNOWLEDGE = ie_message(
+    Ie(0, "mme_ue_s1ap_id", "ignore", MME_UE_S1AP_ID),
+    Ie(8, "enb_ue_s1ap_id", "ignore", ENB_UE_S1AP_ID),
+    Ie(18, "erab_admitted_list", "ignore", ERAB_ADMITTED_LIST),
+    Ie(123, "target_to_source_transparent_container", "reject", OctStr()),
+)
+
+HANDOVER_NOTIFY = ie_message(
+    Ie(0, "mme_ue_s1ap_id", "reject", MME_UE_S1AP_ID),
+    Ie(8, "enb_ue_s1ap_id", "reject", ENB_UE_S1AP_ID),
+    Ie(100, "eutran_cgi", "ignore", EUTRAN_CGI),
+    Ie(67, "tai", "ignore", TAI),
+)
+
 # procedure code → per-class message type (36.413 §9.1; elementary
 # procedure registry, the analog of s1ap_elem_procs_o)
 PROCEDURES = {
+    ("init_msg", 0): ("ho_required", HANDOVER_REQUIRED),
+    ("successful_outcome", 0): ("ho_cmd", HANDOVER_COMMAND),
+    ("init_msg", 1): ("ho_request", HANDOVER_REQUEST),
+    ("successful_outcome", 1): ("ho_request_ack", HANDOVER_REQUEST_ACKNOWLEDGE),
+    ("init_msg", 2): ("ho_notify", HANDOVER_NOTIFY),
     ("init_msg", 9): ("init_context_setup_request", INITIAL_CONTEXT_SETUP_REQUEST),
     ("successful_outcome", 9): ("init_context_setup_response", INITIAL_CONTEXT_SETUP_RESPONSE),
     ("init_msg", 11): ("dl_nas_transport", DOWNLINK_NAS_TRANSPORT),
@@ -449,8 +545,9 @@ _BY_NAME = {name: (cls, code, typ) for (cls, code), (name, typ) in PROCEDURES.it
 _CLASSES = ["init_msg", "successful_outcome", "unsuccessful_outcome"]
 
 # default criticality per procedure code (36.413 §9.3.7 value assignments)
-_PROC_CRIT = {9: "reject", 10: "ignore", 11: "ignore", 12: "ignore", 13: "ignore",
-              17: "reject", 18: "ignore", 23: "reject"}
+_PROC_CRIT = {0: "reject", 1: "reject", 2: "ignore", 9: "reject", 10: "ignore",
+              11: "ignore", 12: "ignore", 13: "ignore", 17: "reject", 18: "ignore",
+              23: "reject"}
 
 
 class S1apPdu(Asn1Type):

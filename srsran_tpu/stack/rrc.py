@@ -228,6 +228,7 @@ def pack_reconfiguration(
     transaction_id: int = 0,
     meas_cfg: dict | None = None,
     mob_ctrl: dict | None = None,
+    security_ho_ncc: int | None = None,
 ) -> bytes:
     """RRCConnectionReconfiguration, optionally with a DRB setup, a
     piggybacked NAS PDU, a measurement configuration, and/or
@@ -238,6 +239,10 @@ def pack_reconfiguration(
         r8["meas_cfg"] = meas_cfg
     if mob_ctrl is not None:
         r8["mob_ctrl_info"] = mob_ctrl
+    if security_ho_ncc is not None:
+        # securityConfigHO: vertical key derivation from NH (TS 33.401 §7.2.8)
+        r8["security_cfg_ho"] = {"handov_type": ("intra_lte", {
+            "key_change_ind": False, "next_hop_chaining_count": security_ho_ncc})}
     if drb_id:
         r8["rr_cfg_ded"] = {"drb_to_add_mod_list": [_default_drb(drb_id, lcid, eps_bearer_id)]}
     if nas_pdu:

@@ -92,3 +92,70 @@ def test_intra_enb_handover():
         if spgw.sgi_rx:
             break
     assert spgw.sgi_rx and spgw.sgi_rx[-1][1] == b"\xcc" * 44
+
+
+def test_s1_inter_enb_handover():
+    """S1 (inter-eNB) handover through the MME (rrc_mobility.cc S1 path +
+    36.413 §8.4): HandoverRequired → HandoverRequest/Ack → HandoverCommand
+    with the target's RRC container → CF-RA at the target → HandoverNotify
+    → S11 Modify Bearer path switch → source released by the MME."""
+    cell_a = Cell(nof_prb=6, nof_ports=1, id=1)
+    cell_b = Cell(nof_prb=6, nof_ports=1, id=2)
+    hss = Hss()
+    hss.add_subscriber(Subscriber("ue1", IMSI, KEY, OPC, amf=b"\x80\x00", sqn=0))
+    spgw = Spgw()
+    mme = Mme(hss, spgw)
+    enb_a = EnbStack(cell_a, mme, spgw, mcs=5, enb_id=0x19B)
+    enb_b = EnbStack(cell_b, mme, spgw, mcs=5, crnti=0x70, enb_id=0x19C)
+    import srsran_tpu.stack.rrc as rrc
+
+    enb_a.meas_cfg = rrc.make_meas_config(a3_offset_db=-10.0)
+    enb_a.s1_neighbors = {cell_b.id: enb_b.enb_id}
+    enb_b.s1_neighbors = {cell_a.id: enb_a.enb_id}
+    ue = UeStack(cell_a, Usim(IMSI, KEY, OPC))
+
+    gain_b = 0.0
+    ul = None
+
+    def step():
+        nonlocal ul
+        ul_a = ul if ue.cell.id == cell_a.id else None
+        ul_b = ul if ue.cell.id == cell_b.id else None
+        dl_a = enb_a.run_tti(ul_a)
+        dl_b = enb_b.run_tti(ul_b)
+        ul = ue.run_tti(dl_a + gain_b * dl_b)
+
+    for _ in range(120):
+        step()
+        if ue.rrc_state == UeStack.RRC_ACTIVE and ue.nas.state == ue.nas.REGISTERED:
+            break
+    assert ue.nas.state == ue.nas.REGISTERED
+    mme_ue = next(iter(mme.ues.values()))
+    assert mme_ue.serving_enb_id == enb_a.enb_id
+
+    gain_b = 2.0
+    for _ in range(400):
+        step()
+        if not enb_a.ues and any(u.rrc_state == EnbStack.RRC_ACTIVE for u in enb_b.ues.values()):
+            break
+    assert ue.stats["ho"] == 1
+    assert ue.cell.id == cell_b.id
+    assert ue.rrc_state == UeStack.RRC_ACTIVE
+    assert not enb_a.ues, "source eNB must be released by the MME"
+    assert any(u.rrc_state == EnbStack.RRC_ACTIVE for u in enb_b.ues.values())
+    assert mme_ue.serving_enb_id == enb_b.enb_id
+    assert IMSI in mme.attached_imsis
+
+    # path switch done: DL now flows SPGW → eNB B → UE
+    spgw.sgi_tx(ue.ue_ip, b"\xdd" * 52)
+    for _ in range(30):
+        step()
+        if ue.ip_rx:
+            break
+    assert ue.ip_rx == [b"\xdd" * 52]
+    ue.send_ip_packet(b"\xee" * 45)
+    for _ in range(40):
+        step()
+        if spgw.sgi_rx:
+            break
+    assert spgw.sgi_rx and spgw.sgi_rx[-1][1] == b"\xee" * 45
