@@ -141,6 +141,19 @@ class _EnbUe:
             self.srb1_pdcp, self.drb_pdcp = _bearer_set(None, 0, 0, is_enb=True)
 
 
+CQI_PERIOD = 10  # periodic wideband CQI on PUSCH: TTIs where tti % 10 == 5
+
+
+def cqi_on_pusch(tti: int) -> bool:
+    return tti % CQI_PERIOD == 5
+
+
+def snr_db_to_cqi(snr_db: float) -> int:
+    """Wideband SNR -> CQI (the reference maps via cqi_from_snr tables;
+    ~2 dB per CQI step)."""
+    return int(np.clip(round((snr_db - 1.0) / 2.0) + 1, 1, 15))
+
+
 HO_CF_PREAMBLE = 11  # dedicated contention-free preamble for handovers
 
 
@@ -444,7 +457,19 @@ class EnbStack:
             if ue is None:
                 return
             rx_grid = enb_ul_fft(self.cell, samples[None])
-            tb, ok, _, _ = enb_ul_decode_pusch(self.cell, sf_idx, rx_grid, grant)
+            uci_exp = None
+            ue_ctx = self.ues.get(rnti)
+            if cqi_on_pusch(tti) and ue_ctx is not None and ue_ctx.rrc_state >= self.RRC_ACTIVE:
+                from ..phy.phch.pusch import UciCfg
+
+                uci_exp = UciCfg(cqi_bits=(0, 0, 0, 0))
+            out = enb_ul_decode_pusch(self.cell, sf_idx, rx_grid, grant, uci=uci_exp)
+            tb, ok = out[0], out[1]
+            uci_out = out[4] if uci_exp is not None else None
+            if uci_out is not None and uci_out["cqi_bits"]:
+                cqi = int("".join(str(b) for b in uci_out["cqi_bits"]), 2)
+                self.sched.cqi_info(rnti, cqi)
+                self.stats["cqi_rx"] = self.stats.get("cqi_rx", 0) + 1
             if not ok:
                 self.stats["ul_crc_ko"] += 1
                 return
@@ -721,6 +746,8 @@ class UeStack:
             rntis.append(self.crnti)
         for rnti in rntis:
             res = ue_dl_decode_subframe(self.cell, samples[None], sf_idx, rnti, known_cfi=self.cfi)
+            if res.snr_db:
+                self._dl_snr_db = res.snr_db
             for (bits, agg, cce) in res.dcis:
                 if bits[0] == 0 and rnti == self.crnti:
                     # DCI format 0: UL grant for tti+4
@@ -885,7 +912,14 @@ class UeStack:
             return None
         mac_pdu = self._build_ul_mac_pdu(grant.tbs // 8)
         tb_bits = np.unpackbits(np.frombuffer(mac_pdu, np.uint8))
-        return ue_ul_encode(self.cell, sf_idx, pusch=(grant, tb_bits))
+        uci = None
+        if cqi_on_pusch(tti) and self.rrc_state == self.RRC_ACTIVE:
+            from ..phy.phch.pusch import UciCfg
+
+            cqi = snr_db_to_cqi(getattr(self, "_dl_snr_db", 20.0))
+            uci = UciCfg(cqi_bits=tuple(int(b) for b in np.binary_repr(cqi, 4)))
+            self.stats["cqi_sent"] = self.stats.get("cqi_sent", 0) + 1
+        return ue_ul_encode(self.cell, sf_idx, pusch=(grant, tb_bits), uci=uci)
 
     def _build_ul_mac_pdu(self, tb_bytes: int) -> bytes:
         """Assemble one UL MAC PDU (Msg3/BSR/SRB1/DRB mux) — the PHY-free

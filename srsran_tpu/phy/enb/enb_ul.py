@@ -29,16 +29,24 @@ def enb_ul_fft(cell: Cell, samples: np.ndarray) -> np.ndarray:
 
 def enb_ul_decode_pusch(
     cell: Cell, sf_idx: int, rx_grid: np.ndarray, grant: UlGrant,
-    max_iterations: int = 5, softbuffers=None,
+    max_iterations: int = 5, softbuffers=None, uci=None,
 ):
-    """Returns (tb_bits, crc_ok, softbuffers, snr_db)."""
+    """Returns (tb_bits, crc_ok, softbuffers, snr_db[, uci_out]).
+
+    With `uci` (expected UCI sizes) a 5th element carries the decoded
+    UCI dict; without it the legacy 4-tuple is returned."""
     ce, noise = chest_ul(rx_grid, cell, grant.prb_start, grant.nof_prb)
     noise_f = float(np.mean(np.asarray(noise)))
-    tb, ok, sb = pusch_decode(
-        rx_grid, np.asarray(ce), noise_f, cell, sf_idx, grant, max_iterations, softbuffers
+    out = pusch_decode(
+        rx_grid, np.asarray(ce), noise_f, cell, sf_idx, grant, max_iterations,
+        softbuffers, uci=uci,
     )
+    tb, ok, sb = out[:3]
+    uci_out = out[3] if len(out) > 3 else None
     sig = float(np.mean(np.abs(np.asarray(ce)) ** 2))
     snr_db = 10 * np.log10(sig / (noise_f + 1e-12))
+    if uci is not None:
+        return tb, ok, sb, snr_db, uci_out
     return tb, ok, sb, snr_db
 
 

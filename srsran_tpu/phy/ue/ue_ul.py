@@ -29,6 +29,7 @@ def ue_ul_encode(
     pucch2: tuple[PucchConfig, np.ndarray] | None = None,
     ta_samples: int = 0,
     cfo: float = 0.0,
+    uci=None,
 ) -> np.ndarray:
     """Render one UL subframe → (sf_len,) samples (half-subcarrier shifted).
 
@@ -38,7 +39,7 @@ def ue_ul_encode(
     grid = np.zeros((cell.nsymb_per_sf, cell.nof_re_per_symbol), np.complex64)
     if pusch is not None:
         grant, tb = pusch
-        grid += pusch_encode_np(cell, sf_idx, grant, tb)
+        grid += pusch_encode_np(cell, sf_idx, grant, tb, uci=uci)
     for item, enc in ((pucch1, pucch_format1_encode_np), (pucch2, pucch_format2_encode_np)):
         if item is None:
             continue

@@ -181,3 +181,22 @@ def _sum(a, b):
     if b is None:
         return a
     return a + b
+
+
+def test_cqi_reporting_loop(attached):
+    """UE-measured SNR → periodic CQI on PUSCH UCI → scheduler link
+    adaptation (the cc_worker UCI gather + sched_ue::set_dl_cqi loop)."""
+    cell, enb, ue, mme, spgw = attached
+    ue.send_ip_packet(b"\x11" * 30)  # keep UL grants flowing
+    ul = None
+    for _ in range(60):
+        dl = enb.run_tti(ul)
+        ul = ue.run_tti(dl)
+        if enb.stats.get("cqi_rx", 0) >= 2:
+            break
+    assert ue.stats.get("cqi_sent", 0) >= 1
+    assert enb.stats.get("cqi_rx", 0) >= 1
+    reported = enb.sched.ues[next(iter(enb.sched.ues))].cqi
+    assert 1 <= reported <= 15
+    # clean channel -> high CQI
+    assert reported >= 10, reported

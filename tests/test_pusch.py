@@ -87,3 +87,35 @@ def test_pusch_e2e_selective_channel():
     )
     assert ok
     np.testing.assert_array_equal(tb_hat, tb)
+
+
+def test_pusch_uci_multiplexing_roundtrip():
+    """CQI + ACK + RI on PUSCH (TS 36.212 §5.2.2.6-8: RI-reserved and
+    ACK-punctured channel interleaver, RM(32,O) CQI) — TB still decodes."""
+    import numpy as np
+    from srsran_tpu.phy.common import Cell
+    from srsran_tpu.phy.chest.chest_ul import chest_ul
+    from srsran_tpu.phy.enb.enb_ul import enb_ul_decode_pusch, enb_ul_fft
+    from srsran_tpu.phy.modem import Mod
+    from srsran_tpu.phy.ofdm import OfdmConfig, ofdm_tx_sf
+    from srsran_tpu.phy.phch.pusch import UciCfg, UlGrant, pusch_encode_np
+    from srsran_tpu.phy.phch.ra import tbs_lookup
+
+    rng = np.random.default_rng(9)
+    cell = Cell(nof_prb=25, nof_ports=1, id=3)
+    for mod, itbs in ((Mod.QPSK, 6), (Mod.QAM16, 14)):
+        tbs = tbs_lookup(itbs, 10)
+        grant = UlGrant(prb_start=3, nof_prb=10, mod=mod, tbs=tbs, rnti=0x47)
+        tb = rng.integers(0, 2, tbs).astype(np.uint8)
+        uci = UciCfg(cqi_bits=(1, 0, 1, 1), ack=(1,), ri=(0,))
+        grid = pusch_encode_np(cell, 4, grant, tb, uci=uci)
+        ofdm = OfdmConfig.from_cell(cell, normalize=True, freq_shift_f=0.5)
+        smp = np.asarray(ofdm_tx_sf(ofdm, grid[None]))[0]
+        smp = smp + 0.03 * (rng.standard_normal(smp.shape)
+                            + 1j * rng.standard_normal(smp.shape)).astype(np.complex64)
+        rx = enb_ul_fft(cell, smp[None])
+        tb2, ok, _sb, _snr, uci_out = enb_ul_decode_pusch(cell, 4, rx, grant, uci=uci)
+        assert bool(np.asarray(ok))
+        assert np.array_equal(np.asarray(tb2), tb)
+        assert uci_out["cqi_bits"] == (1, 0, 1, 1)
+        assert uci_out["ack"] == (1,) and uci_out["ri"] == (0,)
