@@ -132,10 +132,17 @@ def _wiener_matrices(cell: Cell, cfg: ChestDlConfig, port: int, sf_idx: int):
 
 
 @lru_cache(maxsize=256)
-def _chest_tables(cell: Cell, sf_idx: int, cfg: ChestDlConfig, port: int):
-    """Precompute (syms, freqs, ref_conj, Wf (4, nre, npil), Wt (nsymb, 4))."""
+def _chest_tables(cell: Cell, sf_idx: int, cfg: ChestDlConfig, port: int,
+                  last_symbol: int | None = None):
+    """Precompute (syms, freqs, ref_conj, Wf (4, nre, npil), Wt (nsymb, 4)).
+
+    ``last_symbol`` drops CRS symbols at/after it — used for TDD special
+    subframes where only the DwPTS carries reference signals."""
     syms, freqs = crs_positions(cell, port)
     seq = crs_sequence_port(cell, sf_idx, port)  # (nref, 2*nprb)
+    if last_symbol is not None:
+        keep = syms < last_symbol
+        syms, freqs, seq = syms[keep], freqs[keep], seq[keep]
     nre = cell.nof_re_per_symbol
     wf = []
     for s in range(len(syms)):
@@ -148,7 +155,8 @@ def _chest_tables(cell: Cell, sf_idx: int, cfg: ChestDlConfig, port: int):
     return syms, freqs, np.conj(seq), wf, wt
 
 
-def chest_dl(grid, cell: Cell, sf_idx: int, cfg: ChestDlConfig = ChestDlConfig(), nof_ports: int | None = None):
+def chest_dl(grid, cell: Cell, sf_idx: int, cfg: ChestDlConfig = ChestDlConfig(), nof_ports: int | None = None,
+             last_symbol: int | None = None):
     """Estimate the DL channel from CRS.
 
     grid: (..., nsymb_sf, nre) received resource grid (one rx antenna per
@@ -162,13 +170,15 @@ def chest_dl(grid, cell: Cell, sf_idx: int, cfg: ChestDlConfig = ChestDlConfig()
     nof_ports = nof_ports or min(cell.nof_ports, 2)
     ces, noises, rsrps = [], [], []
     for p in range(nof_ports):
-        syms, freqs, ref_conj, wf, wt = _chest_tables(cell, sf_idx, cfg, p)
+        syms, freqs, ref_conj, wf, wt = _chest_tables(cell, sf_idx, cfg, p, last_symbol)
         # LS estimates at pilots: (..., 4, npil)
         pilots = grid[..., jnp.asarray(syms)[:, None], jnp.asarray(freqs)]
         ls = pilots * jnp.asarray(ref_conj)
         # freq interp+smooth (or Wiener MMSE): (..., 4, nre)
         if cfg.algorithm == "wiener":
-            wmat = jnp.asarray(_wiener_matrices(cell, cfg, p, sf_idx))
+            # kept CRS symbols are a prefix (symbol indices ascend), so a
+            # last_symbol cut slices the per-symbol Wiener matrices too
+            wmat = jnp.asarray(_wiener_matrices(cell, cfg, p, sf_idx)[: len(syms)])
             per_sym = jnp.einsum("snp,...sp->...sn", wmat, ls.astype(jnp.complex64))
         else:
             per_sym = jnp.einsum("snp,...sp->...sn", jnp.asarray(wf), ls)

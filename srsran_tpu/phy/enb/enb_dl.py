@@ -21,6 +21,7 @@ from ..phch.pdsch import pdsch_encode_np
 from ..phch.phich import phich_put_np
 from ..sync.pss import put_pss_grid
 from ..sync.sss import put_sss_grid
+from .. import tdd as tdd_mod
 
 
 @dataclasses.dataclass
@@ -42,20 +43,46 @@ def enb_dl_subframe(
     sched: DlSched,
     mib: Mib | None = None,
     sfn: int = 0,
+    tdd: "TddConfig | None" = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Render one DL subframe. Returns (grid (nports, nsymb, nre), samples
-    (nports, sf_len))."""
+    (nports, sf_len)).
+
+    With ``tdd`` set this renders frame structure type 2 (which the
+    reference eNB does NOT — enb_dl.c:658 "Not implemented for TDD"; sync
+    placement per TS 36.211 §6.11): UL subframes come out empty, special
+    subframes carry only the DwPTS symbols, PSS moves to symbol 2 of
+    sf 1/6 and SSS to the last symbol of sf 0/5.
+    """
     nof_ports = max(cell.nof_ports, 1)
     grid = np.zeros((nof_ports, cell.nsymb_per_sf, cell.nof_re_per_symbol), np.complex64)
+    ofdm = OfdmConfig.from_cell(cell, normalize=True)
 
-    # sync signals (subframes 0 and 5, FDD: PSS last symbol slot0, SSS before)
-    if sf_idx in (0, 5):
-        for p in range(nof_ports):
-            put_pss_grid(grid[p], cell.n_id_2, cell.nof_prb, cell.nsymb_per_slot - 1)
-            put_sss_grid(
-                grid[p], cell.n_id_1, cell.n_id_2, sf_idx, cell.nof_prb,
-                cell.nsymb_per_slot - 2,
-            )
+    sftype = tdd_mod.sf_type(tdd, sf_idx) if tdd is not None else tdd_mod.SfType.D
+    if sftype == tdd_mod.SfType.U:
+        return grid, np.asarray(ofdm_tx_sf(ofdm, grid))
+    last_symbol = tdd_mod.nof_dw(tdd) if sftype == tdd_mod.SfType.S else None
+
+    # sync signals: FDD on sf 0/5 at the end of slot 0; TDD PSS on symbol 2
+    # of sf 1/6 (DwPTS), SSS on the last symbol of sf 0/5
+    if tdd is None:
+        if sf_idx in (0, 5):
+            for p in range(nof_ports):
+                put_pss_grid(grid[p], cell.n_id_2, cell.nof_prb, cell.nsymb_per_slot - 1)
+                put_sss_grid(
+                    grid[p], cell.n_id_1, cell.n_id_2, sf_idx, cell.nof_prb,
+                    cell.nsymb_per_slot - 2,
+                )
+    else:
+        if sf_idx in (1, 6):
+            for p in range(nof_ports):
+                put_pss_grid(grid[p], cell.n_id_2, cell.nof_prb, 2)
+        if sf_idx in (0, 5):
+            for p in range(nof_ports):
+                put_sss_grid(
+                    grid[p], cell.n_id_1, cell.n_id_2, sf_idx, cell.nof_prb,
+                    cell.nsymb_per_sf - 1,
+                )
     # PBCH (subframe 0)
     if sf_idx == 0 and mib is not None:
         mib = dataclasses.replace(mib, sfn=sfn)
@@ -78,10 +105,12 @@ def enb_dl_subframe(
     for dci_bits, rnti, agg, cce in sched.dcis:
         pdcch_put_np(grid[0], cell, sf_idx, sched.cfi, dci_bits, rnti, agg, cce)
     for grant, tb in sched.grants:
-        pg = pdsch_encode_np(cell, sf_idx, sched.cfi, grant, tb)
+        pg = pdsch_encode_np(cell, sf_idx, sched.cfi, grant, tb,
+                             tdd=tdd is not None, last_symbol=last_symbol)
         grid[: pg.shape[0]] += pg
 
     put_crs_np(grid, cell, sf_idx)
-    ofdm = OfdmConfig.from_cell(cell, normalize=True)
+    if last_symbol is not None:
+        grid[:, last_symbol:, :] = 0  # GP + UpPTS: eNB silent past the DwPTS
     samples = np.asarray(ofdm_tx_sf(ofdm, grid))
     return grid, samples

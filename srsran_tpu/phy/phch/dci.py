@@ -38,9 +38,16 @@ class _BitReader:
         return v
 
 
+def _harq_bits(tdd: bool) -> int:
+    """HARQ process number field width: 3 bits FDD, 4 bits TDD
+    (reference dci.c:40 HARQ_PID_LEN)."""
+    return 4 if tdd else 3
+
+
 @dataclasses.dataclass
 class Dci1A:
-    """DCI format 1A (FDD, C-RNTI)."""
+    """DCI format 1A (C-RNTI).  ``tdd=True`` widens the HARQ field to 4
+    bits and appends the 2-bit DAI (reference dci.c:142-143,178)."""
 
     riv: int = 0
     mcs: int = 0
@@ -49,37 +56,41 @@ class Dci1A:
     rv: int = 0
     tpc: int = 0
     distributed: bool = False
+    dai: int = 0  # TDD only
 
     # sizes that would collide with other formats get one padding bit
     # (TS 36.212 §5.3.3.1.3 "ambiguous sizes")
     AMBIGUOUS = {12, 14, 16, 20, 24, 26, 32, 40, 44, 56}
 
     @staticmethod
-    def nof_bits(nof_prb: int) -> int:
-        n = 1 + 1 + riv_nbits(nof_prb) + 5 + 3 + 1 + 2 + 2
+    def nof_bits(nof_prb: int, tdd: bool = False) -> int:
+        n = 1 + 1 + riv_nbits(nof_prb) + 5 + _harq_bits(tdd) + 1 + 2 + 2
+        n += 2 if tdd else 0  # DAI
         # format 0/1A are padded to equal size; 1A is already >= format 0 here
         if n in Dci1A.AMBIGUOUS:
             n += 1
         return n
 
-    def pack(self, nof_prb: int) -> np.ndarray:
+    def pack(self, nof_prb: int, tdd: bool = False) -> np.ndarray:
         w = _BitWriter()
         w.put(1, 1)  # flag: 1 = format 1A
         w.put(int(self.distributed), 1)
         w.put(self.riv, riv_nbits(nof_prb))
         w.put(self.mcs, 5)
-        w.put(self.harq_pid, 3)
+        w.put(self.harq_pid, _harq_bits(tdd))
         w.put(self.ndi, 1)
         w.put(self.rv, 2)
         w.put(self.tpc, 2)
+        if tdd:
+            w.put(self.dai, 2)
         out = w.array()
-        pad = Dci1A.nof_bits(nof_prb) - len(out)
+        pad = Dci1A.nof_bits(nof_prb, tdd) - len(out)
         if pad > 0:
             out = np.concatenate([out, np.zeros(pad, np.uint8)])
         return out
 
     @classmethod
-    def unpack(cls, bits, nof_prb: int) -> "Dci1A":
+    def unpack(cls, bits, nof_prb: int, tdd: bool = False) -> "Dci1A":
         r = _BitReader(bits)
         flag = r.get(1)
         if flag != 1:
@@ -87,16 +98,20 @@ class Dci1A:
         dist = bool(r.get(1))
         riv = r.get(riv_nbits(nof_prb))
         mcs = r.get(5)
-        harq = r.get(3)
+        harq = r.get(_harq_bits(tdd))
         ndi = r.get(1)
         rv = r.get(2)
         tpc = r.get(2)
-        return cls(riv, mcs, harq, ndi, rv, tpc, dist)
+        dai = r.get(2) if tdd else 0
+        return cls(riv, mcs, harq, ndi, rv, tpc, dist, dai)
 
 
 @dataclasses.dataclass
 class Dci0:
-    """DCI format 0 (UL grant, FDD)."""
+    """DCI format 0 (UL grant).  In TDD, 2 extra bits follow the DMRS
+    cyclic shift: the UL index for UL/DL config 0, the DAI otherwise
+    (reference dci.c:545-551); 0/1A stay size-matched because 1A grows
+    by the same amount."""
 
     riv: int = 0
     mcs: int = 0
@@ -105,8 +120,11 @@ class Dci0:
     dmrs_cshift: int = 0
     cqi_request: bool = False
     hopping: bool = False
+    ul_idx: int = 0  # TDD UL/DL config 0 only
+    dai: int = 0  # TDD configs 1-6
 
-    def pack(self, nof_prb: int, target_len: int | None = None) -> np.ndarray:
+    def pack(self, nof_prb: int, target_len: int | None = None,
+             tdd: bool = False, tdd_cfg0: bool = False) -> np.ndarray:
         w = _BitWriter()
         w.put(0, 1)  # flag: 0 = format 0
         w.put(int(self.hopping), 1)
@@ -115,15 +133,17 @@ class Dci0:
         w.put(self.ndi, 1)
         w.put(self.tpc, 2)
         w.put(self.dmrs_cshift, 3)
+        if tdd:
+            w.put(self.ul_idx if tdd_cfg0 else self.dai, 2)
         w.put(int(self.cqi_request), 1)
         out = w.array()
-        tgt = target_len or Dci1A.nof_bits(nof_prb)
+        tgt = target_len or Dci1A.nof_bits(nof_prb, tdd)
         if len(out) < tgt:
             out = np.concatenate([out, np.zeros(tgt - len(out), np.uint8)])
         return out
 
     @classmethod
-    def unpack(cls, bits, nof_prb: int) -> "Dci0":
+    def unpack(cls, bits, nof_prb: int, tdd: bool = False, tdd_cfg0: bool = False) -> "Dci0":
         r = _BitReader(bits)
         if r.get(1) != 0:
             raise ValueError("not format 0")
@@ -133,8 +153,14 @@ class Dci0:
         ndi = r.get(1)
         tpc = r.get(2)
         cs = r.get(3)
+        ul_idx = dai = 0
+        if tdd:
+            if tdd_cfg0:
+                ul_idx = r.get(2)
+            else:
+                dai = r.get(2)
         cqi = bool(r.get(1))
-        return cls(riv, mcs, ndi, tpc, cs, cqi, hop)
+        return cls(riv, mcs, ndi, tpc, cs, cqi, hop, ul_idx, dai)
 
 
 @dataclasses.dataclass
@@ -154,44 +180,49 @@ class Dci1B:
     tpmi: int = 0
     pmi_confirm: int = 0
     distributed: bool = False
+    dai: int = 0  # TDD only
 
     @staticmethod
     def _tpmi_bits(nof_ports: int) -> int:
         return 2 if nof_ports <= 2 else 4
 
     @classmethod
-    def nof_bits(cls, nof_prb: int, nof_ports: int = 2) -> int:
-        n = 1 + riv_nbits(nof_prb) + 5 + 3 + 1 + 2 + 2 + cls._tpmi_bits(nof_ports) + 1
+    def nof_bits(cls, nof_prb: int, nof_ports: int = 2, tdd: bool = False) -> int:
+        n = 1 + riv_nbits(nof_prb) + 5 + _harq_bits(tdd) + 1 + 2 + 2 + cls._tpmi_bits(nof_ports) + 1
+        n += 2 if tdd else 0
         if n in Dci1A.AMBIGUOUS:
             n += 1
         return n
 
-    def pack(self, nof_prb: int, nof_ports: int = 2) -> np.ndarray:
+    def pack(self, nof_prb: int, nof_ports: int = 2, tdd: bool = False) -> np.ndarray:
         w = _BitWriter()
         w.put(int(self.distributed), 1)
         w.put(self.riv, riv_nbits(nof_prb))
         w.put(self.mcs, 5)
-        w.put(self.harq_pid, 3)
+        w.put(self.harq_pid, _harq_bits(tdd))
         w.put(self.ndi, 1)
         w.put(self.rv, 2)
         w.put(self.tpc, 2)
+        if tdd:
+            w.put(self.dai, 2)
         w.put(self.tpmi, self._tpmi_bits(nof_ports))
         w.put(self.pmi_confirm, 1)
         out = w.array()
-        pad = Dci1B.nof_bits(nof_prb, nof_ports) - len(out)
+        pad = Dci1B.nof_bits(nof_prb, nof_ports, tdd) - len(out)
         if pad > 0:
             out = np.concatenate([out, np.zeros(pad, np.uint8)])
         return out
 
     @classmethod
-    def unpack(cls, bits, nof_prb: int, nof_ports: int = 2) -> "Dci1B":
+    def unpack(cls, bits, nof_prb: int, nof_ports: int = 2, tdd: bool = False) -> "Dci1B":
         r = _BitReader(bits)
         dist = bool(r.get(1))
         riv = r.get(riv_nbits(nof_prb))
-        mcs, harq, ndi, rv, tpc = r.get(5), r.get(3), r.get(1), r.get(2), r.get(2)
+        mcs, harq, ndi, rv, tpc = r.get(5), r.get(_harq_bits(tdd)), r.get(1), r.get(2), r.get(2)
+        dai = r.get(2) if tdd else 0
         tpmi = r.get(cls._tpmi_bits(nof_ports))
         pmi = r.get(1)
-        return cls(riv, mcs, harq, ndi, rv, tpc, tpmi, pmi, dist)
+        return cls(riv, mcs, harq, ndi, rv, tpc, tpmi, pmi, dist, dai)
 
 
 @dataclasses.dataclass
@@ -209,37 +240,41 @@ class Dci1D:
     tpmi: int = 0
     power_offset: int = 0
     distributed: bool = False
+    dai: int = 0  # TDD only
 
     @classmethod
-    def nof_bits(cls, nof_prb: int, nof_ports: int = 2) -> int:
-        return Dci1B.nof_bits(nof_prb, nof_ports)
+    def nof_bits(cls, nof_prb: int, nof_ports: int = 2, tdd: bool = False) -> int:
+        return Dci1B.nof_bits(nof_prb, nof_ports, tdd)
 
-    def pack(self, nof_prb: int, nof_ports: int = 2) -> np.ndarray:
+    def pack(self, nof_prb: int, nof_ports: int = 2, tdd: bool = False) -> np.ndarray:
         w = _BitWriter()
         w.put(int(self.distributed), 1)
         w.put(self.riv, riv_nbits(nof_prb))
         w.put(self.mcs, 5)
-        w.put(self.harq_pid, 3)
+        w.put(self.harq_pid, _harq_bits(tdd))
         w.put(self.ndi, 1)
         w.put(self.rv, 2)
         w.put(self.tpc, 2)
+        if tdd:
+            w.put(self.dai, 2)
         w.put(self.tpmi, Dci1B._tpmi_bits(nof_ports))
         w.put(self.power_offset, 1)
         out = w.array()
-        pad = Dci1D.nof_bits(nof_prb, nof_ports) - len(out)
+        pad = Dci1D.nof_bits(nof_prb, nof_ports, tdd) - len(out)
         if pad > 0:
             out = np.concatenate([out, np.zeros(pad, np.uint8)])
         return out
 
     @classmethod
-    def unpack(cls, bits, nof_prb: int, nof_ports: int = 2) -> "Dci1D":
+    def unpack(cls, bits, nof_prb: int, nof_ports: int = 2, tdd: bool = False) -> "Dci1D":
         r = _BitReader(bits)
         dist = bool(r.get(1))
         riv = r.get(riv_nbits(nof_prb))
-        mcs, harq, ndi, rv, tpc = r.get(5), r.get(3), r.get(1), r.get(2), r.get(2)
+        mcs, harq, ndi, rv, tpc = r.get(5), r.get(_harq_bits(tdd)), r.get(1), r.get(2), r.get(2)
+        dai = r.get(2) if tdd else 0
         tpmi = r.get(Dci1B._tpmi_bits(nof_ports))
         po = r.get(1)
-        return cls(riv, mcs, harq, ndi, rv, tpc, tpmi, po, dist)
+        return cls(riv, mcs, harq, ndi, rv, tpc, tpmi, po, dist, dai)
 
 
 def _rbg_size(nof_prb: int) -> int:
@@ -264,30 +299,35 @@ class Dci1:
     ndi: int = 0
     rv: int = 0
     tpc: int = 0
+    dai: int = 0  # TDD only
 
     @staticmethod
     def nof_rbg(nof_prb: int) -> int:
         p = _rbg_size(nof_prb)
         return (nof_prb + p - 1) // p
 
-    def pack(self, nof_prb: int) -> np.ndarray:
+    def pack(self, nof_prb: int, tdd: bool = False) -> np.ndarray:
         w = _BitWriter()
         w.put(0, 1)  # RA header: type 0
         w.put(self.rbg_bitmap, self.nof_rbg(nof_prb))
         w.put(self.mcs, 5)
-        w.put(self.harq_pid, 3)
+        w.put(self.harq_pid, _harq_bits(tdd))
         w.put(self.ndi, 1)
         w.put(self.rv, 2)
         w.put(self.tpc, 2)
+        if tdd:
+            w.put(self.dai, 2)
         return w.array()
 
     @classmethod
-    def unpack(cls, bits, nof_prb: int) -> "Dci1":
+    def unpack(cls, bits, nof_prb: int, tdd: bool = False) -> "Dci1":
         r = _BitReader(bits)
         if r.get(1) != 0:
             raise ValueError("RA type 1 not supported")
         bitmap = r.get(cls.nof_rbg(nof_prb))
-        return cls(bitmap, r.get(5), r.get(3), r.get(1), r.get(2), r.get(2))
+        mcs, harq, ndi, rv, tpc = r.get(5), r.get(_harq_bits(tdd)), r.get(1), r.get(2), r.get(2)
+        dai = r.get(2) if tdd else 0
+        return cls(bitmap, mcs, harq, ndi, rv, tpc, dai)
 
     def prb_list(self, nof_prb: int) -> tuple[int, ...]:
         p = _rbg_size(nof_prb)
@@ -361,6 +401,7 @@ class Dci2:
     rv2: int = 0
     precoding_info: int = 0  # formats 2 and 2A (4 ports) only
     fmt: str = "2"  # "2" | "2a" | "2b"
+    dai: int = 0  # TDD only
 
     _AMBIGUOUS = frozenset({12, 14, 16, 20, 24, 26, 32, 40, 44, 56})
 
@@ -377,22 +418,24 @@ class Dci2:
         return 0  # 2B: none
 
     @classmethod
-    def nof_bits(cls, nof_prb: int, fmt: str = "2", nof_ports: int = 2) -> int:
-        n = Dci1.nof_rbg(nof_prb) + 2 + 3 + 1 + 2 * (5 + 1 + 2)
-        n += cls._pinfo_bits(fmt, nof_ports)
+    def nof_bits(cls, nof_prb: int, fmt: str = "2", nof_ports: int = 2, tdd: bool = False) -> int:
+        n = Dci1.nof_rbg(nof_prb) + 2 + _harq_bits(tdd) + 1 + 2 * (5 + 1 + 2)
+        n += (2 if tdd else 0) + cls._pinfo_bits(fmt, nof_ports)
         if nof_prb > 10:
             n += 1  # RA type header bit
         while n in cls._AMBIGUOUS:
             n += 1
         return n
 
-    def pack(self, nof_prb: int, nof_ports: int = 2) -> np.ndarray:
+    def pack(self, nof_prb: int, nof_ports: int = 2, tdd: bool = False) -> np.ndarray:
         w = _BitWriter()
         if nof_prb > 10:
             w.put(0, 1)  # RA type 0
         w.put(self.rbg_bitmap, Dci1.nof_rbg(nof_prb))
         w.put(self.tpc, 2)
-        w.put(self.harq_pid, 3)
+        if tdd:
+            w.put(self.dai, 2)  # DAI precedes HARQ in formats 2 (dci.c 2AB unpack)
+        w.put(self.harq_pid, _harq_bits(tdd))
         w.put(self.swap_flag, 1)
         for mcs, ndi, rv in ((self.mcs1, self.ndi1, self.rv1), (self.mcs2, self.ndi2, self.rv2)):
             w.put(mcs, 5)
@@ -401,13 +444,13 @@ class Dci2:
         nb = self._pinfo_bits(self.fmt, nof_ports)
         if nb:
             w.put(self.precoding_info, nb)
-        while len(w.bits) < self.nof_bits(nof_prb, self.fmt, nof_ports):
+        while len(w.bits) < self.nof_bits(nof_prb, self.fmt, nof_ports, tdd):
             w.put(0, 1)
         return w.array()
 
     @classmethod
     def unpack(cls, bits, nof_prb: int, is_2a: bool = False, fmt: str | None = None,
-               nof_ports: int = 2) -> "Dci2":
+               nof_ports: int = 2, tdd: bool = False) -> "Dci2":
         if fmt is None:
             fmt = "2a" if is_2a else "2"
         r = _BitReader(bits)
@@ -415,10 +458,11 @@ class Dci2:
             raise ValueError("RA type 1 not supported")
         bitmap = r.get(Dci1.nof_rbg(nof_prb))
         tpc = r.get(2)
-        harq = r.get(3)
+        dai = r.get(2) if tdd else 0
+        harq = r.get(_harq_bits(tdd))
         swap = r.get(1)
         mcs1, ndi1, rv1 = r.get(5), r.get(1), r.get(2)
         mcs2, ndi2, rv2 = r.get(5), r.get(1), r.get(2)
         nb = cls._pinfo_bits(fmt, nof_ports)
         pinfo = r.get(nb) if nb else 0
-        return cls(bitmap, tpc, harq, swap, mcs1, ndi1, rv1, mcs2, ndi2, rv2, pinfo, fmt)
+        return cls(bitmap, tpc, harq, swap, mcs1, ndi1, rv1, mcs2, ndi2, rv2, pinfo, fmt, dai)

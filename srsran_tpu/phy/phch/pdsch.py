@@ -55,20 +55,26 @@ class DlGrant:
 
 @lru_cache(maxsize=512)
 def pdsch_re_indices(
-    cell: Cell, sf_idx: int, cfi: int, prb: tuple[int, ...]
+    cell: Cell, sf_idx: int, cfi: int, prb: tuple[int, ...],
+    tdd: bool = False, last_symbol: int | None = None,
 ) -> np.ndarray:
     """Flat indices (symbol*nre + k) of PDSCH REs, in LTE mapping order
     (frequency-first within each symbol, symbols ascending).
 
     Skips: control region (cfi symbols), CRS of all cell ports, PSS/SSS
-    (sf 0/5) and PBCH (sf 0) in the central 6 PRB.
+    and PBCH in the central 6 PRB.  ``tdd`` moves the sync signals to
+    their frame-structure-2 positions (PSS: symbol 2 of sf 1/6; SSS: last
+    symbol of sf 0/5 — TS 36.211 §6.11).  ``last_symbol`` truncates the
+    data region for TDD special subframes (DwPTS, ra_dl.c:61-62).
     """
     nre = cell.nof_re_per_symbol
     nsymb = cell.nsymb_per_sf
+    if last_symbol is not None:
+        nsymb = min(nsymb, last_symbol)
     nctrl = cfi + (1 if cell.nof_prb < 10 else 0)
     vshift = cell.id % 6
 
-    reserved = np.zeros((nsymb, nre), bool)
+    reserved = np.zeros((cell.nsymb_per_sf, nre), bool)
     # CRS: ports 0/1 on symbols 0 and nsymb_slot-3 of each slot; 4 ports add symbol 1
     nports = max(cell.nof_ports, 1)
     for slot in range(2):
@@ -92,12 +98,20 @@ def pdsch_re_indices(
                 k = (v + vshift) % 6 + 6 * np.arange(2 * cell.nof_prb)
                 reserved[l, k] = True
 
-    # PSS/SSS (FDD): subframes 0 and 5, central 6 PRB (72 REs)
+    # PSS/SSS: central 6 PRB (72 REs).  FDD: both at the end of slot 0 of
+    # sf 0/5.  TDD: PSS on symbol 2 of sf 1/6, SSS on the last symbol of
+    # sf 0/5 (TS 36.211 §6.11.1.2/§6.11.2.2).
     c0 = (cell.nof_prb // 2) * 12 - 36 + (6 * (cell.nof_prb % 2))
     central = np.arange(c0, c0 + 72)
-    if sf_idx in (0, 5):
-        reserved[cell.nsymb_per_slot - 1, central] = True  # PSS
-        reserved[cell.nsymb_per_slot - 2, central] = True  # SSS
+    if not tdd:
+        if sf_idx in (0, 5):
+            reserved[cell.nsymb_per_slot - 1, central] = True  # PSS
+            reserved[cell.nsymb_per_slot - 2, central] = True  # SSS
+    else:
+        if sf_idx in (1, 6):
+            reserved[2, central] = True  # PSS (DwPTS)
+        if sf_idx in (0, 5):
+            reserved[cell.nsymb_per_sf - 1, central] = True  # SSS
     # PBCH: subframe 0, slot 1 symbols 0..3, central 72 REs
     if sf_idx == 0:
         for l in range(4):
@@ -123,13 +137,15 @@ def pdsch_nof_re(cell: Cell, sf_idx: int, cfi: int, prb: tuple[int, ...]) -> int
 
 
 def pdsch_encode_np(
-    cell: Cell, sf_idx: int, cfi: int, grant: DlGrant, tb_bits: np.ndarray
+    cell: Cell, sf_idx: int, cfi: int, grant: DlGrant, tb_bits: np.ndarray,
+    tdd: bool = False, last_symbol: int | None = None,
 ) -> np.ndarray:
     """Host TX: encode one TB into a (nof_ports, nsymb, nre) grid (no CRS).
 
-    Mirrors `srslte_pdsch_encode`/enb_dl put chain.
+    Mirrors `srslte_pdsch_encode`/enb_dl put chain.  ``tdd``/``last_symbol``
+    select frame-structure-2 sync positions and the DwPTS data region.
     """
-    idx = pdsch_re_indices(cell, sf_idx, cfi, grant.prb)
+    idx = pdsch_re_indices(cell, sf_idx, cfi, grant.prb, tdd, last_symbol)
     n_re = len(idx)
     nof_ports = {"diversity": 2, "cdd": 2, "spatialmux": 2, "diversity4": 4}.get(grant.tx_scheme, 1)
     g = n_re * grant.qm * (grant.nof_layers if grant.tx_scheme not in ("diversity", "diversity4") else 1)
@@ -172,13 +188,15 @@ def pdsch_decode(
     grant: DlGrant,
     max_iterations: int = 5,
     softbuffers=None,
+    tdd: bool = False,
+    last_symbol: int | None = None,
 ):
     """UE RX: decode one TB.
 
     rx_grid: (nrx, nsymb, nre) complex; ce: (nrx, nports, nsymb, nre).
     Returns (tb_bits, crc_ok, softbuffers).
     """
-    idx = jnp.asarray(pdsch_re_indices(cell, sf_idx, cfi, grant.prb))
+    idx = jnp.asarray(pdsch_re_indices(cell, sf_idx, cfi, grant.prb, tdd, last_symbol))
     n_re = len(idx)
     y = rx_grid.reshape(rx_grid.shape[0], -1)[:, idx]  # (nrx, M)
     h = ce.reshape(ce.shape[0], ce.shape[1], -1)[:, :, idx]  # (nrx, nports, M)

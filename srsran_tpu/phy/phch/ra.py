@@ -60,7 +60,11 @@ def tbs_lookup(i_tbs: int, n_prb: int) -> int:
     return TBS_TABLE[i_tbs][n_prb - 1]
 
 
-def dl_tbs(mcs: int, n_prb: int, use_256qam: bool = False) -> int:
+def dl_tbs(mcs: int, n_prb: int, use_256qam: bool = False, dwpts: bool = False) -> int:
+    """``dwpts``: TBS for a TDD special subframe uses max(1, 0.75*n_prb)
+    as the table column (TS 36.213 §7.1.7; reference ra_dl.c:399-400)."""
+    if dwpts:
+        n_prb = max(1, int(0.75 * n_prb))
     return tbs_lookup(dl_mcs_to_itbs(mcs, use_256qam), n_prb)
 
 

@@ -20,6 +20,7 @@ from ..phch.pcfich import pcfich_decode, pcfich_re_indices
 from ..phch.pdcch import nof_cce, pdcch_blind_search, pdcch_re_indices
 from ..phch.pdsch import DlGrant, pdsch_decode
 from ..phch.ra import dl_mcs_to_mod, dl_tbs, riv_decode
+from .. import tdd as tdd_mod
 
 
 @dataclasses.dataclass
@@ -41,15 +42,28 @@ def ue_dl_decode_subframe(
     nrx: int = 1,
     known_cfi: int | None = None,
     max_iterations: int = 5,
+    tdd: "TddConfig | None" = None,
 ) -> UeDlResult:
     """Process one subframe: samples (nrx, sf_len) → decoded TBs.
 
     Mirrors the cc_worker DL pipeline (srsue/src/phy/cc_worker.cc:214-307).
+    With ``tdd`` set: UL subframes are skipped, special subframes decode
+    only the DwPTS region with the 0.75-PRB TBS rule (ra_dl.c:399,430-432),
+    and the DCI is parsed at its TDD size.
     """
     res = UeDlResult()
+    is_tdd = tdd is not None
+    last_symbol = None
+    if is_tdd:
+        sftype = tdd_mod.sf_type(tdd, sf_idx)
+        if sftype == tdd_mod.SfType.U:
+            return res
+        if sftype == tdd_mod.SfType.S:
+            last_symbol = tdd_mod.nof_dw(tdd)
     ofdm = OfdmConfig.from_cell(cell, normalize=True)
     grid = np.asarray(ofdm_rx_sf(ofdm, samples))  # (nrx, nsymb, nre)
-    ch = chest_dl(grid, cell, sf_idx, nof_ports=min(cell.nof_ports, 2))
+    ch = chest_dl(grid, cell, sf_idx, nof_ports=min(cell.nof_ports, 2),
+                  last_symbol=last_symbol)
     ce = np.asarray(ch["ce"])  # (nrx, nports, nsymb, nre)
     noise = float(np.mean(np.asarray(ch["noise"])))
     res.noise = noise
@@ -73,7 +87,7 @@ def ue_dl_decode_subframe(
 
     # PDCCH blind search (format 1A size)
     n = nof_cce(cell, sf_idx, cfi)
-    dci_len = Dci1A.nof_bits(cell.nof_prb)
+    dci_len = Dci1A.nof_bits(cell.nof_prb, tdd=is_tdd)
     idx = pdcch_re_indices(cell, sf_idx, cfi)[: n * 36]
     found = pdcch_blind_search(equalize(idx), cell, sf_idx, cfi, rnti, dci_len)
     res.dcis = found
@@ -81,7 +95,7 @@ def ue_dl_decode_subframe(
     # decode each 1A grant
     for bits, agg, cce in found:
         try:
-            dci = Dci1A.unpack(bits, cell.nof_prb)
+            dci = Dci1A.unpack(bits, cell.nof_prb, tdd=is_tdd)
         except ValueError:
             continue
         try:
@@ -105,18 +119,19 @@ def ue_dl_decode_subframe(
             grant = DlGrant(
                 prb=tuple(range(rb0, rb0 + l_crb)),
                 mod=dl_mcs_to_mod(dci.mcs),
-                tbs=dl_tbs(dci.mcs, l_crb),
+                tbs=dl_tbs(dci.mcs, l_crb, dwpts=last_symbol is not None),
                 rv=dci.rv,
                 rnti=rnti,
             )
         tb, ok, _ = pdsch_decode(
-            grid, ce, noise, cell, sf_idx, cfi, grant, max_iterations
+            grid, ce, noise, cell, sf_idx, cfi, grant, max_iterations,
+            tdd=is_tdd, last_symbol=last_symbol,
         )
         res.tbs.append((tb, ok))
         from ..phch.pdsch import pdsch_re_indices
 
         res.pdsch_symbols = np.asarray(
-            equalize(pdsch_re_indices(cell, sf_idx, cfi, grant.prb))
+            equalize(pdsch_re_indices(cell, sf_idx, cfi, grant.prb, is_tdd, last_symbol))
         )
         break  # one 1A grant per subframe (dedup across agg levels)
     return res
