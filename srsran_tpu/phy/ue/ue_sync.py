@@ -27,8 +27,9 @@ class CellSearchResult:
     n_id_2: int
     cfo: float  # in subcarrier units
     peak_offset: int  # sample index of the PSS symbol start
-    sf_idx: int  # 0 or 5 (subframe containing the found PSS)
+    sf_idx: int  # 0 or 5 (the SSS subframe)
     psr: float  # peak-to-average detection metric
+    frame_type: str = "fdd"  # "fdd" | "tdd" (frame structure 1 or 2)
 
 
 def apply_cfo(samples: np.ndarray, cfo: float, symbol_sz: int) -> np.ndarray:
@@ -36,11 +37,20 @@ def apply_cfo(samples: np.ndarray, cfo: float, symbol_sz: int) -> np.ndarray:
     return (samples * np.exp(-2j * np.pi * cfo * n / symbol_sz)).astype(np.complex64)
 
 
-def cell_search(samples: np.ndarray, nof_prb: int = 6, threshold: float = 6.0) -> CellSearchResult | None:
+def cell_search(
+    samples: np.ndarray, nof_prb: int = 6, threshold: float = 6.0,
+    frame_type: str | None = None,
+) -> CellSearchResult | None:
     """Search ≥ 6 ms of samples for a cell (analog of
-    `srslte_ue_cellsearch_scan`, all three N_id_2 in one batched correlate)."""
+    `srslte_ue_cellsearch_scan`, all three N_id_2 in one batched correlate).
+
+    ``frame_type``: "fdd", "tdd", or None to detect it — like the
+    reference's dual-hypothesis trial (sync.c:746-763): FDD puts the SSS
+    one symbol before the PSS; TDD (frame structure 2) puts the PSS on
+    symbol 2 of sf 1/6 and the SSS on the last symbol of the preceding
+    subframe.  The hypothesis with the stronger SSS metric wins.
+    """
     cell0 = Cell(nof_prb=nof_prb, nof_ports=1, id=0)
-    fft = 128 if nof_prb == 6 else cell0.symbol_sz
     nid2, off, peak, avg = [np.asarray(v) for v in pss_find(samples, cell0.symbol_sz)]
     psr = float(peak / (avg + 1e-12))
     if psr < threshold:
@@ -52,26 +62,47 @@ def cell_search(samples: np.ndarray, nof_prb: int = 6, threshold: float = 6.0) -
     if len(sym) < cell0.symbol_sz:
         return None
     cfo = float(np.asarray(pss_cfo_estimate(sym, n_id_2, cell0.symbol_sz)))
-    # SSS sits one symbol earlier
     corr = apply_cfo(samples, cfo, cell0.symbol_sz)
     ofdm = OfdmConfig.from_cell(cell0, normalize=True)
-    sf_start = offset - ofdm.symbol_starts()[cell0.nsymb_per_slot - 1]
-    if sf_start < 0 or sf_start + cell0.sf_len > len(corr):
-        return None
-    grid = np.asarray(ofdm_rx_sf(ofdm, corr[sf_start : sf_start + cell0.sf_len]))
     nre = cell0.nof_re_per_symbol
     k0 = nre // 2 - 31
-    sss_re = grid[cell0.nsymb_per_slot - 2, k0 : k0 + 62]
-    pss_re = grid[cell0.nsymb_per_slot - 1, k0 : k0 + 62]
-    ce = pss_re * np.conj(pss_freq_np(n_id_2))
-    nid1, sf_is_5, metric = [np.asarray(v) for v in sss_detect(sss_re, n_id_2, ce=ce)]
+    pss_ref_conj = np.conj(pss_freq_np(n_id_2))
+
+    trials = {"fdd": None, "tdd": None} if frame_type is None else {frame_type: None}
+    results = []
+    for ft in trials:
+        if ft == "fdd":
+            # PSS = last symbol of slot 0; SSS one symbol earlier, same sf
+            sf_start = offset - ofdm.symbol_starts()[cell0.nsymb_per_slot - 1]
+            if sf_start < 0 or sf_start + cell0.sf_len > len(corr):
+                continue
+            grid = np.asarray(ofdm_rx_sf(ofdm, corr[sf_start : sf_start + cell0.sf_len]))
+            sss_re = grid[cell0.nsymb_per_slot - 2, k0 : k0 + 62]
+            pss_re = grid[cell0.nsymb_per_slot - 1, k0 : k0 + 62]
+        else:
+            # PSS = symbol 2 of sf 1/6; SSS = last symbol of the sf before
+            sf1_start = offset - ofdm.symbol_starts()[2]
+            sss_sf_start = sf1_start - cell0.sf_len
+            if sss_sf_start < 0 or sf1_start + cell0.sf_len > len(corr):
+                continue
+            grid1 = np.asarray(ofdm_rx_sf(ofdm, corr[sf1_start : sf1_start + cell0.sf_len]))
+            grid0 = np.asarray(ofdm_rx_sf(ofdm, corr[sss_sf_start:sf1_start]))
+            sss_re = grid0[-1, k0 : k0 + 62]
+            pss_re = grid1[2, k0 : k0 + 62]
+        ce = pss_re * pss_ref_conj
+        nid1, sf_is_5, metric = [np.asarray(v) for v in sss_detect(sss_re, n_id_2, ce=ce)]
+        results.append((float(metric), ft, int(nid1), bool(sf_is_5)))
+    if not results:
+        return None
+    metric, ft, nid1, sf_is_5 = max(results)
     return CellSearchResult(
-        cell_id=3 * int(nid1) + n_id_2,
+        cell_id=3 * nid1 + n_id_2,
         n_id_2=n_id_2,
         cfo=cfo,
         peak_offset=offset,
-        sf_idx=5 if bool(sf_is_5) else 0,
+        sf_idx=5 if sf_is_5 else 0,
         psr=psr,
+        frame_type=ft,
     )
 
 
@@ -117,7 +148,7 @@ class UeSync:
 
     FIND, TRACK = "FIND", "TRACK"
 
-    def __init__(self, nof_prb: int = 6, cfo_ema: float = 0.3):
+    def __init__(self, nof_prb: int = 6, cfo_ema: float = 0.3, frame_type: str | None = None):
         self.cell_prb = nof_prb
         self.state = self.FIND
         self.buf = np.zeros(0, np.complex64)
@@ -126,13 +157,24 @@ class UeSync:
         self.cfo_ema = cfo_ema
         self.sf_idx = 0
         self.consumed = 0  # absolute sample cursor
+        self.frame_type = frame_type  # None = auto-detect in FIND
         self._cell0 = Cell(nof_prb=nof_prb, nof_ports=1, id=0)
         self._ofdm = OfdmConfig.from_cell(self._cell0, normalize=True)
 
     def push(self, samples: np.ndarray):
         self.buf = np.concatenate([self.buf, samples.astype(np.complex64)])
 
+    @property
+    def _is_tdd(self) -> bool:
+        return self.frame_type == "tdd"
+
+    def _pss_sf_indices(self) -> tuple[int, int]:
+        """Subframes that contain the PSS (FDD: 0/5, TDD: 1/6)."""
+        return (1, 6) if self._is_tdd else (0, 5)
+
     def _pss_pos_in_sf(self) -> int:
+        if self._is_tdd:
+            return self._ofdm.symbol_starts()[2]
         return self._ofdm.symbol_starts()[self._cell0.nsymb_per_slot - 1]
 
     def pop_subframe(self):
@@ -141,15 +183,18 @@ class UeSync:
         if self.state == self.FIND:
             if len(self.buf) < 7 * sf_len:
                 return None
-            res = cell_search(self.buf, self.cell_prb)
+            res = cell_search(self.buf, self.cell_prb, frame_type=self.frame_type)
             if res is None:
                 self.buf = self.buf[5 * sf_len :]
                 return None
             self.cell = Cell(nof_prb=self.cell_prb, nof_ports=1, id=res.cell_id)
             self.cfo = res.cfo
+            self.frame_type = res.frame_type
+            # align to the start of the subframe containing the PSS
             sf_start = res.peak_offset - self._pss_pos_in_sf()
             self.buf = self.buf[sf_start:]
-            self.sf_idx = res.sf_idx
+            # FDD: PSS is in the SSS subframe; TDD: one subframe after it
+            self.sf_idx = (res.sf_idx + 1) % 10 if self._is_tdd else res.sf_idx
             self.state = self.TRACK
         if len(self.buf) < sf_len:
             return None
@@ -157,7 +202,7 @@ class UeSync:
         self.buf = self.buf[sf_len:]
         out_idx = self.sf_idx
         # track on subframes containing PSS
-        if out_idx in (0, 5):
+        if out_idx in self._pss_sf_indices():
             nid2, off, peak, avg = [np.asarray(v) for v in pss_find(sf, self._cell0.symbol_sz)]
             psr = float(peak / (avg + 1e-12))
             expected = self._pss_pos_in_sf()

@@ -253,6 +253,78 @@ class TestTddPhy:
         res = ue_dl_decode_subframe(cell, z, 2, 0x4601, tdd=tdd.TddConfig(1, 4))
         assert res.tbs == [] and res.dcis == []
 
+    def test_cell_search_detects_frame_type(self):
+        """Dual-hypothesis search (reference sync.c:746-763): a TDD frame
+        is found as TDD with the right PCI, an FDD frame as FDD."""
+        from srsran_tpu.phy.enb.enb_dl import DlSched, enb_dl_subframe
+        from srsran_tpu.phy.ue.ue_sync import cell_search
+
+        cell = Cell(nof_prb=6, nof_ports=1, id=151)
+        cfg = tdd.TddConfig(1, 4)
+        rng = np.random.default_rng(5)
+
+        def frames(tdd_cfg, n_sf=20):
+            out = []
+            for i in range(n_sf):
+                _, s = enb_dl_subframe(cell, i % 10, DlSched(cfi=1), tdd=tdd_cfg)
+                out.append(s[0])
+            x = np.concatenate(out)
+            return x + 0.02 * (rng.standard_normal(len(x)) + 1j * rng.standard_normal(len(x))).astype(np.complex64)
+
+        res = cell_search(frames(cfg), 6)
+        assert res is not None and res.frame_type == "tdd"
+        assert res.cell_id == 151 and res.sf_idx in (0, 5)
+
+        res_fdd = cell_search(frames(None), 6)
+        assert res_fdd is not None and res_fdd.frame_type == "fdd"
+        assert res_fdd.cell_id == 151
+
+    def test_ue_sync_tracks_tdd_stream(self):
+        """UeSync FIND→TRACK on a TDD sample stream: subframe indices line
+        up (PDSCH placed in sf 4 decodes at the delivered sf 4)."""
+        from srsran_tpu.phy.enb.enb_dl import DlSched, enb_dl_subframe
+        from srsran_tpu.phy.phch.dci import Dci1A
+        from srsran_tpu.phy.phch.pdsch import DlGrant
+        from srsran_tpu.phy.phch.ra import dl_mcs_to_mod, riv_encode
+        from srsran_tpu.phy.ue.ue_dl import ue_dl_decode_subframe
+        from srsran_tpu.phy.ue.ue_sync import UeSync
+
+        cell = Cell(nof_prb=6, nof_ports=1, id=151)
+        cfg = tdd.TddConfig(1, 4)
+        rnti = 0x4601
+        rng = np.random.default_rng(11)
+        mcs, l_crb = 7, 6
+        tbs = dl_tbs(mcs, l_crb)
+        tb = rng.integers(0, 2, tbs).astype(np.uint8)
+        grant = DlGrant(prb=tuple(range(l_crb)), mod=dl_mcs_to_mod(mcs), tbs=tbs, rnti=rnti)
+        dci = Dci1A(riv=riv_encode(cell.nof_prb, 0, l_crb), mcs=mcs)
+
+        stream = []
+        for i in range(30):
+            sf_idx = i % 10
+            sched = DlSched(cfi=2)
+            if sf_idx == 4:  # D subframe in config 1
+                sched = DlSched(cfi=2, dcis=[(dci.pack(cell.nof_prb, tdd=True), rnti, 4, 0)],
+                                grants=[(grant, tb)])
+            _, s = enb_dl_subframe(cell, sf_idx, sched, tdd=cfg)
+            stream.append(s[0])
+        x = np.concatenate(stream)
+
+        sync = UeSync(nof_prb=6)
+        sync.push(x)
+        got = 0
+        while True:
+            out = sync.pop_subframe()
+            if out is None:
+                break
+            sf, idx = out
+            if idx == 4 and sync.state == UeSync.TRACK:
+                res = ue_dl_decode_subframe(cell, sf[None, :], 4, rnti, known_cfi=2, tdd=cfg)
+                if res.tbs and res.tbs[0][1]:
+                    got += 1
+        assert sync.frame_type == "tdd"
+        assert got >= 1
+
     def test_normal_dl_subframe_tdd_e2e(self):
         """A plain D subframe decodes with TDD DCI sizing end-to-end."""
         from srsran_tpu.phy.enb.enb_dl import DlSched, enb_dl_subframe
