@@ -22,6 +22,7 @@ from collections import deque
 import numpy as np
 
 from ..epc import Mme, Spgw, s1ap
+from ..phy import tdd
 from ..phy.common import Cell
 from ..phy.enb.enb_dl import DlSched, enb_dl_subframe
 from ..phy.enb.enb_ul import enb_ul_fft, enb_ul_decode_pusch
@@ -55,7 +56,22 @@ LCID_CCCH = 0
 LCID_SRB1 = 1
 LCID_DRB1 = 3
 
-FB_DELAY = 4  # DCI0 at n → PUSCH at n+4
+FB_DELAY = 4  # DCI0 at n → PUSCH at n+4 (FDD)
+
+
+def _prach_sf(tdd_cfg) -> int:
+    """PRACH occasion subframe: 1 for FDD (prach-ConfigIndex 3 analog);
+    2 for TDD — the one subframe that is UL in every UL/DL config."""
+    return 1 if tdd_cfg is None else 2
+
+
+def _pusch_delay(tdd_cfg, tti: int) -> int | None:
+    """Grant-to-PUSCH delay from DL subframe ``tti``; None when ``tti``
+    is not a grant opportunity (TDD Table 8-2 has no k there)."""
+    if tdd_cfg is None:
+        return FB_DELAY
+    k = tdd.K_PUSCH[tdd_cfg.sf_config][tti % 10]
+    return k if k else None
 
 
 def _pack_rar(rapid: int, ta: int, grant20: int, temp_crnti: int) -> bytes:
@@ -161,8 +177,10 @@ class EnbStack:
     RRC_IDLE, RRC_SETUP_SENT, RRC_CONNECTED, RRC_SMC_SENT, RRC_RECONF_SENT, RRC_ACTIVE = range(6)
 
     def __init__(self, cell: Cell, mme: Mme, spgw: Spgw, crnti: int = 0x46, mcs: int = 5, cfi: int = 2,
-                 enb_id: int = 0x19B):
+                 enb_id: int = 0x19B, tdd_cfg: tdd.TddConfig | None = None):
         self.cell = cell
+        self.tdd = tdd_cfg
+        self.prach_sf = _prach_sf(tdd_cfg)
         self.mme = mme
         self.enb_id = enb_id
         if hasattr(mme, "register_enb"):
@@ -428,9 +446,9 @@ class EnbStack:
         # the link delivers the UE's subframe one TTI later
         tti = tti - 1
         sf_idx = tti % 10
-        # PRACH occasion: sf_idx 1 (prach-ConfigIndex 3 analog); a PUSCH
-        # scheduled in the same subframe is decoded too (signals add)
-        if sf_idx == 1:
+        # PRACH occasion (FDD: sf 1; TDD: sf 2, UL in every config); a
+        # PUSCH scheduled in the same subframe is decoded too (signals add)
+        if sf_idx == self.prach_sf:
             cp = prach_cp_len(self.cell)
             win = samples[cp : cp + prach_nfft(self.cell)]
             if len(win) == prach_nfft(self.cell) and np.mean(np.abs(win) ** 2) > 1e-6:
@@ -510,6 +528,15 @@ class EnbStack:
 
     def _build_dl(self, tti: int, sf_idx: int) -> np.ndarray:
         sched = DlSched(cfi=self.cfi)
+        sftype = tdd.sf_type(self.tdd, sf_idx)
+        if sftype == tdd.SfType.U:  # eNB silent on UL subframes
+            _, samples = enb_dl_subframe(self.cell, sf_idx, sched, tdd=self.tdd)
+            return samples[0]
+        # special subframes with a short DwPTS carry no PDSCH (the UE side
+        # of the reference skips them too, phy_common.cc:630)
+        can_pdsch = sftype == tdd.SfType.D or tdd.nof_dw(self.tdd) >= 9
+        is_tdd = self.tdd is not None
+        dwpts = sftype == tdd.SfType.S
         n = nof_cce(self.cell, sf_idx, self.cfi)
         used_cce: list[tuple[int, int]] = []  # (start, L) taken this TTI
 
@@ -536,7 +563,7 @@ class EnbStack:
                 # N_PRB from the TPC LSB (we set tpc=1 → N_PRB = 3)
                 tbs_bits = tbs_lookup(mcs, 3)
             else:
-                tbs_bits = dl_tbs(mcs, l_crb)
+                tbs_bits = dl_tbs(mcs, l_crb, dwpts=dwpts)
             tb_bits = np.unpackbits(np.frombuffer(tb_bytes_pdu, np.uint8))
             if len(tb_bits) > tbs_bits:
                 return  # does not fit the common-grant TBS
@@ -554,11 +581,14 @@ class EnbStack:
                 mod=Mod.QPSK if is_common else dl_mcs_to_mod(mcs),
                 tbs=tbs_bits, rnti=rnti, rv=rv,
             )
-            sched.dcis.append((dci.pack(self.cell.nof_prb), rnti, agg, cce))
+            sched.dcis.append((dci.pack(self.cell.nof_prb, tdd=is_tdd), rnti, agg, cce))
             sched.grants.append((grant, tb_bits))
 
-        # 1. one pending RAR per TTI (RA-RNTI = 1 + prach sf_idx = 2)
-        if self.pending_rars and sf_idx not in (0, 5):
+        ul_delay = _pusch_delay(self.tdd, tti)
+        # 1. one pending RAR per TTI (RA-RNTI = 1 + prach sf_idx); the RAR
+        # subframe must also be a Msg3 grant opportunity (TDD Table 8-2)
+        if (self.pending_rars and sf_idx not in (0, 5) and can_pdsch
+                and ul_delay is not None):
             rapid, ta, crnti = self.pending_rars.popleft()
             grant20 = (riv_encode(self.cell.nof_prb, 0, self.cell.nof_prb) << 10) | (2 << 5)
             rar = _pack_rar(rapid, ta, grant20, crnti)
@@ -567,51 +597,61 @@ class EnbStack:
             mcs = 0
             while _tbsl(mcs, 3) // 8 < len(rar):
                 mcs += 1
-            add_dl_tb(1 + 1, mcs, rar)  # RA-RNTI for prach sf 1
+            add_dl_tb(1 + self.prach_sf, mcs, rar)
             # reserve the Msg3 PUSCH occasion
-            self.pending_ul[tti + FB_DELAY] = (crnti, _msg3_grant(self.cell, crnti, grant20))
+            self.pending_ul[tti + ul_delay] = (crnti, _msg3_grant(self.cell, crnti, grant20))
         else:
-            # 2. normal DL scheduling (one grant/TTI, MAC PDUs from RLC bearers)
-            from ..phy.phch.pdsch import pdsch_nof_re
+            # 2. normal DL scheduling (one grant/TTI, MAC PDUs from RLC
+            # bearers); TDD: D subframes only — DwPTS TBS shrink would
+            # truncate scheduler-sized PDUs
+            if sftype == tdd.SfType.D:
+                from ..phy.phch.pdsch import pdsch_nof_re
 
-            n_re = pdsch_nof_re(self.cell, sf_idx, self.cfi, tuple(range(self.cell.nof_prb)))
-            grants = self.sched.get_dl_sched(tti, pdsch_nof_re=n_re)
-            for g in grants:
-                add_dl_tb(g.rnti, g.mcs, g.pdu, ndi=g.ndi, rv=g.rv, harq_pid=g.harq_pid,
-                          rb_start=g.rb_start, l_crb=g.l_crb)
-                # no PUCCH feedback modeled: assume delivery (ack now)
-                self.sched.ack_info(g.rnti, g.harq_pid, True)
+                n_re = pdsch_nof_re(self.cell, sf_idx, self.cfi,
+                                    tuple(range(self.cell.nof_prb)), is_tdd)
+                grants = self.sched.get_dl_sched(tti, pdsch_nof_re=n_re)
+                for g in grants:
+                    add_dl_tb(g.rnti, g.mcs, g.pdu, ndi=g.ndi, rv=g.rv, harq_pid=g.harq_pid,
+                              rb_start=g.rb_start, l_crb=g.l_crb)
+                    # no PUCCH feedback modeled: assume delivery (ack now)
+                    self.sched.ack_info(g.rnti, g.harq_pid, True)
             # 3. UL grants via DCI0: BSR-driven, plus a periodic round-robin
             # grant to connected UEs (the SR/semi-persistent stand-in —
-            # the reference's UE would send a PUCCH SR instead)
-            ul_grants = self.sched.get_ul_sched(tti)
-            active = sorted(self.ues)
-            if not ul_grants and active and tti % 3 == 2 and (tti + FB_DELAY) not in self.pending_ul:
-                from ..stack.mac import UlSchedGrant
+            # the reference's UE would send a PUCCH SR instead); only on
+            # grant-opportunity subframes (Table 8-2)
+            if ul_delay is not None:
+                ul_grants = self.sched.get_ul_sched(tti)
+                active = sorted(self.ues)
+                pace_ok = (tti % 3 == 2) if self.tdd is None else True
+                if (not ul_grants and active and pace_ok
+                        and (tti + ul_delay) not in self.pending_ul):
+                    from ..stack.mac import UlSchedGrant
 
-                rnti = active[(tti // 3) % len(active)]
-                mcs = 5
-                tbs = tbs_lookup(ul_mcs_to_itbs(mcs), self.cell.nof_prb)
-                ul_grants = [UlSchedGrant(rnti, 0, self.cell.nof_prb, mcs, tbs, 0, 0, 0)]
-            for ug in ul_grants:
-                if (tti + FB_DELAY) in self.pending_ul:
-                    break  # one PUSCH per TTI
-                dci0 = Dci0(riv=riv_encode(self.cell.nof_prb, ug.rb_start, ug.l_crb), mcs=ug.mcs, ndi=ug.ndi)
-                loc = alloc_cce(ug.rnti)
-                if loc is None:
-                    continue
-                agg, cce = loc
-                sched.dcis.append(
-                    (dci0.pack(self.cell.nof_prb, Dci1A.nof_bits(self.cell.nof_prb)), ug.rnti, agg, cce)
-                )
-                self.pending_ul[tti + FB_DELAY] = (
-                    ug.rnti,
-                    UlGrant(
-                        prb_start=ug.rb_start, nof_prb=ug.l_crb, mod=ul_mcs_to_mod(ug.mcs),
-                        tbs=ug.tbs_bits, rnti=ug.rnti,
-                    ),
-                )
-        _, samples = enb_dl_subframe(self.cell, sf_idx, sched, mib=self.mib, sfn=(tti // 10) % 1024)
+                    rnti = active[(tti // 3) % len(active)]
+                    mcs = 5
+                    tbs = tbs_lookup(ul_mcs_to_itbs(mcs), self.cell.nof_prb)
+                    ul_grants = [UlSchedGrant(rnti, 0, self.cell.nof_prb, mcs, tbs, 0, 0, 0)]
+                for ug in ul_grants:
+                    if (tti + ul_delay) in self.pending_ul:
+                        break  # one PUSCH per TTI
+                    dci0 = Dci0(riv=riv_encode(self.cell.nof_prb, ug.rb_start, ug.l_crb), mcs=ug.mcs, ndi=ug.ndi)
+                    loc = alloc_cce(ug.rnti)
+                    if loc is None:
+                        continue
+                    agg, cce = loc
+                    sched.dcis.append(
+                        (dci0.pack(self.cell.nof_prb, Dci1A.nof_bits(self.cell.nof_prb, tdd=is_tdd),
+                                   tdd=is_tdd), ug.rnti, agg, cce)
+                    )
+                    self.pending_ul[tti + ul_delay] = (
+                        ug.rnti,
+                        UlGrant(
+                            prb_start=ug.rb_start, nof_prb=ug.l_crb, mod=ul_mcs_to_mod(ug.mcs),
+                            tbs=ug.tbs_bits, rnti=ug.rnti,
+                        ),
+                    )
+        _, samples = enb_dl_subframe(self.cell, sf_idx, sched, mib=self.mib,
+                                     sfn=(tti // 10) % 1024, tdd=self.tdd)
         return samples[0]
 
 
@@ -623,8 +663,11 @@ class EnbStack:
 class UeStack:
     RRC_IDLE, RRC_WAIT_RAR, RRC_WAIT_SETUP, RRC_CONNECTED, RRC_ACTIVE = range(5)
 
-    def __init__(self, cell: Cell, usim: Usim, cfi: int = 2, preamble: int = 17, attach_delay: int = 0):
+    def __init__(self, cell: Cell, usim: Usim, cfi: int = 2, preamble: int = 17, attach_delay: int = 0,
+                 tdd_cfg: tdd.TddConfig | None = None):
         self.cell = cell
+        self.tdd = tdd_cfg
+        self.prach_sf = _prach_sf(tdd_cfg)
         self.cfi = cfi
         self.nas = UeNas(usim)
         self.mac = UeMac()
@@ -703,7 +746,8 @@ class UeStack:
     def run_tti(self, dl_samples: np.ndarray) -> np.ndarray | None:
         tti = self.tti
         sf_idx = tti % 10
-        self._radio_link_monitor(dl_samples)
+        if tdd.sf_type(self.tdd, sf_idx) != tdd.SfType.U:
+            self._radio_link_monitor(dl_samples)  # U subframes carry no DL
         self._samp_hist.append(np.asarray(dl_samples))
         self._process_dl(tti, sf_idx, dl_samples)
         if sf_idx == 9:
@@ -739,21 +783,29 @@ class UeStack:
             self._meas_prohibit_tti = tti + 100  # reportInterval stand-in
 
     def _process_dl(self, tti: int, sf_idx: int, samples: np.ndarray):
+        if tdd.sf_type(self.tdd, sf_idx) == tdd.SfType.U:
+            return  # nothing to receive on our own UL subframes
+        is_tdd = self.tdd is not None
         rntis = []
         if self.rrc_state == self.RRC_WAIT_RAR or getattr(self, "_ho_in_progress", False):
-            rntis.append(1 + 1)  # RA-RNTI for prach sf 1
+            rntis.append(1 + self.prach_sf)  # RA-RNTI
         if self.crnti is not None:
             rntis.append(self.crnti)
         for rnti in rntis:
-            res = ue_dl_decode_subframe(self.cell, samples[None], sf_idx, rnti, known_cfi=self.cfi)
+            res = ue_dl_decode_subframe(self.cell, samples[None], sf_idx, rnti,
+                                        known_cfi=self.cfi, tdd=self.tdd)
             if res.snr_db:
                 self._dl_snr_db = res.snr_db
             for (bits, agg, cce) in res.dcis:
                 if bits[0] == 0 and rnti == self.crnti:
-                    # DCI format 0: UL grant for tti+4
-                    dci0 = Dci0.unpack(bits, self.cell.nof_prb)
+                    # DCI format 0: UL grant for tti+k (FDD k=4, TDD Table 8-2)
+                    delay = _pusch_delay(self.tdd, tti)
+                    if delay is None:
+                        continue
+                    dci0 = Dci0.unpack(bits, self.cell.nof_prb, tdd=is_tdd,
+                                       tdd_cfg0=is_tdd and self.tdd.sf_config == 0)
                     rb0, l_crb = riv_decode(self.cell.nof_prb, dci0.riv)
-                    self.pending_tx[tti + FB_DELAY] = UlGrant(
+                    self.pending_tx[tti + delay] = UlGrant(
                         prb_start=rb0, nof_prb=l_crb, mod=ul_mcs_to_mod(dci0.mcs),
                         tbs=tbs_lookup(ul_mcs_to_itbs(dci0.mcs), l_crb), rnti=rnti,
                     )
@@ -781,14 +833,16 @@ class UeStack:
             # ReconfigurationComplete on SRB1
             self._ho_in_progress = False
             self.rrc_state = self.RRC_ACTIVE
-            self.pending_tx[tti + FB_DELAY] = _msg3_grant(self.cell, self.crnti, grant20)
+            delay = _pusch_delay(self.tdd, tti) or FB_DELAY
+            self.pending_tx[tti + delay] = _msg3_grant(self.cell, self.crnti, grant20)
             return
         self.crnti = temp_crnti
         self.rrc_state = self.RRC_WAIT_SETUP
-        # Msg3 = RRC ConnectionRequest on CCCH at tti+4
+        # Msg3 = RRC ConnectionRequest on CCCH at the granted PUSCH occasion
         self.msg3 = rrc.pack_conn_request(self.ue_identity)
         self._msg3_sdu = self.msg3  # kept for MAC contention resolution
-        self.pending_tx[tti + FB_DELAY] = _msg3_grant(self.cell, temp_crnti, grant20)
+        delay = _pusch_delay(self.tdd, tti) or FB_DELAY
+        self.pending_tx[tti + delay] = _msg3_grant(self.cell, temp_crnti, grant20)
 
     def _handle_dl_pdu(self, pdu: bytes):
         for lcid, sdu in mac_unpack(pdu, ce_sizes=DL_CE_SIZES):
@@ -885,7 +939,7 @@ class UeStack:
 
     def _build_ul(self, tti: int, sf_idx: int) -> np.ndarray | None:
         # contention-free RA on the handover target cell
-        if self._ho_cf_preamble is not None and sf_idx == 1:
+        if self._ho_cf_preamble is not None and sf_idx == self.prach_sf:
             pre = self._ho_cf_preamble
             self._ho_cf_preamble = None
             self._ho_in_progress = True
@@ -896,7 +950,7 @@ class UeStack:
             out[: len(p)] = p[: self.cell.sf_len]
             return out
         # PRACH occasion
-        if self.rrc_state == self.RRC_IDLE and sf_idx == 1 and tti >= self.attach_delay:
+        if self.rrc_state == self.RRC_IDLE and sf_idx == self.prach_sf and tti >= self.attach_delay:
             self.mac.start_ra(self.preamble)
             self.rrc_state = self.RRC_WAIT_RAR
             self._ra_deadline = tti + 10  # RA response window (proc_ra.cc)

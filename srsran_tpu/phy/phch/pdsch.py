@@ -132,8 +132,9 @@ def pdsch_cinit(rnti: int, sf_idx: int, cell_id: int, q: int = 0) -> int:
     return (rnti << 14) + (q << 13) + (sf_idx << 9) + cell_id
 
 
-def pdsch_nof_re(cell: Cell, sf_idx: int, cfi: int, prb: tuple[int, ...]) -> int:
-    return len(pdsch_re_indices(cell, sf_idx, cfi, prb))
+def pdsch_nof_re(cell: Cell, sf_idx: int, cfi: int, prb: tuple[int, ...],
+                 tdd: bool = False, last_symbol: int | None = None) -> int:
+    return len(pdsch_re_indices(cell, sf_idx, cfi, prb, tdd, last_symbol))
 
 
 def pdsch_encode_np(

@@ -325,6 +325,53 @@ class TestTddPhy:
         assert sync.frame_type == "tdd"
         assert got >= 1
 
+    def test_full_stack_tdd_attach_and_traffic(self):
+        """Complete attach + bidirectional IP over a TDD config-1 cell:
+        PRACH on sf 2, RAR/Msg3 with Table 8-2 timing, DL data on D
+        subframes only, UL PUSCH on U subframes — the run_lte.sh analog
+        in frame structure 2 (which the reference eNB cannot do at all)."""
+        from srsran_tpu.apps.full_stack import EnbStack, UeStack
+        from srsran_tpu.epc import Hss, Mme, Spgw, Subscriber
+        from srsran_tpu.stack import security as sec
+        from srsran_tpu.stack.nas_ue import Usim
+
+        imsi = "001010123456789"
+        key = bytes.fromhex("00112233445566778899aabbccddeeff")
+        opc = sec.compute_opc(key, bytes.fromhex("63bfa50ee6523365ff14c1f45f88737d"))
+        cell = Cell(nof_prb=15, nof_ports=1, id=7)
+        cfg = tdd.TddConfig(1, 4)
+        hss = Hss()
+        hss.add_subscriber(Subscriber("ue1", imsi, key, opc, amf=b"\x80\x00", sqn=0))
+        spgw = Spgw()
+        mme = Mme(hss, spgw)
+        enb = EnbStack(cell, mme, spgw, mcs=5, tdd_cfg=cfg)
+        ue = UeStack(cell, Usim(imsi, key, opc), tdd_cfg=cfg)
+
+        ul = None
+        for _ in range(200):
+            dl = enb.run_tti(ul)
+            ul = ue.run_tti(dl)
+            # a UE must never transmit PUSCH on a non-UL subframe
+            if ul is not None and np.abs(ul).max() > 0:
+                assert tdd.sf_type(cfg, ue.tti - 1) == tdd.SfType.U
+            if (ue.rrc_state == UeStack.RRC_ACTIVE and ue.nas.state == ue.nas.REGISTERED):
+                break
+        assert ue.nas.state == ue.nas.REGISTERED
+        assert enb.stats["prach_detected"] == 1 and ue.stats["rar"] == 1
+
+        # DL + UL IP traffic
+        pkts = [bytes([i]) * 48 for i in range(3)]
+        for p in pkts:
+            spgw.sgi_tx(ue.ue_ip, p)
+            ue.send_ip_packet(bytes([0x80 ^ p[0]]) * 40)
+        for _ in range(80):
+            dl = enb.run_tti(ul)
+            ul = ue.run_tti(dl)
+            if len(ue.ip_rx) >= 3 and len(spgw.sgi_rx) >= 3:
+                break
+        assert ue.ip_rx[:3] == pkts
+        assert len(spgw.sgi_rx) >= 3
+
     def test_normal_dl_subframe_tdd_e2e(self):
         """A plain D subframe decodes with TDD DCI sizing end-to-end."""
         from srsran_tpu.phy.enb.enb_dl import DlSched, enb_dl_subframe
