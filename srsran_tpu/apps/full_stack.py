@@ -148,6 +148,7 @@ class _EnbUe:
     rapid: int = -1
     spgw_teid: int = 0
     cf_preamble: int = -1  # dedicated contention-free preamble (HO target)
+    scell_state: int = 0  # 0 = none, 1 = SCell reconfig sent, 2 = configured+activated
     is_ho_target: bool = False
     s1_ho: bool = False  # target admitted via S1 HandoverRequest
     ho_in_flight: bool = False  # source-side guard
@@ -177,10 +178,12 @@ class EnbStack:
     RRC_IDLE, RRC_SETUP_SENT, RRC_CONNECTED, RRC_SMC_SENT, RRC_RECONF_SENT, RRC_ACTIVE = range(6)
 
     def __init__(self, cell: Cell, mme: Mme, spgw: Spgw, crnti: int = 0x46, mcs: int = 5, cfi: int = 2,
-                 enb_id: int = 0x19B, tdd_cfg: tdd.TddConfig | None = None):
+                 enb_id: int = 0x19B, tdd_cfg: tdd.TddConfig | None = None,
+                 scell: Cell | None = None):
         self.cell = cell
         self.tdd = tdd_cfg
         self.prach_sf = _prach_sf(tdd_cfg)
+        self.scell = scell  # R10 carrier aggregation secondary cell (DL)
         self.mme = mme
         self.enb_id = enb_id
         if hasattr(mme, "register_enb"):
@@ -190,6 +193,9 @@ class EnbStack:
         self.mib = Mib(nof_prb=cell.nof_prb)
         self.prach_cfg = PrachConfig()
         self.sched = Scheduler(cell.nof_prb, mcs_max=mcs)
+        # CA: the SCell gets its own scheduler (the per-carrier
+        # scheduler_carrier.cc instance) pulling from the same RLC bearers
+        self.scell_sched = Scheduler(scell.nof_prb, mcs_max=mcs) if scell else None
         self.mcs_max = mcs
         # multi-UE contexts (phy_ue_db.cc analog)
         self.ues: dict[int, _EnbUe] = {}
@@ -319,8 +325,28 @@ class EnbStack:
             self._send_srb1(ue, reconf)
             ue.rrc_state = self.RRC_RECONF_SENT
         elif kind == "rrc_conn_recfg_complete":
+            if ue.rrc_state == self.RRC_ACTIVE and ue.scell_state == 1:
+                # SCell reconfiguration acked → activate it (MAC CE, TS
+                # 36.321 §6.1.3.8) and start scheduling on the SCell
+                ue.scell_state = 2
+                from ..stack.mac_pdu import LCID_SCELL_ACT, scell_activation_ce
+
+                self.sched.push_ce(ue.crnti, LCID_SCELL_ACT, scell_activation_ce({1}))
+                self.scell_sched.ue_cfg(ue.crnti)
+                self.scell_sched.bearer_ue_cfg(ue.crnti, LCID_SRB1, ue.srb1_rlc)
+                self.scell_sched.bearer_ue_cfg(ue.crnti, LCID_DRB1, ue.drb_rlc)
+                return
             self.sched.bearer_ue_cfg(ue.crnti, LCID_DRB1, ue.drb_rlc)
             ue.rrc_state = self.RRC_ACTIVE
+            if self.scell is not None and ue.scell_state == 0:
+                # CA: configure the SCell now that the default bearer is up
+                # (rrc_ue.cc sends SCellToAddMod in a follow-up reconfig)
+                ue.scell_state = 1
+                self._send_srb1(ue, rrc.pack_reconfiguration(
+                    scells=[rrc.make_scell_config(
+                        1, self.scell.id, 3400, self.scell.nof_prb,
+                        nof_ports=max(self.scell.nof_ports, 1))],
+                ))
             if ue.is_ho_target:
                 ue.is_ho_target = False
                 if ue.s1_ho:
@@ -345,6 +371,8 @@ class EnbStack:
                 self._release_ue(ue)
         self._pump_spgw()
         dl = self._build_dl(tti, sf_idx)
+        if self.scell is not None:
+            dl = np.stack([dl, self._build_scell_dl(tti, sf_idx)])
         self.tti += 1
         return dl
 
@@ -654,6 +682,48 @@ class EnbStack:
                                      sfn=(tti // 10) % 1024, tdd=self.tdd)
         return samples[0]
 
+    def _build_scell_dl(self, tti: int, sf_idx: int) -> np.ndarray:
+        """One SCell DL subframe (the extra cc_worker of the reference's
+        CA path): own CRS/sync/PDCCH, data pulled by the SCell scheduler
+        from the same RLC bearers, DCI searched by the UE with its PCell
+        C-RNTI (no cross-carrier scheduling, as in the reference)."""
+        from ..phy.phch.pdsch import pdsch_nof_re
+
+        sched = DlSched(cfi=self.cfi)
+        n = nof_cce(self.scell, sf_idx, self.cfi)
+        used_cce: list[tuple[int, int]] = []
+        n_re = pdsch_nof_re(self.scell, sf_idx, self.cfi, tuple(range(self.scell.nof_prb)))
+        for g in self.scell_sched.get_dl_sched(tti, pdsch_nof_re=n_re):
+            ue = self.ues.get(g.rnti)
+            if ue is None or ue.scell_state != 2:
+                continue
+            tbs_bits = dl_tbs(g.mcs, g.l_crb)
+            tb_bits = np.unpackbits(np.frombuffer(g.pdu, np.uint8))
+            if len(tb_bits) > tbs_bits:
+                continue
+            tb_bits = np.concatenate([tb_bits, np.zeros(tbs_bits - len(tb_bits), np.uint8)])
+            loc = None
+            for agg, cands in sorted(search_space_candidates(g.rnti, sf_idx, n).items(), reverse=True):
+                for cce in cands:
+                    if all(cce + agg <= s or cce >= s + l for s, l in used_cce):
+                        used_cce.append((cce, agg))
+                        loc = (agg, cce)
+                        break
+                if loc:
+                    break
+            if loc is None:
+                continue
+            dci = Dci1A(riv=riv_encode(self.scell.nof_prb, g.rb_start, g.l_crb),
+                        mcs=g.mcs, ndi=g.ndi, rv=g.rv, harq_pid=g.harq_pid)
+            grant = DlGrant(prb=tuple(range(g.rb_start, g.rb_start + g.l_crb)),
+                            mod=dl_mcs_to_mod(g.mcs), tbs=tbs_bits, rnti=g.rnti, rv=g.rv)
+            sched.dcis.append((dci.pack(self.scell.nof_prb), g.rnti, loc[0], loc[1]))
+            sched.grants.append((grant, tb_bits))
+            self.scell_sched.ack_info(g.rnti, g.harq_pid, True)
+        _, samples = enb_dl_subframe(self.scell, sf_idx, sched, mib=Mib(nof_prb=self.scell.nof_prb),
+                                     sfn=(tti // 10) % 1024)
+        return samples[0]
+
 
 # ---------------------------------------------------------------------------
 # UE
@@ -689,6 +759,10 @@ class UeStack:
         self.stats = {"dl_tbs_ok": 0, "rar": 0, "rlf": 0, "meas_report": 0, "ho": 0}
         # measurements + mobility (rrc_meas.cc / mobility execution)
         self.meas_cfg: dict | None = None  # decoded measConfig
+        # R10 carrier aggregation: SCell learned from the reconfiguration,
+        # activated by the MAC Activation/Deactivation CE
+        self.scell: Cell | None = None
+        self.scell_active = False
         self._samp_hist: deque = deque(maxlen=10)
         self._meas_prohibit_tti = 0
         self._ho_cf_preamble: int | None = None  # pending CF-RA on target
@@ -746,10 +820,16 @@ class UeStack:
     def run_tti(self, dl_samples: np.ndarray) -> np.ndarray | None:
         tti = self.tti
         sf_idx = tti % 10
+        dl_samples = np.asarray(dl_samples)
+        scell_samples = None
+        if dl_samples.ndim == 2:  # CA: (n_cc, sf_len), cc 0 = PCell
+            dl_samples, scell_samples = dl_samples[0], dl_samples[1]
         if tdd.sf_type(self.tdd, sf_idx) != tdd.SfType.U:
             self._radio_link_monitor(dl_samples)  # U subframes carry no DL
         self._samp_hist.append(np.asarray(dl_samples))
         self._process_dl(tti, sf_idx, dl_samples)
+        if scell_samples is not None and self.scell is not None and self.scell_active:
+            self._process_scell_dl(tti, sf_idx, scell_samples)
         if sf_idx == 9:
             self._run_measurements(tti)
         ul = self._build_ul(tti, sf_idx)
@@ -819,6 +899,17 @@ class UeStack:
                 else:
                     self._handle_dl_pdu(pdu)
 
+    def _process_scell_dl(self, tti: int, sf_idx: int, samples: np.ndarray):
+        """Decode the activated SCell's subframe with the PCell C-RNTI
+        (the extra cc_worker of cc_worker.cc's carrier loop)."""
+        res = ue_dl_decode_subframe(self.scell, samples[None], sf_idx, self.crnti,
+                                    known_cfi=self.cfi)
+        for tb, ok in res.tbs:
+            if not ok:
+                continue
+            self.stats["scell_tbs_ok"] = self.stats.get("scell_tbs_ok", 0) + 1
+            self._handle_dl_pdu(np.packbits(np.asarray(tb)).tobytes())
+
     def _handle_rar(self, tti: int, pdu: bytes):
         rar = _unpack_rar(pdu)
         if rar is None:
@@ -845,8 +936,12 @@ class UeStack:
         self.pending_tx[tti + delay] = _msg3_grant(self.cell, temp_crnti, grant20)
 
     def _handle_dl_pdu(self, pdu: bytes):
+        from ..stack.mac_pdu import LCID_SCELL_ACT, scell_activation_parse
+
         for lcid, sdu in mac_unpack(pdu, ce_sizes=DL_CE_SIZES):
-            if lcid == LCID_CON_RES:
+            if lcid == LCID_SCELL_ACT:
+                self.scell_active = bool(scell_activation_parse(sdu)) and self.scell is not None
+            elif lcid == LCID_CON_RES:
                 self._con_res_ok = self.mac.handle_contention_resolution(
                     sdu, rrc.contention_resolution_id(getattr(self, "_msg3_sdu", b""))
                 )
@@ -891,6 +986,20 @@ class UeStack:
                 return  # complete is sent on the target cell after RA
             if "meas_cfg" in body:
                 self.meas_cfg = body["meas_cfg"]
+            adds, rels = rrc.reconfiguration_scells(body)
+            for sc in adds:
+                bw = {"n6": 6, "n15": 15, "n25": 25, "n50": 50, "n75": 75, "n100": 100}
+                ports = {"an1": 1, "an2": 2, "an4": 4}
+                nul = sc.get("rr_cfg_common_scell", {}).get("non_ul_cfg", {})
+                self.scell = Cell(
+                    nof_prb=bw[nul.get("dl_bw", "n6")],
+                    nof_ports=ports[nul.get("ant_info_common", {}).get("ant_ports_count", "an1")],
+                    id=sc["cell_identif"]["phys_cell_id"],
+                )
+                self.scell_active = False  # waits for the MAC Activation CE
+            if rels:
+                self.scell = None
+                self.scell_active = False
             for nas_pdu in body.get("ded_info_nas_list", []):
                 resp = self.nas.handle_dl(nas_pdu)
                 if resp is not None:

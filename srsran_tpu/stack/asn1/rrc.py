@@ -1117,6 +1117,63 @@ MOBILITY_CONTROL_INFO = Seq(
 
 DEDICATED_INFO_NAS = OctStr()
 
+# --- carrier aggregation (R10): SCellToAddMod-r10 et al (TS 36.331 §6.3.2,
+# the srsLTE rrc_asn1 scell_to_add_mod_r10_s) --------------------------------
+
+SCELL_INDEX = Int(1, 7)
+
+RADIO_RESOURCE_CONFIG_COMMON_SCELL = Seq(
+    [
+        M(
+            "non_ul_cfg",
+            Seq(
+                [
+                    M("dl_bw", Enum(["n6", "n15", "n25", "n50", "n75", "n100"])),
+                    M("ant_info_common", ANTENNA_INFO_COMMON),
+                    O("mbsfn_sf_cfg_list", Todo("MBSFN-SubframeConfigList")),
+                    M("phich_cfg", PHICH_CONFIG),
+                    M("pdsch_cfg_common", PDSCH_CONFIG_COMMON),
+                    O("tdd_cfg", TDD_CONFIG),
+                ]
+            ),
+        ),
+        O("ul_cfg", Todo("UL-Configuration-r10")),
+    ],
+    ext=True,
+)
+
+SCELL_TO_ADD_MOD = Seq(
+    [
+        M("scell_idx", SCELL_INDEX),
+        O(
+            "cell_identif",
+            Seq([M("phys_cell_id", PHYS_CELL_ID), M("dl_carrier_freq", ARFCN)]),
+        ),
+        O("rr_cfg_common_scell", RADIO_RESOURCE_CONFIG_COMMON_SCELL),
+        O("rr_cfg_ded_scell", Todo("RadioResourceConfigDedicatedSCell-r10")),
+    ],
+    ext=True,
+)
+
+# RRCConnectionReconfiguration-v890/v920/v1020-IEs nonCriticalExtension chain
+RECFG_V1020 = Seq(
+    [
+        O("scell_to_release_list", SeqOf(SCELL_INDEX, 1, 4)),
+        O("scell_to_add_mod_list", SeqOf(SCELL_TO_ADD_MOD, 1, 4)),
+        O("non_crit_ext", Seq([])),
+    ]
+)
+
+RECFG_V920 = Seq(
+    [
+        O("other_cfg", Todo("OtherConfig-r9")),
+        O("full_cfg", Enum(["true"])),
+        O("non_crit_ext", RECFG_V1020),
+    ]
+)
+
+RECFG_V890 = Seq([O("late_non_crit_ext", OctStr()), O("non_crit_ext", RECFG_V920)])
+
 RRC_CONN_RECFG = Seq(
     [
         M("rrc_transaction_id", Int(0, 3)),
@@ -1131,7 +1188,7 @@ RRC_CONN_RECFG = Seq(
                         O("ded_info_nas_list", SeqOf(DEDICATED_INFO_NAS, 1, 11)),
                         O("rr_cfg_ded", RADIO_RESOURCE_CONFIG_DEDICATED),
                         O("security_cfg_ho", SECURITY_CONFIG_HO),
-                        O("non_crit_ext", Seq([O("late_non_crit_ext", OctStr()), O("non_crit_ext", Seq([]))])),
+                        O("non_crit_ext", RECFG_V890),
                     ]
                 ),
                 7,

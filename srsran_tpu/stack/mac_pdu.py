@@ -13,11 +13,29 @@ LCID_DTCH = 3  # first data bearer
 # Fixed-size MAC control elements (TS 36.321 §6.1.3): their subheaders
 # carry no F/L field.  The LCID space differs per direction (pdu.cc
 # dl_sch_lcid vs ul_sch_lcid).
+LCID_SCELL_ACT = 27  # Activation/Deactivation CE (TS 36.321 §6.1.3.8, R10 CA)
+
 DL_CE_SIZES = {
+    27: 1,  # SCell Activation/Deactivation (C7..C1 bitmap + R)
     28: 6,  # UE Contention Resolution Identity
     29: 1,  # Timing Advance Command
     30: 0,  # DRX Command
 }
+
+
+def scell_activation_ce(active_indices: set[int] | list[int]) -> bytes:
+    """One-octet Activation/Deactivation CE: bit Ci (i=1..7) activates
+    SCellIndex i; bit 0 reserved (TS 36.321 §6.1.3.8)."""
+    v = 0
+    for i in active_indices:
+        if 1 <= i <= 7:
+            v |= 1 << i
+    return bytes([v])
+
+
+def scell_activation_parse(ce: bytes) -> set[int]:
+    v = ce[0]
+    return {i for i in range(1, 8) if v & (1 << i)}
 UL_CE_SIZES = {
     26: 1,  # Power Headroom Report
     27: 2,  # C-RNTI

@@ -220,6 +220,26 @@ def _default_drb(drb_id: int, lcid: int, eps_bearer_id: int) -> dict:
     }
 
 
+def make_scell_config(scell_idx: int, pci: int, dl_arfcn: int, nof_prb: int,
+                      nof_ports: int = 1) -> dict:
+    """SCellToAddMod-r10 (TS 36.331 §6.3.2) — the rrc_ue.cc
+    fill_scell_to_addmod_list analog for the CA reconfiguration."""
+    bw = {6: "n6", 15: "n15", 25: "n25", 50: "n50", 75: "n75", 100: "n100"}[nof_prb]
+    ports = {1: "an1", 2: "an2", 4: "an4"}[nof_ports]
+    return {
+        "scell_idx": scell_idx,
+        "cell_identif": {"phys_cell_id": pci, "dl_carrier_freq": dl_arfcn},
+        "rr_cfg_common_scell": {
+            "non_ul_cfg": {
+                "dl_bw": bw,
+                "ant_info_common": {"ant_ports_count": ports},
+                "phich_cfg": {"phich_dur": "normal", "phich_res": "one"},
+                "pdsch_cfg_common": {"ref_sig_pwr": 0, "p_b": 0},
+            },
+        },
+    }
+
+
 def pack_reconfiguration(
     drb_id: int = 0,
     lcid: int = 0,
@@ -229,11 +249,14 @@ def pack_reconfiguration(
     meas_cfg: dict | None = None,
     mob_ctrl: dict | None = None,
     security_ho_ncc: int | None = None,
+    scells: list[dict] | None = None,
+    scell_release: list[int] | None = None,
 ) -> bytes:
     """RRCConnectionReconfiguration, optionally with a DRB setup, a
-    piggybacked NAS PDU, a measurement configuration, and/or
-    mobilityControlInfo (handover command) — rrc_ue.cc
-    send_connection_reconf / rrc_mobility.cc fill_mobility_reconf."""
+    piggybacked NAS PDU, a measurement configuration, mobilityControlInfo
+    (handover command), and/or R10 SCell add/release lists (carrier
+    aggregation, carried in the v890→v920→v1020 nonCriticalExtension
+    chain) — rrc_ue.cc send_connection_reconf / rrc_mobility.cc."""
     r8: dict = {}
     if meas_cfg is not None:
         r8["meas_cfg"] = meas_cfg
@@ -247,6 +270,13 @@ def pack_reconfiguration(
         r8["rr_cfg_ded"] = {"drb_to_add_mod_list": [_default_drb(drb_id, lcid, eps_bearer_id)]}
     if nas_pdu:
         r8["ded_info_nas_list"] = [nas_pdu]
+    if scells or scell_release:
+        v1020: dict = {}
+        if scell_release:
+            v1020["scell_to_release_list"] = list(scell_release)
+        if scells:
+            v1020["scell_to_add_mod_list"] = scells
+        r8["non_crit_ext"] = {"non_crit_ext": {"non_crit_ext": v1020}}
     v = {
         "msg": ("c1", ("rrc_conn_recfg", {
             "rrc_transaction_id": transaction_id,
@@ -370,6 +400,13 @@ def smc_algorithms(body: dict) -> tuple[int, int]:
     """(cipher_alg, integ_alg) ints from a decoded SecurityModeCommand."""
     cfg = body["security_cfg_smc"]["security_algorithm_cfg"]
     return CIPHER_ALGS.index(cfg["ciphering_algorithm"]), INTEG_ALGS.index(cfg["integrity_prot_algorithm"])
+
+
+def reconfiguration_scells(body: dict) -> tuple[list[dict], list[int]]:
+    """(scell_to_add_mod_list, scell_to_release_list) from a decoded
+    reconfiguration's v1020 extension (empty lists when no CA content)."""
+    v1020 = (body.get("non_crit_ext", {}).get("non_crit_ext", {}) or {}).get("non_crit_ext", {}) or {}
+    return v1020.get("scell_to_add_mod_list") or [], v1020.get("scell_to_release_list") or []
 
 
 def reconfiguration_drb(body: dict) -> tuple[int, int, int] | None:
