@@ -25,7 +25,7 @@ from ..epc import Mme, Spgw, s1ap
 from ..phy import tdd
 from ..phy.common import Cell
 from ..phy.enb.enb_dl import DlSched, enb_dl_subframe
-from ..phy.enb.enb_ul import enb_ul_fft, enb_ul_decode_pusch
+from ..phy.enb.enb_ul import enb_ul_fft, enb_ul_decode_pucch, enb_ul_decode_pusch
 from ..phy.phch.dci import Dci0, Dci1A
 from ..phy.phch.pbch import Mib
 from ..phy.phch.pdcch import nof_cce, search_space_candidates
@@ -206,6 +206,10 @@ class EnbStack:
         self.cipher_alg, self.integ_alg = 2, 2
         self.pending_rars: deque = deque()  # (rapid, ta, crnti)
         self.pending_ul: dict[int, tuple[int, UlGrant]] = {}  # tti -> (rnti, grant)
+        # DL HARQ feedback: ack_tti -> [{rnti, pid, n_pucch, on_pusch}]
+        # (the phy_common.cc pending_dl_ack ring; resource = CCE index,
+        # pucch_proc.c:257 n_pucch_i)
+        self.pending_dl_ack: dict[int, list[dict]] = {}
         self.gtpu = GtpuEndpoint()
         self.tti = 0
         self.stats = {"prach_detected": 0, "ul_crc_ok": 0, "ul_crc_ko": 0, "ue_released": 0}
@@ -364,6 +368,10 @@ class EnbStack:
     def run_tti(self, ul_samples: np.ndarray | None) -> np.ndarray:
         tti = self.tti
         sf_idx = tti % 10
+        for u in self.ues.values():  # RLC timers (t-PollRetransmit etc.)
+            for ent in (u.srb1_rlc, u.drb_rlc):
+                if hasattr(ent, "tick"):
+                    ent.tick()
         self._process_ul(tti, sf_idx, ul_samples)
         # UL inactivity → UE context release (the eNB side of the RLF chain)
         for ue in list(self.ues.values()):
@@ -469,11 +477,38 @@ class EnbStack:
         self.pending_ul = {t: (r, g) for t, (r, g) in self.pending_ul.items() if r != ue.crnti}
 
     def _process_ul(self, tti: int, sf_idx: int, samples: np.ndarray | None):
-        if samples is None:
-            return
         # the link delivers the UE's subframe one TTI later
         tti = tti - 1
         sf_idx = tti % 10
+        acks = self.pending_dl_ack.pop(tti, [])
+        self._pusch_acks = []
+        if samples is None:
+            for e in acks:  # DTX: nothing received at all → NACK (retx)
+                self.sched.ack_info(e["rnti"], e["pid"], False)
+                self.stats["dl_nack"] = self.stats.get("dl_nack", 0) + 1
+            return
+        # PUCCH format 1a ACK/NACK (UEs without a PUSCH this subframe);
+        # with M > 1 (TDD association sets) the UE bundles: one bit on the
+        # last grant's resource covers all M PDSCHs (TS 36.213 §10.1 ACK
+        # bundling; reference gen_ack_tdd, ue_dl.c:1234)
+        pucch_by_rnti: dict[int, list[dict]] = {}
+        for e in acks:
+            if not e["on_pusch"]:
+                pucch_by_rnti.setdefault(e["rnti"], []).append(e)
+        if pucch_by_rnti:
+            from ..phy.phch.pucch import PucchConfig
+
+            rx_grid_ack = enb_ul_fft(self.cell, samples[None])
+            for rnti, entries in pucch_by_rnti.items():
+                cfgp = PucchConfig(n_pucch=entries[-1]["n_pucch"])
+                bits, metric = enb_ul_decode_pucch(self.cell, sf_idx, rx_grid_ack, cfgp, "1", 1)
+                detected = float(np.asarray(metric)) > 0.25  # DTX threshold
+                ack = detected and int(np.asarray(bits)[0]) == 1
+                for e in entries:
+                    self.sched.ack_info(rnti, e["pid"], ack)
+                key = "dl_ack" if ack else "dl_nack"
+                self.stats[key] = self.stats.get(key, 0) + len(entries)
+        self._pusch_acks = [e for e in acks if e["on_pusch"]]
         # PRACH occasion (FDD: sf 1; TDD: sf 2, UL in every config); a
         # PUSCH scheduled in the same subframe is decoded too (signals add)
         if sf_idx == self.prach_sf:
@@ -503,19 +538,43 @@ class EnbStack:
             if ue is None:
                 return
             rx_grid = enb_ul_fft(self.cell, samples[None])
-            uci_exp = None
             ue_ctx = self.ues.get(rnti)
-            if cqi_on_pusch(tti) and ue_ctx is not None and ue_ctx.rrc_state >= self.RRC_ACTIVE:
-                from ..phy.phch.pusch import UciCfg
+            exp_acks = [e for e in getattr(self, "_pusch_acks", []) if e["rnti"] == rnti]
+            want_cqi = (cqi_on_pusch(tti) and ue_ctx is not None
+                        and ue_ctx.rrc_state >= self.RRC_ACTIVE)
+            # around RRC state transitions the two ends can disagree for a
+            # round-trip on whether periodic CQI has started; a wrong UCI
+            # layout corrupts the data decode, so on CRC failure retry the
+            # flipped-CQI hypothesis (blind UCI-presence detection)
+            cqi_hyps = [want_cqi]
+            if cqi_on_pusch(tti) and ue_ctx is not None:
+                cqi_hyps.append(not want_cqi)
+            from ..phy.phch.pusch import UciCfg
 
-                uci_exp = UciCfg(cqi_bits=(0, 0, 0, 0))
-            out = enb_ul_decode_pusch(self.cell, sf_idx, rx_grid, grant, uci=uci_exp)
+            out = uci_out = None
+            for wc in cqi_hyps:
+                uci_exp = None
+                if wc or exp_acks:
+                    uci_exp = UciCfg(cqi_bits=(0, 0, 0, 0) if wc else (),
+                                     ack=(0,) * len(exp_acks))
+                out = enb_ul_decode_pusch(self.cell, sf_idx, rx_grid, grant, uci=uci_exp)
+                uci_out = out[4] if uci_exp is not None else None
+                if out[1]:
+                    break
             tb, ok = out[0], out[1]
-            uci_out = out[4] if uci_exp is not None else None
             if uci_out is not None and uci_out["cqi_bits"]:
                 cqi = int("".join(str(b) for b in uci_out["cqi_bits"]), 2)
                 self.sched.cqi_info(rnti, cqi)
                 self.stats["cqi_rx"] = self.stats.get("cqi_rx", 0) + 1
+            if exp_acks:
+                # trust UCI ack bits only when the PUSCH CRC confirms the
+                # two sides agreed on the UCI layout; else NACK → retx
+                ack_bits = list(uci_out["ack"]) if (ok and uci_out) else []
+                for i, e in enumerate(exp_acks):
+                    a = bool(ack_bits[i]) if i < len(ack_bits) else False
+                    self.sched.ack_info(rnti, e["pid"], a)
+                    key = "dl_ack" if a else "dl_nack"
+                    self.stats[key] = self.stats.get(key, 0) + 1
             if not ok:
                 self.stats["ul_crc_ko"] += 1
                 return
@@ -611,6 +670,7 @@ class EnbStack:
             )
             sched.dcis.append((dci.pack(self.cell.nof_prb, tdd=is_tdd), rnti, agg, cce))
             sched.grants.append((grant, tb_bits))
+            return agg, cce
 
         ul_delay = _pusch_delay(self.tdd, tti)
         # 1. one pending RAR per TTI (RA-RNTI = 1 + prach sf_idx); the RAR
@@ -618,7 +678,9 @@ class EnbStack:
         if (self.pending_rars and sf_idx not in (0, 5) and can_pdsch
                 and ul_delay is not None):
             rapid, ta, crnti = self.pending_rars.popleft()
-            grant20 = (riv_encode(self.cell.nof_prb, 0, self.cell.nof_prb) << 10) | (2 << 5)
+            # PUSCH rides PRBs 1..N-2: the band-edge PRBs are the PUCCH
+            # region (TS 36.211 §5.4.3 band-edge mapping)
+            grant20 = (riv_encode(self.cell.nof_prb, 1, self.cell.nof_prb - 2) << 10) | (2 << 5)
             rar = _pack_rar(rapid, ta, grant20, crnti)
             from ..phy.phch.ra import tbs_lookup as _tbsl
 
@@ -639,10 +701,16 @@ class EnbStack:
                                     tuple(range(self.cell.nof_prb)), is_tdd)
                 grants = self.sched.get_dl_sched(tti, pdsch_nof_re=n_re)
                 for g in grants:
-                    add_dl_tb(g.rnti, g.mcs, g.pdu, ndi=g.ndi, rv=g.rv, harq_pid=g.harq_pid,
-                              rb_start=g.rb_start, l_crb=g.l_crb)
-                    # no PUCCH feedback modeled: assume delivery (ack now)
-                    self.sched.ack_info(g.rnti, g.harq_pid, True)
+                    loc2 = add_dl_tb(g.rnti, g.mcs, g.pdu, ndi=g.ndi, rv=g.rv, harq_pid=g.harq_pid,
+                                     rb_start=g.rb_start, l_crb=g.l_crb)
+                    if loc2 is not None:
+                        # real feedback: PUCCH 1a (or UCI-on-PUSCH) at the
+                        # TS 36.213 §10.1 ACK subframe; NACK/DTX → retx
+                        self.pending_dl_ack.setdefault(tdd.ack_tti(self.tdd, tti), []).append(
+                            {"rnti": g.rnti, "pid": g.harq_pid, "n_pucch": loc2[1], "on_pusch": False})
+                    else:
+                        # TB never went on air (no CCE / no fit) → retx it
+                        self.sched.ack_info(g.rnti, g.harq_pid, False)
             # 3. UL grants via DCI0: BSR-driven, plus a periodic round-robin
             # grant to connected UEs (the SR/semi-persistent stand-in —
             # the reference's UE would send a PUCCH SR instead); only on
@@ -657,8 +725,9 @@ class EnbStack:
 
                     rnti = active[(tti // 3) % len(active)]
                     mcs = 5
-                    tbs = tbs_lookup(ul_mcs_to_itbs(mcs), self.cell.nof_prb)
-                    ul_grants = [UlSchedGrant(rnti, 0, self.cell.nof_prb, mcs, tbs, 0, 0, 0)]
+                    l_ul = self.cell.nof_prb - 2  # keep the PUCCH region free
+                    tbs = tbs_lookup(ul_mcs_to_itbs(mcs), l_ul)
+                    ul_grants = [UlSchedGrant(rnti, 1, l_ul, mcs, tbs, 0, 0, 0)]
                 for ug in ul_grants:
                     if (tti + ul_delay) in self.pending_ul:
                         break  # one PUSCH per TTI
@@ -678,6 +747,14 @@ class EnbStack:
                             tbs=ug.tbs_bits, rnti=ug.rnti,
                         ),
                     )
+        # UEs with a PUSCH at their ACK subframe multiplex the ACK as
+        # UCI-on-PUSCH instead of PUCCH (ue_ul.c uci multiplexing)
+        for ack_at, entries in self.pending_dl_ack.items():
+            pu = self.pending_ul.get(ack_at)
+            if pu is not None:
+                for e in entries:
+                    if e["rnti"] == pu[0]:
+                        e["on_pusch"] = True
         _, samples = enb_dl_subframe(self.cell, sf_idx, sched, mib=self.mib,
                                      sfn=(tti // 10) % 1024, tdd=self.tdd)
         return samples[0]
@@ -752,6 +829,12 @@ class UeStack:
         self.ue_identity = b"\x12\x34\x56\x78\x9a"
         self.msg3: bytes | None = None
         self.pending_tx: dict[int, UlGrant] = {}  # tti -> grant to transmit
+        # DL HARQ: per-process softbuffers (LLR combining across retx) and
+        # last-seen NDI for duplicate detection (dl_harq.cc roles), plus
+        # the ACK schedule: tti -> [(n_pucch, ack_bit)]
+        self._dl_softbuffers: dict = {}
+        self._dl_ndi: dict[int, tuple[int, bool]] = {}
+        self.pending_ack: dict[int, list[tuple[int, int]]] = {}
         self.prach_cfg = PrachConfig()
         self.ip_rx: list[bytes] = []
         self.ip_tx_queue: list[bytes] = []
@@ -808,6 +891,9 @@ class UeStack:
         self.crnti = None
         self.msg3 = None
         self.pending_tx.clear()
+        self.pending_ack.clear()
+        self._dl_softbuffers.clear()
+        self._dl_ndi.clear()
         self.mac = UeMac()
         self.srb1_rlc, self.drb_rlc = RlcAm(), RlcAm()
         self.srb1_pdcp, self.drb_pdcp = _bearer_set(None, 0, 0, is_enb=False)
@@ -824,6 +910,9 @@ class UeStack:
         scell_samples = None
         if dl_samples.ndim == 2:  # CA: (n_cc, sf_len), cc 0 = PCell
             dl_samples, scell_samples = dl_samples[0], dl_samples[1]
+        for ent in (self.srb1_rlc, self.drb_rlc):  # RLC timers
+            if hasattr(ent, "tick"):
+                ent.tick()
         if tdd.sf_type(self.tdd, sf_idx) != tdd.SfType.U:
             self._radio_link_monitor(dl_samples)  # U subframes carry no DL
         self._samp_hist.append(np.asarray(dl_samples))
@@ -846,19 +935,20 @@ class UeStack:
         from ..stack.rrc import meas_config_a3_offset_db
 
         samples = np.concatenate(list(self._samp_hist))
-        # serving_pci=None: we need the serving cell's RSRP for the A3
-        # comparison as well as the neighbours'
-        cells = measure_cells(samples, self.cell.nof_prb, serving_pci=None)
-        serving = next((c for c in cells if c.pci == self.cell.id), None)
-        neighbours = [c for c in cells if c.pci != self.cell.id]
-        if serving is None or not neighbours:
+        # neighbours from the blind intra-frequency search; the SERVING
+        # measurement comes from the synchronized receiver's own chest
+        # (cc_worker measurements), as in the reference — blind search on
+        # the serving PCI under strong interference is unreliable
+        neighbours = measure_cells(samples, self.cell.nof_prb, serving_pci=self.cell.id)
+        serving_rsrp_dbfs = getattr(self, "_dl_rsrp_dbfs", None)
+        if serving_rsrp_dbfs is None or not neighbours:
             return
         a3 = meas_config_a3_offset_db(self.meas_cfg)
         best = max(neighbours, key=lambda c: c.rsrp_dbfs)
-        if best.rsrp_dbfs > serving.rsrp_dbfs + a3:
+        if best.rsrp_dbfs > serving_rsrp_dbfs + a3:
             meas_id = self.meas_cfg["meas_id_to_add_mod_list"][0]["meas_id"]
             self._send_srb1(rrc.pack_measurement_report(
-                meas_id, serving.rsrp_dbfs, [(best.pci, best.rsrp_dbfs)]))
+                meas_id, serving_rsrp_dbfs, [(best.pci, best.rsrp_dbfs)]))
             self.stats["meas_report"] += 1
             self._meas_prohibit_tti = tti + 100  # reportInterval stand-in
 
@@ -872,10 +962,15 @@ class UeStack:
         if self.crnti is not None:
             rntis.append(self.crnti)
         for rnti in rntis:
-            res = ue_dl_decode_subframe(self.cell, samples[None], sf_idx, rnti,
-                                        known_cfi=self.cfi, tdd=self.tdd)
+            res = ue_dl_decode_subframe(
+                self.cell, samples[None], sf_idx, rnti, known_cfi=self.cfi,
+                tdd=self.tdd,
+                harq_softbuffers=self._dl_softbuffers if rnti == self.crnti else None,
+            )
             if res.snr_db:
                 self._dl_snr_db = res.snr_db
+            if res.rsrp:
+                self._dl_rsrp_dbfs = 10.0 * np.log10(res.rsrp + 1e-12)
             for (bits, agg, cce) in res.dcis:
                 if bits[0] == 0 and rnti == self.crnti:
                     # DCI format 0: UL grant for tti+k (FDD k=4, TDD Table 8-2)
@@ -889,6 +984,18 @@ class UeStack:
                         prb_start=rb0, nof_prb=l_crb, mod=ul_mcs_to_mod(dci0.mcs),
                         tbs=tbs_lookup(ul_mcs_to_itbs(dci0.mcs), l_crb), rnti=rnti,
                     )
+            if rnti == self.crnti and res.dci_used is not None and res.tbs:
+                # DL HARQ feedback + duplicate suppression (dl_harq.cc)
+                dci_d, ok = res.dci_used, bool(res.tbs[0][1])
+                last = self._dl_ndi.get(dci_d.harq_pid)
+                is_dup = last is not None and last[0] == dci_d.ndi and last[1]
+                self._dl_ndi[dci_d.harq_pid] = (dci_d.ndi, ok or is_dup)
+                self.pending_ack.setdefault(tdd.ack_tti(self.tdd, tti), []).append(
+                    (res.cce_used, 1 if (ok or is_dup) else 0))
+                if ok and not is_dup:
+                    self.stats["dl_tbs_ok"] += 1
+                    self._handle_dl_pdu(np.packbits(np.asarray(res.tbs[0][0])).tobytes())
+                continue
             for tb, ok in res.tbs:
                 if not ok:
                     continue
@@ -1019,6 +1126,9 @@ class UeStack:
         self.crnti = mci["new_ue_id"]
         self.mac = UeMac()
         self.pending_tx.clear()
+        self.pending_ack.clear()
+        self._dl_softbuffers.clear()
+        self._dl_ndi.clear()
         self.msg3 = None
         self.srb1_rlc, self.drb_rlc = RlcAm(), RlcAm()
         if sec_ho is not None:  # S1 HO: vertical key from NH chaining count
@@ -1070,18 +1180,32 @@ class UeStack:
         # RA response window expiry → back to IDLE, retry at next occasion
         if self.rrc_state == self.RRC_WAIT_RAR and tti >= getattr(self, "_ra_deadline", 1 << 62):
             self.rrc_state = self.RRC_IDLE
+        acks = self.pending_ack.pop(tti, None)
         grant = self.pending_tx.pop(tti, None)
         if grant is None:
+            if acks:
+                # PUCCH format 1a on the last grant's CCE-derived resource;
+                # multiple ACKs bundle into one AND-ed bit (TS 36.213 §10.1)
+                from ..phy.phch.pucch import PucchConfig
+
+                bit = 1 if all(b for _, b in acks) else 0
+                cfgp = PucchConfig(n_pucch=acks[-1][0])
+                return ue_ul_encode(self.cell, sf_idx, pucch1=(cfgp, [bit]))
             return None
         mac_pdu = self._build_ul_mac_pdu(grant.tbs // 8)
         tb_bits = np.unpackbits(np.frombuffer(mac_pdu, np.uint8))
         uci = None
-        if cqi_on_pusch(tti) and self.rrc_state == self.RRC_ACTIVE:
+        want_cqi = cqi_on_pusch(tti) and self.rrc_state == self.RRC_ACTIVE
+        if want_cqi or acks:
             from ..phy.phch.pusch import UciCfg
 
-            cqi = snr_db_to_cqi(getattr(self, "_dl_snr_db", 20.0))
-            uci = UciCfg(cqi_bits=tuple(int(b) for b in np.binary_repr(cqi, 4)))
-            self.stats["cqi_sent"] = self.stats.get("cqi_sent", 0) + 1
+            cqi_bits = ()
+            if want_cqi:
+                cqi = snr_db_to_cqi(getattr(self, "_dl_snr_db", 20.0))
+                cqi_bits = tuple(int(b) for b in np.binary_repr(cqi, 4))
+                self.stats["cqi_sent"] = self.stats.get("cqi_sent", 0) + 1
+            # ACKs ride the PUSCH as UCI (ue_ul.c uci multiplexing)
+            uci = UciCfg(cqi_bits=cqi_bits, ack=tuple(b for _, b in acks or ()))
         return ue_ul_encode(self.cell, sf_idx, pusch=(grant, tb_bits), uci=uci)
 
     def _build_ul_mac_pdu(self, tb_bytes: int) -> bytes:

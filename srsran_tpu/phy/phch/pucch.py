@@ -65,15 +65,25 @@ class PucchConfig:
     delta_shift: int = 2
 
 
+def pucch_f1_prb(n_pucch: int, ns: int, nof_prb: int, delta_shift: int = 2) -> int:
+    """PRB of a format-1 resource: 12/Δ · 3 = 18 resources share one PRB
+    (Δ=2) before spilling to the next one (TS 36.211 §5.4.3 m formula with
+    N(2)_RB = 0, c = 3)."""
+    per_prb = (12 // delta_shift) * 3
+    return pucch_prb(n_pucch // per_prb, ns, nof_prb)
+
+
 def _f1_alpha_cover(cell: Cell, cfg: PucchConfig, ns: int):
     """Per-symbol cyclic shifts + cover index for format 1 (simplified
-    resource mapping: shift = n_pucch*delta % 12, cover = n_pucch % 3)."""
+    in-PRB resource mapping: 6 shifts × 3 covers = 18 orthogonal
+    resources; the (shift, cover) pair is unique for n_pucch % 18)."""
     shifts = []
     ncs = ncs_cell(cell)
-    base_shift = (cfg.n_pucch * cfg.delta_shift) % 12
+    n = cfg.n_pucch % 18
+    base_shift = (n * cfg.delta_shift) % 12
     for l in range(7):
         shifts.append((base_shift + ncs[ns, l]) % 12)
-    cover = cfg.n_pucch % 3
+    cover = n // 6
     return shifts, cover
 
 

@@ -41,9 +41,19 @@ def measure_cells(
     serving_pci: int | None = None,
     threshold: float = 6.0,
     max_cells: int = 4,
+    min_sss_metric: float = 4.0,
+    min_crs_snr_db: float = 3.0,
 ) -> list[CellMeas]:
     """Scan ≥ 6 ms of samples for neighbour cells; returns measurements
-    sorted by RSRP (strongest first)."""
+    sorted by RSRP (strongest first).
+
+    A PSS peak alone is not a cell: strong co-channel signals produce
+    cross-root peaks whose SSS resolves to an arbitrary N_id_1 and whose
+    "CRS" RSRP is other-cell data energy.  Candidates must pass BOTH the
+    SSS detection metric and a CRS-coherence SNR gate (a wrong PCI's CRS
+    sequence decorrelates, so the LS residual ≈ full power) — the
+    scell_recv.cc role of discarding weak/incoherent candidates.
+    """
     cell0 = Cell(nof_prb=nof_prb, nof_ports=1, id=0)
     corr_all = np.abs(np.asarray(pss_correlate(samples, cell0.symbol_sz))) ** 2  # (3, n)
     avg = float(np.mean(corr_all))
@@ -75,7 +85,9 @@ def measure_cells(
             sss_re = grid[cell0.nsymb_per_slot - 2, k0 : k0 + 62]
             pss_re = grid[cell0.nsymb_per_slot - 1, k0 : k0 + 62]
             ce = pss_re * np.conj(pss_freq_np(n_id_2))
-            nid1, sf_is_5, _ = [np.asarray(v) for v in sss_detect(sss_re, n_id_2, ce=ce)]
+            nid1, sf_is_5, sss_metric = [np.asarray(v) for v in sss_detect(sss_re, n_id_2, ce=ce)]
+            if float(sss_metric) < min_sss_metric:
+                continue
             pci = 3 * int(nid1) + n_id_2
             if pci == serving_pci:
                 continue
@@ -84,6 +96,9 @@ def measure_cells(
             sf_idx = 5 if bool(sf_is_5) else 0
             ch = chest_dl(grid[None], cell, sf_idx, nof_ports=1)
             rsrp = float(np.mean(np.asarray(ch["rsrp"])))
+            noise = float(np.mean(np.asarray(ch["noise"])))
+            if rsrp < noise * 10 ** (min_crs_snr_db / 10):
+                continue  # CRS does not cohere at this PCI/timing
             rssi = float(np.mean(np.abs(grid) ** 2)) * 12 * nof_prb
             rsrq_db = 10.0 * np.log10(nof_prb * rsrp / (rssi + 1e-12) + 1e-12)
             out.append(

@@ -32,6 +32,8 @@ class UeDlResult:
     snr_db: float = 0.0
     noise: float = 0.0
     pdsch_symbols: np.ndarray | None = None  # equalized REs (for scopes)
+    dci_used: "Dci1A | None" = None  # the 1A grant whose PDSCH was decoded
+    cce_used: int = -1  # its CCE start (→ PUCCH 1a resource, pucch_proc.c:257)
 
 
 def ue_dl_decode_subframe(
@@ -43,6 +45,7 @@ def ue_dl_decode_subframe(
     known_cfi: int | None = None,
     max_iterations: int = 5,
     tdd: "TddConfig | None" = None,
+    harq_softbuffers: dict | None = None,
 ) -> UeDlResult:
     """Process one subframe: samples (nrx, sf_len) → decoded TBs.
 
@@ -123,11 +126,27 @@ def ue_dl_decode_subframe(
                 rv=dci.rv,
                 rnti=rnti,
             )
-        tb, ok, _ = pdsch_decode(
+        # HARQ soft combining: the caller's per-process dict carries
+        # (ndi, softbuffers) between retransmissions (softbuffer.c role);
+        # a toggled NDI means a NEW transport block — stale LLRs from the
+        # previous (possibly failed) TB must not be combined in
+        sb = None
+        if harq_softbuffers is not None:
+            stored = harq_softbuffers.get(dci.harq_pid)
+            if stored is not None and stored[0] == dci.ndi:
+                sb = stored[1]
+        tb, ok, sb_out = pdsch_decode(
             grid, ce, noise, cell, sf_idx, cfi, grant, max_iterations,
-            tdd=is_tdd, last_symbol=last_symbol,
+            softbuffers=sb, tdd=is_tdd, last_symbol=last_symbol,
         )
+        if harq_softbuffers is not None:
+            if ok:
+                harq_softbuffers.pop(dci.harq_pid, None)  # reset on success
+            else:
+                harq_softbuffers[dci.harq_pid] = (dci.ndi, sb_out)
         res.tbs.append((tb, ok))
+        res.dci_used = dci
+        res.cce_used = cce
         from ..phch.pdsch import pdsch_re_indices
 
         res.pdsch_symbols = np.asarray(

@@ -325,10 +325,11 @@ class Scheduler:
             ue = self.ues[rnti]
             if ue.ul_pending_bytes > 0:
                 mcs = min(self.mcs_max, 20)
-                tbs = tbs_lookup(ul_mcs_to_itbs(mcs), self.nof_prb)
+                l_ul = max(1, self.nof_prb - 2)  # band edges = PUCCH region
+                tbs = tbs_lookup(ul_mcs_to_itbs(mcs), l_ul)
                 ue.ul_ndi ^= 1
                 ue.ul_pending_bytes = max(0, ue.ul_pending_bytes - tbs // 8)
-                return [UlSchedGrant(rnti, 0, self.nof_prb, mcs, tbs, ue.ul_ndi, 0, tti % N_HARQ)]
+                return [UlSchedGrant(rnti, 1, l_ul, mcs, tbs, ue.ul_ndi, 0, tti % N_HARQ)]
         return []
 
     def metrics(self) -> dict:

@@ -200,3 +200,43 @@ def test_cqi_reporting_loop(attached):
     assert 1 <= reported <= 15
     # clean channel -> high CQI
     assert reported >= 10, reported
+
+
+def test_dl_harq_retransmission_recovers_outage():
+    """Real DL HARQ feedback: PUCCH 1a ACK/NACK (+ UCI-on-PUSCH) drives the
+    scheduler; an outage while a TB is in flight produces DTX/NACK at the
+    eNB, a retransmission, UE soft-buffer combining, and exactly-once
+    delivery (dl_harq.cc / scheduler_harq.cc roles)."""
+    cell = Cell(nof_prb=15, nof_ports=1, id=7)
+    hss = Hss()
+    hss.add_subscriber(Subscriber("ue1", IMSI, KEY, OPC, amf=b"\x80\x00", sqn=0))
+    spgw = Spgw()
+    mme = Mme(hss, spgw)
+    enb = EnbStack(cell, mme, spgw, mcs=5)
+    ue = UeStack(cell, Usim(IMSI, KEY, OPC))
+    ue.n310 = 1000  # keep RLF out of this test
+
+    ul = None
+    for _ in range(120):
+        dl = enb.run_tti(ul)
+        ul = ue.run_tti(dl)
+        if ue.rrc_state == UeStack.RRC_ACTIVE and ue.nas.state == ue.nas.REGISTERED:
+            break
+    assert ue.nas.state == ue.nas.REGISTERED
+    base_acks = enb.stats.get("dl_ack", 0)
+    assert base_acks > 0  # attach signalling was really acknowledged
+
+    pkt = b"\xab" * 120
+    spgw.sgi_tx(ue.ue_ip, pkt)
+    outage = 3  # blank the next 3 DL subframes (TB in flight is lost)
+    for i in range(60):
+        dl = enb.run_tti(ul)
+        if outage:
+            dl = np.zeros_like(dl)
+            outage -= 1
+        ul = ue.run_tti(dl)
+        if ue.ip_rx:
+            break
+    assert ue.ip_rx == [pkt]  # delivered exactly once despite the outage
+    assert enb.stats.get("dl_nack", 0) > 0  # the loss was seen as NACK/DTX
+    assert enb.stats.get("dl_ack", 0) > base_acks
