@@ -65,6 +65,18 @@ def _prach_sf(tdd_cfg) -> int:
     return 1 if tdd_cfg is None else 2
 
 
+def _phich_resource(cell: Cell, grant: UlGrant) -> tuple[int, int]:
+    """(n_group, n_seq) for a PUSCH, TS 36.213 §9.1.2 with n_DMRS = 0:
+    n_group = I_PRB_RA mod N_group, n_seq spread by the PRB quotient."""
+    from ..phy.phch.phich import nof_phich_groups
+
+    ng = nof_phich_groups(cell)
+    return grant.prb_start % ng, (grant.prb_start // ng) % 8
+
+
+UL_HARQ_MAX_TX = 4  # 1 + 3 retransmissions (reference harq default)
+
+
 def _pusch_delay(tdd_cfg, tti: int) -> int | None:
     """Grant-to-PUSCH delay from DL subframe ``tti``; None when ``tti``
     is not a grant opportunity (TDD Table 8-2 has no k there)."""
@@ -210,6 +222,10 @@ class EnbStack:
         # (the phy_common.cc pending_dl_ack ring; resource = CCE index,
         # pucch_proc.c:257 n_pucch_i)
         self.pending_dl_ack: dict[int, list[dict]] = {}
+        # UL HARQ: PHICH to send (dl_tti -> [(group, n_seq, hi)]) and the
+        # per-retx softbuffer chain (pusch_tti -> (softbuffers, tx_count))
+        self.pending_phich: dict[int, list[tuple[int, int, int]]] = {}
+        self._ul_harq: dict[int, tuple] = {}
         self.gtpu = GtpuEndpoint()
         self.tti = 0
         self.stats = {"prach_detected": 0, "ul_crc_ok": 0, "ul_crc_ko": 0, "ue_released": 0}
@@ -551,17 +567,48 @@ class EnbStack:
                 cqi_hyps.append(not want_cqi)
             from ..phy.phch.pusch import UciCfg
 
+            harq_state = self._ul_harq.pop(tti, None)  # (softbuffers, tx_count)
+            sb_in = harq_state[0] if harq_state else None
+            tx_count = (harq_state[1] if harq_state else 0) + 1
+            # DTX detection: without an energy gate a silent allocation
+            # demodulates to all-zero LLRs, and the all-zeros codeword is a
+            # VALID turbo/CRC codeword — it would "pass".  (The reference
+            # gates on chest_ul's DMRS SNR.)
+            k0 = grant.prb_start * 12
+            alloc_pow = float(np.mean(np.abs(np.asarray(
+                rx_grid[0, :, k0 : k0 + 12 * grant.nof_prb])) ** 2))
+            dtx = alloc_pow < 1e-7
             out = uci_out = None
-            for wc in cqi_hyps:
+            if dtx:
+                out = (None, False, sb_in)
+            for wc in cqi_hyps if not dtx else []:
                 uci_exp = None
                 if wc or exp_acks:
                     uci_exp = UciCfg(cqi_bits=(0, 0, 0, 0) if wc else (),
                                      ack=(0,) * len(exp_acks))
-                out = enb_ul_decode_pusch(self.cell, sf_idx, rx_grid, grant, uci=uci_exp)
+                out = enb_ul_decode_pusch(self.cell, sf_idx, rx_grid, grant,
+                                          softbuffers=sb_in, uci=uci_exp)
                 uci_out = out[4] if uci_exp is not None else None
                 if out[1]:
                     break
             tb, ok = out[0], out[1]
+            # UL HARQ: HI on PHICH at §9.1.2 timing; a NACK schedules the
+            # non-adaptive retransmission (same PRBs, next rv) and keeps
+            # the softbuffer chain for combining (softbuffer.c role at
+            # the eNB; reference mac.cc crc_info → sched UL retx)
+            ph_tti = tdd.phich_tti(self.tdd, tti)
+            group, n_seq = _phich_resource(self.cell, grant)
+            hi = 1
+            if not ok and tx_count < UL_HARQ_MAX_TX:
+                retx_tti = tdd.pusch_tti(self.tdd, ph_tti)
+                if retx_tti not in self.pending_ul:
+                    hi = 0
+                    from ..stack.mac import HARQ_RV_SEQ
+
+                    g2 = dataclasses.replace(grant, rv=HARQ_RV_SEQ[tx_count % 4])
+                    self.pending_ul[retx_tti] = (rnti, g2)
+                    self._ul_harq[retx_tti] = (out[2], tx_count)
+            self.pending_phich.setdefault(ph_tti, []).append((group, n_seq, hi))
             if uci_out is not None and uci_out["cqi_bits"]:
                 cqi = int("".join(str(b) for b in uci_out["cqi_bits"]), 2)
                 self.sched.cqi_info(rnti, cqi)
@@ -614,7 +661,7 @@ class EnbStack:
         self.spgw.tx_queue.extendleft(reversed(requeue))
 
     def _build_dl(self, tti: int, sf_idx: int) -> np.ndarray:
-        sched = DlSched(cfi=self.cfi)
+        sched = DlSched(cfi=self.cfi, phich=self.pending_phich.pop(tti, []))
         sftype = tdd.sf_type(self.tdd, sf_idx)
         if sftype == tdd.SfType.U:  # eNB silent on UL subframes
             _, samples = enb_dl_subframe(self.cell, sf_idx, sched, tdd=self.tdd)
@@ -835,6 +882,10 @@ class UeStack:
         self._dl_softbuffers: dict = {}
         self._dl_ndi: dict[int, tuple[int, bool]] = {}
         self.pending_ack: dict[int, list[tuple[int, int]]] = {}
+        # UL HARQ: PUSCH in flight awaiting its PHICH (phich_tti ->
+        # (grant, tb_bits, tx_count)) and NACK-triggered retransmissions
+        self._ul_inflight: dict[int, tuple] = {}
+        self.pending_retx: dict[int, tuple] = {}
         self.prach_cfg = PrachConfig()
         self.ip_rx: list[bytes] = []
         self.ip_tx_queue: list[bytes] = []
@@ -894,6 +945,8 @@ class UeStack:
         self.pending_ack.clear()
         self._dl_softbuffers.clear()
         self._dl_ndi.clear()
+        self._ul_inflight.clear()
+        self.pending_retx.clear()
         self.mac = UeMac()
         self.srb1_rlc, self.drb_rlc = RlcAm(), RlcAm()
         self.srb1_pdcp, self.drb_pdcp = _bearer_set(None, 0, 0, is_enb=False)
@@ -956,17 +1009,31 @@ class UeStack:
         if tdd.sf_type(self.tdd, sf_idx) == tdd.SfType.U:
             return  # nothing to receive on our own UL subframes
         is_tdd = self.tdd is not None
+        inflight = self._ul_inflight.pop(tti, None)
         rntis = []
         if self.rrc_state == self.RRC_WAIT_RAR or getattr(self, "_ho_in_progress", False):
             rntis.append(1 + self.prach_sf)  # RA-RNTI
         if self.crnti is not None:
             rntis.append(self.crnti)
+        elif inflight is not None:
+            inflight = None  # context reset while a PUSCH was in flight
         for rnti in rntis:
+            is_c = rnti == self.crnti
             res = ue_dl_decode_subframe(
                 self.cell, samples[None], sf_idx, rnti, known_cfi=self.cfi,
                 tdd=self.tdd,
-                harq_softbuffers=self._dl_softbuffers if rnti == self.crnti else None,
+                harq_softbuffers=self._dl_softbuffers if is_c else None,
+                phich=_phich_resource(self.cell, inflight[0]) if (is_c and inflight) else None,
             )
+            if is_c and inflight is not None and res.phich_ack is not None:
+                g_fl, tb_fl, txc = inflight
+                if not res.phich_ack and txc < UL_HARQ_MAX_TX:
+                    from ..stack.mac import HARQ_RV_SEQ
+
+                    retx_tti = tdd.pusch_tti(self.tdd, tti)
+                    g2 = dataclasses.replace(g_fl, rv=HARQ_RV_SEQ[txc % 4])
+                    self.pending_retx[retx_tti] = (g2, tb_fl, txc + 1)
+                    self.stats["ul_retx"] = self.stats.get("ul_retx", 0) + 1
             if res.snr_db:
                 self._dl_snr_db = res.snr_db
             if res.rsrp:
@@ -1129,6 +1196,8 @@ class UeStack:
         self.pending_ack.clear()
         self._dl_softbuffers.clear()
         self._dl_ndi.clear()
+        self._ul_inflight.clear()
+        self.pending_retx.clear()
         self.msg3 = None
         self.srb1_rlc, self.drb_rlc = RlcAm(), RlcAm()
         if sec_ho is not None:  # S1 HO: vertical key from NH chaining count
@@ -1182,6 +1251,11 @@ class UeStack:
             self.rrc_state = self.RRC_IDLE
         acks = self.pending_ack.pop(tti, None)
         grant = self.pending_tx.pop(tti, None)
+        retx = self.pending_retx.pop(tti, None)
+        if retx is not None and grant is None:
+            # non-adaptive HARQ retransmission: same TB, cycled rv
+            grant, tb_bits, tx_count = retx
+            return self._encode_pusch(tti, sf_idx, grant, tb_bits, tx_count, acks)
         if grant is None:
             if acks:
                 # PUCCH format 1a on the last grant's CCE-derived resource;
@@ -1194,6 +1268,10 @@ class UeStack:
             return None
         mac_pdu = self._build_ul_mac_pdu(grant.tbs // 8)
         tb_bits = np.unpackbits(np.frombuffer(mac_pdu, np.uint8))
+        return self._encode_pusch(tti, sf_idx, grant, tb_bits, 1, acks)
+
+    def _encode_pusch(self, tti: int, sf_idx: int, grant: UlGrant, tb_bits,
+                      tx_count: int, acks) -> np.ndarray:
         uci = None
         want_cqi = cqi_on_pusch(tti) and self.rrc_state == self.RRC_ACTIVE
         if want_cqi or acks:
@@ -1206,6 +1284,8 @@ class UeStack:
                 self.stats["cqi_sent"] = self.stats.get("cqi_sent", 0) + 1
             # ACKs ride the PUSCH as UCI (ue_ul.c uci multiplexing)
             uci = UciCfg(cqi_bits=cqi_bits, ack=tuple(b for _, b in acks or ()))
+        # watch the PHICH for this transmission (ul_harq.cc role)
+        self._ul_inflight[tdd.phich_tti(self.tdd, tti)] = (grant, tb_bits, tx_count)
         return ue_ul_encode(self.cell, sf_idx, pusch=(grant, tb_bits), uci=uci)
 
     def _build_ul_mac_pdu(self, tb_bytes: int) -> bytes:

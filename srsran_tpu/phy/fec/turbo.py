@@ -282,9 +282,14 @@ def map_decoder(lx, lz, lx_tail, lz_tail, k: int, dtype=jnp.float32, backend: st
         return new, a  # emit alpha at the position (pre-update)
 
     if backend == "auto":
-        # scan is currently faster on the axon chip; flip once the pallas
-        # kernel wins (see turbo_pallas.py)
+        # measured on the v5e (one process, K=6144, B=256): radix-2 scan
+        # 4.7 ms vs radix-4 5.6 ms vs pallas (slower still) — the scan is
+        # lane-oversubscribed (B*nw ≈ 16k lanes), so steps are VPU-bound,
+        # not launch-bound, and radix-4's (8,4,bn) broadcast costs more
+        # than two lean radix-2 steps.  bf16 also loses (renorm overhead).
         backend = "scan"
+    if backend == "scan4":
+        return map_decoder4(lx, lz, lx_tail, lz_tail, k, dtype)
     if backend in ("pallas", "pallas_interpret"):
         from .turbo_pallas import map_windows_pallas
 
@@ -359,6 +364,155 @@ def map_decoder(lx, lz, lx_tail, lz_tail, k: int, dtype=jnp.float32, backend: st
         (ax_main[::-1], az_main[::-1], alphas[::-1]),
     )
     llr = llr_rev[::-1]  # (lw, bn)
+    return llr.reshape(lw, b, nw).transpose(1, 2, 0).reshape(b, k).astype(jnp.float32)
+
+
+@lru_cache(maxsize=1)
+def _trellis4():
+    """Radix-4 (two-trellis-steps-fused) tables derived from `_trellis`.
+
+    Halves the sequential scan length at identical total FLOPs — the
+    max-log recursion is associative over path segments, so one radix-4
+    step computes exactly what two radix-2 steps do.  On TPU the scans
+    are latency-bound (tiny per-step tensors), so fewer, fatter steps win.
+    """
+    t = _trellis()
+    ns, par = t["next_state"], t["parity"]
+    nxt2 = np.zeros((8, 4), np.int32)
+    fp1 = np.zeros((8, 4), np.int32)
+    fp2 = np.zeros((8, 4), np.int32)
+    for s0 in range(8):
+        for u1 in (0, 1):
+            for u2 in (0, 1):
+                j = 2 * u1 + u2
+                s1 = ns[s0, u1]
+                nxt2[s0, j] = ns[s1, u2]
+                fp1[s0, j] = par[s0, u1]
+                fp2[s0, j] = par[s1, u2]
+    prev2 = np.zeros((8, 4), np.int32)
+    bu1 = np.zeros((8, 4), np.int32)
+    bu2 = np.zeros((8, 4), np.int32)
+    bp1 = np.zeros((8, 4), np.int32)
+    bp2 = np.zeros((8, 4), np.int32)
+    cnt = [0] * 8
+    for s0 in range(8):
+        for j in range(4):
+            s2 = nxt2[s0, j]
+            i = cnt[s2]
+            cnt[s2] += 1
+            prev2[s2, i] = s0
+            bu1[s2, i] = j >> 1
+            bu2[s2, i] = j & 1
+            bp1[s2, i] = fp1[s0, j]
+            bp2[s2, i] = fp2[s0, j]
+    assert cnt == [4] * 8
+    sgn = lambda a: (2.0 * a - 1.0).astype(np.float32)
+    # forward path bit signs (u1 = j>>1, u2 = j&1)
+    fu1 = sgn(np.right_shift(np.arange(4), 1))[None, :].repeat(8, 0)
+    fu2 = sgn(np.bitwise_and(np.arange(4), 1))[None, :].repeat(8, 0)
+    return dict(
+        nxt2=nxt2, prev2=prev2,
+        f_su1=fu1, f_su2=fu2, f_sp1=sgn(fp1), f_sp2=sgn(fp2),
+        b_su1=sgn(bu1), b_su2=sgn(bu2), b_sp1=sgn(bp1), b_sp2=sgn(bp2),
+    )
+
+
+def map_decoder4(lx, lz, lx_tail, lz_tail, k: int, dtype=jnp.float32):
+    """Radix-4 windowed max-log-MAP: same math as `map_decoder`, half the
+    sequential steps (each scan step consumes two trellis positions and the
+    beta scan emits the pair's two posteriors)."""
+    t4 = _trellis4()
+    nw, lw = _window_layout(k)
+    b = lx.shape[0]
+    bn = b * nw
+    T = min(24 if lw >= 96 else TRAIN, lw)
+    assert lw % 2 == 0 and T % 2 == 0
+
+    x = (0.5 * lx).astype(dtype)
+    z = (0.5 * lz).astype(dtype)
+    starts = np.arange(nw) * lw
+
+    def win_view(xp, st, length):
+        idx = st[:, None] + np.arange(length)[None, :]
+        # (B, nw, length) -> (length/2, 2, B*nw)
+        return xp[:, idx].transpose(2, 0, 1).reshape(length, bn).reshape(length // 2, 2, bn)
+
+    # constants as (8, 4, 1) for broadcast over lanes
+    cc = {n: jnp.asarray(t4[n][..., None], dtype) for n in
+          ("f_su1", "f_su2", "f_sp1", "f_sp2", "b_su1", "b_su2", "b_sp1", "b_sp2")}
+    prev2 = jnp.asarray(t4["prev2"])
+    nxt2 = jnp.asarray(t4["nxt2"])
+    renorm = dtype == jnp.bfloat16
+
+    # --- alpha ---
+    pad_x = jnp.concatenate([jnp.zeros((b, T), dtype), x], axis=-1)
+    pad_z = jnp.concatenate([jnp.zeros((b, T), dtype), z], axis=-1)
+    ax_train, az_train = win_view(pad_x, starts, T), win_view(pad_z, starts, T)
+    ax_main, az_main = win_view(x, starts, lw), win_view(z, starts, lw)
+
+    def alpha_gamma(xp, zp):
+        # backward-labeled: path i INTO state s2 carries (u1,p1,u2,p2)
+        return (cc["b_su1"] * xp[0] + cc["b_sp1"] * zp[0]
+                + cc["b_su2"] * xp[1] + cc["b_sp2"] * zp[1])  # (8,4,bn)
+
+    def alpha_step(a, inputs):
+        xp, zp = inputs  # (2, bn) each
+        new = jnp.max(a[prev2] + alpha_gamma(xp, zp), axis=1)  # (8,bn)
+        return (new - new[0:1]) if renorm else new, None
+
+    def alpha_step_out(a, inputs):
+        new, _ = alpha_step(a, inputs)
+        return new, a  # alpha at the pair's first position
+
+    a_tr, _ = jax.lax.scan(alpha_step, jnp.zeros((8, bn), dtype), (ax_train, az_train))
+    a_init = a_tr.reshape(8, b, nw)
+    known = jnp.concatenate(
+        [jnp.zeros((1, b, 1), dtype), jnp.full((7, b, 1), NEG_INF, dtype)], axis=0
+    )
+    a_init = jnp.concatenate([known, a_init[:, :, 1:]], axis=2).reshape(8, bn)
+    _, alphas = jax.lax.scan(alpha_step_out, a_init, (ax_main, az_main))
+    # alphas: (lw/2, 8, bn) at even positions
+
+    # --- beta + posterior ---
+    pad_x2 = jnp.concatenate([x, jnp.zeros((b, T), dtype)], axis=-1)
+    pad_z2 = jnp.concatenate([z, jnp.zeros((b, T), dtype)], axis=-1)
+    bx_train, bz_train = win_view(pad_x2, starts + lw, T), win_view(pad_z2, starts + lw, T)
+
+    def beta_gamma(xp, zp):
+        # forward-labeled: path j OUT of state s0
+        return (cc["f_su1"] * xp[0] + cc["f_sp1"] * zp[0]
+                + cc["f_su2"] * xp[1] + cc["f_sp2"] * zp[1])  # (8,4,bn)
+
+    def beta_core(bta, xp, zp):
+        return bta[nxt2] + beta_gamma(xp, zp)  # (8,4,bn): path metric to t+2
+
+    def beta_train_step(bta, inputs):
+        xp, zp = inputs
+        new = jnp.max(beta_core(bta, xp, zp), axis=1)
+        return (new - new[0:1]) if renorm else new, None
+
+    b_tr, _ = jax.lax.scan(
+        beta_train_step, jnp.zeros((8, bn), dtype), (bx_train[::-1], bz_train[::-1])
+    )
+    beta_k = _beta_tail(lx_tail, lz_tail).astype(dtype)
+    b_init = b_tr.reshape(8, b, nw)
+    b_init = jnp.concatenate([b_init[:, :, :-1], beta_k.T[:, :, None]], axis=2).reshape(8, bn)
+
+    def beta_post_step(bta, inputs):
+        xp, zp, alpha_t = inputs  # (2,bn), (2,bn), (8,bn)
+        path = beta_core(bta, xp, zp)  # (8,4,bn)
+        pm = alpha_t[:, None, :] + path  # full pair path metrics
+        # path index j = 2*u1 + u2: u1 picks halves, u2 picks stride-2
+        llr1 = jnp.max(pm[:, 2:4], axis=(0, 1)) - jnp.max(pm[:, 0:2], axis=(0, 1))
+        llr2 = jnp.max(pm[:, 1::2], axis=(0, 1)) - jnp.max(pm[:, 0::2], axis=(0, 1))
+        new = jnp.max(path, axis=1)
+        return (new - new[0:1]) if renorm else new, (llr1, llr2)
+
+    _, (l1_rev, l2_rev) = jax.lax.scan(
+        beta_post_step, b_init, (ax_main[::-1], az_main[::-1], alphas[::-1])
+    )
+    # reassemble: pair i contributes positions (2i, 2i+1)
+    llr = jnp.stack([l1_rev[::-1], l2_rev[::-1]], axis=1).reshape(lw, bn)
     return llr.reshape(lw, b, nw).transpose(1, 2, 0).reshape(b, k).astype(jnp.float32)
 
 

@@ -35,7 +35,11 @@ def phich_sequence(n_seq: int) -> np.ndarray:
     return w if n_seq < 4 else (1j * w).astype(np.complex64)
 
 
-def nof_phich_groups(cell: Cell, ng: float = 1.0) -> int:
+def nof_phich_groups(cell: Cell, ng: float | None = None) -> int:
+    """N_group from the cell's Ng (TS 36.211 §6.9; MIB phich_resources
+    enum 0..3 → 1/6, 1/2, 1, 2 — same mapping as regs.py:80)."""
+    if ng is None:
+        ng = {0: 1 / 6, 1: 1 / 2, 2: 1.0, 3: 2.0}.get(cell.phich_resources, 1 / 6)
     return int(np.ceil(ng * cell.nof_prb / 8.0))
 
 

@@ -34,6 +34,7 @@ class UeDlResult:
     pdsch_symbols: np.ndarray | None = None  # equalized REs (for scopes)
     dci_used: "Dci1A | None" = None  # the 1A grant whose PDSCH was decoded
     cce_used: int = -1  # its CCE start (→ PUCCH 1a resource, pucch_proc.c:257)
+    phich_ack: bool | None = None  # decoded HI when a resource was watched
 
 
 def ue_dl_decode_subframe(
@@ -46,6 +47,7 @@ def ue_dl_decode_subframe(
     max_iterations: int = 5,
     tdd: "TddConfig | None" = None,
     harq_softbuffers: dict | None = None,
+    phich: tuple[int, int] | None = None,
 ) -> UeDlResult:
     """Process one subframe: samples (nrx, sf_len) → decoded TBs.
 
@@ -87,6 +89,14 @@ def ue_dl_decode_subframe(
     else:
         cfi = known_cfi
     res.cfi = cfi
+
+    if phich is not None:
+        # HI for the watched (group, seq) resource (cc_worker decode_phich)
+        from ..phch.phich import phich_decode, phich_re_indices
+
+        group, n_seq = phich
+        hi, _ = phich_decode(equalize(phich_re_indices(cell, group)), cell, sf_idx, n_seq)
+        res.phich_ack = bool(np.asarray(hi))
 
     # PDCCH blind search (format 1A size)
     n = nof_cce(cell, sf_idx, cfi)

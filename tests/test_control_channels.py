@@ -70,7 +70,10 @@ def test_phich_roundtrip_multiplexed(ack):
     a0, m0 = phich_decode(sym, cell, 2, 0)
     a1, m1 = phich_decode(sym, cell, 2, 1)
     assert int(a0) == ack and int(a1) == 1 - ack
-    assert nof_phich_groups(cell) == 4
+    # group count follows the cell's Ng (phich_resources enum): the
+    # default Ng=1/2 halves it vs Ng=1
+    assert nof_phich_groups(cell, ng=1.0) == 4
+    assert nof_phich_groups(cell) == int(np.ceil(cell.nof_prb / 16))
 
 
 def test_rm32_roundtrip():

@@ -240,3 +240,42 @@ def test_dl_harq_retransmission_recovers_outage():
     assert ue.ip_rx == [pkt]  # delivered exactly once despite the outage
     assert enb.stats.get("dl_nack", 0) > 0  # the loss was seen as NACK/DTX
     assert enb.stats.get("dl_ack", 0) > base_acks
+
+
+def test_ul_harq_phich_retransmission():
+    """UL HARQ over PHICH: a lost PUSCH draws a NACK (HI=0) at the §9.1.2
+    timing, the UE retransmits the SAME TB non-adaptively with the next
+    rv, the eNB soft-combines, and the payload arrives exactly once."""
+    cell = Cell(nof_prb=15, nof_ports=1, id=7)
+    hss = Hss()
+    hss.add_subscriber(Subscriber("ue1", IMSI, KEY, OPC, amf=b"\x80\x00", sqn=0))
+    spgw = Spgw()
+    mme = Mme(hss, spgw)
+    enb = EnbStack(cell, mme, spgw, mcs=5)
+    ue = UeStack(cell, Usim(IMSI, KEY, OPC))
+    enb.ul_inactivity_timeout = 10_000
+
+    ul = None
+    for _ in range(120):
+        dl = enb.run_tti(ul)
+        ul = ue.run_tti(dl)
+        if ue.rrc_state == UeStack.RRC_ACTIVE and ue.nas.state == ue.nas.REGISTERED:
+            break
+    assert ue.nas.state == ue.nas.REGISTERED
+
+    pkt = b"\x5c" * 100
+    ue.send_ip_packet(pkt)
+    outage = 2  # drop the next 2 PUSCH transmissions on the "air"
+    for _ in range(80):
+        dl = enb.run_tti(ul)
+        pre = set(ue._ul_inflight)
+        ul = ue.run_tti(dl)
+        sent_pusch = bool(set(ue._ul_inflight) - pre)
+        if ul is not None and sent_pusch and outage:
+            ul = np.zeros_like(ul)
+            outage -= 1
+        if spgw.sgi_rx:
+            break
+    got = [(p[1] if isinstance(p, tuple) else p) for p in spgw.sgi_rx]
+    assert pkt in got and got.count(pkt) == 1
+    assert ue.stats.get("ul_retx", 0) > 0  # PHICH NACK drove a retx

@@ -119,6 +119,62 @@ def test_pdsch_e2e_spatialmux_2x2():
     np.testing.assert_array_equal(tb_hat, tb)
 
 
+@pytest.mark.parametrize("pmi", [0, 1, 2, 3])
+def test_pdsch_e2e_tm6_single_layer_closed_loop(pmi):
+    """TM6: single-layer closed-loop precoding over 2 ports (DCI 1B's
+    PHY; reference precoding.c codebook nof_layers=1 path), all 4 PMIs."""
+    cell = Cell(nof_prb=25, nof_ports=2, id=77)
+    grant = DlGrant(
+        prb=tuple(range(25)), mod=Mod.QAM16, tbs=4392,
+        tx_scheme="spatialmux", nof_layers=1, pmi=pmi,
+    )
+    h = np.array(
+        [[0.9 + 0.2j, -0.3 + 0.5j], [0.1 - 0.6j, 0.7 + 0.3j]], np.complex64
+    )
+    tb, tb_hat, ok = run_link(cell, 3, 1, grant, snr_db=20.0, h=h, nrx=2)
+    assert ok
+    np.testing.assert_array_equal(tb_hat, tb)
+
+
+def test_pdsch_e2e_tm5_mu_mimo_pair():
+    """TM5 (MU-MIMO): two UEs share the 2x2 channel on orthogonal PMIs
+    (DCI 1D's PHY).  Each decodes its own TB with the other's layer
+    present as structured interference the MMSE predecoder rejects."""
+    cell = Cell(nof_prb=25, nof_ports=2, id=77)
+    rng = np.random.default_rng(5)
+    tbs = 2216
+    # the eNB pairs MU-MIMO UEs on ORTHOGONAL codebook entries (0: [1,1],
+    # 1: [1,-1]); over a near-unitary channel the co-scheduled stream
+    # stays orthogonal at the receiver
+    grants = [
+        DlGrant(prb=tuple(range(25)), mod=Mod.QPSK, tbs=tbs,
+                tx_scheme="spatialmux", nof_layers=1, pmi=0, rnti=0x41),
+        DlGrant(prb=tuple(range(25)), mod=Mod.QPSK, tbs=tbs,
+                tx_scheme="spatialmux", nof_layers=1, pmi=1, rnti=0x42),
+    ]
+    tbs_bits = [rng.integers(0, 2, tbs).astype(np.uint8) for _ in grants]
+    grid = np.zeros((2, cell.nsymb_per_sf, cell.nof_re_per_symbol), np.complex64)
+    for g, tb in zip(grants, tbs_bits):
+        pg = pdsch_encode_np(cell, 3, 1, g, tb)
+        grid[: pg.shape[0]] += pg / np.sqrt(2)  # TM5 power offset -3 dB
+    put_crs_np(grid, cell, 3)
+    ofdm = OfdmConfig.from_cell(cell, normalize=True)
+    tx = np.asarray(ofdm_tx_sf(ofdm, grid))
+    th = 0.4  # unitary rotation (phase-shifted) channel
+    h = (np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]])
+         * np.exp(1j * 0.3)).astype(np.complex64)
+    rx = np.einsum("rp,pt->rt", h, tx)
+    rx, n0 = awgn(rng, rx, 30.0)
+    rx_grid = np.asarray(ofdm_rx_sf(ofdm, rx))
+    ch = chest_dl(rx_grid, cell, 3, nof_ports=2)
+    ce = np.asarray(ch["ce"])
+    noise = float(np.mean(np.asarray(ch["noise"])))
+    for g, tb in zip(grants, tbs_bits):
+        tb_hat, ok, _ = pdsch_decode(rx_grid, ce, noise, cell, 3, 1, g)
+        assert ok, f"pmi {g.pmi}"
+        np.testing.assert_array_equal(np.asarray(tb_hat).ravel()[: len(tb)], tb)
+
+
 def test_pdsch_fails_at_low_snr_then_harq():
     """Sanity: CRC must fail at very low SNR (no false positives)."""
     cell = Cell(nof_prb=6, nof_ports=1, id=1)
