@@ -290,6 +290,8 @@ def map_decoder(lx, lz, lx_tail, lz_tail, k: int, dtype=jnp.float32, backend: st
         backend = "scan"
     if backend == "scan4":
         return map_decoder4(lx, lz, lx_tail, lz_tail, k, dtype)
+    if backend == "scan_fused":
+        return map_decoder_fused(lx, lz, lx_tail, lz_tail, k, dtype)
     if backend in ("pallas", "pallas_interpret"):
         from .turbo_pallas import map_windows_pallas
 
@@ -364,6 +366,100 @@ def map_decoder(lx, lz, lx_tail, lz_tail, k: int, dtype=jnp.float32, backend: st
         (ax_main[::-1], az_main[::-1], alphas[::-1]),
     )
     llr = llr_rev[::-1]  # (lw, bn)
+    return llr.reshape(lw, b, nw).transpose(1, 2, 0).reshape(b, k).astype(jnp.float32)
+
+
+def map_decoder_fused(lx, lz, lx_tail, lz_tail, k: int, dtype=jnp.float32):
+    """Windowed max-log-MAP with the alpha and beta recursions FUSED into
+    single scans (they are independent until the posterior): half the
+    sequential depth of `map_decoder` at the same lean radix-2 step shape.
+    The posterior becomes one fully-parallel op over stored alpha/beta.
+
+    Measured on the v5e: 4.7x SLOWER than the two-scan form — storing
+    betas and the non-leading-axis gathers in the bulk posterior dominate.
+    Kept as a selectable backend with this record so the next tuner does
+    not re-walk the same path; bit-identical to "scan" (tested)."""
+    t = _trellis()
+    nw, lw = _window_layout(k)
+    b = lx.shape[0]
+    bn = b * nw
+    T = min(24 if lw >= 96 else TRAIN, lw)
+
+    x = (0.5 * lx).astype(dtype)
+    z = (0.5 * lz).astype(dtype)
+    starts = np.arange(nw) * lw
+
+    def win_view(xp, st, length):
+        idx = st[:, None] + np.arange(length)[None, :]
+        return xp[:, idx].transpose(2, 0, 1).reshape(length, bn)
+
+    sp = (2.0 * t["parity"] - 1.0).astype(np.float32)
+    spp = (2.0 * t["prev_parity"] - 1.0).astype(np.float32)
+    spu = (2.0 * t["prev_u"] - 1.0).astype(np.float32)
+    ps0, ps1 = jnp.asarray(t["prev_state"][:, 0]), jnp.asarray(t["prev_state"][:, 1])
+    ns0, ns1 = jnp.asarray(t["next_state"][:, 0]), jnp.asarray(t["next_state"][:, 1])
+    c_spu0, c_spu1 = jnp.asarray(spu[:, 0:1], dtype), jnp.asarray(spu[:, 1:2], dtype)
+    c_spp0, c_spp1 = jnp.asarray(spp[:, 0:1], dtype), jnp.asarray(spp[:, 1:2], dtype)
+    c_sp0, c_sp1 = jnp.asarray(sp[:, 0:1], dtype), jnp.asarray(sp[:, 1:2], dtype)
+
+    pad_x = jnp.concatenate([jnp.zeros((b, T), dtype), x], axis=-1)
+    pad_z = jnp.concatenate([jnp.zeros((b, T), dtype), z], axis=-1)
+    ax_train, az_train = win_view(pad_x, starts, T), win_view(pad_z, starts, T)
+    ax_main, az_main = win_view(x, starts, lw), win_view(z, starts, lw)
+    pad_x2 = jnp.concatenate([x, jnp.zeros((b, T), dtype)], axis=-1)
+    pad_z2 = jnp.concatenate([z, jnp.zeros((b, T), dtype)], axis=-1)
+    bx_train = win_view(pad_x2, starts + lw, T)[::-1]
+    bz_train = win_view(pad_z2, starts + lw, T)[::-1]
+
+    def astep(a, xt, zt):
+        return jnp.maximum(a[ps0] + (c_spu0 * xt + c_spp0 * zt),
+                           a[ps1] + (c_spu1 * xt + c_spp1 * zt))
+
+    def bstep(bta, xt, zt):
+        return jnp.maximum(bta[ns0] + (-xt + c_sp0 * zt),
+                           bta[ns1] + (xt + c_sp1 * zt))
+
+    def train_step(carry, inputs):
+        a, bta = carry
+        axt, azt, bxt, bzt = inputs
+        return (astep(a, axt, azt), bstep(bta, bxt, bzt)), None
+
+    (a_tr, b_tr), _ = jax.lax.scan(
+        train_step,
+        (jnp.zeros((8, bn), dtype), jnp.zeros((8, bn), dtype)),
+        (ax_train, az_train, bx_train, bz_train),
+    )
+    a_init = a_tr.reshape(8, b, nw)
+    known = jnp.concatenate(
+        [jnp.zeros((1, b, 1), dtype), jnp.full((7, b, 1), NEG_INF, dtype)], axis=0
+    )
+    a_init = jnp.concatenate([known, a_init[:, :, 1:]], axis=2).reshape(8, bn)
+    beta_k = _beta_tail(lx_tail, lz_tail).astype(dtype)
+    b_init = b_tr.reshape(8, b, nw)
+    b_init = jnp.concatenate([b_init[:, :, :-1], beta_k.T[:, :, None]], axis=2).reshape(8, bn)
+
+    def main_step(carry, inputs):
+        a, bta = carry
+        axt, azt, bxt, bzt = inputs
+        na, nb = astep(a, axt, azt), bstep(bta, bxt, bzt)
+        # emit the PRE-update values: alpha_t for forward position t, and
+        # beta_{t+1} for the reversed position t (what the posterior needs)
+        return (na, nb), (a, bta)
+
+    _, (alphas, betas_rev) = jax.lax.scan(
+        main_step, (a_init, b_init), (ax_main, az_main, ax_main[::-1], az_main[::-1])
+    )
+    beta_next = betas_rev[::-1]  # beta_next[t] = beta at position t+1
+
+    # posterior, fully parallel over positions: m(u) = max_s alpha_t[s] +
+    # gamma_u(s, t) + beta_{t+1}[next_u(s)]
+    xt = ax_main[:, None, :]  # (lw, 1, bn)
+    zt = az_main[:, None, :]
+    b0 = jnp.take(beta_next, ns0, axis=1) + (-xt + c_sp0[None] * zt)
+    b1 = jnp.take(beta_next, ns1, axis=1) + (xt + c_sp1[None] * zt)
+    m0 = jnp.max(alphas + b0, axis=1)
+    m1 = jnp.max(alphas + b1, axis=1)
+    llr = m1 - m0  # (lw, bn)
     return llr.reshape(lw, b, nw).transpose(1, 2, 0).reshape(b, k).astype(jnp.float32)
 
 

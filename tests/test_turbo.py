@@ -130,3 +130,20 @@ def test_map_decoder_pallas_parity():
     r_scan = np.asarray(map_decoder(*args, k, backend="scan"))
     r_pal = np.asarray(map_decoder(*args, k, backend="pallas_interpret"))
     np.testing.assert_allclose(r_scan, r_pal, atol=1e-4)
+
+
+@pytest.mark.parametrize("backend", ["scan4", "scan_fused"])
+@pytest.mark.parametrize("k", [40, 2048, 6144])
+def test_map_decoder_backend_equivalence(backend, k):
+    """The radix-4 and fused-scan MAP forms compute exactly the radix-2
+    max-log recursion (associativity of max over path segments)."""
+    from srsran_tpu.phy.fec.turbo import map_decoder
+
+    import jax.numpy as jnp
+
+    B = 3
+    rng = np.random.default_rng(11)
+    args = [jnp.asarray(rng.standard_normal((B, n)).astype(np.float32)) for n in (k, k, 3, 3)]
+    ref = np.asarray(map_decoder(*args, k, backend="scan"))
+    alt = np.asarray(map_decoder(*args, k, backend=backend))
+    np.testing.assert_allclose(ref, alt, atol=2e-4)
