@@ -204,6 +204,10 @@ class EnbStack:
         self.cfi = cfi
         self.mib = Mib(nof_prb=cell.nof_prb)
         self.prach_cfg = PrachConfig()
+        # system information broadcast (BCCH-DL-SCH on SI-RNTI): SIB1 on
+        # sf 5 of even SFNs (TS 36.331 §5.2.1.2), SIB2 in an rf8 SI window
+        self._sib1 = rrc.pack_sib1(cell_id=(enb_id << 8) | (cell.id & 0xFF))
+        self._sib2 = rrc.pack_sib2(nof_ra_preambles=52, prach_config_index=3)
         self.sched = Scheduler(cell.nof_prb, mcs_max=mcs)
         # CA: the SCell gets its own scheduler (the per-carrier
         # scheduler_carrier.cc instance) pulling from the same RLC bearers
@@ -720,9 +724,25 @@ class EnbStack:
             return agg, cce
 
         ul_delay = _pusch_delay(self.tdd, tti)
+        # 0. system information (exclusive TTIs — common grants span the
+        # band's PDSCH REs): SIB1 every 20 ms, SIB2 every 80 ms
+        sfn = tti // 10
+        si_pdu = None
+        if sf_idx == 5 and sfn % 2 == 0:
+            si_pdu = self._sib1
+        elif sf_idx == 6 and sfn % 8 == 0:
+            si_pdu = self._sib2
+        if si_pdu is not None and can_pdsch:
+            from ..phy.common import SIRNTI
+            from ..phy.phch.ra import tbs_lookup as _tbsl
+
+            mcs = 0
+            while _tbsl(mcs, 3) // 8 < len(si_pdu):
+                mcs += 1
+            add_dl_tb(SIRNTI, mcs, si_pdu)
         # 1. one pending RAR per TTI (RA-RNTI = 1 + prach sf_idx); the RAR
         # subframe must also be a Msg3 grant opportunity (TDD Table 8-2)
-        if (self.pending_rars and sf_idx not in (0, 5) and can_pdsch
+        elif (self.pending_rars and sf_idx not in (0, 5) and can_pdsch
                 and ul_delay is not None):
             rapid, ta, crnti = self.pending_rars.popleft()
             # PUSCH rides PRBs 1..N-2: the band-edge PRBs are the PUCCH
@@ -858,10 +878,16 @@ class UeStack:
     RRC_IDLE, RRC_WAIT_RAR, RRC_WAIT_SETUP, RRC_CONNECTED, RRC_ACTIVE = range(5)
 
     def __init__(self, cell: Cell, usim: Usim, cfi: int = 2, preamble: int = 17, attach_delay: int = 0,
-                 tdd_cfg: tdd.TddConfig | None = None):
+                 tdd_cfg: tdd.TddConfig | None = None, acquire_si: bool = False):
         self.cell = cell
         self.tdd = tdd_cfg
         self.prach_sf = _prach_sf(tdd_cfg)
+        # SI acquisition before random access (rrc.cc SIB1/SIB2 procedures):
+        # when enabled, the RA parameters come from the broadcast SIB2
+        # instead of constructor defaults
+        self.acquire_si = acquire_si
+        self.sib1: dict | None = None
+        self.sib2: dict | None = None
         self.cfi = cfi
         self.nas = UeNas(usim)
         self.mac = UeMac()
@@ -1011,6 +1037,10 @@ class UeStack:
         is_tdd = self.tdd is not None
         inflight = self._ul_inflight.pop(tti, None)
         rntis = []
+        if self.acquire_si and (self.sib1 is None or self.sib2 is None):
+            from ..phy.common import SIRNTI
+
+            rntis.append(SIRNTI)
         if self.rrc_state == self.RRC_WAIT_RAR or getattr(self, "_ho_in_progress", False):
             rntis.append(1 + self.prach_sf)  # RA-RNTI
         if self.crnti is not None:
@@ -1068,7 +1098,9 @@ class UeStack:
                     continue
                 self.stats["dl_tbs_ok"] += 1
                 pdu = np.packbits(np.asarray(tb)).tobytes()
-                if rnti != self.crnti:
+                if rnti == 0xFFFF:
+                    self._handle_si(pdu)
+                elif rnti != self.crnti:
                     self._handle_rar(tti, pdu)
                 else:
                     self._handle_dl_pdu(pdu)
@@ -1083,6 +1115,31 @@ class UeStack:
                 continue
             self.stats["scell_tbs_ok"] = self.stats.get("scell_tbs_ok", 0) + 1
             self._handle_dl_pdu(np.packbits(np.asarray(tb)).tobytes())
+
+    def _si_ready(self) -> bool:
+        return not self.acquire_si or (self.sib1 is not None and self.sib2 is not None)
+
+    def _handle_si(self, pdu: bytes):
+        """BCCH-DL-SCH: SIB1 schedules, SIB2 configures RA (rrc.cc SI
+        acquisition before the first PRACH)."""
+        try:
+            kind, body = rrc.unpack_bcch_dl_sch(pdu)
+        except Exception:
+            return  # not a parsable SI TB (e.g. padding-only)
+        if kind == "sib_type1":
+            self.sib1 = body
+            return
+        for k2, sib in body:
+            if k2 != "sib2":
+                continue
+            self.sib2 = sib
+            p = rrc.sib2_rach_params(sib)
+            self.preamble = min(self.preamble, p["nof_preambles"] - 1)
+            if self.tdd is None:
+                # prach-ConfigIndex 3 → FDD sf 1 (TS 36.211 Table 5.7.1-2)
+                self.prach_sf = {3: 1}.get(p["prach_config_index"], self.prach_sf)
+            self.n310 = p["n310"]
+            self.t310_ms = p["t310_ms"]
 
     def _handle_rar(self, tti: int, pdu: bytes):
         rar = _unpack_rar(pdu)
@@ -1237,8 +1294,10 @@ class UeStack:
             out = np.zeros(self.cell.sf_len, np.complex64)
             out[: len(p)] = p[: self.cell.sf_len]
             return out
-        # PRACH occasion
-        if self.rrc_state == self.RRC_IDLE and sf_idx == self.prach_sf and tti >= self.attach_delay:
+        # PRACH occasion (gated on SI when acquisition is on: the UE may
+        # not access the cell before SIB2's RACH parameters are known)
+        if (self.rrc_state == self.RRC_IDLE and sf_idx == self.prach_sf
+                and tti >= self.attach_delay and self._si_ready()):
             self.mac.start_ra(self.preamble)
             self.rrc_state = self.RRC_WAIT_RAR
             self._ra_deadline = tti + 10  # RA response window (proc_ra.cc)

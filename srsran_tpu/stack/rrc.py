@@ -220,6 +220,114 @@ def _default_drb(drb_id: int, lcid: int, eps_bearer_id: int) -> dict:
     }
 
 
+# ------------------------------------------------------------------ BCCH-DL-SCH
+
+
+def pack_sib1(cell_id: int, tac: int = 1, freq_band: int = 7,
+              si_periodicity: str = "rf8") -> bytes:
+    """SystemInformationBlockType1 (rrc_cell_cfg.cc fill of sib.conf): one
+    PLMN 001/01, SIB2 in the first SI message (implicit per TS 36.331)."""
+    v = {"msg": ("c1", ("sib_type1", {
+        "cell_access_related_info": {
+            "plmn_id_list": [{"plmn_id": {"mcc": [0, 0, 1], "mnc": [0, 1]},
+                              "cell_reserved_for_oper": "not_reserved"}],
+            "tac": tac,
+            "cell_id": cell_id,
+            "cell_barred": "not_barred",
+            "intra_freq_resel": "allowed",
+            "csg_ind": False,
+        },
+        "cell_sel_info": {"q_rx_lev_min": -65},
+        "freq_band_ind": freq_band,
+        "sched_info_list": [{"si_periodicity": si_periodicity, "sib_map_info": []}],
+        "si_win_len": "ms5",
+        "sys_info_value_tag": 0,
+    }))}
+    return asn1.BCCH_DL_SCH_MESSAGE.to_bytes(v)
+
+
+def pack_sib2(nof_ra_preambles: int = 52, prach_config_index: int = 3,
+              root_seq_idx: int = 0, n310: int = 4, t310_ms: int = 200) -> bytes:
+    """SystemInformation carrying SIB2 (the rr.conf/sib.conf analog)."""
+    sib2 = {
+        "rr_cfg_common": {
+            "rach_cfg_common": {
+                "preamb_info": {"nof_ra_preambs": f"n{nof_ra_preambles}"},
+                "pwr_ramp_params": {"pwr_ramp_step": "db4",
+                                    "preamb_init_rx_target_pwr": "dbm_minus104"},
+                "ra_supervision_info": {"preamb_trans_max": "n10",
+                                        "ra_resp_win_size": "sf10",
+                                        "mac_contention_resolution_timer": "sf64"},
+                "max_harq_msg3_tx": 4,
+            },
+            "bcch_cfg": {"mod_period_coeff": "n2"},
+            "pcch_cfg": {"default_paging_cycle": "rf128", "nb": "one_t"},
+            "prach_cfg": {"root_seq_idx": root_seq_idx,
+                          "prach_cfg_info": {"prach_cfg_idx": prach_config_index,
+                                             "high_speed_flag": False,
+                                             "zero_correlation_zone_cfg": 11,
+                                             "prach_freq_offset": 2}},
+            "pdsch_cfg_common": {"ref_sig_pwr": 0, "p_b": 0},
+            "pusch_cfg_common": {
+                "pusch_cfg_basic": {"n_sb": 1, "hop_mode": "inter_sub_frame",
+                                    "pusch_hop_offset": 0, "enable64_qam": True},
+                "ul_ref_sigs_pusch": {"group_hop_enabled": False, "group_assign_pusch": 0,
+                                      "seq_hop_enabled": False, "cyclic_shift": 0},
+            },
+            "pucch_cfg_common": {"delta_pucch_shift": "ds2", "nrb_cqi": 1,
+                                 "ncs_an": 0, "n1_pucch_an": 0},
+            "srs_ul_cfg_common": ("release", None),
+            "ul_pwr_ctrl_common": {
+                "p0_nominal_pusch": -85, "alpha": "al07", "p0_nominal_pucch": -107,
+                "delta_flist_pucch": {"delta_f_pucch_format1": "delta_f0",
+                                      "delta_f_pucch_format1b": "delta_f3",
+                                      "delta_f_pucch_format2": "delta_f1",
+                                      "delta_f_pucch_format2a": "delta_f2",
+                                      "delta_f_pucch_format2b": "delta_f2"},
+                "delta_preamb_msg3": 4,
+            },
+            "ul_cp_len": "len1",
+        },
+        "ue_timers_and_consts": {
+            "t300": "ms1000", "t301": "ms1000",
+            "t310": f"ms{t310_ms}", "n310": f"n{n310}",
+            "t311": "ms1000", "n311": "n1",
+        },
+        "freq_info": {"add_spec_emission": 1},
+        "time_align_timer_common": "sf10240",
+    }
+    v = {"msg": ("c1", ("sys_info", {
+        "crit_exts": ("sys_info_r8", {"sib_type_and_info": [("sib2", sib2)]}),
+    }))}
+    return asn1.BCCH_DL_SCH_MESSAGE.to_bytes(v)
+
+
+def unpack_bcch_dl_sch(data: bytes):
+    """Returns ("sib_type1", sib1_body) or ("sys_info", [(kind, body), ...])."""
+    v = asn1.BCCH_DL_SCH_MESSAGE.from_bytes(data)
+    kind, body = v["msg"][1]
+    if kind == "sib_type1":
+        return kind, body
+    sibs = body["crit_exts"][1]["sib_type_and_info"]
+    return kind, list(sibs)
+
+
+def sib2_rach_params(sib2: dict) -> dict:
+    """The RA parameters a UE needs before its first PRACH (proc_ra.cc
+    reads exactly these from SIB2)."""
+    rach = sib2["rr_cfg_common"]["rach_cfg_common"]
+    prach = sib2["rr_cfg_common"]["prach_cfg"]
+    timers = sib2["ue_timers_and_consts"]
+    return {
+        "nof_preambles": int(rach["preamb_info"]["nof_ra_preambs"][1:]),
+        "prach_config_index": prach["prach_cfg_info"]["prach_cfg_idx"],
+        "root_seq_idx": prach["root_seq_idx"],
+        "ra_resp_win_sf": int(rach["ra_supervision_info"]["ra_resp_win_size"][2:]),
+        "n310": int(timers["n310"][1:]),
+        "t310_ms": int(timers["t310"][2:]),
+    }
+
+
 def make_scell_config(scell_idx: int, pci: int, dl_arfcn: int, nof_prb: int,
                       nof_ports: int = 1) -> dict:
     """SCellToAddMod-r10 (TS 36.331 §6.3.2) — the rrc_ue.cc

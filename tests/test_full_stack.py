@@ -279,3 +279,37 @@ def test_ul_harq_phich_retransmission():
     got = [(p[1] if isinstance(p, tuple) else p) for p in spgw.sgi_rx]
     assert pkt in got and got.count(pkt) == 1
     assert ue.stats.get("ul_retx", 0) > 0  # PHICH NACK drove a retx
+
+
+def test_si_acquisition_before_attach():
+    """System-information broadcast + acquisition: the eNB broadcasts SIB1
+    (sf 5, even SFN) and SIB2 (rf8 SI window) on SI-RNTI over real
+    BCCH-DL-SCH ASN.1; the UE must decode both before its first PRACH and
+    takes its RA parameters and RLM timers from SIB2 (rrc.cc SI procedures
+    before access)."""
+    cell = Cell(nof_prb=15, nof_ports=1, id=7)
+    hss = Hss()
+    hss.add_subscriber(Subscriber("ue1", IMSI, KEY, OPC, amf=b"\x80\x00", sqn=0))
+    spgw = Spgw()
+    mme = Mme(hss, spgw)
+    enb = EnbStack(cell, mme, spgw, mcs=5)
+    ue = UeStack(cell, Usim(IMSI, KEY, OPC), acquire_si=True)
+    ue.n310 = 999  # must be overwritten by SIB2
+
+    ul = None
+    prach_before_si = False
+    for _ in range(150):
+        dl = enb.run_tti(ul)
+        ul = ue.run_tti(dl)
+        if ue.rrc_state != UeStack.RRC_IDLE and not ue._si_ready():
+            prach_before_si = True
+        if ue.rrc_state == UeStack.RRC_ACTIVE and ue.nas.state == ue.nas.REGISTERED:
+            break
+    assert not prach_before_si
+    assert ue.sib1 is not None and ue.sib2 is not None
+    assert ue.sib1["cell_access_related_info"]["cell_id"] == (0x19B << 8) | 7
+    assert ue.n310 == 4 and ue.t310_ms == 200  # SIB2 UE-timers applied
+    from srsran_tpu.stack.rrc import sib2_rach_params
+
+    assert sib2_rach_params(ue.sib2)["nof_preambles"] == 52
+    assert ue.nas.state == ue.nas.REGISTERED  # and the attach still completes
