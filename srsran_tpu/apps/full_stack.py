@@ -161,6 +161,7 @@ class _EnbUe:
     spgw_teid: int = 0
     cf_preamble: int = -1  # dedicated contention-free preamble (HO target)
     scell_state: int = 0  # 0 = none, 1 = SCell reconfig sent, 2 = configured+activated
+    last_ul_snr_db: float | None = None  # drives the TPC loop
     is_ho_target: bool = False
     s1_ho: bool = False  # target admitted via S1 HandoverRequest
     ho_in_flight: bool = False  # source-side guard
@@ -596,6 +597,8 @@ class EnbStack:
                 if out[1]:
                     break
             tb, ok = out[0], out[1]
+            if not dtx and len(out) > 3 and ue_ctx is not None:
+                ue_ctx.last_ul_snr_db = float(out[3])  # feeds the TPC loop
             # UL HARQ: HI on PHICH at §9.1.2 timing; a NACK schedules the
             # non-adaptive retransmission (same PRBs, next rv) and keeps
             # the softbuffer chain for combining (softbuffer.c role at
@@ -798,7 +801,8 @@ class EnbStack:
                 for ug in ul_grants:
                     if (tti + ul_delay) in self.pending_ul:
                         break  # one PUSCH per TTI
-                    dci0 = Dci0(riv=riv_encode(self.cell.nof_prb, ug.rb_start, ug.l_crb), mcs=ug.mcs, ndi=ug.ndi)
+                    dci0 = Dci0(riv=riv_encode(self.cell.nof_prb, ug.rb_start, ug.l_crb),
+                                mcs=ug.mcs, ndi=ug.ndi, tpc=self._tpc_cmd(ug.rnti))
                     loc = alloc_cce(ug.rnti)
                     if loc is None:
                         continue
@@ -825,6 +829,24 @@ class EnbStack:
         _, samples = enb_dl_subframe(self.cell, sf_idx, sched, mib=self.mib,
                                      sfn=(tti // 10) % 1024, tdd=self.tdd)
         return samples[0]
+
+    UL_SNR_TARGET_DB = 20.0
+
+    def _tpc_cmd(self, rnti: int) -> int:
+        """TPC for a DCI0 (accumulated mode, Table 5.1.1.1-2 index):
+        steer the measured PUSCH DMRS SNR toward the target — the
+        ul_pwr_ctrl loop the reference runs in sched_ue/ue_ul.c."""
+        ue = self.ues.get(rnti)
+        snr = ue.last_ul_snr_db if ue is not None else None
+        if snr is None:
+            return 1  # 0 dB
+        if snr < self.UL_SNR_TARGET_DB - 6:
+            return 3  # +3 dB
+        if snr < self.UL_SNR_TARGET_DB - 1:
+            return 2  # +1 dB
+        if snr > self.UL_SNR_TARGET_DB + 1:
+            return 0  # -1 dB
+        return 1
 
     def _build_scell_dl(self, tti: int, sf_idx: int) -> np.ndarray:
         """One SCell DL subframe (the extra cc_worker of the reference's
@@ -912,6 +934,9 @@ class UeStack:
         # (grant, tb_bits, tx_count)) and NACK-triggered retransmissions
         self._ul_inflight: dict[int, tuple] = {}
         self.pending_retx: dict[int, tuple] = {}
+        # closed-loop UL power control (TS 36.213 §5.1.1.1 accumulated
+        # TPC; ue_ul.c power-control state): dB applied to PUSCH samples
+        self.ul_gain_db = 0.0
         self.prach_cfg = PrachConfig()
         self.ip_rx: list[bytes] = []
         self.ip_tx_queue: list[bytes] = []
@@ -1076,6 +1101,9 @@ class UeStack:
                         continue
                     dci0 = Dci0.unpack(bits, self.cell.nof_prb, tdd=is_tdd,
                                        tdd_cfg0=is_tdd and self.tdd.sf_config == 0)
+                    # accumulated TPC (Table 5.1.1.1-2: -1, 0, +1, +3 dB)
+                    self.ul_gain_db = float(np.clip(
+                        self.ul_gain_db + (-1, 0, 1, 3)[dci0.tpc], -20.0, 20.0))
                     rb0, l_crb = riv_decode(self.cell.nof_prb, dci0.riv)
                     self.pending_tx[tti + delay] = UlGrant(
                         prb_start=rb0, nof_prb=l_crb, mod=ul_mcs_to_mod(dci0.mcs),
@@ -1345,7 +1373,10 @@ class UeStack:
             uci = UciCfg(cqi_bits=cqi_bits, ack=tuple(b for _, b in acks or ()))
         # watch the PHICH for this transmission (ul_harq.cc role)
         self._ul_inflight[tdd.phich_tti(self.tdd, tti)] = (grant, tb_bits, tx_count)
-        return ue_ul_encode(self.cell, sf_idx, pusch=(grant, tb_bits), uci=uci)
+        samples = ue_ul_encode(self.cell, sf_idx, pusch=(grant, tb_bits), uci=uci)
+        if self.ul_gain_db:
+            samples = samples * np.float32(10.0 ** (self.ul_gain_db / 20.0))
+        return samples
 
     def _build_ul_mac_pdu(self, tb_bytes: int) -> bytes:
         """Assemble one UL MAC PDU (Msg3/BSR/SRB1/DRB mux) — the PHY-free

@@ -313,3 +313,51 @@ def test_si_acquisition_before_attach():
 
     assert sib2_rach_params(ue.sib2)["nof_preambles"] == 52
     assert ue.nas.state == ue.nas.REGISTERED  # and the attach still completes
+
+
+def test_ul_closed_loop_power_control():
+    """Closed-loop UL power control: the eNB measures PUSCH DMRS SNR and
+    sends accumulated TPC in DCI0 (TS 36.213 §5.1.1.1 / Table 5.1.1.1-2);
+    a UE starting 15 dB low is ramped back up until the UL SNR sits near
+    the target (ue_ul.c power-control accumulator)."""
+    rng = np.random.default_rng(9)
+    cell = Cell(nof_prb=15, nof_ports=1, id=7)
+    hss = Hss()
+    hss.add_subscriber(Subscriber("ue1", IMSI, KEY, OPC, amf=b"\x80\x00", sqn=0))
+    spgw = Spgw()
+    mme = Mme(hss, spgw)
+    enb = EnbStack(cell, mme, spgw, mcs=5)
+    ue = UeStack(cell, Usim(IMSI, KEY, OPC))
+    enb.ul_inactivity_timeout = 10_000
+
+    ul = None
+    for _ in range(120):
+        dl = enb.run_tti(ul)
+        ul = ue.run_tti(dl)
+        if ue.rrc_state == UeStack.RRC_ACTIVE and ue.nas.state == ue.nas.REGISTERED:
+            break
+    assert ue.nas.state == ue.nas.REGISTERED
+
+    # noise floor calibrated so a full-power PUSCH sits ~25 dB SNR
+    ref_pow = None
+    ue.ul_gain_db = -15.0
+    ue.send_ip_packet(b"\x77" * 60)
+    gains = []
+    for _ in range(200):
+        dl = enb.run_tti(ul)
+        ul = ue.run_tti(dl)
+        ue.send_ip_packet(b"\x77" * 8)  # keep UL grants flowing
+        if ul is not None:
+            p = float(np.mean(np.abs(ul) ** 2))
+            if p > 0:
+                if ref_pow is None:
+                    ref_pow = p / 10 ** (ue.ul_gain_db / 10)  # 0 dB reference
+                n0 = ref_pow * 10 ** (-25.0 / 10)
+                ul = ul + (rng.standard_normal(ul.shape) + 1j * rng.standard_normal(ul.shape)
+                           ).astype(np.complex64) * np.sqrt(n0 / 2)
+        gains.append(ue.ul_gain_db)
+    # the accumulator must have ramped up and found a steady band
+    assert ue.ul_gain_db > -12.0, gains[-5:]
+    assert max(gains) <= 20.0
+    # still passing data at the converged operating point
+    assert enb.stats["ul_crc_ok"] > 20
