@@ -517,10 +517,36 @@ class EnbStack:
             if not e["on_pusch"]:
                 pucch_by_rnti.setdefault(e["rnti"], []).append(e)
         if pucch_by_rnti:
-            from ..phy.phch.pucch import PucchConfig
+            from ..phy.phch.pucch import PucchConfig, tdd_channel_selection_decode
 
             rx_grid_ack = enb_ul_fft(self.cell, samples[None])
+            das = tdd.das_set(self.tdd, tti % 10) if self.tdd is not None else ()
             for rnti, entries in pucch_by_rnti.items():
+                if self.tdd is not None and 1 < len(das) <= 4:
+                    # channel selection: blind-decode every candidate
+                    # resource (format 1b), strongest DMRS metric wins
+                    best = (-1.0, None, None)  # (metric, res position, bits)
+                    pos_of = {}
+                    for e in entries:
+                        pos_of[das.index(tti - e["dl_tti"])] = e
+                    for i, e in sorted(pos_of.items()):
+                        cfgp = PucchConfig(n_pucch=e["n_pucch"] + 2 * i)
+                        bits, metric = enb_ul_decode_pucch(
+                            self.cell, sf_idx, rx_grid_ack, cfgp, "1", 2)
+                        m = float(np.asarray(metric))
+                        if m > best[0]:
+                            best = (m, i, np.asarray(bits))
+                    if best[0] > 0.25 and best[1] is not None:
+                        mask = tdd_channel_selection_decode(
+                            best[1], int(best[2][0]), int(best[2][1]), len(das))
+                    else:
+                        mask = (False,) * len(das)  # DTX
+                    for i, e in pos_of.items():
+                        a = bool(mask[i])
+                        self.sched.ack_info(rnti, e["pid"], a)
+                        key = "dl_ack" if a else "dl_nack"
+                        self.stats[key] = self.stats.get(key, 0) + 1
+                    continue
                 cfgp = PucchConfig(n_pucch=entries[-1]["n_pucch"])
                 bits, metric = enb_ul_decode_pucch(self.cell, sf_idx, rx_grid_ack, cfgp, "1", 1)
                 detected = float(np.asarray(metric)) > 0.25  # DTX threshold
@@ -777,7 +803,8 @@ class EnbStack:
                         # real feedback: PUCCH 1a (or UCI-on-PUSCH) at the
                         # TS 36.213 §10.1 ACK subframe; NACK/DTX → retx
                         self.pending_dl_ack.setdefault(tdd.ack_tti(self.tdd, tti), []).append(
-                            {"rnti": g.rnti, "pid": g.harq_pid, "n_pucch": loc2[1], "on_pusch": False})
+                            {"rnti": g.rnti, "pid": g.harq_pid, "n_pucch": loc2[1],
+                             "on_pusch": False, "dl_tti": tti})
                     else:
                         # TB never went on air (no CCE / no fit) → retx it
                         self.sched.ack_info(g.rnti, g.harq_pid, False)
@@ -1116,7 +1143,7 @@ class UeStack:
                 is_dup = last is not None and last[0] == dci_d.ndi and last[1]
                 self._dl_ndi[dci_d.harq_pid] = (dci_d.ndi, ok or is_dup)
                 self.pending_ack.setdefault(tdd.ack_tti(self.tdd, tti), []).append(
-                    (res.cce_used, 1 if (ok or is_dup) else 0))
+                    (res.cce_used, 1 if (ok or is_dup) else 0, tti))
                 if ok and not is_dup:
                     self.stats["dl_tbs_ok"] += 1
                     self._handle_dl_pdu(np.packbits(np.asarray(res.tbs[0][0])).tobytes())
@@ -1345,11 +1372,30 @@ class UeStack:
             return self._encode_pusch(tti, sf_idx, grant, tb_bits, tx_count, acks)
         if grant is None:
             if acks:
-                # PUCCH format 1a on the last grant's CCE-derived resource;
-                # multiple ACKs bundle into one AND-ed bit (TS 36.213 §10.1)
-                from ..phy.phch.pucch import PucchConfig
+                from ..phy.phch.pucch import (
+                    ACK, DTX, NACK, PucchConfig, tdd_channel_selection)
 
-                bit = 1 if all(b for _, b in acks) else 0
+                das = tdd.das_set(self.tdd, tti % 10) if self.tdd is not None else ()
+                if self.tdd is not None and 1 < len(das) <= 4:
+                    # HARQ-ACK multiplexing with channel selection (PUCCH
+                    # 1b, TS 36.213 Tables 10.1.3-2/3/4): position i is the
+                    # association-set entry k_i; missed grants are DTX
+                    states = [DTX] * len(das)
+                    resources = [None] * len(das)
+                    for cce, bit, dl_tti in acks:
+                        i = das.index(tti - dl_tti)
+                        states[i] = ACK if bit else NACK
+                        # position-dependent resource (TS 36.213 §10.1's
+                        # n(1)PUCCH,i spreads by i — same CCE in different
+                        # subframes must not collide)
+                        resources[i] = cce + 2 * i
+                    res_i, (b0, b1) = tdd_channel_selection(states)
+                    if resources[res_i] is None:
+                        return None  # nothing decodable to anchor on
+                    cfgp = PucchConfig(n_pucch=resources[res_i])
+                    return ue_ul_encode(self.cell, sf_idx, pucch1=(cfgp, [b0, b1]))
+                # FDD single ACK (format 1a) or TDD bundling fallback (M>4)
+                bit = 1 if all(b for _, b, _t in acks) else 0
                 cfgp = PucchConfig(n_pucch=acks[-1][0])
                 return ue_ul_encode(self.cell, sf_idx, pucch1=(cfgp, [bit]))
             return None
@@ -1370,7 +1416,7 @@ class UeStack:
                 cqi_bits = tuple(int(b) for b in np.binary_repr(cqi, 4))
                 self.stats["cqi_sent"] = self.stats.get("cqi_sent", 0) + 1
             # ACKs ride the PUSCH as UCI (ue_ul.c uci multiplexing)
-            uci = UciCfg(cqi_bits=cqi_bits, ack=tuple(b for _, b in acks or ()))
+            uci = UciCfg(cqi_bits=cqi_bits, ack=tuple(b for _, b, _t in acks or ()))
         # watch the PHICH for this transmission (ul_harq.cc role)
         self._ul_inflight[tdd.phich_tti(self.tdd, tti)] = (grant, tb_bits, tx_count)
         samples = ue_ul_encode(self.cell, sf_idx, pusch=(grant, tb_bits), uci=uci)

@@ -87,6 +87,79 @@ def _f1_alpha_cover(cell: Cell, cfg: PucchConfig, ns: int):
     return shifts, cover
 
 
+# --- TDD HARQ-ACK multiplexing with channel selection -----------------------
+# TS 36.213 Tables 10.1.3-2/3/4, mirrored row-for-row from the reference's
+# get_npucch_tdd (pucch_proc.c:470-585).  States: 1=ACK, 0=NACK, 2=DTX;
+# "ND" matches NACK or DTX.
+ACK, NACK, DTX = 1, 0, 2
+_CS_ROWS = {
+    2: [
+        (("A", "A"), 3, 1), (("A", "ND"), 1, 0), (("ND", "A"), 0, 1),
+        (("ND", "N"), 2, 1), (("N", "D"), 2, 0),
+    ],
+    3: [
+        (("A", "A", "A"), 3, 2), (("A", "A", "ND"), 3, 1), (("A", "ND", "A"), 3, 0),
+        (("A", "ND", "ND"), 1, 0), (("ND", "A", "A"), 2, 2), (("ND", "A", "ND"), 0, 1),
+        (("ND", "ND", "A"), 0, 2), (("D", "D", "N"), 1, 2), (("D", "N", "ND"), 2, 1),
+        (("N", "ND", "ND"), 2, 0),
+    ],
+    4: [
+        (("A", "A", "A", "A"), 3, 1), (("A", "A", "A", "ND"), 2, 1),
+        (("ND", "ND", "N", "D"), 3, 2), (("A", "A", "ND", "A"), 2, 1),
+        (("N", "D", "D", "D"), 2, 0), (("A", "A", "ND", "ND"), 2, 1),
+        (("A", "ND", "A", "A"), 1, 3), (("ND", "ND", "ND", "N"), 3, 3),
+        (("A", "ND", "A", "N"), 2, 1), (("A", "ND", "ND", "A"), 1, 0),
+        (("A", "ND", "ND", "ND"), 3, 0), (("ND", "A", "A", "A"), 1, 3),
+        (("ND", "N", "D", "D"), 0, 1), (("ND", "A", "A", "ND"), 2, 2),
+        (("ND", "A", "ND", "A"), 2, 3), (("ND", "A", "ND", "ND"), 1, 1),
+        (("ND", "ND", "A", "A"), 1, 3), (("ND", "ND", "A", "ND"), 0, 2),
+        (("ND", "ND", "ND", "A"), 0, 3),
+    ],
+}
+
+
+def _cs_match(cond: str, state: int) -> bool:
+    return {"A": state == ACK, "N": state == NACK, "D": state == DTX,
+            "ND": state in (NACK, DTX)}[cond]
+
+
+def tdd_channel_selection(states: list[int]) -> tuple[int, tuple[int, int]]:
+    """HARQ-ACK multiplexing: M∈{1..4} ACK/NACK/DTX states → (resource
+    index, (b0, b1)) for PUCCH format 1b with channel selection."""
+    m = len(states)
+    if m == 1:
+        return 0, (states[0] == ACK, 0)
+    for conds, b01, res in _CS_ROWS[m]:
+        if all(_cs_match(c, s) for c, s in zip(conds, states)):
+            return res, (b01 >> 1, b01 & 1)
+    return 0, (0, 0)  # all-DTX-like: nothing to send (caller may skip)
+
+
+@lru_cache(maxsize=8)
+def _cs_decode_table(m: int):
+    """(res, b01) → per-subframe ACK booleans.
+
+    The spec tables are NOT injective (several state patterns share one
+    constellation point — a known property of TDD channel selection), so
+    the decoder takes the INTERSECTION of ACK positions over all rows
+    mapping to the point: a position reads ACK only when every candidate
+    pattern agrees.  An uncertain ACK decodes as NACK → a spurious
+    retransmission, never a false delivery."""
+    table: dict = {}
+    for conds, b01, res in _CS_ROWS[m]:
+        key = (res, b01)
+        mask = tuple(c == "A" for c in conds)
+        if key in table:
+            table[key] = tuple(a and b for a, b in zip(table[key], mask))
+        else:
+            table[key] = mask
+    return table
+
+
+def tdd_channel_selection_decode(res: int, b0: int, b1: int, m: int) -> tuple[bool, ...]:
+    return _cs_decode_table(m).get((res, 2 * b0 + b1), (False,) * m)
+
+
 def pucch_format1_encode_np(cell: Cell, cfg: PucchConfig, sf_idx: int, bits) -> np.ndarray:
     """Format 1/1a/1b: 0 (SR), 1 or 2 bits → (nsymb_sf, 12) PRB-local grid.
 
