@@ -162,6 +162,7 @@ class _EnbUe:
     cf_preamble: int = -1  # dedicated contention-free preamble (HO target)
     scell_state: int = 0  # 0 = none, 1 = SCell reconfig sent, 2 = configured+activated
     last_ul_snr_db: float | None = None  # drives the TPC loop
+    last_cqi_tti: int = -(10 ** 6)  # aperiodic-CQI staleness tracking
     is_ho_target: bool = False
     s1_ho: bool = False  # target admitted via S1 HandoverRequest
     ho_in_flight: bool = False  # source-side guard
@@ -231,6 +232,8 @@ class EnbStack:
         # per-retx softbuffer chain (pusch_tti -> (softbuffers, tx_count))
         self.pending_phich: dict[int, list[tuple[int, int, int]]] = {}
         self._ul_harq: dict[int, tuple] = {}
+        self._apcqi: set[int] = set()  # PUSCH ttis carrying aperiodic CQI
+        self.apcqi_interval = 40  # request when the last report is stale
         self.gtpu = GtpuEndpoint()
         self.tti = 0
         self.stats = {"prach_detected": 0, "ul_crc_ok": 0, "ul_crc_ko": 0, "ue_released": 0}
@@ -587,14 +590,16 @@ class EnbStack:
             rx_grid = enb_ul_fft(self.cell, samples[None])
             ue_ctx = self.ues.get(rnti)
             exp_acks = [e for e in getattr(self, "_pusch_acks", []) if e["rnti"] == rnti]
-            want_cqi = (cqi_on_pusch(tti) and ue_ctx is not None
-                        and ue_ctx.rrc_state >= self.RRC_ACTIVE)
+            apcqi = tti in self._apcqi
+            self._apcqi.discard(tti)
+            want_cqi = apcqi or (cqi_on_pusch(tti) and ue_ctx is not None
+                                 and ue_ctx.rrc_state >= self.RRC_ACTIVE)
             # around RRC state transitions the two ends can disagree for a
             # round-trip on whether periodic CQI has started; a wrong UCI
             # layout corrupts the data decode, so on CRC failure retry the
             # flipped-CQI hypothesis (blind UCI-presence detection)
             cqi_hyps = [want_cqi]
-            if cqi_on_pusch(tti) and ue_ctx is not None:
+            if (cqi_on_pusch(tti) or apcqi) and ue_ctx is not None:
                 cqi_hyps.append(not want_cqi)
             from ..phy.phch.pusch import UciCfg
 
@@ -645,6 +650,8 @@ class EnbStack:
             if uci_out is not None and uci_out["cqi_bits"]:
                 cqi = int("".join(str(b) for b in uci_out["cqi_bits"]), 2)
                 self.sched.cqi_info(rnti, cqi)
+                if ue_ctx is not None:
+                    ue_ctx.last_cqi_tti = tti
                 self.stats["cqi_rx"] = self.stats.get("cqi_rx", 0) + 1
             if exp_acks:
                 # trust UCI ack bits only when the PUSCH CRC confirms the
@@ -828,8 +835,18 @@ class EnbStack:
                 for ug in ul_grants:
                     if (tti + ul_delay) in self.pending_ul:
                         break  # one PUSCH per TTI
+                    # aperiodic CQI request (dci.c cqi_request / TS 36.213
+                    # §7.2.1): ask when the last report has gone stale
+                    ue_g = self.ues.get(ug.rnti)
+                    apcqi = (ue_g is not None and ue_g.rrc_state >= self.RRC_ACTIVE
+                             and tti - getattr(ue_g, "last_cqi_tti", -10**6) > self.apcqi_interval)
+                    if apcqi:
+                        self._apcqi.add(tti + ul_delay)
+                        ue_g.last_cqi_tti = tti  # don't re-request while in flight
+                        self.stats["apcqi_req"] = self.stats.get("apcqi_req", 0) + 1
                     dci0 = Dci0(riv=riv_encode(self.cell.nof_prb, ug.rb_start, ug.l_crb),
-                                mcs=ug.mcs, ndi=ug.ndi, tpc=self._tpc_cmd(ug.rnti))
+                                mcs=ug.mcs, ndi=ug.ndi, tpc=self._tpc_cmd(ug.rnti),
+                                cqi_request=apcqi)
                     loc = alloc_cce(ug.rnti)
                     if loc is None:
                         continue
@@ -964,6 +981,7 @@ class UeStack:
         # closed-loop UL power control (TS 36.213 §5.1.1.1 accumulated
         # TPC; ue_ul.c power-control state): dB applied to PUSCH samples
         self.ul_gain_db = 0.0
+        self._apcqi_tx: set[int] = set()  # aperiodic-CQI PUSCH ttis
         self.prach_cfg = PrachConfig()
         self.ip_rx: list[bytes] = []
         self.ip_tx_queue: list[bytes] = []
@@ -1131,6 +1149,8 @@ class UeStack:
                     # accumulated TPC (Table 5.1.1.1-2: -1, 0, +1, +3 dB)
                     self.ul_gain_db = float(np.clip(
                         self.ul_gain_db + (-1, 0, 1, 3)[dci0.tpc], -20.0, 20.0))
+                    if dci0.cqi_request:
+                        self._apcqi_tx.add(tti + delay)
                     rb0, l_crb = riv_decode(self.cell.nof_prb, dci0.riv)
                     self.pending_tx[tti + delay] = UlGrant(
                         prb_start=rb0, nof_prb=l_crb, mod=ul_mcs_to_mod(dci0.mcs),
@@ -1406,7 +1426,9 @@ class UeStack:
     def _encode_pusch(self, tti: int, sf_idx: int, grant: UlGrant, tb_bits,
                       tx_count: int, acks) -> np.ndarray:
         uci = None
-        want_cqi = cqi_on_pusch(tti) and self.rrc_state == self.RRC_ACTIVE
+        want_cqi = ((cqi_on_pusch(tti) or tti in self._apcqi_tx)
+                    and self.rrc_state == self.RRC_ACTIVE)
+        self._apcqi_tx.discard(tti)
         if want_cqi or acks:
             from ..phy.phch.pusch import UciCfg
 

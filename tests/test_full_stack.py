@@ -361,3 +361,28 @@ def test_ul_closed_loop_power_control():
     assert max(gains) <= 20.0
     # still passing data at the converged operating point
     assert enb.stats["ul_crc_ok"] > 20
+
+
+def test_aperiodic_cqi_request():
+    """Aperiodic CQI: the eNB sets cqi_request in DCI0 when the last
+    report is stale (TS 36.213 §7.2.1); the UE answers with CQI on that
+    PUSCH outside its periodic schedule."""
+    cell = Cell(nof_prb=15, nof_ports=1, id=7)
+    hss = Hss()
+    hss.add_subscriber(Subscriber("ue1", IMSI, KEY, OPC, amf=b"\x80\x00", sqn=0))
+    spgw = Spgw()
+    mme = Mme(hss, spgw)
+    enb = EnbStack(cell, mme, spgw, mcs=5)
+    enb.apcqi_interval = 12
+    ue = UeStack(cell, Usim(IMSI, KEY, OPC))
+
+    ul = None
+    for _ in range(200):
+        dl = enb.run_tti(ul)
+        ul = ue.run_tti(dl)
+        if enb.stats.get("apcqi_req", 0) >= 2 and enb.stats.get("cqi_rx", 0) >= 2:
+            break
+    assert enb.stats.get("apcqi_req", 0) >= 2
+    assert enb.stats.get("cqi_rx", 0) >= 2
+    reported = enb.sched.ues[next(iter(enb.sched.ues))].cqi
+    assert 1 <= reported <= 15
