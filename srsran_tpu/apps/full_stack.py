@@ -754,6 +754,7 @@ class EnbStack:
                 prb=tuple(range(rb_start, rb_start + l_crb)),
                 mod=Mod.QPSK if is_common else dl_mcs_to_mod(mcs),
                 tbs=tbs_bits, rnti=rnti, rv=rv,
+                tx_scheme="diversity" if max(self.cell.nof_ports, 1) >= 2 else "port0",
             )
             sched.dcis.append((dci.pack(self.cell.nof_prb, tdd=is_tdd), rnti, agg, cce))
             sched.grants.append((grant, tb_bits))
@@ -872,6 +873,11 @@ class EnbStack:
                         e["on_pusch"] = True
         _, samples = enb_dl_subframe(self.cell, sf_idx, sched, mib=self.mib,
                                      sfn=(tti // 10) % 1024, tdd=self.tdd)
+        if samples.shape[0] >= 2:
+            # the harness link carries ONE stream per cell: emit the
+            # superposition at the UE antenna (flat [1,1] MISO channel —
+            # per-port CRS keeps the SFBC combinable for any h)
+            return samples.sum(axis=0)
         return samples[0]
 
     UL_SNR_TARGET_DB = 20.0
@@ -926,7 +932,8 @@ class EnbStack:
             dci = Dci1A(riv=riv_encode(self.scell.nof_prb, g.rb_start, g.l_crb),
                         mcs=g.mcs, ndi=g.ndi, rv=g.rv, harq_pid=g.harq_pid)
             grant = DlGrant(prb=tuple(range(g.rb_start, g.rb_start + g.l_crb)),
-                            mod=dl_mcs_to_mod(g.mcs), tbs=tbs_bits, rnti=g.rnti, rv=g.rv)
+                            mod=dl_mcs_to_mod(g.mcs), tbs=tbs_bits, rnti=g.rnti, rv=g.rv,
+                            tx_scheme="diversity" if max(self.scell.nof_ports, 1) >= 2 else "port0")
             sched.dcis.append((dci.pack(self.scell.nof_prb), g.rnti, loc[0], loc[1]))
             sched.grants.append((grant, tb_bits))
             self.scell_sched.ack_info(g.rnti, g.harq_pid, True)

@@ -99,11 +99,12 @@ def enb_dl_subframe(
         else:
             grid[0].reshape(-1)[idx] = syms
 
-    pcfich_put_np(grid[0], cell, sf_idx, sched.cfi)
+    ctrl_grid = grid if nof_ports >= 2 else grid[0]
+    pcfich_put_np(ctrl_grid, cell, sf_idx, sched.cfi)
     for group, n_seq, ack in sched.phich:
-        phich_put_np(grid[0], cell, sf_idx, group, n_seq, ack)
+        phich_put_np(ctrl_grid, cell, sf_idx, group, n_seq, ack)
     for dci_bits, rnti, agg, cce in sched.dcis:
-        pdcch_put_np(grid[0], cell, sf_idx, sched.cfi, dci_bits, rnti, agg, cce)
+        pdcch_put_np(ctrl_grid, cell, sf_idx, sched.cfi, dci_bits, rnti, agg, cce)
     for grant, tb in sched.grants:
         pg = pdsch_encode_np(cell, sf_idx, sched.cfi, grant, tb,
                              tdd=tdd is not None, last_symbol=last_symbol)

@@ -45,10 +45,22 @@ def pcfich_re_indices(cell: Cell) -> np.ndarray:
 
 
 def pcfich_put_np(grid: np.ndarray, cell: Cell, sf_idx: int, cfi: int):
+    """grid: (nsymb, nre) single-port, or (nports, nsymb, nre) — 2+ ports
+    get SFBC transmit diversity like every control channel (TS 36.211
+    §6.7.3 layer mapping/precoding as for PBCH)."""
     cw = cfi_codeword(cfi)
     seq = gold_sequence(pcfich_cinit(sf_idx, cell.id), CFI_LEN)
     sym = np.asarray(modulate(Mod.QPSK, cw ^ seq))
-    grid[0, pcfich_re_indices(cell)] = sym
+    idx = pcfich_re_indices(cell)
+    if grid.ndim == 3 and grid.shape[0] >= 2:
+        from ..mimo import precode_diversity2
+
+        ports = np.asarray(precode_diversity2(sym.astype(np.complex64)))
+        grid[0][0, idx] = ports[0]
+        grid[1][0, idx] = ports[1]
+    else:
+        g = grid if grid.ndim == 2 else grid[0]
+        g[0, idx] = sym
     return grid
 
 

@@ -98,7 +98,15 @@ def pdcch_put_np(
     sym = np.asarray(modulate(Mod.QPSK, scr))
     idx = pdcch_re_indices(cell, sf_idx, cfi)
     re_sel = idx[cce_start * 36 : cce_start * 36 + len(sym)]
-    grid.reshape(-1)[re_sel] = sym
+    if grid.ndim == 3 and grid.shape[0] >= 2:
+        from ..mimo import precode_diversity2
+
+        ports = np.asarray(precode_diversity2(sym.astype(np.complex64)))
+        grid[0].reshape(-1)[re_sel] = ports[0]
+        grid[1].reshape(-1)[re_sel] = ports[1]
+    else:
+        g = grid if grid.ndim == 3 else grid
+        (g if g.ndim == 2 else g[0]).reshape(-1)[re_sel] = sym
     return grid
 
 

@@ -63,9 +63,20 @@ def phich_encode(ack: int, n_seq: int) -> np.ndarray:
 
 
 def phich_put_np(grid: np.ndarray, cell: Cell, sf_idx: int, group: int, n_seq: int, ack: int):
+    """grid: (nsymb, nre) or (nports, nsymb, nre) — 2+ ports use SFBC."""
     sym = phich_encode(ack, n_seq)
     signs = gold_sequence_signs(pcfich_cinit(sf_idx, cell.id), PHICH_LEN)
-    grid[0, phich_re_indices(cell, group)] += sym * signs
+    idx = phich_re_indices(cell, group)
+    tx = (sym * signs).astype(np.complex64)
+    if grid.ndim == 3 and grid.shape[0] >= 2:
+        from ..mimo import precode_diversity2
+
+        ports = np.asarray(precode_diversity2(tx))
+        grid[0][0, idx] += ports[0]
+        grid[1][0, idx] += ports[1]
+    else:
+        g = grid if grid.ndim == 2 else grid[0]
+        g[0, idx] += tx
     return grid
 
 

@@ -76,11 +76,19 @@ def ue_dl_decode_subframe(
     res.snr_db = float(10 * np.log10(np.mean(np.asarray(ch["snr"])) + 1e-12))
 
     ce0 = ce[0, 0].reshape(-1)
+    nports_cell = min(max(cell.nof_ports, 1), 2)
 
     def equalize(idx):
         y = grid[0].reshape(-1)[idx]
-        h = ce0[idx]
-        return y * np.conj(h) / (np.abs(h) ** 2 + noise)
+        if nports_cell == 1:
+            h = ce0[idx]
+            return y * np.conj(h) / (np.abs(h) ** 2 + noise)
+        # 2-port cell: control channels carry SFBC (TS 36.211 §6.7-6.9)
+        from ..mimo import predecode_diversity2
+
+        h2 = ce[0, :2].reshape(2, -1)[:, idx]
+        x, _ = predecode_diversity2(y[None, :], h2[None])
+        return np.asarray(x).reshape(-1)
 
     # CFI
     if known_cfi is None:
@@ -120,6 +128,7 @@ def ue_dl_decode_subframe(
             from ..phch.ra import tbs_lookup
             from ..modem import Mod
 
+            scheme = "diversity" if nports_cell >= 2 else "port0"
             n_prb_1a = 3 if (dci.tpc & 1) else 2
             grant = DlGrant(
                 prb=tuple(range(rb0, rb0 + l_crb)),
@@ -127,14 +136,17 @@ def ue_dl_decode_subframe(
                 tbs=tbs_lookup(dci.mcs, n_prb_1a),
                 rv=dci.rv,
                 rnti=rnti,
+                tx_scheme=scheme,
             )
         else:
+            scheme = "diversity" if nports_cell >= 2 else "port0"
             grant = DlGrant(
                 prb=tuple(range(rb0, rb0 + l_crb)),
                 mod=dl_mcs_to_mod(dci.mcs),
                 tbs=dl_tbs(dci.mcs, l_crb, dwpts=last_symbol is not None),
                 rv=dci.rv,
                 rnti=rnti,
+                tx_scheme=scheme,
             )
         # HARQ soft combining: the caller's per-process dict carries
         # (ndi, softbuffers) between retransmissions (softbuffer.c role);

@@ -386,3 +386,35 @@ def test_aperiodic_cqi_request():
     assert enb.stats.get("cqi_rx", 0) >= 2
     reported = enb.sched.ues[next(iter(enb.sched.ues))].cqi
     assert 1 <= reported <= 15
+
+
+def test_two_port_tm2_attach_and_traffic():
+    """TM2 end-to-end: a 2-port cell runs the whole stack with SFBC on
+    PBCH, PCFICH/PHICH/PDCCH (TS 36.211 §6.7-6.9 transmit diversity) and
+    PDSCH; the UE Alamouti-combines control and data from per-port CRS."""
+    cell = Cell(nof_prb=15, nof_ports=2, id=7)
+    hss = Hss()
+    hss.add_subscriber(Subscriber("ue1", IMSI, KEY, OPC, amf=b"\x80\x00", sqn=0))
+    spgw = Spgw()
+    mme = Mme(hss, spgw)
+    enb = EnbStack(cell, mme, spgw, mcs=5)
+    ue = UeStack(cell, Usim(IMSI, KEY, OPC))
+
+    ul = None
+    for _ in range(140):
+        dl = enb.run_tti(ul)
+        assert dl.ndim == 1  # one combined stream at the UE antenna
+        ul = ue.run_tti(dl)
+        if ue.rrc_state == UeStack.RRC_ACTIVE and ue.nas.state == ue.nas.REGISTERED:
+            break
+    assert ue.nas.state == ue.nas.REGISTERED
+
+    pkts = [bytes([0x30 + i]) * 70 for i in range(3)]
+    for p in pkts:
+        spgw.sgi_tx(ue.ue_ip, p)
+    for _ in range(40):
+        dl = enb.run_tti(ul)
+        ul = ue.run_tti(dl)
+        if len(ue.ip_rx) >= len(pkts):
+            break
+    assert ue.ip_rx[: len(pkts)] == pkts
