@@ -630,6 +630,20 @@ class EnbStack:
             tb, ok = out[0], out[1]
             if not dtx and len(out) > 3 and ue_ctx is not None:
                 ue_ctx.last_ul_snr_db = float(out[3])  # feeds the TPC loop
+            if ok and ue_ctx is not None and ue_ctx.rrc_state >= self.RRC_CONNECTED:
+                # timing-advance maintenance: UL delay from the DMRS phase
+                # ramp across subcarriers → TA MAC CE (mac.cc ta_info →
+                # TS 36.321 §6.1.3.5); 31 = hold
+                from ..phy.chest.chest_ul import chest_ul
+
+                ce_ta, _ = chest_ul(rx_grid, self.cell, grant.prb_start, grant.nof_prb)
+                c = np.asarray(ce_ta)[0]  # (nsymb, m_sc)
+                ramp = np.mean(c[:, 1:] * np.conj(c[:, :-1]))
+                delay = -np.angle(ramp) * self.cell.symbol_sz / (2 * np.pi)
+                if abs(delay) >= 2.0:
+                    cmd = int(np.clip(31 + round(delay), 0, 63))
+                    self.sched.push_ce(rnti, 29, bytes([cmd]))
+                    self.stats["ta_cmd_tx"] = self.stats.get("ta_cmd_tx", 0) + 1
             # UL HARQ: HI on PHICH at §9.1.2 timing; a NACK schedules the
             # non-adaptive retransmission (same PRBs, next rv) and keeps
             # the softbuffer chain for combining (softbuffer.c role at
@@ -989,6 +1003,9 @@ class UeStack:
         # TPC; ue_ul.c power-control state): dB applied to PUSCH samples
         self.ul_gain_db = 0.0
         self._apcqi_tx: set[int] = set()  # aperiodic-CQI PUSCH ttis
+        # timing advance: initial value from the RAR, maintained by TA
+        # MAC CEs (TS 36.321 §6.1.3.5; UE applies it by advancing UL tx)
+        self.ta_samples = 0
         self.prach_cfg = PrachConfig()
         self.ip_rx: list[bytes] = []
         self.ip_tx_queue: list[bytes] = []
@@ -1230,6 +1247,7 @@ class UeStack:
         rapid, ta, grant20, temp_crnti = rar
         if not self.mac.handle_rar(rapid, ta, temp_crnti):
             return
+        self.ta_samples = ta  # initial timing advance from the RAR
         self.stats["rar"] += 1
         if getattr(self, "_ho_in_progress", False):
             # contention-free RA on the HO target: the "temp" C-RNTI is the
@@ -1252,7 +1270,11 @@ class UeStack:
         from ..stack.mac_pdu import LCID_SCELL_ACT, scell_activation_parse
 
         for lcid, sdu in mac_unpack(pdu, ce_sizes=DL_CE_SIZES):
-            if lcid == LCID_SCELL_ACT:
+            if lcid == 29 and len(sdu) == 1:
+                # Timing Advance Command CE: 31 = hold, delta in samples
+                self.ta_samples += int(sdu[0]) - 31
+                self.stats["ta_cmd"] = self.stats.get("ta_cmd", 0) + 1
+            elif lcid == LCID_SCELL_ACT:
                 self.scell_active = bool(scell_activation_parse(sdu)) and self.scell is not None
             elif lcid == LCID_CON_RES:
                 self._con_res_ok = self.mac.handle_contention_resolution(
@@ -1420,11 +1442,13 @@ class UeStack:
                     if resources[res_i] is None:
                         return None  # nothing decodable to anchor on
                     cfgp = PucchConfig(n_pucch=resources[res_i])
-                    return ue_ul_encode(self.cell, sf_idx, pucch1=(cfgp, [b0, b1]))
+                    return ue_ul_encode(self.cell, sf_idx, pucch1=(cfgp, [b0, b1]),
+                                        ta_samples=self.ta_samples)
                 # FDD single ACK (format 1a) or TDD bundling fallback (M>4)
                 bit = 1 if all(b for _, b, _t in acks) else 0
                 cfgp = PucchConfig(n_pucch=acks[-1][0])
-                return ue_ul_encode(self.cell, sf_idx, pucch1=(cfgp, [bit]))
+                return ue_ul_encode(self.cell, sf_idx, pucch1=(cfgp, [bit]),
+                                    ta_samples=self.ta_samples)
             return None
         mac_pdu = self._build_ul_mac_pdu(grant.tbs // 8)
         tb_bits = np.unpackbits(np.frombuffer(mac_pdu, np.uint8))
@@ -1448,7 +1472,8 @@ class UeStack:
             uci = UciCfg(cqi_bits=cqi_bits, ack=tuple(b for _, b, _t in acks or ()))
         # watch the PHICH for this transmission (ul_harq.cc role)
         self._ul_inflight[tdd.phich_tti(self.tdd, tti)] = (grant, tb_bits, tx_count)
-        samples = ue_ul_encode(self.cell, sf_idx, pusch=(grant, tb_bits), uci=uci)
+        samples = ue_ul_encode(self.cell, sf_idx, pusch=(grant, tb_bits), uci=uci,
+                               ta_samples=self.ta_samples)
         if self.ul_gain_db:
             samples = samples * np.float32(10.0 ** (self.ul_gain_db / 20.0))
         return samples

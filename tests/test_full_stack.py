@@ -418,3 +418,43 @@ def test_two_port_tm2_attach_and_traffic():
         if len(ue.ip_rx) >= len(pkts):
             break
     assert ue.ip_rx[: len(pkts)] == pkts
+
+
+def test_timing_advance_maintenance():
+    """TA loop: after attach the UE's UL drifts late by 6 samples; the eNB
+    measures the delay from the PUSCH DMRS phase ramp and sends a Timing
+    Advance Command MAC CE (TS 36.321 §6.1.3.5); the UE advances its UL
+    until the residual is back inside the dead zone."""
+    cell = Cell(nof_prb=15, nof_ports=1, id=7)
+    hss = Hss()
+    hss.add_subscriber(Subscriber("ue1", IMSI, KEY, OPC, amf=b"\x80\x00", sqn=0))
+    spgw = Spgw()
+    mme = Mme(hss, spgw)
+    enb = EnbStack(cell, mme, spgw, mcs=5)
+    ue = UeStack(cell, Usim(IMSI, KEY, OPC))
+    enb.ul_inactivity_timeout = 10_000
+
+    ul = None
+    for _ in range(120):
+        dl = enb.run_tti(ul)
+        ul = ue.run_tti(dl)
+        if ue.rrc_state == UeStack.RRC_ACTIVE and ue.nas.state == ue.nas.REGISTERED:
+            break
+    assert ue.nas.state == ue.nas.REGISTERED
+    ta0 = ue.ta_samples
+    ok0 = enb.stats["ul_crc_ok"]
+
+    drift = 6  # the UE's clock slips: everything it sends arrives late
+    ue.send_ip_packet(b"\x11" * 40)
+    for _ in range(120):
+        dl = enb.run_tti(ul)
+        ul = ue.run_tti(dl)
+        ue.send_ip_packet(b"\x11" * 8)
+        if ul is not None:
+            ul = np.roll(ul, drift)
+        if ue.stats.get("ta_cmd", 0) >= 1 and ue.ta_samples - ta0 >= drift - 1:
+            break
+    assert enb.stats.get("ta_cmd_tx", 0) >= 1
+    assert ue.stats.get("ta_cmd", 0) >= 1
+    assert abs((ue.ta_samples - ta0) - drift) <= 2, ue.ta_samples
+    assert enb.stats["ul_crc_ok"] > ok0  # traffic kept flowing throughout
