@@ -163,6 +163,7 @@ class _EnbUe:
     scell_state: int = 0  # 0 = none, 1 = SCell reconfig sent, 2 = configured+activated
     last_ul_snr_db: float | None = None  # drives the TPC loop
     last_cqi_tti: int = -(10 ** 6)  # aperiodic-CQI staleness tracking
+    is_reest: bool = False  # re-establishment in progress (no NAS attach)
     is_ho_target: bool = False
     s1_ho: bool = False  # target admitted via S1 HandoverRequest
     ho_in_flight: bool = False  # source-side guard
@@ -317,7 +318,7 @@ class EnbStack:
 
     # --- RRC handling ---
     def _handle_ccch(self, ue: _EnbUe, pdu: bytes):
-        kind, _fields = rrc.unpack_ul_ccch(pdu)
+        kind, fields = rrc.unpack_ul_ccch(pdu)
         if kind == "rrc_conn_request" and ue.rrc_state in (self.RRC_IDLE, self.RRC_SETUP_SENT):
             # Msg4: contention-resolution CE (first 48 bits of Msg3) + Setup
             self.sched.push_ce(ue.crnti, LCID_CON_RES, rrc.contention_resolution_id(pdu))
@@ -325,6 +326,39 @@ class EnbStack:
             self.sched.bearer_ue_cfg(ue.crnti, LCID_CCCH, ue.srb0)
             self.sched.bearer_ue_cfg(ue.crnti, LCID_SRB1, ue.srb1_rlc)
             ue.rrc_state = self.RRC_SETUP_SENT
+        elif kind == "rrc_conn_reest_request" and ue.rrc_state in (self.RRC_IDLE, self.RRC_SETUP_SENT):
+            # TS 36.331 §5.3.7 at the eNB (rrc_ue.cc re-establishment):
+            # verify the shortMAC-I against the OLD context, adopt it
+            # under the new C-RNTI (bearers/TEIDs/S1 ids survive)
+            ident = fields["ue_id"]
+            old = self.ues.get(ident["c_rnti"])
+            self.sched.push_ce(ue.crnti, LCID_CON_RES, rrc.contention_resolution_id(pdu))
+            self.sched.bearer_ue_cfg(ue.crnti, LCID_CCCH, ue.srb0)
+            ok = (old is not None and old is not ue and old.k_enb is not None
+                  and ident["pci"] == self.cell.id
+                  and ident["short_mac_i"] == rrc.short_mac_i(
+                      old.k_enb, self.integ_alg, ident["pci"], ident["c_rnti"], self.cell.id))
+            if not ok:
+                ue.srb0.write_sdu(rrc.pack_reest_reject())
+                self.stats["reest_reject"] = self.stats.get("reest_reject", 0) + 1
+                # forget the temporary RA context once the reject drains so
+                # the UE's fallback full attach isn't deduped against it
+                ue.rapid = -1
+                return
+            # context transfer (no path switch: same TEIDs / MME ids)
+            ue.k_enb = old.k_enb
+            ue.mme_ue_id, ue.enb_ue_id = old.mme_ue_id, old.enb_ue_id
+            ue.dl_teid, ue.spgw_teid = old.dl_teid, old.spgw_teid
+            self._by_enb_id[ue.enb_ue_id] = ue
+            del self.ues[old.crnti]
+            self.sched.ue_rem(old.crnti)
+            ue.srb1_pdcp, ue.drb_pdcp = _bearer_set(
+                ue.k_enb, self.cipher_alg, self.integ_alg, is_enb=True)
+            ue.is_reest = True
+            ue.srb0.write_sdu(rrc.pack_reest(ncc=0))
+            self.sched.bearer_ue_cfg(ue.crnti, LCID_SRB1, ue.srb1_rlc)
+            ue.rrc_state = self.RRC_SETUP_SENT
+            self.stats["reest_ok"] = self.stats.get("reest_ok", 0) + 1
 
     def _handle_srb1(self, ue: _EnbUe, pdcp_pdu: bytes):
         rrc_pdu = ue.srb1_pdcp.write_pdu(pdcp_pdu)
@@ -336,6 +370,13 @@ class EnbStack:
             self._s1ap_send(
                 s1ap.pack_initial_ue_message(ue.enb_ue_id, body["ded_info_nas"])
             )
+        elif kind == "rrc_conn_reest_complete":
+            # resume the data bearer on the re-established connection
+            # (no NAS signalling: the core never sees the RLF)
+            ue.is_reest = False
+            self._send_srb1(ue, rrc.pack_reconfiguration(
+                drb_id=1, lcid=LCID_DRB1, eps_bearer_id=5, meas_cfg=self.meas_cfg))
+            ue.rrc_state = self.RRC_RECONF_SENT
         elif kind == "ul_info_transfer":
             self._s1ap_send(
                 s1ap.pack_ul_nas(ue.mme_ue_id or 0, ue.enb_ue_id, body["ded_info_type"][1])
@@ -566,7 +607,11 @@ class EnbStack:
             win = samples[cp : cp + prach_nfft(self.cell)]
             if len(win) == prach_nfft(self.cell) and np.mean(np.abs(win) ** 2) > 1e-6:
                 metric, delay, det = [np.asarray(v) for v in prach_detect(self.cell, self.prach_cfg, win)]
-                known = {u.rapid for u in self.ues.values()}
+                # dedup only against RA still in progress: an ESTABLISHED
+                # UE arriving again with the same preamble is legitimate
+                # (re-establishment after RLF)
+                known = {u.rapid for u in self.ues.values()
+                         if u.rrc_state < self.RRC_CONNECTED}
                 for rapid in np.nonzero(det)[0]:
                     rapid = int(rapid)
                     if rapid in known or any(r[0] == rapid for r in self.pending_rars):
@@ -975,6 +1020,7 @@ class UeStack:
         self.acquire_si = acquire_si
         self.sib1: dict | None = None
         self.sib2: dict | None = None
+        self._reest_ctx = None  # (crnti, pci, k_enb, ciph, integ) after RLF
         self.cfi = cfi
         self.nas = UeNas(usim)
         self.mac = UeMac()
@@ -1055,9 +1101,20 @@ class UeStack:
                 self._declare_rlf()
 
     def _declare_rlf(self):
-        """T310 expiry → RLF → release and re-establish via a fresh RA
-        (rrc.cc radio-link-failure handling; here: full re-attach)."""
+        """T310 expiry → RLF.  With a valid AS security context the UE
+        attempts RRC connection re-establishment (TS 36.331 §5.3.7 /
+        rrc.cc re-establishment): the NAS context and IP survive; only
+        on reject does it fall back to a full re-attach."""
         self.stats["rlf"] += 1
+        if (self.rrc_state >= self.RRC_CONNECTED and self.crnti is not None
+                and self.integ_alg):
+            self._reest_ctx = (self.crnti, self.cell.id, self.nas.get_k_enb(),
+                               self.cipher_alg, self.integ_alg)
+        else:
+            self._reest_ctx = None
+        self._reset_connection(keep_nas=self._reest_ctx is not None)
+
+    def _reset_connection(self, keep_nas: bool):
         self.rrc_state = self.RRC_IDLE
         self.crnti = None
         self.msg3 = None
@@ -1071,7 +1128,8 @@ class UeStack:
         self.srb1_rlc, self.drb_rlc = RlcAm(), RlcAm()
         self.srb1_pdcp, self.drb_pdcp = _bearer_set(None, 0, 0, is_enb=False)
         self.cipher_alg = self.integ_alg = 0
-        self.nas = UeNas(self.nas.usim)
+        if not keep_nas:
+            self.nas = UeNas(self.nas.usim)
         self._oos_count = 0
         self._t310 = -1
 
@@ -1260,8 +1318,15 @@ class UeStack:
             return
         self.crnti = temp_crnti
         self.rrc_state = self.RRC_WAIT_SETUP
-        # Msg3 = RRC ConnectionRequest on CCCH at the granted PUSCH occasion
-        self.msg3 = rrc.pack_conn_request(self.ue_identity)
+        ctx = getattr(self, "_reest_ctx", None)
+        if ctx is not None:
+            # Msg3 = RRCConnectionReestablishmentRequest with shortMAC-I
+            old_crnti, pci, k_enb, _ciph, integ = ctx
+            mac_i = rrc.short_mac_i(k_enb, integ, pci, old_crnti, self.cell.id)
+            self.msg3 = rrc.pack_reest_request(old_crnti, pci, mac_i)
+        else:
+            # Msg3 = RRC ConnectionRequest on CCCH
+            self.msg3 = rrc.pack_conn_request(self.ue_identity)
         self._msg3_sdu = self.msg3  # kept for MAC contention resolution
         delay = _pusch_delay(self.tdd, tti) or FB_DELAY
         self.pending_tx[tti + delay] = _msg3_grant(self.cell, temp_crnti, grant20)
@@ -1294,10 +1359,23 @@ class UeStack:
                         self.ip_rx.append(pkt)
 
     def _handle_ccch(self, sdu: bytes):
-        kind, _body = rrc.unpack_dl_ccch(sdu)
+        kind, body = rrc.unpack_dl_ccch(sdu)
         if kind == "rrc_conn_setup" and getattr(self, "_con_res_ok", False):
             self.rrc_state = self.RRC_CONNECTED
             self._send_srb1(rrc.pack_conn_setup_complete(self.nas.attach_request()))
+        elif kind == "rrc_conn_reest" and getattr(self, "_con_res_ok", False):
+            # resume AS security with the kept KeNB (ncc 0 = horizontal)
+            _oc, _pci, k_enb, ciph, integ = self._reest_ctx
+            self._reest_ctx = None
+            self.cipher_alg, self.integ_alg = ciph, integ
+            self.srb1_pdcp, self.drb_pdcp = _bearer_set(k_enb, ciph, integ, is_enb=False)
+            self.rrc_state = self.RRC_CONNECTED
+            self.stats["reest"] = self.stats.get("reest", 0) + 1
+            self._send_srb1(rrc.pack_reest_complete())
+        elif kind == "rrc_conn_reest_reject":
+            # no context at the eNB → fall back to a full attach
+            self._reest_ctx = None
+            self._reset_connection(keep_nas=False)
 
     def _handle_srb1(self, pdcp_pdu: bytes):
         rrc_pdu = self.srb1_pdcp.write_pdu(pdcp_pdu)

@@ -220,6 +220,59 @@ def _default_drb(drb_id: int, lcid: int, eps_bearer_id: int) -> dict:
     }
 
 
+# ---------------------------------------------------------- re-establishment
+
+
+def short_mac_i(k_enb: bytes, integ_alg: int, pci: int, crnti: int, cell_id: int) -> int:
+    """16-bit shortMAC-I over VarShortMAC-Input (TS 36.331 §7.4: cellId,
+    physCellId, c-RNTI) with COUNT/bearer/direction all-ones as in the
+    reference's rrc.cc re-establishment token."""
+    from . import security as sec
+
+    _, k_int, _ = sec.generate_as_keys(k_enb, 0, integ_alg)
+    payload = cell_id.to_bytes(4, "big") + pci.to_bytes(2, "big") + crnti.to_bytes(2, "big")
+    eia = {1: sec.eia1, 2: sec.eia2, 3: sec.eia3}[integ_alg]
+    mac = eia(k_int, 0xFFFFFFFF, 0x1F, 1, payload)
+    return int.from_bytes(mac[-2:], "big")
+
+
+def pack_reest_request(crnti: int, pci: int, mac_i: int, cause: str = "other_fail") -> bytes:
+    v = {"msg": ("c1", ("rrc_conn_reest_request", {
+        "crit_exts": ("rrc_conn_reest_request_r8", {
+            "ue_id": {"c_rnti": crnti, "pci": pci, "short_mac_i": mac_i},
+            "reest_cause": cause,
+            "spare": 0,
+        }),
+    }))}
+    return asn1.UL_CCCH_MESSAGE.to_bytes(v)
+
+
+def pack_reest(ncc: int = 0, transaction_id: int = 0) -> bytes:
+    v = {"msg": ("c1", ("rrc_conn_reest", {
+        "rrc_transaction_id": transaction_id,
+        "crit_exts": ("c1", ("rrc_conn_reest_r8", {
+            "rr_cfg_ded": {},
+            "next_hop_chaining_count": ncc,
+        })),
+    }))}
+    return asn1.DL_CCCH_MESSAGE.to_bytes(v)
+
+
+def pack_reest_reject() -> bytes:
+    v = {"msg": ("c1", ("rrc_conn_reest_reject", {
+        "crit_exts": ("rrc_conn_reest_reject_r8", {}),
+    }))}
+    return asn1.DL_CCCH_MESSAGE.to_bytes(v)
+
+
+def pack_reest_complete(transaction_id: int = 0) -> bytes:
+    v = {"msg": ("c1", ("rrc_conn_reest_complete", {
+        "rrc_transaction_id": transaction_id,
+        "crit_exts": ("rrc_conn_reest_complete_r8", {}),
+    }))}
+    return asn1.UL_DCCH_MESSAGE.to_bytes(v)
+
+
 # ------------------------------------------------------------------ BCCH-DL-SCH
 
 

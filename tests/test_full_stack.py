@@ -458,3 +458,50 @@ def test_timing_advance_maintenance():
     assert ue.stats.get("ta_cmd", 0) >= 1
     assert abs((ue.ta_samples - ta0) - drift) <= 2, ue.ta_samples
     assert enb.stats["ul_crc_ok"] > ok0  # traffic kept flowing throughout
+
+
+def test_rrc_reestablishment_preserves_session():
+    """RRC connection re-establishment (TS 36.331 §5.3.7): after a short
+    outage the UE re-establishes with shortMAC-I instead of re-attaching —
+    same IP and NAS context, core network never notices; only a rejected
+    request (old test above: context released) falls back to re-attach."""
+    cell = Cell(nof_prb=15, nof_ports=1, id=7)
+    hss = Hss()
+    hss.add_subscriber(Subscriber("ue1", IMSI, KEY, OPC, amf=b"\x80\x00", sqn=0))
+    spgw = Spgw()
+    mme = Mme(hss, spgw)
+    enb = EnbStack(cell, mme, spgw, mcs=5)
+    enb.ul_inactivity_timeout = 10_000  # context survives the outage
+    ue = UeStack(cell, Usim(IMSI, KEY, OPC))
+
+    ul = None
+
+    def run(n, outage=False):
+        nonlocal ul
+        for _ in range(n):
+            dl = enb.run_tti(ul)
+            if outage:
+                dl = np.zeros_like(dl)
+            ul = ue.run_tti(dl)
+            if outage:
+                ul = None
+
+    run(120)
+    assert ue.nas.state == ue.nas.REGISTERED
+    ip0 = ue.ue_ip
+    crnti0 = ue.crnti
+
+    run(40, outage=True)  # enough for N310/T310 → RLF
+    assert ue.stats["rlf"] == 1
+    run(150)
+    assert ue.stats.get("reest", 0) == 1
+    assert enb.stats.get("reest_ok", 0) == 1
+    assert ue.rrc_state == UeStack.RRC_ACTIVE
+    assert ue.ue_ip == ip0  # session survived — no new attach
+    assert ue.crnti != crnti0  # but on a fresh C-RNTI
+    assert ue.nas.state == ue.nas.REGISTERED
+
+    # traffic still flows on the preserved bearer (same TEIDs)
+    spgw.sgi_tx(ue.ue_ip, b"\xcd" * 50)
+    run(30)
+    assert b"\xcd" * 50 in ue.ip_rx
