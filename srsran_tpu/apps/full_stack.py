@@ -76,6 +76,14 @@ def _phich_resource(cell: Cell, grant: UlGrant) -> tuple[int, int]:
 
 UL_HARQ_MAX_TX = 4  # 1 + 3 retransmissions (reference harq default)
 
+SRS_SF = 3  # cell-specific SRS subframe (srs-SubframeConfig analog)
+
+
+def _is_srs_sf(enabled: bool, tdd_cfg, tti: int) -> bool:
+    """Cell-specific SRS subframe: sf 3 each frame (a U subframe in every
+    TDD config); PUSCH there uses the shortened format."""
+    return enabled and tti % 10 == SRS_SF
+
 
 def _pusch_delay(tdd_cfg, tti: int) -> int | None:
     """Grant-to-PUSCH delay from DL subframe ``tti``; None when ``tti``
@@ -164,6 +172,7 @@ class _EnbUe:
     last_ul_snr_db: float | None = None  # drives the TPC loop
     last_cqi_tti: int = -(10 ** 6)  # aperiodic-CQI staleness tracking
     is_reest: bool = False  # re-establishment in progress (no NAS attach)
+    srs_snr_db: float | None = None  # wideband sounding measurement
     is_ho_target: bool = False
     s1_ho: bool = False  # target admitted via S1 HandoverRequest
     ho_in_flight: bool = False  # source-side guard
@@ -194,7 +203,7 @@ class EnbStack:
 
     def __init__(self, cell: Cell, mme: Mme, spgw: Spgw, crnti: int = 0x46, mcs: int = 5, cfi: int = 2,
                  enb_id: int = 0x19B, tdd_cfg: tdd.TddConfig | None = None,
-                 scell: Cell | None = None):
+                 scell: Cell | None = None, srs_enabled: bool = False):
         self.cell = cell
         self.tdd = tdd_cfg
         self.prach_sf = _prach_sf(tdd_cfg)
@@ -235,6 +244,7 @@ class EnbStack:
         self._ul_harq: dict[int, tuple] = {}
         self._apcqi: set[int] = set()  # PUSCH ttis carrying aperiodic CQI
         self.apcqi_interval = 40  # request when the last report is stale
+        self.srs_enabled = srs_enabled  # cell-specific SRS subframes active
         self.gtpu = GtpuEndpoint()
         self.tti = 0
         self.stats = {"prach_detected": 0, "ul_crc_ok": 0, "ul_crc_ko": 0, "ue_released": 0}
@@ -626,6 +636,21 @@ class EnbStack:
                         ue = self._new_ue(rapid)
                         self.pending_rars.append((rapid, ta, ue.crnti))
                     self.stats["prach_detected"] += 1
+        # SRS measurement on the cell-specific sounding subframe
+        srs_sf = _is_srs_sf(self.srs_enabled, self.tdd, tti)
+        if srs_sf and self.ues:
+            from ..phy.chest.srs import srs_estimate
+
+            rx_grid_srs = enb_ul_fft(self.cell, samples[None])
+            ce_s, snr_lin = [np.asarray(v) for v in srs_estimate(
+                rx_grid_srs, self.cell, 0, self.cell.nof_prb)]
+            pwr = float(np.mean(np.abs(ce_s) ** 2))
+            if pwr > 1e-6:  # a UE actually sounded
+                snr = 10 * np.log10(float(np.mean(snr_lin)) + 1e-12)
+                for u in self.ues.values():
+                    if u.rrc_state >= self.RRC_ACTIVE:
+                        u.srs_snr_db = snr
+                self.stats["srs_meas"] = self.stats.get("srs_meas", 0) + 1
         # scheduled PUSCH
         if tti in self.pending_ul:
             rnti, grant = self.pending_ul.pop(tti)
@@ -668,7 +693,8 @@ class EnbStack:
                     uci_exp = UciCfg(cqi_bits=(0, 0, 0, 0) if wc else (),
                                      ack=(0,) * len(exp_acks))
                 out = enb_ul_decode_pusch(self.cell, sf_idx, rx_grid, grant,
-                                          softbuffers=sb_in, uci=uci_exp)
+                                          softbuffers=sb_in, uci=uci_exp,
+                                          shortened=srs_sf)
                 uci_out = out[4] if uci_exp is not None else None
                 if out[1]:
                     break
@@ -1010,7 +1036,9 @@ class UeStack:
     RRC_IDLE, RRC_WAIT_RAR, RRC_WAIT_SETUP, RRC_CONNECTED, RRC_ACTIVE = range(5)
 
     def __init__(self, cell: Cell, usim: Usim, cfi: int = 2, preamble: int = 17, attach_delay: int = 0,
-                 tdd_cfg: tdd.TddConfig | None = None, acquire_si: bool = False):
+                 tdd_cfg: tdd.TddConfig | None = None, acquire_si: bool = False,
+                 srs_enabled: bool = False):
+        self.srs_enabled = srs_enabled
         self.cell = cell
         self.tdd = tdd_cfg
         self.prach_sf = _prach_sf(tdd_cfg)
@@ -1527,6 +1555,10 @@ class UeStack:
                 cfgp = PucchConfig(n_pucch=acks[-1][0])
                 return ue_ul_encode(self.cell, sf_idx, pucch1=(cfgp, [bit]),
                                     ta_samples=self.ta_samples)
+            if _is_srs_sf(self.srs_enabled, self.tdd, tti) and self.rrc_state >= self.RRC_ACTIVE:
+                # standalone wideband sounding on the SRS subframe
+                return ue_ul_encode(self.cell, sf_idx, srs=(0, self.cell.nof_prb),
+                                    ta_samples=self.ta_samples)
             return None
         mac_pdu = self._build_ul_mac_pdu(grant.tbs // 8)
         tb_bits = np.unpackbits(np.frombuffer(mac_pdu, np.uint8))
@@ -1550,8 +1582,11 @@ class UeStack:
             uci = UciCfg(cqi_bits=cqi_bits, ack=tuple(b for _, b, _t in acks or ()))
         # watch the PHICH for this transmission (ul_harq.cc role)
         self._ul_inflight[tdd.phich_tti(self.tdd, tti)] = (grant, tb_bits, tx_count)
+        srs = None
+        if _is_srs_sf(self.srs_enabled, self.tdd, tti) and self.rrc_state >= self.RRC_ACTIVE:
+            srs = (0, self.cell.nof_prb)  # wideband sounding, shortened PUSCH
         samples = ue_ul_encode(self.cell, sf_idx, pusch=(grant, tb_bits), uci=uci,
-                               ta_samples=self.ta_samples)
+                               ta_samples=self.ta_samples, srs=srs)
         if self.ul_gain_db:
             samples = samples * np.float32(10.0 ** (self.ul_gain_db / 20.0))
         return samples

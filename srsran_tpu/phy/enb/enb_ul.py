@@ -29,7 +29,7 @@ def enb_ul_fft(cell: Cell, samples: np.ndarray) -> np.ndarray:
 
 def enb_ul_decode_pusch(
     cell: Cell, sf_idx: int, rx_grid: np.ndarray, grant: UlGrant,
-    max_iterations: int = 5, softbuffers=None, uci=None,
+    max_iterations: int = 5, softbuffers=None, uci=None, shortened: bool = False,
 ):
     """Returns (tb_bits, crc_ok, softbuffers, snr_db[, uci_out]).
 
@@ -39,7 +39,7 @@ def enb_ul_decode_pusch(
     noise_f = float(np.mean(np.asarray(noise)))
     out = pusch_decode(
         rx_grid, np.asarray(ce), noise_f, cell, sf_idx, grant, max_iterations,
-        softbuffers, uci=uci,
+        softbuffers, uci=uci, shortened=shortened,
     )
     tb, ok, sb = out[:3]
     uci_out = out[3] if len(out) > 3 else None

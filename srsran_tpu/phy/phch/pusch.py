@@ -146,10 +146,14 @@ def _encode_rep(values, nbits: int, qm: int) -> np.ndarray:
     return np.tile(np.repeat(v[:1] if len(v) == 1 else v[:2][:1], qm), reps)[:nbits]
 
 
-def pusch_symbols_data(cell: Cell) -> list[int]:
+def pusch_symbols_data(cell: Cell, shortened: bool = False) -> list[int]:
+    """Data-bearing SC-FDMA symbols.  ``shortened`` drops the last symbol
+    — the cell-specific SRS subframe format (TS 36.211 §5.5.3.3; the
+    reference's pusch N_srs handling in ulsch coding)."""
     l_dmrs = dmrs_symbol_in_slot(cell)
+    last = cell.nsymb_per_sf - (1 if shortened else 0)
     return [
-        l for l in range(cell.nsymb_per_sf)
+        l for l in range(last)
         if l % cell.nsymb_per_slot != l_dmrs
     ]
 
@@ -159,10 +163,10 @@ def pusch_cinit(rnti: int, sf_idx: int, cell_id: int) -> int:
 
 
 def pusch_encode_np(cell: Cell, sf_idx: int, grant: UlGrant, tb_bits: np.ndarray,
-                    uci: UciCfg | None = None) -> np.ndarray:
+                    uci: UciCfg | None = None, shortened: bool = False) -> np.ndarray:
     """TX: TB (+ optional UCI) → (nsymb_sf, nre) grid (UE side, 1 antenna)."""
     m_sc = 12 * grant.nof_prb
-    data_syms = pusch_symbols_data(cell)
+    data_syms = pusch_symbols_data(cell, shortened)
     g = len(data_syms) * m_sc * grant.qm
     if uci is not None and (uci.cqi_bits or uci.ack or uci.ri):
         from .uci import rm_encode
@@ -210,14 +214,15 @@ def pusch_encode_np(cell: Cell, sf_idx: int, grant: UlGrant, tb_bits: np.ndarray
 
 
 def pusch_decode(rx_grid, ce, noise_est, cell: Cell, sf_idx: int, grant: UlGrant,
-                 max_iterations: int = 5, softbuffers=None, uci: UciCfg | None = None):
+                 max_iterations: int = 5, softbuffers=None, uci: UciCfg | None = None,
+                 shortened: bool = False):
     """eNB RX: (nrx, nsymb, nre) grid + (nrx or none) ce over allocation →
     (tb_bits, ok, softbuffers) — or (tb_bits, ok, softbuffers, uci_out)
     when `uci` describes expected UCI (sizes + offsets; values ignored).
     uci_out: {"cqi_bits", "ack", "ri"} decoded values."""
     m_sc = 12 * grant.nof_prb
     k0 = grant.prb_start * 12
-    data_syms = pusch_symbols_data(cell)
+    data_syms = pusch_symbols_data(cell, shortened)
     g = len(data_syms) * m_sc * grant.qm
     y = rx_grid[..., jnp.asarray(data_syms), k0 : k0 + m_sc]  # (nrx, nsym, m)
     h = ce[..., jnp.asarray(data_syms), :]

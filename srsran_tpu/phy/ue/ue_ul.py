@@ -30,16 +30,24 @@ def ue_ul_encode(
     ta_samples: int = 0,
     cfo: float = 0.0,
     uci=None,
+    srs: tuple[int, int] | None = None,
 ) -> np.ndarray:
     """Render one UL subframe → (sf_len,) samples (half-subcarrier shifted).
 
     `ta_samples` advances the transmission (timing advance: positive =
-    transmit earlier).
+    transmit earlier).  `srs` = (prb_start, nof_prb): sound the last
+    SC-FDMA symbol; a PUSCH in the same subframe uses the shortened
+    format (TS 36.211 §5.5.3.3).
     """
     grid = np.zeros((cell.nsymb_per_sf, cell.nof_re_per_symbol), np.complex64)
     if pusch is not None:
         grant, tb = pusch
-        grid += pusch_encode_np(cell, sf_idx, grant, tb, uci=uci)
+        grid += pusch_encode_np(cell, sf_idx, grant, tb, uci=uci,
+                                shortened=srs is not None)
+    if srs is not None:
+        from ..chest.srs import put_srs_np
+
+        put_srs_np(grid, cell, srs[0], srs[1])
     for item, enc in ((pucch1, pucch_format1_encode_np), (pucch2, pucch_format2_encode_np)):
         if item is None:
             continue

@@ -505,3 +505,37 @@ def test_rrc_reestablishment_preserves_session():
     spgw.sgi_tx(ue.ue_ip, b"\xcd" * 50)
     run(30)
     assert b"\xcd" * 50 in ue.ip_rx
+
+
+def test_srs_sounding_with_shortened_pusch():
+    """SRS: the UE sounds the full band on the cell-specific SRS subframe
+    (last SC-FDMA symbol); the eNB measures wideband SNR from the comb,
+    and a PUSCH landing on the same subframe uses the SHORTENED format on
+    both ends (TS 36.211 §5.5.3.3) so data still decodes."""
+    cell = Cell(nof_prb=15, nof_ports=1, id=7)
+    hss = Hss()
+    hss.add_subscriber(Subscriber("ue1", IMSI, KEY, OPC, amf=b"\x80\x00", sqn=0))
+    spgw = Spgw()
+    mme = Mme(hss, spgw)
+    enb = EnbStack(cell, mme, spgw, mcs=5, srs_enabled=True)
+    ue = UeStack(cell, Usim(IMSI, KEY, OPC), srs_enabled=True)
+
+    ul = None
+    for _ in range(140):
+        dl = enb.run_tti(ul)
+        ul = ue.run_tti(dl)
+        if ue.rrc_state == UeStack.RRC_ACTIVE and ue.nas.state == ue.nas.REGISTERED:
+            break
+    assert ue.nas.state == ue.nas.REGISTERED
+
+    # keep UL busy so PUSCHs land on SRS subframes too
+    ok0 = enb.stats["ul_crc_ok"]
+    for _ in range(60):
+        ue.send_ip_packet(b"\x21" * 30)
+        dl = enb.run_tti(ul)
+        ul = ue.run_tti(dl)
+    assert enb.stats.get("srs_meas", 0) >= 3
+    u = next(iter(enb.ues.values()))
+    assert u.srs_snr_db is not None and u.srs_snr_db > 10.0  # clean link
+    assert enb.stats["ul_crc_ok"] > ok0 + 10  # shortened PUSCH kept decoding
+    assert enb.stats["ul_crc_ko"] <= 2
