@@ -78,6 +78,22 @@ UL_HARQ_MAX_TX = 4  # 1 + 3 retransmissions (reference harq default)
 
 SRS_SF = 3  # cell-specific SRS subframe (srs-SubframeConfig analog)
 
+SR_SF = 7  # scheduling-request occasion subframe (sr-ConfigIndex analog)
+
+
+def _sr_resource(crnti: int) -> int:
+    """Dedicated SR PUCCH resource (sr-PUCCH-ResourceIndex analog): above
+    the dynamic-ACK range, still inside the band-edge PUCCH PRB."""
+    return 15 + (crnti % 3)
+
+
+def _is_sr_sf(enabled: bool, tdd_cfg, tti: int) -> bool:
+    """SR occasion: sf 7 each frame (a U subframe in TDD configs 0/1/6;
+    for other TDD configs SR rides UCI-on-PUSCH instead)."""
+    if not enabled or tti % 10 != SR_SF:
+        return False
+    return tdd.sf_type(tdd_cfg, SR_SF) == tdd.SfType.U if tdd_cfg is not None else True
+
 
 def _is_srs_sf(enabled: bool, tdd_cfg, tti: int) -> bool:
     """Cell-specific SRS subframe: sf 3 each frame (a U subframe in every
@@ -203,7 +219,9 @@ class EnbStack:
 
     def __init__(self, cell: Cell, mme: Mme, spgw: Spgw, crnti: int = 0x46, mcs: int = 5, cfi: int = 2,
                  enb_id: int = 0x19B, tdd_cfg: tdd.TddConfig | None = None,
-                 scell: Cell | None = None, srs_enabled: bool = False):
+                 scell: Cell | None = None, srs_enabled: bool = False,
+                 sr_enabled: bool = False):
+        self.sr_enabled = sr_enabled
         self.cell = cell
         self.tdd = tdd_cfg
         self.prach_sf = _prach_sf(tdd_cfg)
@@ -651,6 +669,21 @@ class EnbStack:
                     if u.rrc_state >= self.RRC_ACTIVE:
                         u.srs_snr_db = snr
                 self.stats["srs_meas"] = self.stats.get("srs_meas", 0) + 1
+        # scheduling requests (proc_sr.cc / mac.cc sr_detected): on-off
+        # keyed PUCCH format 1 on each UE's dedicated SR resource
+        if _is_sr_sf(self.sr_enabled, self.tdd, tti):
+            from ..phy.phch.pucch import PucchConfig
+
+            rx_grid_sr = enb_ul_fft(self.cell, samples[None])
+            for rnti_sr, u in self.ues.items():
+                if u.rrc_state < self.RRC_SETUP_SENT:
+                    continue  # no dedicated SR resource before Msg4
+                _b, metric = enb_ul_decode_pucch(
+                    self.cell, sf_idx, rx_grid_sr,
+                    PucchConfig(n_pucch=_sr_resource(rnti_sr)), "1", 0)
+                if float(np.asarray(metric)) > 0.25:
+                    self.sched.ul_bsr(rnti_sr, 128)  # grant enough for a BSR
+                    self.stats["sr_detected"] = self.stats.get("sr_detected", 0) + 1
         # scheduled PUSCH
         if tti in self.pending_ul:
             rnti, grant = self.pending_ul.pop(tti)
@@ -909,6 +942,8 @@ class EnbStack:
                 ul_grants = self.sched.get_ul_sched(tti)
                 active = sorted(self.ues)
                 pace_ok = (tti % 3 == 2) if self.tdd is None else True
+                if self.sr_enabled:
+                    pace_ok = False  # BSR/SR-driven grants only — no blind RR
                 if (not ul_grants and active and pace_ok
                         and (tti + ul_delay) not in self.pending_ul):
                     from ..stack.mac import UlSchedGrant
@@ -1037,8 +1072,9 @@ class UeStack:
 
     def __init__(self, cell: Cell, usim: Usim, cfi: int = 2, preamble: int = 17, attach_delay: int = 0,
                  tdd_cfg: tdd.TddConfig | None = None, acquire_si: bool = False,
-                 srs_enabled: bool = False):
+                 srs_enabled: bool = False, sr_enabled: bool = False):
         self.srs_enabled = srs_enabled
+        self.sr_enabled = sr_enabled
         self.cell = cell
         self.tdd = tdd_cfg
         self.prach_sf = _prach_sf(tdd_cfg)
@@ -1559,6 +1595,17 @@ class UeStack:
                 # standalone wideband sounding on the SRS subframe
                 return ue_ul_encode(self.cell, sf_idx, srs=(0, self.cell.nof_prb),
                                     ta_samples=self.ta_samples)
+            if (_is_sr_sf(self.sr_enabled, self.tdd, tti)
+                    and self.rrc_state >= self.RRC_CONNECTED
+                    and self._buffer_state() > 0 and not self.pending_tx):
+                # scheduling request: on-off keyed PUCCH 1 (proc_sr.cc)
+                from ..phy.phch.pucch import PucchConfig
+
+                self.stats["sr_sent"] = self.stats.get("sr_sent", 0) + 1
+                return ue_ul_encode(
+                    self.cell, sf_idx,
+                    pucch1=(PucchConfig(n_pucch=_sr_resource(self.crnti)), []),
+                    ta_samples=self.ta_samples)
             return None
         mac_pdu = self._build_ul_mac_pdu(grant.tbs // 8)
         tb_bits = np.unpackbits(np.frombuffer(mac_pdu, np.uint8))

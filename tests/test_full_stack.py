@@ -539,3 +539,43 @@ def test_srs_sounding_with_shortened_pusch():
     assert u.srs_snr_db is not None and u.srs_snr_db > 10.0  # clean link
     assert enb.stats["ul_crc_ok"] > ok0 + 10  # shortened PUSCH kept decoding
     assert enb.stats["ul_crc_ko"] <= 2
+
+
+def test_scheduling_request_drives_ul_grants():
+    """Real SR (proc_sr.cc): with the blind round-robin stand-in disabled,
+    UL grants come only from BSR chains and on-off-keyed PUCCH scheduling
+    requests; new data after an idle period triggers SR → grant → BSR →
+    data."""
+    cell = Cell(nof_prb=15, nof_ports=1, id=7)
+    hss = Hss()
+    hss.add_subscriber(Subscriber("ue1", IMSI, KEY, OPC, amf=b"\x80\x00", sqn=0))
+    spgw = Spgw()
+    mme = Mme(hss, spgw)
+    enb = EnbStack(cell, mme, spgw, mcs=5, sr_enabled=True)
+    enb.ul_inactivity_timeout = 10_000
+    ue = UeStack(cell, Usim(IMSI, KEY, OPC), sr_enabled=True)
+
+    ul = None
+    for _ in range(200):
+        dl = enb.run_tti(ul)
+        ul = ue.run_tti(dl)
+        if ue.rrc_state == UeStack.RRC_ACTIVE and ue.nas.state == ue.nas.REGISTERED:
+            break
+    assert ue.nas.state == ue.nas.REGISTERED
+
+    # drain: let the UL go fully idle (no grants outstanding)
+    for _ in range(40):
+        dl = enb.run_tti(ul)
+        ul = ue.run_tti(dl)
+    sr0 = ue.stats.get("sr_sent", 0)
+
+    # new UL data arrives out of nowhere → only SR can restart the grants
+    ue.send_ip_packet(b"\x99" * 80)
+    for _ in range(60):
+        dl = enb.run_tti(ul)
+        ul = ue.run_tti(dl)
+        if any(pl == b"\x99" * 80 for _a, pl in spgw.sgi_rx):
+            break
+    assert ue.stats.get("sr_sent", 0) > sr0
+    assert enb.stats.get("sr_detected", 0) >= 1
+    assert any(pl == b"\x99" * 80 for _a, pl in spgw.sgi_rx)
