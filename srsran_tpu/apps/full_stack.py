@@ -189,6 +189,8 @@ class _EnbUe:
     last_cqi_tti: int = -(10 ** 6)  # aperiodic-CQI staleness tracking
     is_reest: bool = False  # re-establishment in progress (no NAS attach)
     srs_snr_db: float | None = None  # wideband sounding measurement
+    release_at: int = -1  # graceful release scheduled for this tti
+    s_tmsi: int | None = None  # from an S-TMSI RRCConnectionRequest
     is_ho_target: bool = False
     s1_ho: bool = False  # target admitted via S1 HandoverRequest
     ho_in_flight: bool = False  # source-side guard
@@ -251,6 +253,7 @@ class EnbStack:
         self._next_teid = 101
         self.cipher_alg, self.integ_alg = 2, 2
         self.pending_rars: deque = deque()  # (rapid, ta, crnti)
+        self.pending_pcch: deque = deque()  # PCCH Paging messages to send
         self.pending_ul: dict[int, tuple[int, UlGrant]] = {}  # tti -> (rnti, grant)
         # DL HARQ feedback: ack_tti -> [{rnti, pid, n_pucch, on_pusch}]
         # (the phy_common.cc pending_dl_ack ring; resource = CCE index,
@@ -331,6 +334,13 @@ class EnbStack:
                 # MME-commanded release (e.g. after a successful S1 HO):
                 # drop the local context without re-requesting release
                 self._release_ue(rel, notify_mme=False)
+        elif name == "paging":
+            # S1AP Paging → PCCH at the next paging occasion (paging_sf)
+            kind, pid = ies.get("ue_paging_id", (None, None))
+            if kind == "s_tmsi":
+                as_int = lambda v: int.from_bytes(v, "big") if isinstance(v, bytes) else int(v)
+                self.pending_pcch.append(rrc.pack_pcch_paging(
+                    as_int(pid["m_tmsi"]), as_int(pid.get("mmec", 1))))
         elif name == "ho_request":
             self._admit_s1_handover(ies)
         elif name == "ho_cmd":
@@ -348,6 +358,9 @@ class EnbStack:
     def _handle_ccch(self, ue: _EnbUe, pdu: bytes):
         kind, fields = rrc.unpack_ul_ccch(pdu)
         if kind == "rrc_conn_request" and ue.rrc_state in (self.RRC_IDLE, self.RRC_SETUP_SENT):
+            id_kind, id_val = fields["ue_id"]
+            if id_kind == "s_tmsi":  # idle-mode resume: carry it to the MME
+                ue.s_tmsi = id_val["m_tmsi"]
             # Msg4: contention-resolution CE (first 48 bits of Msg3) + Setup
             self.sched.push_ce(ue.crnti, LCID_CON_RES, rrc.contention_resolution_id(pdu))
             ue.srb0.write_sdu(rrc.pack_conn_setup())
@@ -396,7 +409,8 @@ class EnbStack:
         if kind == "rrc_conn_setup_complete":
             ue.rrc_state = self.RRC_CONNECTED
             self._s1ap_send(
-                s1ap.pack_initial_ue_message(ue.enb_ue_id, body["ded_info_nas"])
+                s1ap.pack_initial_ue_message(ue.enb_ue_id, body["ded_info_nas"],
+                                             m_tmsi=ue.s_tmsi)
             )
         elif kind == "rrc_conn_reest_complete":
             # resume the data bearer on the re-established connection
@@ -466,10 +480,19 @@ class EnbStack:
                 if hasattr(ent, "tick"):
                     ent.tick()
         self._process_ul(tti, sf_idx, ul_samples)
-        # UL inactivity → UE context release (the eNB side of the RLF chain)
+        if hasattr(self.mme, "pump_s11"):
+            self.mme.pump_s11()  # DDN → S1AP Paging fan-out
+        # UL inactivity → graceful RRCConnectionRelease, then context
+        # release a few TTIs later so the message can drain (rrc_ue.cc
+        # send_connection_release before the S1 UEContextRelease)
         for ue in list(self.ues.values()):
+            if ue.release_at >= 0:
+                if tti >= ue.release_at:
+                    self._release_ue(ue)
+                continue
             if ue.rrc_state != self.RRC_IDLE and tti - ue.last_ul_ok_tti > self.ul_inactivity_timeout:
-                self._release_ue(ue)
+                self._send_srb1(ue, rrc.pack_conn_release())
+                ue.release_at = tti + 15
         self._pump_spgw()
         dl = self._build_dl(tti, sf_idx)
         if self.scell is not None:
@@ -559,15 +582,17 @@ class EnbStack:
         (→ ECM-IDLE; further DL traffic triggers DDN + paging).
         notify_mme=False: source-side cleanup after intra-eNB handover —
         the S1 context lives on at the target cell."""
+        if self.ues.get(ue.crnti) is not ue:
+            return  # already released (the MME's release command re-enters)
         self.stats["ue_released"] += 1
-        if ue.mme_ue_id and notify_mme:
-            self._s1ap_send(s1ap.pack_ue_context_release_request(ue.mme_ue_id, ue.enb_ue_id))
         self.gtpu.rem_bearer(ue.dl_teid)
         self.sched.ue_rem(ue.crnti)
         self.ues.pop(ue.crnti, None)
         if self._by_enb_id.get(ue.enb_ue_id) is ue:
             self._by_enb_id.pop(ue.enb_ue_id, None)
         self.pending_ul = {t: (r, g) for t, (r, g) in self.pending_ul.items() if r != ue.crnti}
+        if ue.mme_ue_id and notify_mme:
+            self._s1ap_send(s1ap.pack_ue_context_release_request(ue.mme_ue_id, ue.enb_ue_id))
 
     def _process_ul(self, tti: int, sf_idx: int, samples: np.ndarray | None):
         # the link delivers the UE's subframe one TTI later
@@ -812,10 +837,15 @@ class EnbStack:
                 continue
             hdr, payload = out
             ue = teid_map.get(hdr.teid)
-            if ue is not None:
+            if ue is not None and ue.rrc_state == self.RRC_ACTIVE:
                 ue.drb_rlc.write_sdu(ue.drb_pdcp.write_sdu(payload))
             else:
-                requeue.append(pkt)  # another eNB's bearer (S1 HO): leave it
+                # another eNB's bearer (S1 HO) — or OUR UE whose DRB is not
+                # re-established yet (service-request resume: the SPGW
+                # flushes at Modify Bearer time, before the reconfiguration
+                # completes; ciphering with the pre-SMC entity would
+                # corrupt it) — hold the packet
+                requeue.append(pkt)
         self.spgw.tx_queue.extendleft(reversed(requeue))
 
     def _build_dl(self, tti: int, sf_idx: int) -> np.ndarray:
@@ -895,6 +925,16 @@ class EnbStack:
             while _tbsl(mcs, 3) // 8 < len(si_pdu):
                 mcs += 1
             add_dl_tb(SIRNTI, mcs, si_pdu)
+        # 0b. PCCH Paging on P-RNTI at the paging occasion (sf 9)
+        elif self.pending_pcch and sf_idx == 9 and can_pdsch:
+            from ..phy.common import PRNTI
+            from ..phy.phch.ra import tbs_lookup as _tbsl
+
+            pcch = self.pending_pcch.popleft()
+            mcs = 0
+            while _tbsl(mcs, 3) // 8 < len(pcch):
+                mcs += 1
+            add_dl_tb(PRNTI, mcs, pcch)
         # 1. one pending RAR per TTI (RA-RNTI = 1 + prach sf_idx); the RAR
         # subframe must also be a Msg3 grant opportunity (TDD Table 8-2)
         elif (self.pending_rars and sf_idx not in (0, 5) and can_pdsch
@@ -1085,6 +1125,11 @@ class UeStack:
         self.sib1: dict | None = None
         self.sib2: dict | None = None
         self._reest_ctx = None  # (crnti, pci, k_enb, ciph, integ) after RLF
+        # idle mode: camped after RRCConnectionRelease — monitors paging
+        # occasions and accesses only for MO data or an MT page
+        self.idle_camped = False
+        self._paged = False
+        self._resuming = False  # next access is a NAS Service Request
         self.cfi = cfi
         self.nas = UeNas(usim)
         self.mac = UeMac()
@@ -1257,6 +1302,10 @@ class UeStack:
             from ..phy.common import SIRNTI
 
             rntis.append(SIRNTI)
+        if self.idle_camped and sf_idx == 9:
+            from ..phy.common import PRNTI
+
+            rntis.append(PRNTI)  # paging occasion monitor
         if self.rrc_state == self.RRC_WAIT_RAR or getattr(self, "_ho_in_progress", False):
             rntis.append(1 + self.prach_sf)  # RA-RNTI
         if self.crnti is not None:
@@ -1321,6 +1370,8 @@ class UeStack:
                 pdu = np.packbits(np.asarray(tb)).tobytes()
                 if rnti == 0xFFFF:
                     self._handle_si(pdu)
+                elif rnti == 0xFFFE:
+                    self._handle_paging(pdu)
                 elif rnti != self.crnti:
                     self._handle_rar(tti, pdu)
                 else:
@@ -1339,6 +1390,18 @@ class UeStack:
 
     def _si_ready(self) -> bool:
         return not self.acquire_si or (self.sib1 is not None and self.sib2 is not None)
+
+    def _handle_paging(self, pdu: bytes):
+        """PCCH Paging on the monitored occasion: an S-TMSI match wakes
+        the camped UE for a Service Request (rrc.cc paging handling)."""
+        try:
+            records = rrc.unpack_pcch(pdu)
+        except Exception:
+            return
+        for kind, pid in records:
+            if kind == "s_tmsi" and pid.get("m_tmsi") == self.nas.m_tmsi:
+                self._paged = True
+                self.stats["paged"] = self.stats.get("paged", 0) + 1
 
     def _handle_si(self, pdu: bytes):
         """BCCH-DL-SCH: SIB1 schedules, SIB2 configures RA (rrc.cc SI
@@ -1388,6 +1451,11 @@ class UeStack:
             old_crnti, pci, k_enb, _ciph, integ = ctx
             mac_i = rrc.short_mac_i(k_enb, integ, pci, old_crnti, self.cell.id)
             self.msg3 = rrc.pack_reest_request(old_crnti, pci, mac_i)
+        elif self._resuming:
+            # idle-mode resume: Msg3 identifies by S-TMSI so the eNB can
+            # forward it in the Initial UE Message (paging response)
+            self.msg3 = rrc.pack_conn_request(
+                b"\x00" * 5, cause="mt_access", s_tmsi=(1, self.nas.m_tmsi))
         else:
             # Msg3 = RRC ConnectionRequest on CCCH
             self.msg3 = rrc.pack_conn_request(self.ue_identity)
@@ -1426,7 +1494,11 @@ class UeStack:
         kind, body = rrc.unpack_dl_ccch(sdu)
         if kind == "rrc_conn_setup" and getattr(self, "_con_res_ok", False):
             self.rrc_state = self.RRC_CONNECTED
-            self._send_srb1(rrc.pack_conn_setup_complete(self.nas.attach_request()))
+            # ECM-IDLE resume carries a NAS Service Request instead of a
+            # fresh Attach (nas.cc service-request path)
+            nas_pdu = (self.nas.service_request() if self._resuming
+                       else self.nas.attach_request())
+            self._send_srb1(rrc.pack_conn_setup_complete(nas_pdu))
         elif kind == "rrc_conn_reest" and getattr(self, "_con_res_ok", False):
             # resume AS security with the kept KeNB (ncc 0 = horizontal)
             _oc, _pci, k_enb, ciph, integ = self._reest_ctx
@@ -1452,11 +1524,23 @@ class UeStack:
                 self._send_srb1(rrc.pack_ul_info_transfer(resp))
         elif kind == "security_mode_cmd":
             self.cipher_alg, self.integ_alg = rrc.smc_algorithms(body)
-            # respond on the old (unsecured) entity, then switch
+            # respond on the old (unsecured) entity, then switch; a
+            # service-request resume derives KeNB from the SR's UL NAS
+            # count (TS 33.401 §7.2.7), matching the MME's ICS key
+            k_enb = (self.nas.get_k_enb_service() if self._resuming
+                     else self.nas.get_k_enb())
+            self._resuming = False
             self._send_srb1(rrc.pack_security_mode_complete())
             self.srb1_pdcp, self.drb_pdcp = _bearer_set(
-                self.nas.get_k_enb(), self.cipher_alg, self.integ_alg, is_enb=False
+                k_enb, self.cipher_alg, self.integ_alg, is_enb=False
             )
+        elif kind == "rrc_conn_release":
+            # graceful release → ECM-IDLE camping (NAS/IP context kept;
+            # paging or MO data triggers a Service Request later)
+            self.stats["released"] = self.stats.get("released", 0) + 1
+            self._reest_ctx = None
+            self._reset_connection(keep_nas=True)
+            self.idle_camped = True
         elif kind == "rrc_conn_recfg":
             if "mob_ctrl_info" in body:
                 self._execute_handover(body["mob_ctrl_info"], body.get("security_cfg_ho"))
@@ -1541,9 +1625,15 @@ class UeStack:
             out[: len(p)] = p[: self.cell.sf_len]
             return out
         # PRACH occasion (gated on SI when acquisition is on: the UE may
-        # not access the cell before SIB2's RACH parameters are known)
+        # not access the cell before SIB2's RACH parameters are known;
+        # a camped idle UE accesses only for MO data or an MT page)
         if (self.rrc_state == self.RRC_IDLE and sf_idx == self.prach_sf
-                and tti >= self.attach_delay and self._si_ready()):
+                and tti >= self.attach_delay and self._si_ready()
+                and (not self.idle_camped or self.ip_tx_queue or self._paged)):
+            if self.idle_camped:
+                self._resuming = self.nas.sec_ctx is not None
+                self.idle_camped = False
+                self._paged = False
             self.mac.start_ra(self.preamble)
             self.rrc_state = self.RRC_WAIT_RAR
             self._ra_deadline = tti + 10  # RA response window (proc_ra.cc)

@@ -94,6 +94,17 @@ class Mme:
         the reference keeps per eNB, mme.cc:113)."""
         self.enb_links[enb_id] = link
 
+    def pump_s11(self):
+        """Drain SPGW-initiated S11 (Downlink Data Notifications) and
+        broadcast the resulting S1AP Paging over every eNB association
+        (mme.cc paging fan-out to all eNBs in the tracking area)."""
+        q = getattr(self.spgw, "gtpc_tx", None)
+        while q:
+            msg = q.popleft()
+            for pdu in self.handle_gtpc(msg):
+                for link in list(self.enb_links.values()):
+                    link(pdu)
+
     def handle(self, data: bytes, enb_id: int | None = None) -> list[bytes]:
         """Process ONE S1AP PDU (the SCTP-datagram framing contract).
         `enb_id` identifies the sending eNB association (for procedures

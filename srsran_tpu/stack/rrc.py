@@ -26,13 +26,20 @@ _NON_CRIT = "non_crit_ext"
 # ----------------------------------------------------------- UL-CCCH / Msg3
 
 
-def pack_conn_request(ue_identity: bytes, cause: str = "mo_data") -> bytes:
-    """RRCConnectionRequest with a 40-bit random ue-Identity."""
-    assert len(ue_identity) == 5
+def pack_conn_request(ue_identity: bytes, cause: str = "mo_data",
+                      s_tmsi: tuple[int, int] | None = None) -> bytes:
+    """RRCConnectionRequest: 40-bit random ue-Identity, or the (mmec,
+    m_tmsi) S-TMSI when the UE has a registered NAS context (idle-mode
+    resume — the eNB forwards it in the S1AP Initial UE Message)."""
+    if s_tmsi is not None:
+        ue_id = ("s_tmsi", {"mmec": s_tmsi[0], "m_tmsi": s_tmsi[1]})
+    else:
+        assert len(ue_identity) == 5
+        ue_id = ("random_value", int.from_bytes(ue_identity, "big"))
     v = {
         "msg": ("c1", ("rrc_conn_request", {
             "crit_exts": ("rrc_conn_request_r8", {
-                "ue_id": ("random_value", int.from_bytes(ue_identity, "big")),
+                "ue_id": ue_id,
                 "establishment_cause": cause,
                 "spare": 0,
             }),
@@ -218,6 +225,29 @@ def _default_drb(drb_id: int, lcid: int, eps_bearer_id: int) -> dict:
                                    "bucket_size_dur": "ms100", "lc_ch_group": 2},
         },
     }
+
+
+# ------------------------------------------------------------------ PCCH
+
+
+def pack_pcch_paging(m_tmsi: int, mmec: int = 1) -> bytes:
+    """One-record PCCH Paging by S-TMSI (TS 36.331 §5.3.2; the PHY-side
+    counterpart of the S1AP Paging the MME sends)."""
+    v = {"msg": ("c1", ("paging", {
+        "paging_record_list": [
+            {"ue_id": ("s_tmsi", {"mmec": mmec, "m_tmsi": m_tmsi}), "cn_domain": "ps"},
+        ],
+    }))}
+    return asn1.PCCH_MESSAGE.to_bytes(v)
+
+
+def unpack_pcch(data: bytes) -> list[tuple]:
+    """Decoded paging records: [(kind, id), ...]."""
+    v = asn1.PCCH_MESSAGE.from_bytes(data)
+    kind, body = v["msg"][1]
+    if kind != "paging":
+        return []
+    return [r["ue_id"] for r in body.get("paging_record_list", [])]
 
 
 # ---------------------------------------------------------- re-establishment

@@ -579,3 +579,52 @@ def test_scheduling_request_drives_ul_grants():
     assert ue.stats.get("sr_sent", 0) > sr0
     assert enb.stats.get("sr_detected", 0) >= 1
     assert any(pl == b"\x99" * 80 for _a, pl in spgw.sgi_rx)
+
+
+def test_idle_paging_service_request_over_the_air():
+    """The COMPLETE idle-mode chain over the PHY: inactivity →
+    RRCConnectionRelease → ECM-IDLE camping → DL packet → SPGW DDN → MME
+    S1AP Paging → PCCH on P-RNTI at the paging occasion → RA + NAS
+    Service Request (KeNB from the SR NAS count) → bearer resume → the
+    buffered packet arrives on the SAME IP (the run_lte idle scenario
+    end to end, previously only tested at the EPC level)."""
+    cell = Cell(nof_prb=15, nof_ports=1, id=7)
+    hss = Hss()
+    hss.add_subscriber(Subscriber("ue1", IMSI, KEY, OPC, amf=b"\x80\x00", sqn=0))
+    spgw = Spgw()
+    mme = Mme(hss, spgw)
+    # SR mode: UL grants are demand-driven, so the UL actually goes
+    # quiet and the inactivity release can fire
+    enb = EnbStack(cell, mme, spgw, mcs=5, sr_enabled=True)
+    enb.ul_inactivity_timeout = 30
+    ue = UeStack(cell, Usim(IMSI, KEY, OPC), sr_enabled=True)
+
+    ul = None
+
+    def run(n, stop=None):
+        nonlocal ul
+        for _ in range(n):
+            dl = enb.run_tti(ul)
+            ul = ue.run_tti(dl)
+            if stop and stop():
+                return True
+        return False
+
+    run(150, lambda: ue.rrc_state == UeStack.RRC_ACTIVE and ue.nas.state == ue.nas.REGISTERED)
+    assert ue.nas.state == ue.nas.REGISTERED
+    ip0 = ue.ue_ip
+
+    # go idle: graceful release after inactivity
+    assert run(120, lambda: ue.idle_camped)
+    assert ue.stats.get("released") == 1
+    run(20)  # the eNB's delayed context removal drains
+    assert enb.stats["ue_released"] == 1
+    assert ue.nas.state == ue.nas.REGISTERED  # NAS context kept
+
+    # MT data while idle → DDN → paging → service request → delivery
+    spgw.sgi_tx(ip0, b"\xee" * 90)
+    assert run(250, lambda: bool(ue.ip_rx))
+    assert ue.stats.get("paged") == 1
+    assert ue.ip_rx == [b"\xee" * 90]
+    assert ue.ue_ip == ip0  # same session — service request, not attach
+    assert ue.rrc_state == UeStack.RRC_ACTIVE
