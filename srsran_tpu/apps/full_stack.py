@@ -331,9 +331,13 @@ class EnbStack:
             if rel is not None:
                 self._s1ap_send(s1ap.pack_ue_context_release_complete(
                     rel.mme_ue_id or 0, rel.enb_ue_id))
-                # MME-commanded release (e.g. after a successful S1 HO):
-                # drop the local context without re-requesting release
-                self._release_ue(rel, notify_mme=False)
+                # MME-commanded release (S1 HO source / detach): if DL is
+                # still queued for the UE (e.g. the Detach Accept), let it
+                # drain first; otherwise drop the context immediately
+                if rel.srb1_rlc.buffer_state() > 0 and rel.release_at < 0:
+                    rel.release_at = self.tti + 15
+                else:
+                    self._release_ue(rel, notify_mme=False)
         elif name == "paging":
             # S1AP Paging → PCCH at the next paging occasion (paging_sf)
             kind, pid = ies.get("ue_paging_id", (None, None))
@@ -1188,6 +1192,11 @@ class UeStack:
 
     def send_ip_packet(self, pkt: bytes):
         self.ip_tx_queue.append(bytes(pkt))
+
+    def detach(self, switch_off: bool = False):
+        """UE-initiated NAS detach (nas.cc detach procedure)."""
+        if self.rrc_state >= self.RRC_CONNECTED:
+            self._send_srb1(rrc.pack_ul_info_transfer(self.nas.detach_request(switch_off)))
 
     def start_attach(self):
         pass  # attach starts automatically from IDLE at the next PRACH occasion

@@ -330,6 +330,20 @@ class Mme:
             ue.state = EMM_REGISTERED
             self.attached_imsis.add(ue.imsi)
             return []
+        if msg.msg_type == nas.DETACH_REQUEST:
+            # UE-initiated detach (TS 24.301 §5.5.2.2): tear the session
+            # down at the SPGW, answer (unless switch-off), release S1
+            self.delete_session(ue)
+            self.attached_imsis.discard(ue.imsi)
+            self.by_tmsi.pop(ue.m_tmsi, None)
+            self.ues.pop(ue.mme_ue_id, None)
+            out = []
+            if not msg.fields.get("switch_off") and ue.sec_ctx is not None:
+                out.append(s1ap.pack_dl_nas(
+                    ue.mme_ue_id, ue.enb_ue_id,
+                    ue.sec_ctx.protect(nas.pack_detach_accept())))
+            out.append(s1ap.pack_ue_context_release_command(ue.mme_ue_id, ue.enb_ue_id))
+            return out
         return []
 
     def _ctx_setup_response(self, ies: dict) -> list[bytes]:

@@ -49,6 +49,9 @@ SEC_HDR_SERVICE_REQUEST = 12
 # SERVICE REQUEST has no message-type octet (TS 24.301 §8.2.25, the short
 # format identified by security header type 12); 0x4D is the conventional
 # pseudo-type (reference `liblte_mme.h` LIBLTE_MME_MSG_TYPE_SERVICE_REQUEST).
+DETACH_REQUEST = 0x45
+DETACH_ACCEPT = 0x46
+
 SERVICE_REQUEST = 0x4D
 
 
@@ -115,6 +118,19 @@ def pack_security_mode_command(eea: int, eia: int, ksi: int = 0, ue_caps: bytes 
 
 def pack_security_mode_complete() -> bytes:
     return bytes([PD_EMM, SECURITY_MODE_COMPLETE])
+
+
+def pack_detach_request(m_tmsi: int, switch_off: bool = False, ksi: int = 0) -> bytes:
+    """UE-originating Detach Request (TS 24.301 §8.2.12): detach type
+    (EPS detach, optional switch-off bit) + GUTI-style mobile identity
+    (reduced here to the M-TMSI)."""
+    dt = 0x01 | (0x08 if switch_off else 0)  # EPS detach (+switch-off)
+    return (bytes([PD_EMM, DETACH_REQUEST, (ksi << 4) | dt, 4])
+            + m_tmsi.to_bytes(4, "big"))
+
+
+def pack_detach_accept() -> bytes:
+    return bytes([PD_EMM, DETACH_ACCEPT])
 
 
 def pack_activate_default_bearer_request(ip: str, apn: str = "srsapn", ebi: int = 5) -> bytes:
@@ -285,6 +301,10 @@ def unpack(msg: bytes) -> NasMessage:
     elif mt == ATTACH_COMPLETE:
         elen = int.from_bytes(msg[2:4], "big")
         f["esm"] = msg[4 : 4 + elen]
+    elif mt == DETACH_REQUEST:
+        f["switch_off"] = bool(msg[2] & 0x08)
+        f["detach_type"] = msg[2] & 0x07
+        f["m_tmsi"] = int.from_bytes(msg[4 : 4 + msg[3]], "big")
     return NasMessage(PD_EMM, mt, f)
 
 

@@ -63,6 +63,13 @@ class UeNas:
         count the SERVICE REQUEST was sent with."""
         return sec.generate_k_enb(self.k_asme, self.sec_ctx.tx_count - 1)
 
+    def detach_request(self, switch_off: bool = False) -> bytes:
+        """UE-initiated detach (TS 24.301 §5.5.2.2)."""
+        pdu = nas.pack_detach_request(self.m_tmsi, switch_off)
+        if switch_off:
+            self.state = self.DEREGISTERED
+        return self.sec_ctx.protect(pdu) if self.sec_ctx else pdu
+
     def handle_dl(self, pdu: bytes) -> bytes | None:
         sht = pdu[0] >> 4
         if sht != nas.SEC_HDR_PLAIN:
@@ -103,4 +110,8 @@ class UeNas:
             self.state = self.REGISTERED
             out = nas.pack_attach_complete(self.ebi)
             return self.sec_ctx.protect(out) if self.sec_ctx else out
+        if msg.msg_type == nas.DETACH_ACCEPT:
+            self.state = self.DEREGISTERED
+            self.ue_ip = ""
+            return None
         return None

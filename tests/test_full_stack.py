@@ -628,3 +628,43 @@ def test_idle_paging_service_request_over_the_air():
     assert ue.ip_rx == [b"\xee" * 90]
     assert ue.ue_ip == ip0  # same session — service request, not attach
     assert ue.rrc_state == UeStack.RRC_ACTIVE
+
+
+def test_ue_initiated_detach():
+    """NAS Detach (TS 24.301 §5.5.2): the UE's Detach Request rides the
+    full UL path; the MME deletes the SPGW session, answers Detach Accept
+    and releases the S1 context; the subscriber is gone from the core."""
+    cell = Cell(nof_prb=15, nof_ports=1, id=7)
+    hss = Hss()
+    hss.add_subscriber(Subscriber("ue1", IMSI, KEY, OPC, amf=b"\x80\x00", sqn=0))
+    spgw = Spgw()
+    mme = Mme(hss, spgw)
+    enb = EnbStack(cell, mme, spgw, mcs=5)
+    ue = UeStack(cell, Usim(IMSI, KEY, OPC))
+
+    ul = None
+    for _ in range(120):
+        dl = enb.run_tti(ul)
+        ul = ue.run_tti(dl)
+        if ue.rrc_state == UeStack.RRC_ACTIVE and ue.nas.state == ue.nas.REGISTERED:
+            break
+    for _ in range(15):  # drain the Attach Complete into the MME
+        dl = enb.run_tti(ul)
+        ul = ue.run_tti(dl)
+    assert IMSI in mme.attached_imsis
+    ip0 = ue.ue_ip
+    assert spgw.ip_to_teid.get(ip0) is not None
+
+    ue.detach()
+    for _ in range(60):
+        dl = enb.run_tti(ul)
+        ul = ue.run_tti(dl)
+        if ue.nas.state == ue.nas.DEREGISTERED:
+            break
+    assert ue.nas.state == ue.nas.DEREGISTERED
+    assert IMSI not in mme.attached_imsis
+    assert spgw.ip_to_teid.get(ip0) is None  # session torn down
+    for _ in range(20):  # the eNB's delayed context removal drains
+        dl = enb.run_tti(ul)
+        ul = ue.run_tti(dl)
+    assert not enb.ues  # S1 context released

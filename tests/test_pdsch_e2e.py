@@ -290,3 +290,27 @@ def test_pdsch_256qam_e2e():
     tb_hat, ok, _ = pdsch_decode(rx, ce, 5e-5, cell, 3, 1, grant)
     assert bool(np.asarray(ok))
     np.testing.assert_array_equal(np.asarray(tb_hat), tb)
+
+
+def test_pdsch_e2e_extended_cp():
+    """Extended-CP cell (12 symbols/sf): full eNB render → UE decode chain
+    (the reference's ext-CP paths through ofdm/chest/regs/pdsch)."""
+    from srsran_tpu.phy.common import CP
+    from srsran_tpu.phy.enb.enb_dl import DlSched, enb_dl_subframe
+    from srsran_tpu.phy.phch.dci import Dci1A
+    from srsran_tpu.phy.phch.ra import dl_mcs_to_mod, dl_tbs, riv_encode
+    from srsran_tpu.phy.ue.ue_dl import ue_dl_decode_subframe
+
+    cell = Cell(nof_prb=25, nof_ports=1, id=33, cp=CP.EXT)
+    rnti = 0x4601
+    rng = np.random.default_rng(0)
+    mcs, l = 10, 25
+    tbs = dl_tbs(mcs, l)
+    tb = rng.integers(0, 2, tbs).astype(np.uint8)
+    g = DlGrant(prb=tuple(range(l)), mod=dl_mcs_to_mod(mcs), tbs=tbs, rnti=rnti)
+    d = Dci1A(riv=riv_encode(25, 0, l), mcs=mcs)
+    sched = DlSched(cfi=1, dcis=[(d.pack(25), rnti, 4, 0)], grants=[(g, tb)])
+    _, s = enb_dl_subframe(cell, 4, sched)
+    res = ue_dl_decode_subframe(cell, s, 4, rnti, known_cfi=1)
+    assert res.tbs and res.tbs[0][1]
+    np.testing.assert_array_equal(np.asarray(res.tbs[0][0]).ravel()[:tbs], tb)
