@@ -17,12 +17,18 @@ DL_CE_SIZES = {62: 6, 61: 1, 60: 0}  # contention resolution, TA command, ...
 CCCH_SDU_LEN = 6  # UL-CCCH fixed 48-bit Msg3
 
 
-def mac_nr_pack(subpdus: list[tuple[int, bytes]], tb_size: int | None = None) -> bytes:
-    """Pack (lcid, payload) subPDUs; pad with LCID 63 to tb_size if given."""
+def mac_nr_pack(
+    subpdus: list[tuple[int, bytes]], tb_size: int | None = None, is_ul: bool = True
+) -> bytes:
+    """Pack (lcid, payload) subPDUs; pad with LCID 63 to tb_size if given.
+
+    LCID 0 is the fixed-48-bit CCCH only on UL-SCH (Msg3); on DL-SCH the
+    CCCH subPDU carries a normal L field (TS 38.321 Table 6.2.1-1).
+    """
     out = bytearray()
     for lcid, payload in subpdus:
         n = len(payload)
-        if lcid == LCID_CCCH_NR:
+        if lcid == LCID_CCCH_NR and is_ul:
             out.append(lcid & 0x3F)  # no L field
             out += payload
         elif lcid in UL_CE_SIZES or lcid in DL_CE_SIZES:
