@@ -46,7 +46,8 @@ from ..phy.ue.ue_ul import ue_prach_send, ue_ul_encode
 from ..stack import rrc
 from ..stack import security as sec
 from ..stack.gtpu import GtpuEndpoint, gtpu_unpack
-from ..stack.mac import LCID_CON_RES, Scheduler, UeMac, parse_ul_pdu
+from ..stack.mac import (LCID_CON_RES, LCID_PHR, Scheduler, UeMac,
+                         parse_ul_pdu, phr_db, phr_index)
 from ..stack.mac_pdu import DL_CE_SIZES, UL_CE_SIZES, mac_pack, mac_unpack
 from ..stack.nas_ue import UeNas, Usim
 from ..stack.pdcp import PdcpConfig, PdcpEntity
@@ -189,6 +190,7 @@ class _EnbUe:
     last_cqi_tti: int = -(10 ** 6)  # aperiodic-CQI staleness tracking
     is_reest: bool = False  # re-establishment in progress (no NAS attach)
     srs_snr_db: float | None = None  # wideband sounding measurement
+    last_phr_db: int | None = None  # last power-headroom report
     release_at: int = -1  # graceful release scheduled for this tti
     s_tmsi: int | None = None  # from an S-TMSI RRCConnectionRequest
     is_ho_target: bool = False
@@ -239,7 +241,8 @@ class EnbStack:
         # system information broadcast (BCCH-DL-SCH on SI-RNTI): SIB1 on
         # sf 5 of even SFNs (TS 36.331 §5.2.1.2), SIB2 in an rf8 SI window
         self._sib1 = rrc.pack_sib1(cell_id=(enb_id << 8) | (cell.id & 0xFF))
-        self._sib2 = rrc.pack_sib2(nof_ra_preambles=52, prach_config_index=3)
+        self._sib2 = rrc.pack_sib2(nof_ra_preambles=52, prach_config_index=3,
+                                   sib3=rrc.make_sib3())
         self.sched = Scheduler(cell.nof_prb, mcs_max=mcs)
         # CA: the SCell gets its own scheduler (the per-carrier
         # scheduler_carrier.cc instance) pulling from the same RLC bearers
@@ -819,7 +822,12 @@ class EnbStack:
             if bsr:
                 self.sched.ul_bsr(rnti, bsr)
             for lcid, sdu in sdus:
-                if lcid == LCID_CCCH:
+                if lcid == LCID_PHR and sdu:
+                    # power headroom (ue.cc:357-359 → sched_ue::ul_phr)
+                    ue.last_phr_db = phr_db(sdu[0])
+                    self.sched.ul_phr(rnti, ue.last_phr_db)
+                    self.stats["phr_rx"] = self.stats.get("phr_rx", 0) + 1
+                elif lcid == LCID_CCCH:
                     self._handle_ccch(ue, sdu)
                 elif lcid == LCID_SRB1:
                     ue.srb1_rlc.write_pdu(sdu)
@@ -1128,6 +1136,10 @@ class UeStack:
         self.acquire_si = acquire_si
         self.sib1: dict | None = None
         self.sib2: dict | None = None
+        # idle-mode intra-frequency reselection inputs/state (rrc_cell.cc
+        # ranking; TS 36.304 §5.2.4): SIB3 params + Treselection counter
+        self.sib3_params: dict | None = None
+        self._resel_better_count = 0
         self._reest_ctx = None  # (crnti, pci, k_enb, ciph, integ) after RLF
         # idle mode: camped after RRCConnectionRelease — monitors paging
         # occasions and accesses only for MO data or an MT page
@@ -1165,6 +1177,15 @@ class UeStack:
         # timing advance: initial value from the RAR, maintained by TA
         # MAC CEs (TS 36.321 §6.1.3.5; UE applies it by advancing UL tx)
         self.ta_samples = 0
+        # power headroom reporting (proc_phr.cc): periodic + prohibit
+        # timers and the dl-PathlossChange trigger; first report goes out
+        # with the first PUSCH after (re)configuration (proc_phr.cc:74)
+        self.phr_periodic_tti = 100
+        self.phr_prohibit_tti = 20
+        self.phr_db_change = 3.0
+        self._phr_next_periodic = 0
+        self._phr_prohibit_until = 0
+        self._phr_last_pl: float | None = None
         self.prach_cfg = PrachConfig()
         self.ip_rx: list[bytes] = []
         self.ip_tx_queue: list[bytes] = []
@@ -1270,9 +1291,58 @@ class UeStack:
             self._process_scell_dl(tti, sf_idx, scell_samples)
         if sf_idx == 9:
             self._run_measurements(tti)
+            self._run_idle_reselection()
         ul = self._build_ul(tti, sf_idx)
         self.tti += 1
         return ul
+
+    def _run_idle_reselection(self):
+        """Camped-UE intra-frequency reselection (TS 36.304 §5.2.4; the
+        rrc_cell.cc cell-ranking role): rank R_s = Q_meas,s + Qhyst
+        against R_n = Q_meas,n each frame; after TreselectionEUTRA of
+        continuously better ranking, reselect and re-acquire SI there.
+        Measurements are digital-domain dBFS; the S-criterion threshold
+        (2×q-RxLevMin dBm) is applied on the same scale."""
+        if (not self.idle_camped or self.sib3_params is None
+                or len(self._samp_hist) < 10):
+            return
+        serving = getattr(self, "_dl_rsrp_dbfs", None)
+        if serving is None:
+            return
+        from ..phy.ue.intra_measure import measure_cells
+
+        samples = np.concatenate(list(self._samp_hist))
+        neighbours = measure_cells(samples, self.cell.nof_prb, serving_pci=self.cell.id)
+        p = self.sib3_params
+        candidates = [n for n in neighbours if n.rsrp_dbfs > p["q_rx_lev_min_dbm"]]
+        if not candidates:
+            self._resel_better_count = 0
+            return
+        best = max(candidates, key=lambda c: c.rsrp_dbfs)
+        if best.rsrp_dbfs > serving + p["q_hyst_db"]:
+            self._resel_better_count += 1
+        else:
+            self._resel_better_count = 0
+            return
+        # evaluations run once per 10 ms frame
+        if self._resel_better_count > p["t_resel_s"] * 100:
+            self._reselect_to(best.pci)
+
+    def _reselect_to(self, pci: int):
+        """Camp on the new cell: serving PCI switches, SI of the new cell
+        must be re-acquired before any PRACH; NAS/IP context is kept
+        (the UE stays ECM-IDLE — the network learns of the move only at
+        the next Service Request)."""
+        self.cell = dataclasses.replace(self.cell, id=pci)
+        self.sib1 = self.sib2 = None
+        self.sib3_params = None
+        self.acquire_si = True
+        self._resel_better_count = 0
+        self._samp_hist.clear()
+        self._dl_rsrp_dbfs = None
+        self._dl_softbuffers.clear()
+        self._dl_ndi.clear()
+        self.stats["reselection"] = self.stats.get("reselection", 0) + 1
 
     def _run_measurements(self, tti: int):
         """Intra-frequency neighbour search + A3 evaluation over the last
@@ -1423,6 +1493,9 @@ class UeStack:
             self.sib1 = body
             return
         for k2, sib in body:
+            if k2 == "sib3":
+                self.sib3_params = rrc.sib3_resel_params(sib)
+                continue
             if k2 != "sib2":
                 continue
             self.sib2 = sib
@@ -1737,6 +1810,26 @@ class UeStack:
             samples = samples * np.float32(10.0 ** (self.ul_gain_db / 20.0))
         return samples
 
+    def _phr_due(self) -> bool:
+        """proc_phr.cc trigger evaluation: periodic timer expiry, or a
+        dl-PathlossChange beyond the threshold while prohibit is idle."""
+        if self.rrc_state < self.RRC_CONNECTED:
+            return False
+        tti = self.tti
+        trig = tti >= self._phr_next_periodic
+        rsrp = getattr(self, "_dl_rsrp_dbfs", None)
+        pl = None if rsrp is None else -rsrp  # pathloss ∝ −RSRP
+        if pl is not None and self._phr_last_pl is not None:
+            if (abs(pl - self._phr_last_pl) > self.phr_db_change
+                    and tti >= self._phr_prohibit_until):
+                trig = True
+        if trig:
+            self._phr_next_periodic = tti + self.phr_periodic_tti
+            self._phr_prohibit_until = tti + self.phr_prohibit_tti
+            if pl is not None:
+                self._phr_last_pl = pl
+        return trig
+
     def _build_ul_mac_pdu(self, tb_bytes: int) -> bytes:
         """Assemble one UL MAC PDU (Msg3/BSR/SRB1/DRB mux) — the PHY-free
         seam the TTCN-3-style harness pulls from (apps/ttcn3.py)."""
@@ -1754,6 +1847,12 @@ class UeStack:
         bs = self._buffer_state()
         sdus.append((LCID_SHORT_BSR, bytes([bsr_index(bs) & 0x3F])))
         used += 4
+        if self._phr_due():
+            # PH = remaining TPC range above the accumulated UL gain (the
+            # digital-domain stand-in for Pcmax − estimated PUSCH power)
+            sdus.append((LCID_PHR, bytes([phr_index(20.0 - self.ul_gain_db)])))
+            used += 2
+            self.stats["phr_sent"] = self.stats.get("phr_sent", 0) + 1
         for lcid, ent in ((LCID_SRB1, self.srb1_rlc), (LCID_DRB1, self.drb_rlc)):
             while used + 8 < tb_bytes:
                 pdu = ent.read_pdu(tb_bytes - used - 3)
@@ -1786,6 +1885,12 @@ class TwoCellEnb:
             c.meas_cfg = rrc.make_meas_config(a3_offset_db=-10.0)
             c.on_meas_report = self._on_meas_report
             c.on_ho_complete = self._on_ho_complete
+        # both EnbStacks share one enb_id (one S1 association), so the
+        # MME's paging fan-out must reach BOTH cells' PCCH (the real eNB
+        # pages on every cell of the tracking area)
+        if hasattr(mme, "register_enb"):
+            mme.register_enb(self.cells[0].enb_id,
+                             lambda pdu: [c._s1ap_rx(pdu) for c in self.cells])
         self._ho_src: dict[int, tuple[EnbStack, _EnbUe]] = {}  # target crnti -> source
         self.stats = {"ho_started": 0, "ho_completed": 0}
 
@@ -1797,14 +1902,22 @@ class TwoCellEnb:
         """Central SPGW→cell routing by TEID (each cell's own pump would
         drop packets for the other cell's UEs)."""
         by_teid = {u.dl_teid: u for c in self.cells for u in c.ues.values()}
+        requeue = []
         while (pkt := self.spgw.pop_tx()) is not None:
             out = gtpu_unpack(pkt)
             if out is None:
                 continue
             hdr, payload = out
             ue = by_teid.get(hdr.teid)
-            if ue is not None:
+            if ue is not None and ue.rrc_state == EnbStack.RRC_ACTIVE:
                 ue.drb_rlc.write_sdu(ue.drb_pdcp.write_sdu(payload))
+            else:
+                # DRB not (re-)established yet — the SPGW flushes buffered
+                # DL at Modify Bearer time, before the reconfiguration
+                # completes; ciphering with the pre-SMC entity would
+                # corrupt it (same hold as EnbStack._pump_spgw)
+                requeue.append(pkt)
+        self.spgw.tx_queue.extendleft(reversed(requeue))
 
     def _on_meas_report(self, src: EnbStack, ue: _EnbUe, results: dict):
         neigh = results.get("meas_result_neigh_cells")

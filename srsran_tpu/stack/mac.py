@@ -35,6 +35,17 @@ N_HARQ = 8
 FDD_FB_DELAY = 4  # ACK at TTI+4
 
 
+def phr_index(ph_db: float) -> int:
+    """Power-headroom CE value (TS 36.321 §6.1.3.6, 36.133 Table
+    9.1.8.4-1): PH index = PH_dB + 23, clipped to 0..63 (−23..+40 dB)."""
+    return int(max(0, min(63, round(ph_db + 23))))
+
+
+def phr_db(index: int) -> int:
+    """Inverse of phr_index (ue.cc get_phr on the eNB side)."""
+    return (index & 0x3F) - 23
+
+
 def bsr_index(nof_bytes: int) -> int:
     """TS 36.321 Table 6.1.3.1-1 buffer-size level (geometric levels
     10..150000 over indices 1..62; 0 = empty, 63 = >150000)."""
@@ -153,6 +164,7 @@ class _SchedUe:
     ul_pending_bytes: int = 0  # from BSRs
     ul_ndi: int = 0
     cqi: int = 15
+    phr_db: int | None = None  # last power-headroom report (sched_ue.cc:249)
     dl_bytes: int = 0
     ul_bytes: int = 0
 
@@ -204,6 +216,12 @@ class Scheduler:
         ue = self.ues.get(rnti)
         if ue is not None:
             ue.cqi = max(1, min(15, cqi))
+
+    def ul_phr(self, rnti: int, ph_db: int):
+        """Record a UE power-headroom report (mac ue.cc:357-359 →
+        sched_ue::ul_phr); negative PHR caps the UL allocation width."""
+        if rnti in self.ues:
+            self.ues[rnti].phr_db = ph_db
 
     def ul_bsr(self, rnti: int, nof_bytes: int):
         ue = self.ues.get(rnti)
@@ -326,6 +344,10 @@ class Scheduler:
             if ue.ul_pending_bytes > 0:
                 mcs = min(self.mcs_max, 20)
                 l_ul = max(1, self.nof_prb - 2)  # band edges = PUCCH region
+                if ue.phr_db is not None and ue.phr_db < 0:
+                    # power-limited UE: shrink bandwidth so the per-PRB
+                    # power rises by |PHR| dB (TX power scales with PRBs)
+                    l_ul = max(1, int(l_ul * 10.0 ** (ue.phr_db / 10.0)))
                 tbs = tbs_lookup(ul_mcs_to_itbs(mcs), l_ul)
                 ue.ul_ndi ^= 1
                 ue.ul_pending_bytes = max(0, ue.ul_pending_bytes - tbs // 8)

@@ -330,8 +330,11 @@ def pack_sib1(cell_id: int, tac: int = 1, freq_band: int = 7,
 
 
 def pack_sib2(nof_ra_preambles: int = 52, prach_config_index: int = 3,
-              root_seq_idx: int = 0, n310: int = 4, t310_ms: int = 200) -> bytes:
-    """SystemInformation carrying SIB2 (the rr.conf/sib.conf analog)."""
+              root_seq_idx: int = 0, n310: int = 4, t310_ms: int = 200,
+              sib3: dict | None = None) -> bytes:
+    """SystemInformation carrying SIB2 (the rr.conf/sib.conf analog);
+    optionally SIB3 in the same SI message (sib.conf.example schedules
+    sib2+sib3 together in si_mapping_info)."""
     sib2 = {
         "rr_cfg_common": {
             "rach_cfg_common": {
@@ -379,10 +382,47 @@ def pack_sib2(nof_ra_preambles: int = 52, prach_config_index: int = 3,
         "freq_info": {"add_spec_emission": 1},
         "time_align_timer_common": "sf10240",
     }
+    sibs = [("sib2", sib2)]
+    if sib3 is not None:
+        sibs.append(("sib3", sib3))
     v = {"msg": ("c1", ("sys_info", {
-        "crit_exts": ("sys_info_r8", {"sib_type_and_info": [("sib2", sib2)]}),
+        "crit_exts": ("sys_info_r8", {"sib_type_and_info": sibs}),
     }))}
     return asn1.BCCH_DL_SCH_MESSAGE.to_bytes(v)
+
+
+_Q_HYST_DB = [0, 1, 2, 3, 4, 5, 6, 8, 10, 12, 14, 16, 18, 20, 22, 24]
+
+
+def make_sib3(q_hyst_db: int = 4, q_rx_lev_min: int = -65,
+              t_resel_eutra: int = 0) -> dict:
+    """SystemInformationBlockType3 — the intra-frequency idle-mode cell
+    reselection parameters (sib.conf [sib3], TS 36.331 §6.3.1).
+    `q_rx_lev_min` is the IE value (actual threshold = 2×IE dBm)."""
+    assert q_hyst_db in _Q_HYST_DB
+    return {
+        "cell_resel_info_common": {"q_hyst": f"db{q_hyst_db}"},
+        "cell_resel_serving_freq_info": {"thresh_serving_low": 2, "cell_resel_prio": 3},
+        "intra_freq_cell_resel_info": {
+            "q_rx_lev_min": q_rx_lev_min,
+            "presence_ant_port1": True,
+            "neigh_cell_cfg": 0b01,
+            "t_resel_eutra": t_resel_eutra,
+        },
+    }
+
+
+def sib3_resel_params(sib3: dict) -> dict:
+    """What the idle UE needs from SIB3 (rrc_cell.cc ranking inputs)."""
+    intra = sib3["intra_freq_cell_resel_info"]
+    return {
+        "q_hyst_db": _Q_HYST_DB[
+            ["db0", "db1", "db2", "db3", "db4", "db5", "db6", "db8", "db10", "db12",
+             "db14", "db16", "db18", "db20", "db22", "db24"].index(
+                sib3["cell_resel_info_common"]["q_hyst"])],
+        "q_rx_lev_min_dbm": 2 * intra["q_rx_lev_min"],
+        "t_resel_s": intra["t_resel_eutra"],
+    }
 
 
 def unpack_bcch_dl_sch(data: bytes):
