@@ -186,7 +186,8 @@ class _EnbUe:
     spgw_teid: int = 0
     cf_preamble: int = -1  # dedicated contention-free preamble (HO target)
     scell_state: int = 0  # 0 = none, 1 = SCell reconfig sent, 2 = configured+activated
-    last_ul_snr_db: float | None = None  # drives the TPC loop
+    last_ul_snr_db: float | None = None  # DMRS SNR estimate (link adaptation)
+    last_ul_rx_db: float | None = None  # per-RE PUSCH rx power, drives TPC
     last_cqi_tti: int = -(10 ** 6)  # aperiodic-CQI staleness tracking
     is_reest: bool = False  # re-establishment in progress (no NAS attach)
     srs_snr_db: float | None = None  # wideband sounding measurement
@@ -764,8 +765,11 @@ class EnbStack:
                 if out[1]:
                     break
             tb, ok = out[0], out[1]
-            if not dtx and len(out) > 3 and ue_ctx is not None:
-                ue_ctx.last_ul_snr_db = float(out[3])  # feeds the TPC loop
+            if not dtx and ue_ctx is not None:
+                if len(out) > 3:
+                    ue_ctx.last_ul_snr_db = float(out[3])
+                # per-RE rx power over the allocation feeds the TPC loop
+                ue_ctx.last_ul_rx_db = 10.0 * np.log10(max(alloc_pow, 1e-12))
             if ok and ue_ctx is not None and ue_ctx.rrc_state >= self.RRC_CONNECTED:
                 # timing-advance maintenance: UL delay from the DMRS phase
                 # ramp across subcarriers → TA MAC CE (mac.cc ta_info →
@@ -1052,21 +1056,24 @@ class EnbStack:
             return samples.sum(axis=0)
         return samples[0]
 
-    UL_SNR_TARGET_DB = 20.0
+    UL_P0_DBFS = 0.0  # target per-RE PUSCH rx power (the P0 of §5.1.1.1)
 
     def _tpc_cmd(self, rnti: int) -> int:
         """TPC for a DCI0 (accumulated mode, Table 5.1.1.1-2 index):
-        steer the measured PUSCH DMRS SNR toward the target — the
-        ul_pwr_ctrl loop the reference runs in sched_ue/ue_ul.c."""
+        steer the measured per-RE PUSCH rx power toward P0 — the
+        ul_pwr_ctrl loop the reference runs in sched_ue/ue_ul.c.  A
+        power target (not an SNR target) has a fixed point even on a
+        noiseless digital channel, so the loop converges instead of
+        railing the UE's gain accumulator at its clamp."""
         ue = self.ues.get(rnti)
-        snr = ue.last_ul_snr_db if ue is not None else None
-        if snr is None:
+        rx = ue.last_ul_rx_db if ue is not None else None
+        if rx is None:
             return 1  # 0 dB
-        if snr < self.UL_SNR_TARGET_DB - 6:
+        if rx < self.UL_P0_DBFS - 6:
             return 3  # +3 dB
-        if snr < self.UL_SNR_TARGET_DB - 1:
+        if rx < self.UL_P0_DBFS - 1:
             return 2  # +1 dB
-        if snr > self.UL_SNR_TARGET_DB + 1:
+        if rx > self.UL_P0_DBFS + 1:
             return 0  # -1 dB
         return 1
 
@@ -1121,6 +1128,9 @@ class EnbStack:
 
 class UeStack:
     RRC_IDLE, RRC_WAIT_RAR, RRC_WAIT_SETUP, RRC_CONNECTED, RRC_ACTIVE = range(5)
+    # nominal antenna-port power of a 0 dBFS digital signal; maps dBFS
+    # measurements onto the dBm scale q-RxLevMin (TS 36.304) is defined on
+    DBFS_REF_DBM = -70.0
 
     def __init__(self, cell: Cell, usim: Usim, cfi: int = 2, preamble: int = 17, attach_delay: int = 0,
                  tdd_cfg: tdd.TddConfig | None = None, acquire_si: bool = False,
@@ -1314,7 +1324,12 @@ class UeStack:
         samples = np.concatenate(list(self._samp_hist))
         neighbours = measure_cells(samples, self.cell.nof_prb, serving_pci=self.cell.id)
         p = self.sib3_params
-        candidates = [n for n in neighbours if n.rsrp_dbfs > p["q_rx_lev_min_dbm"]]
+        # S-criterion: q-RxLevMin is a dBm threshold while measurements
+        # are digital-domain dBFS — map them onto a nominal dBm scale
+        # (0 dBFS ≙ DBFS_REF_DBM at the antenna port) so the SIB3 setting
+        # actually excludes weak cells instead of being inert.
+        candidates = [n for n in neighbours
+                      if n.rsrp_dbfs + self.DBFS_REF_DBM > p["q_rx_lev_min_dbm"]]
         if not candidates:
             self._resel_better_count = 0
             return
@@ -1885,18 +1900,44 @@ class TwoCellEnb:
             c.meas_cfg = rrc.make_meas_config(a3_offset_db=-10.0)
             c.on_meas_report = self._on_meas_report
             c.on_ho_complete = self._on_ho_complete
-        # both EnbStacks share one enb_id (one S1 association), so the
-        # MME's paging fan-out must reach BOTH cells' PCCH (the real eNB
-        # pages on every cell of the tracking area)
+        # both EnbStacks share one enb_id (one S1 association).  Partition
+        # the enb_ue_s1ap_id space so the cells never collide, then demux
+        # link-delivered PDUs by id ownership; only Paging (S-TMSI keyed,
+        # no UE-associated id) fans out to BOTH cells' PCCH — the real eNB
+        # pages on every cell of the tracking area but processes
+        # UE-associated S1AP on exactly one (rrc_mobility.cc).
+        self.cells[1]._next_enb_ue_id = 1 << 16
         if hasattr(mme, "register_enb"):
-            mme.register_enb(self.cells[0].enb_id,
-                             lambda pdu: [c._s1ap_rx(pdu) for c in self.cells])
+            mme.register_enb(self.cells[0].enb_id, self._s1ap_route)
         self._ho_src: dict[int, tuple[EnbStack, _EnbUe]] = {}  # target crnti -> source
+        self._orphan_ttl: dict[int, int] = {}  # unknown-TEID age-out counters
         self.stats = {"ho_started": 0, "ho_completed": 0}
 
     def run_tti(self, ul_by_cell) -> list[np.ndarray]:
         self._route_spgw()
         return [c.run_tti(ul) for c, ul in zip(self.cells, ul_by_cell)]
+
+    def _s1ap_route(self, pdu: bytes):
+        """Demux MME→eNB S1AP on the shared association: Paging to every
+        cell, UE-associated PDUs only to the cell owning the
+        enb_ue_s1ap_id (ids are partitioned at construction)."""
+        name, ies = s1ap.unpack(pdu)
+        if name == "paging":
+            for c in self.cells:
+                c._s1ap_rx(pdu)
+            return
+        eid = ies.get("enb_ue_s1ap_id")
+        if eid is None:  # ue_context_release_cmd nests the pair
+            ids = ies.get("ue_s1ap_ids")
+            if isinstance(ids, tuple) and isinstance(ids[1], dict):
+                eid = ids[1].get("enb_ue_s1ap_id")
+        for c in self.cells:
+            if eid in c._by_enb_id:
+                c._s1ap_rx(pdu)
+                return
+        # no owner yet (e.g. inbound S1 ho_request allocates a fresh
+        # context): let the primary cell admit it
+        self.cells[0]._s1ap_rx(pdu)
 
     def _route_spgw(self):
         """Central SPGW→cell routing by TEID (each cell's own pump would
@@ -1911,12 +1952,21 @@ class TwoCellEnb:
             ue = by_teid.get(hdr.teid)
             if ue is not None and ue.rrc_state == EnbStack.RRC_ACTIVE:
                 ue.drb_rlc.write_sdu(ue.drb_pdcp.write_sdu(payload))
-            else:
+            elif ue is not None:
                 # DRB not (re-)established yet — the SPGW flushes buffered
                 # DL at Modify Bearer time, before the reconfiguration
                 # completes; ciphering with the pre-SMC entity would
                 # corrupt it (same hold as EnbStack._pump_spgw)
                 requeue.append(pkt)
+            else:
+                # unknown TEID (detached / stale session): age out rather
+                # than requeue forever
+                ttl = self._orphan_ttl.get(hdr.teid, 32) - 1
+                if ttl > 0:
+                    self._orphan_ttl[hdr.teid] = ttl
+                    requeue.append(pkt)
+                else:
+                    self._orphan_ttl.pop(hdr.teid, None)
         self.spgw.tx_queue.extendleft(reversed(requeue))
 
     def _on_meas_report(self, src: EnbStack, ue: _EnbUe, results: dict):

@@ -153,6 +153,11 @@ class UlSchedGrant:
     rv: int
     harq_pid: int
 
+    @property
+    def nof_prb(self) -> int:
+        """Allocation width in PRBs (alias of l_crb, the DCI-0 RIV field)."""
+        return self.l_crb
+
 
 @dataclasses.dataclass
 class _SchedUe:
