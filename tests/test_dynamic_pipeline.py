@@ -1,0 +1,160 @@
+"""Dynamic-grant pipeline: any per-TTI grant with a bounded compile set.
+
+The reference decodes arbitrary per-TTI grants inside a fixed budget with
+no recompilation (`srsue/src/phy/cc_worker.cc:214-307`, `sch.c:503`);
+`pipeline_dynamic.DynamicUeDl` must do the same on TPU via shape buckets.
+These tests are the compile/VMEM budget regression VERDICT r1 item 10 asked
+for: a realistic scheduler-driven mix must decode correctly AND stay under
+an explicit XLA-program budget.
+"""
+
+import numpy as np
+import pytest
+
+from srsran_tpu.phy.common import Cell
+from srsran_tpu.phy.chest.refsignal_dl import put_crs_np
+from srsran_tpu.phy.fec.cbsegm import qpp_interleaver_np
+from srsran_tpu.phy.modem import Mod
+from srsran_tpu.phy.ofdm import OfdmConfig, ofdm_tx_sf
+from srsran_tpu.phy.phch.pdsch import DlGrant, pdsch_encode_np
+from srsran_tpu.phy.phch.ra import dl_mcs_to_mod, dl_tbs
+from srsran_tpu.pipeline_dynamic import DynamicUeDl
+
+
+def _render(cell, ofdm, sf_idx, grant, tb, rng, snr_amp=0.05, nrx=1):
+    grid = pdsch_encode_np(cell, sf_idx, 1, grant, tb)
+    full = np.zeros(
+        (max(grid.shape[0], cell.nof_ports), cell.nsymb_per_sf,
+         cell.nof_re_per_symbol), np.complex64)
+    full[: grid.shape[0]] += grid
+    put_crs_np(full, cell, sf_idx)
+    tx = np.asarray(ofdm_tx_sf(ofdm, full))  # (nports, sf_len)
+    rx = np.broadcast_to(tx.sum(axis=0, keepdims=True), (nrx, tx.shape[1])).copy()
+    rx += snr_amp * (rng.standard_normal(rx.shape)
+                     + 1j * rng.standard_normal(rx.shape))
+    return rx.astype(np.complex64)
+
+
+def test_dynamic_grant_mix_and_compile_budget():
+    """Scheduler-driven random grant mix (MCS 0-28 x random contiguous PRB
+    allocations x all subframes) through ONE facade: every TB decodes, and
+    the number of distinct XLA programs stays bounded — later TTIs reuse
+    earlier buckets (zero per-TTI recompiles in steady state)."""
+    rng = np.random.default_rng(7)
+    cell = Cell(nof_prb=50, nof_ports=1, id=17)
+    ofdm = OfdmConfig.from_cell(cell, normalize=True)
+    ue = DynamicUeDl(cell, cfi=1)
+
+    n = 40
+    compiles_at = []
+    for i in range(n):
+        sf_idx = int(rng.integers(0, 10))
+        mcs = int(rng.integers(0, 29))
+        l = int(rng.integers(1, 51))
+        s = int(rng.integers(0, 51 - l))
+        tbs = dl_tbs(mcs, l)
+        if tbs == 0:
+            continue
+        grant = DlGrant(prb=tuple(range(s, s + l)), mod=dl_mcs_to_mod(mcs),
+                        tbs=tbs, rnti=0x46)
+        tb = rng.integers(0, 2, tbs).astype(np.uint8)
+        rx = _render(cell, ofdm, sf_idx, grant, tb, rng)
+        tb_hat, ok, _, _ = ue.decode(rx, sf_idx, grant)
+        assert ok, (i, sf_idx, mcs, s, l, tbs)
+        np.testing.assert_array_equal(tb_hat, tb)
+        compiles_at.append(ue.total_compiles)
+
+    # explicit compile budget: stage A ≤ 10 (one per sf_idx), stages B+C
+    # bounded by the bucket grid, NOT by the number of distinct grants
+    assert ue.stats["compiles_a"] <= 10
+    assert ue.stats["compiles_b"] <= 12
+    assert ue.stats["compiles_c"] <= 14
+    # steady state: the last quarter of the mix must not add programs
+    q = len(compiles_at) // 4
+    assert compiles_at[-1] - compiles_at[-q] <= 1, compiles_at
+
+
+def test_dynamic_harq_combining():
+    """rv 0 → too little SNR → NACK; rv 2 retransmission combines in the
+    softbuffer and decodes (softbuffer.c / rm_turbo RX `+=` semantics)."""
+    rng = np.random.default_rng(3)
+    cell = Cell(nof_prb=15, nof_ports=1, id=3)
+    ofdm = OfdmConfig.from_cell(cell, normalize=True)
+    ue = DynamicUeDl(cell, cfi=1, max_iterations=4)
+
+    # high MCS at low SNR: first transmission alone must fail
+    tbs = dl_tbs(16, 15)
+    tb = rng.integers(0, 2, tbs).astype(np.uint8)
+    g0 = DlGrant(prb=tuple(range(15)), mod=dl_mcs_to_mod(16), tbs=tbs, rv=0)
+    rx0 = _render(cell, ofdm, 1, g0, tb, rng, snr_amp=0.42)
+    _, ok0, soft, _ = ue.decode(rx0, 1, g0)
+
+    g2 = DlGrant(prb=tuple(range(15)), mod=dl_mcs_to_mod(16), tbs=tbs, rv=2)
+    rx2 = _render(cell, ofdm, 2, g2, tb, rng, snr_amp=0.42)
+    tb_hat, ok2, _, _ = ue.decode(rx2, 2, g2, softbuffer=soft)
+    assert ok2
+    np.testing.assert_array_equal(tb_hat, tb)
+
+
+def test_dynamic_vs_static_parity():
+    """The dynamic path must produce the same TB as the static pipeline on
+    the same samples."""
+    from srsran_tpu.pipeline import ue_dl_subframe
+
+    rng = np.random.default_rng(11)
+    cell = Cell(nof_prb=25, nof_ports=1, id=5)
+    ofdm = OfdmConfig.from_cell(cell, normalize=True)
+    ue = DynamicUeDl(cell, cfi=1)
+    for mcs, sf_idx in ((4, 0), (13, 4), (22, 9)):
+        tbs = dl_tbs(mcs, 25)
+        grant = DlGrant(prb=tuple(range(25)), mod=dl_mcs_to_mod(mcs), tbs=tbs)
+        tb = rng.integers(0, 2, tbs).astype(np.uint8)
+        rx = _render(cell, ofdm, sf_idx, grant, tb, rng)
+        tb_dyn, ok_dyn, _, _ = ue.decode(rx, sf_idx, grant)
+        static_fn = ue_dl_subframe(cell, sf_idx, 1, grant)
+        tb_st, ok_st, _ = static_fn(rx)
+        assert ok_dyn and bool(ok_st)
+        np.testing.assert_array_equal(tb_dyn, np.asarray(tb_st))
+        np.testing.assert_array_equal(tb_dyn, tb)
+
+
+def test_dynamic_turbo_all_cb_sizes_sampled():
+    """Dynamic-K turbo decode across sampled LTE CB sizes in one program
+    per K bucket (exactness of the masked scans + tail injection)."""
+    import jax.numpy as jnp
+
+    from srsran_tpu.phy.common import LTE_CRC24A
+    from srsran_tpu.phy.crc import crc_attach_np
+    from srsran_tpu.phy.fec.turbo import turbo_encode_np
+    from srsran_tpu.phy.fec.turbo_dyn import crc_table_ab, turbo_decode_dyn
+
+    rng = np.random.default_rng(5)
+    k_max = 2112
+    ks = [40, 64, 136, 512, 528, 1024, 1056, 2048, 2112]
+    b = 16
+    d = np.zeros((b, 3, k_max + 4), np.float32)
+    per = np.tile(np.arange(k_max, dtype=np.int32), (b, 1))
+    inv = per.copy()
+    k_vec = np.full(b, k_max, np.int32)
+    valid = np.zeros(b, bool)
+    msgs = {}
+    for i, k in enumerate(ks):
+        msg = rng.integers(0, 2, k - 24).astype(np.uint8)
+        cb = crc_attach_np(msg, LTE_CRC24A)
+        msgs[i] = cb
+        enc = turbo_encode_np(cb).astype(np.float32)
+        d[i, :, : k + 4] = (2 * enc - 1) * 3 + rng.normal(0, 1.0, enc.shape)
+        p = qpp_interleaver_np(k)
+        per[i, :k] = p
+        iv = np.empty_like(p)
+        iv[p] = np.arange(k, dtype=p.dtype)
+        inv[i, :k] = iv
+        k_vec[i] = k
+        valid[i] = True
+    bits, _, n_it = turbo_decode_dyn(
+        jnp.asarray(d), jnp.asarray(k_vec), jnp.asarray(per), jnp.asarray(inv),
+        jnp.asarray(valid), k_max, 6, crc_table=jnp.asarray(crc_table_ab(k_max)),
+        crc_is_b=jnp.asarray(np.zeros(b, bool)))
+    bits = np.asarray(bits)
+    for i, k in enumerate(ks):
+        np.testing.assert_array_equal(bits[i, :k], msgs[i], err_msg=f"K={k}")
