@@ -17,7 +17,7 @@ from ..ofdm import OfdmConfig, ofdm_tx_sf
 from ..phch.pbch import Mib, pbch_encode_np, pbch_re_indices
 from ..phch.pcfich import pcfich_put_np
 from ..phch.pdcch import pdcch_put_np
-from ..phch.pdsch import pdsch_encode_np
+from ..phch.pdsch import DlGrant2, pdsch_encode2_np, pdsch_encode_np
 from ..phch.phich import phich_put_np
 from ..sync.pss import put_pss_grid
 from ..sync.sss import put_sss_grid
@@ -106,8 +106,12 @@ def enb_dl_subframe(
     for dci_bits, rnti, agg, cce in sched.dcis:
         pdcch_put_np(ctrl_grid, cell, sf_idx, sched.cfi, dci_bits, rnti, agg, cce)
     for grant, tb in sched.grants:
-        pg = pdsch_encode_np(cell, sf_idx, sched.cfi, grant, tb,
-                             tdd=tdd is not None, last_symbol=last_symbol)
+        if isinstance(grant, DlGrant2):
+            # two-codeword spatial multiplexing (TM3/TM4); tb = (tb1, tb2)
+            pg = pdsch_encode2_np(cell, sf_idx, sched.cfi, grant, tb[0], tb[1])
+        else:
+            pg = pdsch_encode_np(cell, sf_idx, sched.cfi, grant, tb,
+                                 tdd=tdd is not None, last_symbol=last_symbol)
         grid[: pg.shape[0]] += pg
 
     put_crs_np(grid, cell, sf_idx)

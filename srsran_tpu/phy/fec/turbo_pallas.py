@@ -2,13 +2,29 @@
 
 The TPU-native analog of the reference's SIMD windowed MAP
 (`turbodecoder_win.h:576-787`): trellis states ride the VPU's 8 sublanes,
-(codeblock x window) pairs fill the lanes, and the whole
-alpha-train / alpha / beta-train / beta+posterior recursion runs inside
-one kernel with the alpha metrics held in VMEM scratch — no HBM traffic
-for the per-position state tensor (the XLA scan version writes/reads
-~50 MB of alphas per pass at K=6144, B=256).
+(codeblock x window) pairs fill the lanes, and one kernel runs the whole
+pass with every intermediate in VMEM — no HBM round-trip for the
+per-position state metrics (the XLA scan writes/reads ~50 MB of alphas per
+pass at K=6144, B=256).
 
-The grid tiles the lane axis; each program owns TILE_N lanes end-to-end.
+Design (v2 — the round-1 kernel lost to the XLA scan; this one is shaped
+by what that measurement taught):
+
+* **Fused counter-recursions.** Alpha runs forward while beta runs
+  backward in the SAME fori_loop; they are independent until the
+  posterior.  Training for both boundaries is likewise one fused loop.
+  Sequential depth: T + lw instead of 2*(T + lw).
+* **Posteriors emitted in the second half.**  At step j >= lw/2 both the
+  live alpha carry (position j) and the stored beta (position j+1) exist,
+  and symmetrically for the mirrored position lw-1-j — each late step
+  emits two posterior rows.  Only the first half of each metric array is
+  ever stored: scratch is lw/2 entries of alpha plus lw/2 of beta (half
+  the round-1 kernel's footprint), so a 2048-lane tile fits VMEM in f32.
+* **No MXU in the hot loop.**  The 8-state predecessor/successor
+  permutations are static sublane slice-concats (round 1 used an 8x8
+  one-hot matmul per step — per-step MXU latency swamped the VPU work).
+* **No per-step renormalisation.**  float32 carries a window's worth of
+  metric growth easily; constant per-lane offsets cancel in m1 - m0.
 """
 
 from __future__ import annotations
@@ -30,115 +46,112 @@ def _tables():
     from .turbo import _trellis
 
     t = _trellis()
-    sp = (2.0 * t["parity"] - 1.0).astype(np.float32)  # (8,2)
-    spp = (2.0 * t["prev_parity"] - 1.0).astype(np.float32)
-    spu = (2.0 * t["prev_u"] - 1.0).astype(np.float32)
     return dict(
-        spu0=spu[:, 0:1], spu1=spu[:, 1:2], spp0=spp[:, 0:1], spp1=spp[:, 1:2],
-        sp0=sp[:, 0:1], sp1=sp[:, 1:2],
-        ps0=t["prev_state"][:, 0], ps1=t["prev_state"][:, 1],
-        ns0=t["next_state"][:, 0], ns1=t["next_state"][:, 1],
+        ps0=tuple(int(v) for v in t["prev_state"][:, 0]),
+        ps1=tuple(int(v) for v in t["prev_state"][:, 1]),
+        ns0=tuple(int(v) for v in t["next_state"][:, 0]),
+        ns1=tuple(int(v) for v in t["next_state"][:, 1]),
     )
 
 
-def _perm_matrix(idx) -> np.ndarray:
-    """(8,8) one-hot matrix P with (P @ a)[i] = a[idx[i]]."""
-    p = np.zeros((8, 8), np.float32)
-    p[np.arange(8), np.asarray(idx)] = 1.0
-    return p
+def _row_perm(v, idx):
+    """Static sublane permutation of an (8, n) tensor (compiles to
+    sublane shuffles — no MXU, no gather)."""
+    return jnp.concatenate([v[i : i + 1] for i in idx], axis=0)
+
+
+def _signs(n):
+    """±1 branch-sign columns derived in-kernel from iota + trellis bit
+    algebra (Mosaic only inlines scalar/splat constants):
+      state s = r0 + 2 r1 + 4 r2;
+        prev_u(s', u=0) sign   = ±(b0' ^ b2')
+        prev_parity(s', u=0)   = ±(b0' ^ b1')
+        parity(s, u=0)         = ±(r0 ^ r1)
+    """
+    row = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+    b0, b1 = row & 1, (row >> 1) & 1
+    b2 = (row >> 2) & 1
+    f = lambda v: (2 * v - 1).astype(jnp.float32)
+    c_spu0 = f(b0 ^ b2)
+    c_spp0 = f(b0 ^ b1)
+    c_sp0 = f(b0 ^ b1)
+    return c_spu0, c_spp0, c_sp0
 
 
 def _map_kernel(T: int, lw: int):
     tb = _tables()
-    # row permutations are static python indices (sublane shuffles);
-    # the ±1 sign patterns are derived in-kernel from iota + trellis bit
-    # algebra, since Mosaic only inlines scalar/splat constants:
-    #   state s = r0 + 2 r1 + 4 r2; branch into s' with input u:
-    #     prev_u(s',r2)    = b0' ^ b2' ^ r2
-    #     prev_parity(s')  = b0' ^ b1' ^ r2
-    #     parity(s,u)      = r0 ^ r1 ^ u
     ps0, ps1 = tb["ps0"], tb["ps1"]
     ns0, ns1 = tb["ns0"], tb["ns1"]
-
-    def _signs(n):
-        row = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
-        b0, b1, b2 = row & 1, (row >> 1) & 1, (row >> 2) & 1
-        f = lambda v: (2 * v - 1).astype(jnp.float32)
-        c_spu0 = f(b0 ^ b2)
-        c_spp0 = f(b0 ^ b1)
-        c_sp0 = f(b0 ^ b1)
-        return c_spu0, -c_spu0, c_spp0, -c_spp0, c_sp0, -c_sp0
-
-    # alpha's predecessor permutations are sublane repeats
-    # (ps0 = [0,0,1,1,2,2,3,3], ps1 = ps0 + 4); beta's successor gather is
-    # an (8,8) one-hot matmul pns0 @ b on the otherwise-idle MXU, and
-    # ns1 = ns0 of the half-swapped rows, i.e. roll(pns0 @ b, 4 sublanes).
     assert list(ps0) == [0, 0, 1, 1, 2, 2, 3, 3] and list(ps1) == [4, 4, 5, 5, 6, 6, 7, 7]
-    assert list(ns1) == [int(ns0[(i + 4) % 8]) for i in range(8)]
-
-    def alpha_step(a, xt, zt, _pns0):
-        c_spu0, c_spu1, c_spp0, c_spp1, _, _ = _signs(a.shape[1])
-        a0 = jnp.repeat(a[:4], 2, axis=0)
-        a1 = jnp.repeat(a[4:], 2, axis=0)
-        new = jnp.maximum(a0 + (c_spu0 * xt + c_spp0 * zt), a1 + (c_spu1 * xt + c_spp1 * zt))
-        return new - new[0:1]
-
-    def beta_core(b, xt, zt, pns0):
-        _, _, _, _, c_sp0, c_sp1 = _signs(b.shape[1])
-        g0 = -xt + c_sp0 * zt
-        g1 = xt + c_sp1 * zt
-        bp0 = jnp.dot(pns0, b, preferred_element_type=jnp.float32)
-        bp1 = pltpu.roll(bp0, 4, axis=0)
-        return bp0 + g0, bp1 + g1
+    half = lw // 2
 
     def kernel(
         axt_ref, azt_ref, ax_ref, az_ref, bxt_ref, bzt_ref,
-        amask_ref, bmask_ref, bknown_ref, pns0_ref, out_ref, alphas_scr,
+        amask_ref, bmask_ref, bknown_ref, out_ref, a_scr, b_scr,
     ):
         n = axt_ref.shape[1]
-        pns0 = pns0_ref[:, :8]
+        # sign constants hoisted out of the hot loops
+        c_spu0, c_spp0, c_sp0 = _signs(n)
 
-        # --- alpha training (zero init) ---
-        def a_tr_body(t, a):
-            return alpha_step(a, axt_ref[t][None, :], azt_ref[t][None, :], pns0)
+        def alpha_step(a, xt, zt):
+            g = c_spu0 * xt + c_spp0 * zt
+            a0 = jnp.repeat(a[:4], 2, axis=0)  # a[ps0]
+            a1 = jnp.repeat(a[4:], 2, axis=0)  # a[ps1]
+            return jnp.maximum(a0 + g, a1 - g)
 
-        a = jax.lax.fori_loop(0, T, a_tr_body, jnp.zeros((8, n), jnp.float32), unroll=4)
+        def beta_branches(b, xt, zt):
+            gz = c_sp0 * zt
+            bp0 = _row_perm(b, ns0)
+            bp1 = _row_perm(b, ns1)
+            return bp0 + (gz - xt), bp1 + (xt - gz)
+
+        # --- fused boundary training (alpha forward, beta backward) ---
+        def tr_body(t, carry):
+            a, b = carry
+            a = alpha_step(a, axt_ref[t][None, :], azt_ref[t][None, :])
+            b0, b1 = beta_branches(b, bxt_ref[T - 1 - t][None, :], bzt_ref[T - 1 - t][None, :])
+            b = jnp.maximum(b0, b1)
+            # keep training magnitudes bounded (T can exceed a window)
+            return a - a[0:1], b - b[0:1]
+
+        z8 = jnp.zeros((8, n), jnp.float32)
+        a, b = jax.lax.fori_loop(0, T, tr_body, (z8, z8))
         row = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
         known = jnp.where(row == 0, 0.0, NEG_INF)  # exact state-0 start
         a = jnp.where(amask_ref[0][None, :] > 0, known, a)
-
-        # --- alpha main, storing pre-update metrics ---
-        def a_body(t, a):
-            alphas_scr[t] = a
-            return alpha_step(a, ax_ref[t][None, :], az_ref[t][None, :], pns0)
-
-        jax.lax.fori_loop(0, lw, a_body, a, unroll=4)
-
-        # --- beta training (reverse over the training window) ---
-        def b_tr_body(t, b):
-            xt = bxt_ref[T - 1 - t][None, :]
-            zt = bzt_ref[T - 1 - t][None, :]
-            b0, b1 = beta_core(b, xt, zt, pns0)
-            new = jnp.maximum(b0, b1)
-            return new - new[0:1]
-
-        b = jax.lax.fori_loop(0, T, b_tr_body, jnp.zeros((8, n), jnp.float32), unroll=4)
         b = jnp.where(bmask_ref[0][None, :] > 0, bknown_ref[:], b)
 
-        # --- beta + posterior, backward ---
-        def b_body(i, b):
-            t = lw - 1 - i
-            xt = ax_ref[t][None, :]
-            zt = az_ref[t][None, :]
-            b0, b1 = beta_core(b, xt, zt, pns0)
-            a_t = alphas_scr[t]
-            m0 = jnp.max(a_t + b0, axis=0)
-            m1 = jnp.max(a_t + b1, axis=0)
-            out_ref[t] = m1 - m0
-            new = jnp.maximum(b0, b1)
-            return new - new[0:1]
+        # --- first half: pure recursions, metrics stored (no posteriors
+        # are computable yet, so no predication in the loop body) ---
+        def store_body(j, carry):
+            a, b = carry
+            tb_pos = lw - 1 - j
+            a_scr[j] = a              # alpha at position j
+            b_scr[tb_pos - half] = b  # beta at position tb_pos+1
+            a = alpha_step(a, ax_ref[j][None, :], az_ref[j][None, :])
+            b0, b1 = beta_branches(b, ax_ref[tb_pos][None, :], az_ref[tb_pos][None, :])
+            return a, jnp.maximum(b0, b1)
 
-        jax.lax.fori_loop(0, lw, b_body, b, unroll=4)
+        a, b = jax.lax.fori_loop(0, half, store_body, (a, b))
+
+        # --- second half: each step emits two posterior rows; the beta
+        # recursion's branch metrics double as the mirrored posterior's ---
+        def post_body(j, carry):
+            a, b = carry
+            tb_pos = lw - 1 - j
+            xa = ax_ref[j][None, :]
+            za = az_ref[j][None, :]
+            # mirrored posterior at t = tb_pos + the beta recursion (shared
+            # branch metrics)
+            b0m, b1m = beta_branches(b, ax_ref[tb_pos][None, :], az_ref[tb_pos][None, :])
+            am = a_scr[tb_pos]
+            out_ref[tb_pos] = jnp.max(am + b1m, axis=0) - jnp.max(am + b0m, axis=0)
+            # posterior at t = j: live alpha + stored beta(j+1)
+            b0, b1 = beta_branches(b_scr[j - half], xa, za)
+            out_ref[j] = jnp.max(a + b1, axis=0) - jnp.max(a + b0, axis=0)
+            return alpha_step(a, xa, za), jnp.maximum(b0m, b1m)
+
+        jax.lax.fori_loop(half, lw, post_body, (a, b))
 
     return kernel
 
@@ -155,14 +168,11 @@ def map_windows_pallas(
     b_known: (8, bn) exact beta_K for last-window lanes.
     Returns posterior (lw, bn) float32.
     """
+    assert lw % 2 == 0
     bn = ax.shape[1]
     tiles = max(1, bn // TILE_N)
     tn = bn // tiles
     kernel = _map_kernel(T, lw)
-    tb = _tables()
-    pns0 = np.zeros((8, 128), np.float32)
-    pns0[:, :8] = _perm_matrix(tb["ns0"])
-    pns0_j = jnp.asarray(pns0)
 
     def spec(rows):
         return pl.BlockSpec((rows, tn), lambda i: (0, i), memory_space=pltpu.VMEM)
@@ -173,10 +183,12 @@ def map_windows_pallas(
         in_specs=[
             spec(T), spec(T), spec(lw), spec(lw), spec(T), spec(T),
             spec(1), spec(1), spec(8),
-            pl.BlockSpec((8, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=spec(lw),
         out_shape=jax.ShapeDtypeStruct((lw, bn), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((lw, 8, tn), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((lw // 2, 8, tn), jnp.float32),
+            pltpu.VMEM((lw // 2, 8, tn), jnp.float32),
+        ],
         interpret=interpret,
-    )(ax_tr, az_tr, ax, az, bx_tr, bz_tr, a_mask, b_mask, b_known, pns0_j)
+    )(ax_tr, az_tr, ax, az, bx_tr, bz_tr, a_mask, b_mask, b_known)

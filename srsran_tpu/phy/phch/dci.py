@@ -306,6 +306,17 @@ class Dci1:
         p = _rbg_size(nof_prb)
         return (nof_prb + p - 1) // p
 
+    @classmethod
+    def nof_bits(cls, nof_prb: int, tdd: bool = False) -> int:
+        """Payload size, padded by one bit if it would collide with the
+        format-0/1A size (TS 36.212 §5.3.3.1.2; dci.c format1 sizeof) —
+        blind search must be able to tell the formats apart by length."""
+        n = 1 + cls.nof_rbg(nof_prb) + 5 + _harq_bits(tdd) + 1 + 2 + 2
+        n += 2 if tdd else 0
+        if n == Dci1A.nof_bits(nof_prb, tdd):
+            n += 1
+        return n
+
     def pack(self, nof_prb: int, tdd: bool = False) -> np.ndarray:
         w = _BitWriter()
         w.put(0, 1)  # RA header: type 0
@@ -317,6 +328,8 @@ class Dci1:
         w.put(self.tpc, 2)
         if tdd:
             w.put(self.dai, 2)
+        while len(w.bits) < self.nof_bits(nof_prb, tdd):
+            w.put(0, 1)
         return w.array()
 
     @classmethod

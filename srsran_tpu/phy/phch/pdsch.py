@@ -258,6 +258,7 @@ class DlGrant2:
     rv2: int = 0
     pmi: int = 0  # codebook index (TM4); 0 = identity-ish
     rnti: int = 0x1234
+    tx_scheme: str = "spatialmux"  # "spatialmux" (TM4 codebook) | "cdd" (TM3)
 
     @property
     def qm1(self) -> int:
@@ -286,7 +287,12 @@ def pdsch_encode2_np(
         seq = gold_sequence(pdsch_cinit(grant.rnti, sf_idx, cell.id, q=q), len(bits))
         cws.append(np.asarray(modulate(mod, np.asarray(scramble_bits(bits, seq)))))
     layers = np.asarray(layermap([jnp.asarray(c) for c in cws], 2))
-    ports = np.asarray(precode_spatialmux(jnp.asarray(layers), grant.pmi))
+    if grant.tx_scheme == "cdd":
+        from ..mimo import precode_cdd2
+
+        ports = np.asarray(precode_cdd2(jnp.asarray(layers)))
+    else:
+        ports = np.asarray(precode_spatialmux(jnp.asarray(layers), grant.pmi))
     grid = np.zeros((2, cell.nsymb_per_sf, cell.nof_re_per_symbol), np.complex64)
     grid.reshape(2, -1)[:, idx] = ports
     return grid
@@ -302,7 +308,12 @@ def pdsch_decode2(
     n_re = len(idx)
     y = rx_grid.reshape(rx_grid.shape[0], -1)[:, idx]
     h = ce.reshape(ce.shape[0], ce.shape[1], -1)[:, :, idx]
-    x, csi = predecode_zf_mmse(y, h, 2, noise_est, pmi=grant.pmi)
+    if grant.tx_scheme == "cdd":
+        from ..mimo import predecode_cdd2
+
+        x, csi = predecode_cdd2(y, h, noise_est)
+    else:
+        x, csi = predecode_zf_mmse(y, h, 2, noise_est, pmi=grant.pmi)
     sym_cws = layerdemap(x, 2)
     csi_cws = layerdemap(csi.astype(jnp.complex64), 2)
     out = []
