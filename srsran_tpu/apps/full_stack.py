@@ -192,6 +192,8 @@ class _EnbUe:
     is_reest: bool = False  # re-establishment in progress (no NAS attach)
     srs_snr_db: float | None = None  # wideband sounding measurement
     last_phr_db: int | None = None  # last power-headroom report
+    last_ri: int = 1  # rank indicator from UCI (drives 2-codeword grants)
+    last_pmi: int = 0  # codebook recommendation (TM4)
     release_at: int = -1  # graceful release scheduled for this tti
     s_tmsi: int | None = None  # from an S-TMSI RRCConnectionRequest
     is_ho_target: bool = False
@@ -225,9 +227,16 @@ class EnbStack:
     def __init__(self, cell: Cell, mme: Mme, spgw: Spgw, crnti: int = 0x46, mcs: int = 5, cfi: int = 2,
                  enb_id: int = 0x19B, tdd_cfg: tdd.TddConfig | None = None,
                  scell: Cell | None = None, srs_enabled: bool = False,
-                 sr_enabled: bool = False):
+                 sr_enabled: bool = False, tm: int = 2):
         self.sr_enabled = sr_enabled
         self.cell = cell
+        # transmission mode (TS 36.213 §7.1): 2 = SFBC, 3 = open-loop SM
+        # (CDD, DCI 2A), 4 = closed-loop SM (codebook, DCI 2).  TM3/4
+        # need a 2-port cell and emit per-port sample streams.
+        self.tm = tm
+        assert tm in (1, 2, 3, 4)
+        if tm >= 3:
+            assert cell.nof_ports == 2, "TM3/TM4 need a 2-port cell"
         self.tdd = tdd_cfg
         self.prach_sf = _prach_sf(tdd_cfg)
         self.scell = scell  # R10 carrier aggregation secondary cell (DL)
@@ -756,8 +765,10 @@ class EnbStack:
             for wc in cqi_hyps if not dtx else []:
                 uci_exp = None
                 if wc or exp_acks:
-                    uci_exp = UciCfg(cqi_bits=(0, 0, 0, 0) if wc else (),
-                                     ack=(0,) * len(exp_acks))
+                    ri_exp = (0,) if (wc and self.tm >= 3) else ()
+                    n_cqi = (6 if self.tm == 4 else 4) if wc else 0
+                    uci_exp = UciCfg(cqi_bits=(0,) * n_cqi,
+                                     ack=(0,) * len(exp_acks), ri=ri_exp)
                 out = enb_ul_decode_pusch(self.cell, sf_idx, rx_grid, grant,
                                           softbuffers=sb_in, uci=uci_exp,
                                           shortened=srs_sf)
@@ -802,11 +813,23 @@ class EnbStack:
                     self._ul_harq[retx_tti] = (out[2], tx_count)
             self.pending_phich.setdefault(ph_tti, []).append((group, n_seq, hi))
             if uci_out is not None and uci_out["cqi_bits"]:
-                cqi = int("".join(str(b) for b in uci_out["cqi_bits"]), 2)
+                cbits = uci_out["cqi_bits"]
+                cqi = int("".join(str(b) for b in cbits[:4]), 2)
+                if self.tm == 4 and len(cbits) >= 6 and ue_ctx is not None:
+                    ue_ctx.last_pmi = int("".join(str(b) for b in cbits[4:6]), 2)
                 self.sched.cqi_info(rnti, cqi)
                 if ue_ctx is not None:
                     ue_ctx.last_cqi_tti = tti
                 self.stats["cqi_rx"] = self.stats.get("cqi_rx", 0) + 1
+                if uci_out["ri"] and ue_ctx is not None:
+                    # RI feedback drives the 2-codeword eligibility
+                    # (sched_ue ri_info → scheduler rank adaptation)
+                    ue_ctx.last_ri = 1 + int(uci_out["ri"][0])
+                    self.stats["ri_rx"] = self.stats.get("ri_rx", 0) + 1
+                    if self.tm >= 3 and ue_ctx.last_ri == 2:
+                        self.sched.two_cw.add(rnti)
+                    else:
+                        self.sched.two_cw.discard(rnti)
             if exp_acks:
                 # trust UCI ack bits only when the PUSCH CRC confirms the
                 # two sides agreed on the UCI layout; else NACK → retx
@@ -924,6 +947,43 @@ class EnbStack:
             sched.grants.append((grant, tb_bits))
             return agg, cce
 
+        def add_dl_tb2(g) -> tuple[int, int] | None:
+            """Two-codeword grant (TM3: DCI 2A + CDD; TM4: DCI 2 +
+            codebook) — the reference's pdsch.c:785-1007 2-CW path."""
+            from ..phy.phch.dci import Dci1, Dci2
+            from ..phy.phch.pdsch import DlGrant2
+
+            prb = tuple(range(g.rb_start, g.rb_start + g.l_crb))
+            fmt = "2a" if self.tm == 3 else "2"
+            ue_g = self.ues.get(g.rnti)
+            pmi = getattr(ue_g, "last_pmi", 0) if ue_g is not None else 0
+            dci = Dci2(
+                rbg_bitmap=Dci1.bitmap_for_prbs(prb, self.cell.nof_prb),
+                mcs1=g.mcs, ndi1=g.ndi, rv1=g.rv,
+                mcs2=g.mcs2, ndi2=g.ndi, rv2=g.rv,
+                harq_pid=g.harq_pid, fmt=fmt,
+                precoding_info=(0 if fmt == "2a" else max(0, pmi - 1)),
+            )
+            loc = alloc_cce(g.rnti)
+            if loc is None:
+                return None
+            agg, cce = loc
+            pad = lambda pdu, tbs: np.concatenate([
+                np.unpackbits(np.frombuffer(pdu, np.uint8)),
+                np.zeros(tbs - 8 * len(pdu), np.uint8)])
+            grant = DlGrant2(
+                prb=prb, mod1=dl_mcs_to_mod(g.mcs), tbs1=g.tbs_bits,
+                mod2=dl_mcs_to_mod(g.mcs2), tbs2=g.tbs_bits2,
+                rv1=g.rv, rv2=g.rv, rnti=g.rnti,
+                pmi=(0 if fmt == "2a" else max(1, pmi)),
+                tx_scheme=("cdd" if fmt == "2a" else "spatialmux"),
+            )
+            sched.dcis.append((dci.pack(self.cell.nof_prb, nof_ports=2, tdd=is_tdd),
+                               g.rnti, agg, cce))
+            sched.grants.append((grant, (pad(g.pdu, g.tbs_bits), pad(g.pdu2, g.tbs_bits2))))
+            self.stats["dl_2cw_tx"] = self.stats.get("dl_2cw_tx", 0) + 1
+            return agg, cce
+
         ul_delay = _pusch_delay(self.tdd, tti)
         # 0. system information (exclusive TTIs — common grants span the
         # band's PDSCH REs): SIB1 every 20 ms, SIB2 every 80 ms
@@ -979,8 +1039,11 @@ class EnbStack:
                                     tuple(range(self.cell.nof_prb)), is_tdd)
                 grants = self.sched.get_dl_sched(tti, pdsch_nof_re=n_re)
                 for g in grants:
-                    loc2 = add_dl_tb(g.rnti, g.mcs, g.pdu, ndi=g.ndi, rv=g.rv, harq_pid=g.harq_pid,
-                                     rb_start=g.rb_start, l_crb=g.l_crb)
+                    if g.pdu2 is not None and self.tm >= 3:
+                        loc2 = add_dl_tb2(g)
+                    else:
+                        loc2 = add_dl_tb(g.rnti, g.mcs, g.pdu, ndi=g.ndi, rv=g.rv, harq_pid=g.harq_pid,
+                                         rb_start=g.rb_start, l_crb=g.l_crb)
                     if loc2 is not None:
                         # real feedback: PUCCH 1a (or UCI-on-PUSCH) at the
                         # TS 36.213 §10.1 ACK subframe; NACK/DTX → retx
@@ -1049,6 +1112,11 @@ class EnbStack:
                         e["on_pusch"] = True
         _, samples = enb_dl_subframe(self.cell, sf_idx, sched, mib=self.mib,
                                      sfn=(tti // 10) % 1024, tdd=self.tdd)
+        if self.tm >= 3:
+            # spatial multiplexing needs a rank-2 link: emit BOTH port
+            # streams; the channel (test harness or emulator) mixes them
+            # into the UE's rx antennas
+            return samples
         if samples.shape[0] >= 2:
             # the harness link carries ONE stream per cell: emit the
             # superposition at the UE antenna (flat [1,1] MISO channel —
@@ -1134,9 +1202,15 @@ class UeStack:
 
     def __init__(self, cell: Cell, usim: Usim, cfi: int = 2, preamble: int = 17, attach_delay: int = 0,
                  tdd_cfg: tdd.TddConfig | None = None, acquire_si: bool = False,
-                 srs_enabled: bool = False, sr_enabled: bool = False):
+                 srs_enabled: bool = False, sr_enabled: bool = False,
+                 tm: int = 2, nrx: int = 1):
         self.srs_enabled = srs_enabled
         self.sr_enabled = sr_enabled
+        # transmission mode + rx antenna count; with nrx == 2 the DL link
+        # input is (2, sf_len) rx-antenna streams (not CA carriers)
+        self.tm = tm
+        self.nrx = nrx
+        self._dl_rank = 1
         self.cell = cell
         self.tdd = tdd_cfg
         self.prach_sf = _prach_sf(tdd_cfg)
@@ -1288,7 +1362,12 @@ class UeStack:
         sf_idx = tti % 10
         dl_samples = np.asarray(dl_samples)
         scell_samples = None
-        if dl_samples.ndim == 2:  # CA: (n_cc, sf_len), cc 0 = PCell
+        rx_ants = None
+        if dl_samples.ndim == 2 and self.nrx == 2:
+            # 2 rx antennas (TM3/TM4 spatial multiplexing link)
+            rx_ants = dl_samples
+            dl_samples = dl_samples[0]
+        elif dl_samples.ndim == 2:  # CA: (n_cc, sf_len), cc 0 = PCell
             dl_samples, scell_samples = dl_samples[0], dl_samples[1]
         for ent in (self.srb1_rlc, self.drb_rlc):  # RLC timers
             if hasattr(ent, "tick"):
@@ -1296,7 +1375,7 @@ class UeStack:
         if tdd.sf_type(self.tdd, sf_idx) != tdd.SfType.U:
             self._radio_link_monitor(dl_samples)  # U subframes carry no DL
         self._samp_hist.append(np.asarray(dl_samples))
-        self._process_dl(tti, sf_idx, dl_samples)
+        self._process_dl(tti, sf_idx, dl_samples if rx_ants is None else rx_ants)
         if scell_samples is not None and self.scell is not None and self.scell_active:
             self._process_scell_dl(tti, sf_idx, scell_samples)
         if sf_idx == 9:
@@ -1390,6 +1469,7 @@ class UeStack:
         if tdd.sf_type(self.tdd, sf_idx) == tdd.SfType.U:
             return  # nothing to receive on our own UL subframes
         is_tdd = self.tdd is not None
+        rx = samples if samples.ndim == 2 else samples[None]
         inflight = self._ul_inflight.pop(tti, None)
         rntis = []
         if self.acquire_si and (self.sib1 is None or self.sib2 is None):
@@ -1409,11 +1489,15 @@ class UeStack:
         for rnti in rntis:
             is_c = rnti == self.crnti
             res = ue_dl_decode_subframe(
-                self.cell, samples[None], sf_idx, rnti, known_cfi=self.cfi,
-                tdd=self.tdd,
+                self.cell, rx, sf_idx, rnti, known_cfi=self.cfi,
+                tdd=self.tdd, nrx=rx.shape[0],
+                tm=self.tm if is_c else 2,
                 harq_softbuffers=self._dl_softbuffers if is_c else None,
                 phich=_phich_resource(self.cell, inflight[0]) if (is_c and inflight) else None,
             )
+            if is_c and res.rank:
+                self._dl_rank = res.rank
+                self._dl_pmi = res.pmi
             if is_c and inflight is not None and res.phich_ack is not None:
                 g_fl, tb_fl, txc = inflight
                 if not res.phich_ack and txc < UL_HARQ_MAX_TX:
@@ -1446,16 +1530,24 @@ class UeStack:
                         tbs=tbs_lookup(ul_mcs_to_itbs(dci0.mcs), l_crb), rnti=rnti,
                     )
             if rnti == self.crnti and res.dci_used is not None and res.tbs:
-                # DL HARQ feedback + duplicate suppression (dl_harq.cc)
-                dci_d, ok = res.dci_used, bool(res.tbs[0][1])
+                # DL HARQ feedback + duplicate suppression (dl_harq.cc).
+                # 2-codeword grants (DCI 2/2A) report ONE bit = AND of the
+                # codewords (conservative bundling; both TBs retransmit
+                # together on NACK)
+                dci_d = res.dci_used
+                ok = all(bool(okb) for _, okb in res.tbs)
+                ndi_key = getattr(dci_d, "ndi", None)
+                if ndi_key is None:
+                    ndi_key = (dci_d.ndi1, dci_d.ndi2)
                 last = self._dl_ndi.get(dci_d.harq_pid)
-                is_dup = last is not None and last[0] == dci_d.ndi and last[1]
-                self._dl_ndi[dci_d.harq_pid] = (dci_d.ndi, ok or is_dup)
+                is_dup = last is not None and last[0] == ndi_key and last[1]
+                self._dl_ndi[dci_d.harq_pid] = (ndi_key, ok or is_dup)
                 self.pending_ack.setdefault(tdd.ack_tti(self.tdd, tti), []).append(
                     (res.cce_used, 1 if (ok or is_dup) else 0, tti))
                 if ok and not is_dup:
-                    self.stats["dl_tbs_ok"] += 1
-                    self._handle_dl_pdu(np.packbits(np.asarray(res.tbs[0][0])).tobytes())
+                    for tb_i, _ok_i in res.tbs:
+                        self.stats["dl_tbs_ok"] += 1
+                        self._handle_dl_pdu(np.packbits(np.asarray(tb_i)).tobytes())
                 continue
             for tb, ok in res.tbs:
                 if not ok:
@@ -1808,12 +1900,24 @@ class UeStack:
             from ..phy.phch.pusch import UciCfg
 
             cqi_bits = ()
+            ri_bits = ()
             if want_cqi:
                 cqi = snr_db_to_cqi(getattr(self, "_dl_snr_db", 20.0))
                 cqi_bits = tuple(int(b) for b in np.binary_repr(cqi, 4))
+                if self.tm == 4:
+                    # aperiodic mode 1-1: wideband PMI rides the CQI report
+                    # (TS 36.212 §5.2.2.6; cqi.c codebook index field)
+                    pmi = int(getattr(self, "_dl_pmi", 0)) & 3
+                    cqi_bits = cqi_bits + tuple(int(b) for b in np.binary_repr(pmi, 2))
                 self.stats["cqi_sent"] = self.stats.get("cqi_sent", 0) + 1
+                if self.tm >= 3:
+                    # rank indicator from the measured channel condition
+                    # (cc_worker.cc:566 measurements → RI/PMI feedback)
+                    ri_bits = (1 if getattr(self, "_dl_rank", 1) == 2 else 0,)
+                    self.stats["ri_sent"] = self.stats.get("ri_sent", 0) + 1
             # ACKs ride the PUSCH as UCI (ue_ul.c uci multiplexing)
-            uci = UciCfg(cqi_bits=cqi_bits, ack=tuple(b for _, b, _t in acks or ()))
+            uci = UciCfg(cqi_bits=cqi_bits, ack=tuple(b for _, b, _t in acks or ()),
+                         ri=ri_bits)
         # watch the PHICH for this transmission (ul_harq.cc role)
         self._ul_inflight[tdd.phich_tti(self.tdd, tti)] = (grant, tb_bits, tx_count)
         srs = None

@@ -85,6 +85,12 @@ def _map_kernel(T: int, lw: int):
     assert list(ps0) == [0, 0, 1, 1, 2, 2, 3, 3] and list(ps1) == [4, 4, 5, 5, 6, 6, 7, 7]
     half = lw // 2
 
+    # positions processed per fori iteration: block reads/writes + a static
+    # inner unroll amortize the loop's dynamic-slice overhead (measured to
+    # dominate at 1 position/iteration)
+    CH = 8
+    assert half % CH == 0 and T % CH == 0
+
     def kernel(
         axt_ref, azt_ref, ax_ref, az_ref, bxt_ref, bzt_ref,
         amask_ref, bmask_ref, bknown_ref, out_ref, a_scr, b_scr,
@@ -106,52 +112,80 @@ def _map_kernel(T: int, lw: int):
             return bp0 + (gz - xt), bp1 + (xt - gz)
 
         # --- fused boundary training (alpha forward, beta backward) ---
-        def tr_body(t, carry):
+        def tr_body(c, carry):
             a, b = carry
-            a = alpha_step(a, axt_ref[t][None, :], azt_ref[t][None, :])
-            b0, b1 = beta_branches(b, bxt_ref[T - 1 - t][None, :], bzt_ref[T - 1 - t][None, :])
-            b = jnp.maximum(b0, b1)
+            t0 = c * CH
+            ax = axt_ref[pl.ds(t0, CH), :]
+            az = azt_ref[pl.ds(t0, CH), :]
+            bx = bxt_ref[pl.ds(T - CH - t0, CH), :]
+            bz = bzt_ref[pl.ds(T - CH - t0, CH), :]
+            for i in range(CH):
+                a = alpha_step(a, ax[i][None, :], az[i][None, :])
+                b0, b1 = beta_branches(b, bx[CH - 1 - i][None, :], bz[CH - 1 - i][None, :])
+                b = jnp.maximum(b0, b1)
             # keep training magnitudes bounded (T can exceed a window)
             return a - a[0:1], b - b[0:1]
 
         z8 = jnp.zeros((8, n), jnp.float32)
-        a, b = jax.lax.fori_loop(0, T, tr_body, (z8, z8))
+        a, b = jax.lax.fori_loop(0, T // CH, tr_body, (z8, z8))
         row = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
         known = jnp.where(row == 0, 0.0, NEG_INF)  # exact state-0 start
         a = jnp.where(amask_ref[0][None, :] > 0, known, a)
         b = jnp.where(bmask_ref[0][None, :] > 0, bknown_ref[:], b)
 
         # --- first half: pure recursions, metrics stored (no posteriors
-        # are computable yet, so no predication in the loop body) ---
-        def store_body(j, carry):
+        # are computable yet) ---
+        def store_body(c, carry):
             a, b = carry
-            tb_pos = lw - 1 - j
-            a_scr[j] = a              # alpha at position j
-            b_scr[tb_pos - half] = b  # beta at position tb_pos+1
-            a = alpha_step(a, ax_ref[j][None, :], az_ref[j][None, :])
-            b0, b1 = beta_branches(b, ax_ref[tb_pos][None, :], az_ref[tb_pos][None, :])
-            return a, jnp.maximum(b0, b1)
+            j0 = c * CH
+            m0 = lw - CH - j0  # mirrored chunk start
+            ax = ax_ref[pl.ds(j0, CH), :]
+            az = az_ref[pl.ds(j0, CH), :]
+            bx = ax_ref[pl.ds(m0, CH), :]
+            bz = az_ref[pl.ds(m0, CH), :]
+            for i in range(CH):
+                a_scr[j0 + i] = a
+                # b_scr[t - half] holds beta at position t+1 for t in the
+                # second half; carry here is beta at position m0+CH-i
+                b_scr[m0 - half + CH - 1 - i] = b
+                a = alpha_step(a, ax[i][None, :], az[i][None, :])
+                b0, b1 = beta_branches(b, bx[CH - 1 - i][None, :], bz[CH - 1 - i][None, :])
+                b = jnp.maximum(b0, b1)
+            return a, b
 
-        a, b = jax.lax.fori_loop(0, half, store_body, (a, b))
+        a, b = jax.lax.fori_loop(0, half // CH, store_body, (a, b))
 
-        # --- second half: each step emits two posterior rows; the beta
-        # recursion's branch metrics double as the mirrored posterior's ---
-        def post_body(j, carry):
+        # --- second half: each iteration emits two CH-row posterior blocks;
+        # the beta recursion's branch metrics double as the mirrored
+        # posterior's ---
+        def post_body(c, carry):
             a, b = carry
-            tb_pos = lw - 1 - j
-            xa = ax_ref[j][None, :]
-            za = az_ref[j][None, :]
-            # mirrored posterior at t = tb_pos + the beta recursion (shared
-            # branch metrics)
-            b0m, b1m = beta_branches(b, ax_ref[tb_pos][None, :], az_ref[tb_pos][None, :])
-            am = a_scr[tb_pos]
-            out_ref[tb_pos] = jnp.max(am + b1m, axis=0) - jnp.max(am + b0m, axis=0)
-            # posterior at t = j: live alpha + stored beta(j+1)
-            b0, b1 = beta_branches(b_scr[j - half], xa, za)
-            out_ref[j] = jnp.max(a + b1, axis=0) - jnp.max(a + b0, axis=0)
-            return alpha_step(a, xa, za), jnp.maximum(b0m, b1m)
+            j0 = half + c * CH
+            m0 = lw - CH - c * CH - half  # mirrored chunk start
+            ax = ax_ref[pl.ds(j0, CH), :]
+            az = az_ref[pl.ds(j0, CH), :]
+            bx = ax_ref[pl.ds(m0, CH), :]
+            bz = az_ref[pl.ds(m0, CH), :]
+            b_next = b_scr[pl.ds(j0 - half, CH)]  # beta at j+1, rows j0..j0+CH-1
+            a_prev = a_scr[pl.ds(m0, CH)]  # alpha at rows m0..m0+CH-1
+            for i in range(CH):
+                xa, za = ax[i][None, :], az[i][None, :]
+                xb, zb = bx[CH - 1 - i][None, :], bz[CH - 1 - i][None, :]
+                # mirrored posterior at t = m0+CH-1-i (shares the beta
+                # recursion's branch metrics)
+                b0m, b1m = beta_branches(b, xb, zb)
+                am = a_prev[CH - 1 - i]
+                out_ref[m0 + CH - 1 - i] = (
+                    jnp.max(am + b1m, axis=0) - jnp.max(am + b0m, axis=0))
+                b = jnp.maximum(b0m, b1m)
+                # forward posterior at t = j0+i: live alpha + stored beta
+                b0, b1 = beta_branches(b_next[i], xa, za)
+                out_ref[j0 + i] = (
+                    jnp.max(a + b1, axis=0) - jnp.max(a + b0, axis=0))
+                a = alpha_step(a, xa, za)
+            return a, b
 
-        jax.lax.fori_loop(half, lw, post_body, (a, b))
+        jax.lax.fori_loop(0, half // CH, post_body, (a, b))
 
     return kernel
 

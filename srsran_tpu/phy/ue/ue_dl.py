@@ -36,6 +36,8 @@ class UeDlResult:
     dci_format: str = ""  # "1A" | "1" | "2" | "2a"
     cce_used: int = -1  # its CCE start (→ PUCCH 1a resource, pucch_proc.c:257)
     phich_ack: bool | None = None  # decoded HI when a resource was watched
+    rank: int = 0  # recommended RI (0 = not measured; cc_worker.cc:566)
+    pmi: int = 0  # recommended codebook index for the measured rank
 
 
 def ue_dl_decode_subframe(
@@ -81,6 +83,18 @@ def ue_dl_decode_subframe(
     res.snr_db = float(10 * np.log10(np.mean(np.asarray(ch["snr"])) + 1e-12))
 
     nports_cell = min(max(cell.nof_ports, 1), 2)
+
+    if nports_cell == 2 and grid.shape[0] >= 2:
+        # RI/PMI recommendation from the CRS estimates (the cc_worker
+        # measurement path feeding ri_info/pmi_info): rank 2 when the
+        # channel's Gram condition number stays moderate
+        from ..mimo import select_pmi
+
+        h_meas = ce[:, :2].reshape(ce.shape[0], 2, -1)[:, :, ::8]  # subsample REs
+        _best2, _cap2, cond_db = select_pmi(h_meas, 2, noise_est=max(noise, 1e-9))
+        res.rank = 2 if float(cond_db) < 17.0 else 1
+        best1, _cap1, _ = select_pmi(h_meas, res.rank, noise_est=max(noise, 1e-9))
+        res.pmi = int(np.asarray(best1))
 
     def equalize(idx):
         # MRC over ALL rx antennas (the reference predecodes control

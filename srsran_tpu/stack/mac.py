@@ -91,9 +91,15 @@ class DlHarqProc:
     tx_tti: int = -1
     retx_count: int = 0
     max_retx: int = 4
+    # second codeword (TM3/TM4 spatial multiplexing; the reference runs a
+    # tb-pair per pid, scheduler_harq.cc) — None when single-codeword
+    pdu2: bytes | None = None
+    tbs_bits2: int = 0
+    mcs2: int = 0
 
     def new_tx(self, tti: int, pdu: bytes, tbs_bits: int, mcs: int, n_prb: int,
-               rb_start: int = 0):
+               rb_start: int = 0, pdu2: bytes | None = None,
+               tbs_bits2: int = 0, mcs2: int = 0):
         self.ndi ^= 1
         self.rv_idx = 0
         self.pdu = pdu
@@ -104,6 +110,9 @@ class DlHarqProc:
         self.pending_ack = True
         self.tx_tti = tti
         self.retx_count = 0
+        self.pdu2 = pdu2
+        self.tbs_bits2 = tbs_bits2
+        self.mcs2 = mcs2
 
     def retx(self, tti: int):
         self.rv_idx = (self.rv_idx + 1) % 4
@@ -140,6 +149,10 @@ class DlSchedGrant:
     rv: int
     harq_pid: int
     pdu: bytes  # MAC PDU bytes (None-padded to TBS/8)
+    # second codeword (present → render as DCI 2/2A two-codeword grant)
+    pdu2: bytes | None = None
+    mcs2: int = 0
+    tbs_bits2: int = 0
 
 
 @dataclasses.dataclass
@@ -189,6 +202,9 @@ class Scheduler:
         self.rr_next = 0
         self._tbs = get_tbs or dl_tbs
         self.pending_rar: deque = deque()  # (tti_req, preamble, ta)
+        # RNTIs eligible for two-codeword grants (TM3/TM4 + rank-2 report;
+        # maintained by the eNB from the UE's RI feedback)
+        self.two_cw: set[int] = set()
 
     # --- config plane (rrc->mac, enb_interfaces.h:273) ---
     def ue_cfg(self, rnti: int):
@@ -263,7 +279,8 @@ class Scheduler:
                     continue
                 h.retx(tti)
                 grants.append(DlSchedGrant(
-                    rnti, cursor, h.n_prb, h.mcs, h.tbs_bits, h.ndi, h.rv, h.pid, h.pdu))
+                    rnti, cursor, h.n_prb, h.mcs, h.tbs_bits, h.ndi, h.rv, h.pid,
+                    h.pdu, pdu2=h.pdu2, mcs2=h.mcs2, tbs_bits2=h.tbs_bits2))
                 cursor += h.n_prb
 
         # 2. round-robin new data over the remaining band
@@ -314,9 +331,31 @@ class Scheduler:
                 continue
             h = next(h for h in ue.dl_harq if h.pdu is None and not h.pending_ack)
             mac = mac_pack(sdus, tb_bytes, ce_sizes=DL_CE_SIZES)
-            h.new_tx(tti, mac, tbs_bits, mcs, share, rb_start=cursor)
+            # second codeword (TM3/TM4, rank 2): same PRBs and MCS carry a
+            # second MAC PDU — doubles the spectral efficiency exactly as
+            # the reference's 2-codeword path (pdsch.c:785-1007)
+            mac2 = None
+            tbs2 = 0
+            if ue.rnti in self.two_cw:
+                sdus2 = []
+                used2 = 0
+                for lcid, ent in sorted(ue.bearers.items()):
+                    while used2 + 8 < tb_bytes:
+                        pdu = ent.read_pdu(tb_bytes - used2 - 3) if hasattr(ent, "read_pdu") else None
+                        if pdu is None:
+                            break
+                        sdus2.append((lcid, pdu))
+                        used2 += len(pdu) + 3
+                if sdus2 or ue.dl_buffer_override:
+                    mac2 = mac_pack(sdus2, tb_bytes, ce_sizes=DL_CE_SIZES)
+                    tbs2 = tbs_bits
+                    ue.dl_bytes += used2
+            h.new_tx(tti, mac, tbs_bits, mcs, share, rb_start=cursor,
+                     pdu2=mac2, tbs_bits2=tbs2, mcs2=mcs if mac2 else 0)
             ue.dl_bytes += used
-            grants.append(DlSchedGrant(ue.rnti, cursor, share, mcs, tbs_bits, h.ndi, 0, h.pid, mac))
+            grants.append(DlSchedGrant(ue.rnti, cursor, share, mcs, tbs_bits, h.ndi, 0,
+                                       h.pid, mac, pdu2=mac2, mcs2=mcs if mac2 else 0,
+                                       tbs_bits2=tbs2))
             cursor += share
         return grants
 
