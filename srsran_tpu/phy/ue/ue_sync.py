@@ -13,6 +13,7 @@ import dataclasses
 
 import numpy as np
 
+from ..agc import Agc
 from ..common import Cell
 from ..ofdm import OfdmConfig, ofdm_rx_sf
 from ..phch.pbch import Mib, pbch_decode, pbch_re_indices
@@ -144,25 +145,77 @@ class UeSync:
     """FIND → TRACK subframe-stream state machine (`ue_sync.c:734`).
 
     push() raw samples; pop aligned subframes with their subframe index.
+
+    Tracking-loop depth mirrors `ue_sync.c:623-700` / `sync/sfo.c`:
+
+    * **SFO / timing drift**: the PSS peak's timing error is EMA-filtered
+      (`sfo_ema`) into a running sample-offset estimate; every
+      ``sample_offset_correct_period`` frames the accumulated (integer)
+      offset is consumed from the stream — long captures with clock drift
+      stay locked instead of walking off the subframe grid.  The drift
+      rate is exposed as ``sfo_hz`` (samples/s, the reference's sfo
+      metric).
+    * **CFO loop**: PSS-based CFO enters through a loop gain
+      (``cfo_loop_bw``) with a dead zone (``cfo_tol``) and only once the
+      PSS has been stable for ``PSS_STABLE_CNT`` consecutive occasions —
+      the reference's `cfo_loop_bw_pss` + `cfo_pss_min` + stability
+      hysteresis.
+    * **Out-of-sync counting**: a single weak PSS no longer drops the
+      track; ``OOS_LIMIT`` consecutive failures do (and are reported via
+      ``in_sync`` — the `sync::out_of_sync()` chain the RRC N310 counter
+      feeds on).
+    * **AGC**: optional 3-state AGC (`agc.h:48-60`) applied at push().
     """
 
     FIND, TRACK = "FIND", "TRACK"
+    PSS_STABLE_CNT = 2  # consecutive PSS finds before the CFO loop engages
+    OOS_LIMIT = 4  # consecutive track failures before re-FIND
 
-    def __init__(self, nof_prb: int = 6, cfo_ema: float = 0.3, frame_type: str | None = None):
+    def __init__(self, nof_prb: int = 6, cfo_ema: float = 0.3,
+                 frame_type: str | None = None, sfo_ema: float = 0.2,
+                 sample_offset_correct_period: int = 1,
+                 cfo_loop_bw: float = 0.3, cfo_tol: float = 0.002,
+                 agc: "Agc | None" = None):
         self.cell_prb = nof_prb
         self.state = self.FIND
         self.buf = np.zeros(0, np.complex64)
         self.cell: Cell | None = None
         self.cfo = 0.0
         self.cfo_ema = cfo_ema
+        self.cfo_loop_bw = cfo_loop_bw
+        self.cfo_tol = cfo_tol  # dead zone, subcarrier units (~30 Hz)
         self.sf_idx = 0
         self.consumed = 0  # absolute sample cursor
         self.frame_type = frame_type  # None = auto-detect in FIND
+        self.agc = agc
+        self._agc_gain = 1.0
+        # timing/SFO tracking state
+        self.sfo_ema = sfo_ema
+        self.sample_offset_correct_period = sample_offset_correct_period
+        self.mean_sample_offset = 0.0  # EMA of the PSS timing error
+        self.sfo_samples_per_frame = 0.0  # drift estimate
+        self._frames_since_correct = 0
+        self._last_err = None
+        # robustness counters
+        self._oos_cnt = 0
+        self._pss_stable = 0
+        self.in_sync = False
         self._cell0 = Cell(nof_prb=nof_prb, nof_ports=1, id=0)
         self._ofdm = OfdmConfig.from_cell(self._cell0, normalize=True)
 
+    @property
+    def sfo_hz(self) -> float:
+        """Estimated sample-clock drift in samples/s (100 frames/s)."""
+        return self.sfo_samples_per_frame * 100.0
+
     def push(self, samples: np.ndarray):
-        self.buf = np.concatenate([self.buf, samples.astype(np.complex64)])
+        samples = samples.astype(np.complex64)
+        if self.agc is not None:
+            # closed loop: the AGC observes the post-gain signal it
+            # controls (agc.h FSM; radio applies the gain in hardware)
+            samples = samples * np.complex64(self._agc_gain)
+            self._agc_gain = self.agc.process(samples)
+        self.buf = np.concatenate([self.buf, samples])
 
     @property
     def _is_tdd(self) -> bool:
@@ -196,6 +249,11 @@ class UeSync:
             # FDD: PSS is in the SSS subframe; TDD: one subframe after it
             self.sf_idx = (res.sf_idx + 1) % 10 if self._is_tdd else res.sf_idx
             self.state = self.TRACK
+            self.in_sync = True
+            self._oos_cnt = 0
+            self._pss_stable = 0
+            self.mean_sample_offset = 0.0
+            self._last_err = None
         if len(self.buf) < sf_len:
             return None
         sf = apply_cfo(self.buf[:sf_len], self.cfo, self._cell0.symbol_sz)
@@ -208,16 +266,44 @@ class UeSync:
             expected = self._pss_pos_in_sf()
             err = int(off) - expected
             if psr > 5.0 and abs(err) <= 16:
-                # timing: shift the stream cursor by err at the next pop
-                if err > 0:
-                    self.buf = self.buf[err:]
-                elif err < 0:
-                    self.buf = np.concatenate([sf[err:], self.buf])
+                self._oos_cnt = 0
+                self._pss_stable += 1
+                self.in_sync = True
+                # SFO tracking (ue_sync.c:623-700 / sfo.c): EMA the timing
+                # error; the drift rate is the error delta between PSS
+                # occasions (5 ms apart → 2 per frame)
+                self.mean_sample_offset += self.sfo_ema * (err - self.mean_sample_offset)
+                if self._last_err is not None:
+                    self.sfo_samples_per_frame += 0.1 * (
+                        2.0 * (err - self._last_err) - self.sfo_samples_per_frame)
+                self._last_err = err
+                # CFO loop: gain + dead zone, engaged only after the PSS
+                # has been stable (cfo_loop_bw_pss / cfo_pss_min analog)
                 sym = sf[int(off) : int(off) + self._cell0.symbol_sz]
-                if len(sym) == self._cell0.symbol_sz:
+                if len(sym) == self._cell0.symbol_sz and self._pss_stable >= self.PSS_STABLE_CNT:
                     cfo_new = float(np.asarray(pss_cfo_estimate(sym, int(nid2), self._cell0.symbol_sz)))
-                    self.cfo += self.cfo_ema * cfo_new
-            elif psr < 2.0:
-                self.state = self.FIND  # out of sync → refind
+                    if abs(cfo_new) > self.cfo_tol:
+                        self.cfo += self.cfo_loop_bw * cfo_new
+            else:
+                self._pss_stable = 0
+                self._last_err = None
+                # out-of-sync COUNTING: only a run of failures drops the
+                # track (a single fade must not)
+                self._oos_cnt += 1
+                self.in_sync = self._oos_cnt < self.OOS_LIMIT
+                if not self.in_sync:
+                    self.state = self.FIND
+            # periodic sample-offset correction: consume the accumulated
+            # integer offset from the stream (next_rf_sample_offset role)
+            self._frames_since_correct += 1
+            if self._frames_since_correct >= 2 * self.sample_offset_correct_period:
+                self._frames_since_correct = 0
+                shift = int(round(self.mean_sample_offset))
+                if shift > 0:
+                    self.buf = self.buf[shift:]
+                    self.mean_sample_offset -= shift
+                elif shift < 0:
+                    self.buf = np.concatenate([sf[shift:], self.buf])
+                    self.mean_sample_offset -= shift
         self.sf_idx = (self.sf_idx + 1) % 10
         return sf, out_idx
