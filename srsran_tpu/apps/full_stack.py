@@ -1211,6 +1211,7 @@ class UeStack:
         self.tm = tm
         self.nrx = nrx
         self._dl_rank = 1
+        self.gw = None  # optional kernel TUN gateway (attach_tun)
         self.cell = cell
         self.tdd = tdd_cfg
         self.prach_sf = _prach_sf(tdd_cfg)
@@ -1294,6 +1295,16 @@ class UeStack:
     @property
     def ue_ip(self) -> str:
         return self.nas.ue_ip
+
+    def attach_tun(self, name: str = "tun_ue0", netns: str | None = None):
+        """Open the kernel IP boundary (gw.cc TUN role): requires an
+        assigned UE IP (post-attach).  Outbound kernel packets become UL
+        SDUs each TTI; DL SDUs are written back to the kernel."""
+        from ..io.tun import UeGw
+
+        assert self.ue_ip, "attach first (no UE IP yet)"
+        self.gw = UeGw(self.ue_ip, name=name, netns=netns)
+        return self.gw
 
     def send_ip_packet(self, pkt: bytes):
         self.ip_tx_queue.append(bytes(pkt))
@@ -1381,6 +1392,8 @@ class UeStack:
         if sf_idx == 9:
             self._run_measurements(tti)
             self._run_idle_reselection()
+        if self.gw is not None and self.rrc_state == self.RRC_ACTIVE:
+            self.gw.pump_ul(self.send_ip_packet)
         ul = self._build_ul(tti, sf_idx)
         self.tti += 1
         return ul
@@ -1678,6 +1691,9 @@ class UeStack:
                     pkt = self.drb_pdcp.write_pdu(r)
                     if pkt is not None:
                         self.ip_rx.append(pkt)
+                        if self.gw is not None:
+                            # real kernel boundary (gw.cc write to TUN)
+                            self.gw.deliver_dl(pkt)
 
     def _handle_ccch(self, sdu: bytes):
         kind, body = rrc.unpack_dl_ccch(sdu)

@@ -47,6 +47,7 @@ class Spgw:
         self.ip_to_teid: dict[str, int] = {}  # UE IP -> our (UL) TEID
         self.teid_to_enb: dict[int, int] = {}  # our TEID -> eNB DL TEID
         self.sgi_rx: deque[tuple[str, bytes]] = deque()
+        self.sgi_tun = None  # optional kernel TUN on the SGi side
         self.tx_queue: deque[bytes] = deque()  # wire packets toward eNB
         self.gtpc_tx: deque[bytes] = deque()  # SPGW-initiated GTP-C (DDN)
         self._seq = 0
@@ -175,3 +176,24 @@ class Spgw:
 
     def pop_tx(self) -> bytes | None:
         return self.tx_queue.popleft() if self.tx_queue else None
+
+
+    # --- optional kernel SGi boundary (srsepc spgw/gtpu.cc TUN role) ---
+    def attach_tun(self, name: str = "tun_sgi0", gw_ip: str = "172.16.0.254"):
+        """Open a kernel TUN for the SGi interface: the UE address pool is
+        routed into it, so real sockets/ping on this host exchange traffic
+        with attached UEs through the whole RAN path."""
+        from ..io.tun import SpgwGi
+
+        self.sgi_tun = SpgwGi(gw_ip=gw_ip, name=name)
+        return self.sgi_tun
+
+    def pump_tun(self):
+        """Move packets between the kernel TUN and the GTP-U plane: DL
+        (kernel -> pool address) into sgi_tx, UL (sgi_rx) into the kernel."""
+        if self.sgi_tun is None:
+            return
+        self.sgi_tun.pump_dl(self.sgi_tx)
+        while self.sgi_rx:
+            _ip, pkt = self.sgi_rx.popleft()
+            self.sgi_tun.inject_ul(pkt)
