@@ -311,3 +311,88 @@ def predecode_cdd2(y, h, noise_est=0.0):
     heff_l1 = h[..., 0, :] * d_row0[1] + h[..., 1, :] * d_row1[1] * signs
     heff = jnp.stack([heff_l0, heff_l1], axis=-2)
     return predecode_zf_mmse(y, heff, 2, noise_est, pmi=None)
+
+
+# --- 4-port codebook spatial multiplexing (TM3/TM4 on 4 antenna ports) -------
+
+_U4 = None
+
+
+def _codebook_4(idx: int, nof_layers: int) -> np.ndarray:
+    """4-port precoder W_n^{(cols)} (TS 36.211 Table 6.3.4.2.3-2;
+    reference precoding.c:847-1177 4-port paths).
+
+    W_n = I - 2 u_n u_n^H / (u_n^H u_n); the rank-r precoder takes the
+    table's column set of W_n scaled by 1/sqrt(r).  Returns (4, r).
+    """
+    global _U4
+    if _U4 is None:
+        s2 = 1.0 / np.sqrt(2.0)
+        _U4 = np.array([
+            [1, -1, -1, -1],
+            [1, -1j, 1, 1j],
+            [1, 1, -1, 1],
+            [1, 1j, 1, -1j],
+            [1, (-1 - 1j) * s2, -1j, (1 - 1j) * s2],
+            [1, (1 - 1j) * s2, 1j, (-1 - 1j) * s2],
+            [1, (1 + 1j) * s2, -1j, (-1 + 1j) * s2],
+            [1, (-1 + 1j) * s2, 1j, (1 + 1j) * s2],
+            [1, -1, 1, 1],
+            [1, -1j, -1, -1j],
+            [1, 1, 1, -1],
+            [1, 1j, -1, 1j],
+            [1, -1, -1, 1],
+            [1, -1, 1, -1],
+            [1, 1, -1, -1],
+            [1, 1, 1, 1],
+        ], np.complex64)
+    # column sets (1-based, Table 6.3.4.2.3-2)
+    cols_r2 = ["14", "12", "12", "12", "14", "14", "13", "13",
+               "12", "14", "13", "13", "12", "13", "13", "12"]
+    cols_r3 = ["124", "123", "123", "123", "124", "124", "134", "134",
+               "124", "134", "123", "134", "123", "123", "123", "123"]
+    cols_r4 = ["1234", "1234", "3214", "3214", "1234", "1234", "1324", "1324",
+               "1234", "1234", "1324", "1324", "1234", "1324", "3214", "1234"]
+    u = _U4[idx].reshape(4, 1)
+    w = np.eye(4, dtype=np.complex64) - 2.0 * (u @ u.conj().T) / float((u.conj().T @ u).real)
+    if nof_layers == 1:
+        cols = [0]
+    else:
+        table = {2: cols_r2, 3: cols_r3, 4: cols_r4}[nof_layers]
+        cols = [int(c) - 1 for c in table[idx]]
+    return (w[:, cols] / np.sqrt(nof_layers)).astype(np.complex64)
+
+
+def precode_spatialmux4(layers, codebook_idx: int):
+    """Closed-loop spatial multiplexing on 4 ports: layers (..., L, M) →
+    ports (..., 4, M)."""
+    nl = layers.shape[-2]
+    w = jnp.asarray(_codebook_4(codebook_idx, nl))
+    return jnp.einsum("pl,...lm->...pm", w, layers)
+
+
+def predecode_mmse_nl(y, heff, noise_est=0.0):
+    """Generic N-layer MMSE predecode: y (..., nrx, M),
+    heff (..., nrx, L, M) effective channel (precoder folded in).
+    Returns (x (..., L, M), csi (..., L, M)) — the NxN generalization of
+    `_solve2x2` (reference's generic MMSE, precoding.c srslte_predecoding
+    _multiplex N-layer path)."""
+    L = heff.shape[-2]
+    hm = jnp.moveaxis(heff, -1, -3)  # (..., M, nrx, L)
+    ym = jnp.moveaxis(y, -1, -2)[..., None]  # (..., M, nrx, 1)
+    a = jnp.einsum("...mrl,...mrk->...mlk", jnp.conj(hm), hm)
+    a = a + noise_est * jnp.eye(L, dtype=a.dtype)
+    b = jnp.einsum("...mrl,...mro->...mlo", jnp.conj(hm), ym)  # (..., M, L, 1)
+    x = jnp.linalg.solve(a, b)[..., 0]  # (..., M, L)
+    # csi from the diagonal of A^-1: post-MMSE SNR proxy 1/[A^-1]_ll
+    ainv = jnp.linalg.inv(a)
+    csi = 1.0 / jnp.maximum(jnp.real(jnp.diagonal(ainv, axis1=-2, axis2=-1)), 1e-12)
+    return jnp.moveaxis(x, -1, -2), jnp.moveaxis(csi, -1, -2)
+
+
+def predecode_spatialmux4(y, h, nof_layers: int, codebook_idx: int, noise_est=0.0):
+    """4-port codebook receiver: fold W into H, N-layer MMSE.
+    y (..., nrx, M); h (..., nrx, 4, M)."""
+    w = jnp.asarray(_codebook_4(codebook_idx, nof_layers))
+    heff = jnp.einsum("...rpm,pl->...rlm", h, w)
+    return predecode_mmse_nl(y, heff, noise_est)

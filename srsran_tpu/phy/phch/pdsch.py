@@ -258,7 +258,10 @@ class DlGrant2:
     rv2: int = 0
     pmi: int = 0  # codebook index (TM4); 0 = identity-ish
     rnti: int = 0x1234
-    tx_scheme: str = "spatialmux"  # "spatialmux" (TM4 codebook) | "cdd" (TM3)
+    # "spatialmux" (2-port TM4 codebook) | "cdd" (2-port TM3) |
+    # "spatialmux4" (4-port codebook, TS 36.211 Table 6.3.4.2.3-2)
+    tx_scheme: str = "spatialmux"
+    nof_layers: int = 2  # 2..4 (2 codewords; >2 only with spatialmux4)
 
     @property
     def qm1(self) -> int:
@@ -277,24 +280,31 @@ def pdsch_encode2_np(
     multi-codeword path)."""
     idx = pdsch_re_indices(cell, sf_idx, cfi, grant.prb)
     n_re = len(idx)
+    nl = grant.nof_layers if grant.tx_scheme == "spatialmux4" else 2
+    nl_cw = (nl // 2, nl - nl // 2)
     cws = []
     for q, (tb, mod, tbs, rv, qm) in enumerate(
         ((tb1, grant.mod1, grant.tbs1, grant.rv1, grant.qm1),
          (tb2, grant.mod2, grant.tbs2, grant.rv2, grant.qm2))
     ):
-        coding = TbCoding(tbs=tbs, g=n_re * qm, qm=qm, rv=rv, nof_layers=1)
+        coding = TbCoding(tbs=tbs, g=n_re * qm * nl_cw[q], qm=qm, rv=rv, nof_layers=nl_cw[q])
         bits = dlsch_encode_np(tb, coding)
         seq = gold_sequence(pdsch_cinit(grant.rnti, sf_idx, cell.id, q=q), len(bits))
         cws.append(np.asarray(modulate(mod, np.asarray(scramble_bits(bits, seq)))))
-    layers = np.asarray(layermap([jnp.asarray(c) for c in cws], 2))
+    layers = np.asarray(layermap([jnp.asarray(c) for c in cws], nl))
     if grant.tx_scheme == "cdd":
         from ..mimo import precode_cdd2
 
         ports = np.asarray(precode_cdd2(jnp.asarray(layers)))
+    elif grant.tx_scheme == "spatialmux4":
+        from ..mimo import precode_spatialmux4
+
+        ports = np.asarray(precode_spatialmux4(jnp.asarray(layers), grant.pmi))
     else:
         ports = np.asarray(precode_spatialmux(jnp.asarray(layers), grant.pmi))
-    grid = np.zeros((2, cell.nsymb_per_sf, cell.nof_re_per_symbol), np.complex64)
-    grid.reshape(2, -1)[:, idx] = ports
+    nports = ports.shape[0]
+    grid = np.zeros((nports, cell.nsymb_per_sf, cell.nof_re_per_symbol), np.complex64)
+    grid.reshape(nports, -1)[:, idx] = ports
     return grid
 
 
@@ -308,10 +318,17 @@ def pdsch_decode2(
     n_re = len(idx)
     y = rx_grid.reshape(rx_grid.shape[0], -1)[:, idx]
     h = ce.reshape(ce.shape[0], ce.shape[1], -1)[:, :, idx]
+    nl = grant.nof_layers if grant.tx_scheme == "spatialmux4" else 2
+    nl_cw = (nl // 2, nl - nl // 2)
     if grant.tx_scheme == "cdd":
         from ..mimo import predecode_cdd2
 
         x, csi = predecode_cdd2(y, h, noise_est)
+    elif grant.tx_scheme == "spatialmux4":
+        from ..mimo import predecode_spatialmux4
+
+        x, csi = predecode_spatialmux4(y, h, nl, grant.pmi, noise_est)
+        csi = csi.astype(jnp.complex64)
     else:
         x, csi = predecode_zf_mmse(y, h, 2, noise_est, pmi=grant.pmi)
     sym_cws = layerdemap(x, 2)
@@ -325,8 +342,8 @@ def pdsch_decode2(
     ):
         llr = demod_soft(mod, sym)
         llr = llr * jnp.repeat(csic, qm, axis=-1)
-        signs = gold_sequence_signs(pdsch_cinit(grant.rnti, sf_idx, cell.id, q=q), n_re * qm)
+        signs = gold_sequence_signs(pdsch_cinit(grant.rnti, sf_idx, cell.id, q=q), n_re * qm * nl_cw[q])
         llr = scramble_soft(llr, signs)
-        coding = TbCoding(tbs=tbs, g=n_re * qm, qm=qm, rv=rv, nof_layers=1)
+        coding = TbCoding(tbs=tbs, g=n_re * qm * nl_cw[q], qm=qm, rv=rv, nof_layers=nl_cw[q])
         out.append(dlsch_decode(np.asarray(llr, np.float32), coding, max_iterations, sb))
     return out
