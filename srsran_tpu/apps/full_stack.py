@@ -227,8 +227,12 @@ class EnbStack:
     def __init__(self, cell: Cell, mme: Mme, spgw: Spgw, crnti: int = 0x46, mcs: int = 5, cfi: int = 2,
                  enb_id: int = 0x19B, tdd_cfg: tdd.TddConfig | None = None,
                  scell: Cell | None = None, srs_enabled: bool = False,
-                 sr_enabled: bool = False, tm: int = 2):
+                 sr_enabled: bool = False, tm: int = 2, ul_ca: bool = False):
         self.sr_enabled = sr_enabled
+        # R10 UL carrier aggregation: BSRs also credit the SCell scheduler,
+        # DCI0s go out on the SCell PDCCH, and the UE's UL becomes
+        # (2, sf_len) — the 2nd UL cc_worker of the reference's CA path
+        self.ul_ca = ul_ca
         self.cell = cell
         # transmission mode (TS 36.213 §7.1): 2 = SFBC, 3 = open-loop SM
         # (CDD, DCI 2A), 4 = closed-loop SM (codebook, DCI 2).  TM3/4
@@ -268,6 +272,7 @@ class EnbStack:
         self.pending_rars: deque = deque()  # (rapid, ta, crnti)
         self.pending_pcch: deque = deque()  # PCCH Paging messages to send
         self.pending_ul: dict[int, tuple[int, UlGrant]] = {}  # tti -> (rnti, grant)
+        self.pending_ul_scell: dict[int, tuple[int, UlGrant]] = {}
         # DL HARQ feedback: ack_tti -> [{rnti, pid, n_pucch, on_pusch}]
         # (the phy_common.cc pending_dl_ack ring; resource = CCE index,
         # pucch_proc.c:257 n_pucch_i)
@@ -496,7 +501,12 @@ class EnbStack:
             for ent in (u.srb1_rlc, u.drb_rlc):
                 if hasattr(ent, "tick"):
                     ent.tick()
+        scell_ul = None
+        if ul_samples is not None and np.asarray(ul_samples).ndim == 2:
+            ul_samples, scell_ul = ul_samples[0], ul_samples[1]
         self._process_ul(tti, sf_idx, ul_samples)
+        if scell_ul is not None and self.scell is not None:
+            self._process_scell_ul(tti, sf_idx, scell_ul)
         if hasattr(self.mme, "pump_s11"):
             self.mme.pump_s11()  # DDN → S1AP Paging fan-out
         # UL inactivity → graceful RRCConnectionRelease, then context
@@ -848,6 +858,10 @@ class EnbStack:
             bsr, sdus = parse_ul_pdu(pdu)
             if bsr:
                 self.sched.ul_bsr(rnti, bsr)
+                if (self.ul_ca and self.scell_sched is not None
+                        and ue.scell_state == 2):
+                    # UL CA: split the buffer across both carriers
+                    self.scell_sched.ul_bsr(rnti, bsr // 2)
             for lcid, sdu in sdus:
                 if lcid == LCID_PHR and sdu:
                     # power headroom (ue.cc:357-359 → sched_ue::ul_phr)
@@ -1184,9 +1198,67 @@ class EnbStack:
             sched.dcis.append((dci.pack(self.scell.nof_prb), g.rnti, loc[0], loc[1]))
             sched.grants.append((grant, tb_bits))
             self.scell_sched.ack_info(g.rnti, g.harq_pid, True)
+        # UL CA: BSR-driven DCI0 grants on the SCell PDCCH (2nd UL carrier)
+        if self.ul_ca and (tti + 4) not in self.pending_ul_scell:
+            for ug in self.scell_sched.get_ul_sched(tti):
+                ue = self.ues.get(ug.rnti)
+                if ue is None or ue.scell_state != 2:
+                    continue
+                loc = None
+                for agg, cands in sorted(search_space_candidates(ug.rnti, sf_idx, n).items(), reverse=True):
+                    for cce in cands:
+                        if all(cce + agg <= st or cce >= st + l for st, l in used_cce):
+                            used_cce.append((cce, agg))
+                            loc = (agg, cce)
+                            break
+                    if loc:
+                        break
+                if loc is None:
+                    continue
+                dci0 = Dci0(riv=riv_encode(self.scell.nof_prb, ug.rb_start, ug.l_crb),
+                            mcs=ug.mcs, ndi=ug.ndi)
+                sched.dcis.append((dci0.pack(self.scell.nof_prb,
+                                             Dci1A.nof_bits(self.scell.nof_prb)),
+                                   ug.rnti, loc[0], loc[1]))
+                self.pending_ul_scell[tti + 4] = (ug.rnti, UlGrant(
+                    prb_start=ug.rb_start, nof_prb=ug.l_crb,
+                    mod=ul_mcs_to_mod(ug.mcs), tbs=ug.tbs_bits, rnti=ug.rnti))
+                break  # one SCell PUSCH per TTI
         _, samples = enb_dl_subframe(self.scell, sf_idx, sched, mib=Mib(nof_prb=self.scell.nof_prb),
                                      sfn=(tti // 10) % 1024)
         return samples[0]
+
+    def _process_scell_ul(self, tti: int, sf_idx: int, samples: np.ndarray):
+        """Decode the SCell PUSCH (data-plane only: UCI/control stay on
+        the PCell, as in the reference's CA — PUCCH exists only there)."""
+        # the link delivers the UE's subframe one TTI later (same shift
+        # as _process_ul)
+        tti = tti - 1
+        sf_idx = tti % 10
+        if tti not in self.pending_ul_scell:
+            return
+        rnti, grant = self.pending_ul_scell.pop(tti)
+        ue = self.ues.get(rnti)
+        if ue is None:
+            return
+        rx_grid = enb_ul_fft(self.scell, samples[None])
+        out = enb_ul_decode_pusch(self.scell, sf_idx, rx_grid, grant)
+        tb, ok = out[0], out[1]
+        if not ok:
+            self.stats["scell_ul_crc_ko"] = self.stats.get("scell_ul_crc_ko", 0) + 1
+            return
+        self.stats["scell_ul_crc_ok"] = self.stats.get("scell_ul_crc_ok", 0) + 1
+        pdu = np.packbits(np.asarray(tb)).tobytes()
+        bsr, sdus = parse_ul_pdu(pdu)
+        if bsr:
+            self.scell_sched.ul_bsr(rnti, bsr)
+        for lcid, sdu in sdus:
+            if lcid == LCID_DRB1:
+                ue.drb_rlc.write_pdu(sdu)
+                while (r := ue.drb_rlc.read_sdu()) is not None:
+                    ip_pkt = ue.drb_pdcp.write_pdu(r)
+                    if ip_pkt is not None:
+                        self.spgw.rx_from_enb(self.gtpu.tx(ue.dl_teid, ip_pkt))
 
 
 # ---------------------------------------------------------------------------
@@ -1282,6 +1354,7 @@ class UeStack:
         # activated by the MAC Activation/Deactivation CE
         self.scell: Cell | None = None
         self.scell_active = False
+        self.pending_tx_scell: dict[int, "UlGrant"] = {}  # UL CA grants
         self._samp_hist: deque = deque(maxlen=10)
         self._meas_prohibit_tti = 0
         self._ho_cf_preamble: int | None = None  # pending CF-RA on target
@@ -1395,6 +1468,15 @@ class UeStack:
         if self.gw is not None and self.rrc_state == self.RRC_ACTIVE:
             self.gw.pump_ul(self.send_ip_packet)
         ul = self._build_ul(tti, sf_idx)
+        sg = self.pending_tx_scell.pop(tti, None)
+        if sg is not None and self.scell_active:
+            mac2 = self._build_ul_mac_pdu(sg.tbs // 8)
+            sc_ul = ue_ul_encode(self.scell, sf_idx,
+                                 pusch=(sg, np.unpackbits(np.frombuffer(mac2, np.uint8))))
+            self.stats["scell_pusch_tx"] = self.stats.get("scell_pusch_tx", 0) + 1
+            if ul is None:
+                ul = np.zeros(self.cell.sf_len, np.complex64)
+            ul = np.stack([np.asarray(ul), np.asarray(sc_ul)])
         self.tti += 1
         return ul
 
@@ -1581,6 +1663,18 @@ class UeStack:
         (the extra cc_worker of cc_worker.cc's carrier loop)."""
         res = ue_dl_decode_subframe(self.scell, samples[None], sf_idx, self.crnti,
                                     known_cfi=self.cfi)
+        for (bits, agg, cce) in res.dcis:
+            if bits[0] == 0:
+                # UL CA: DCI0 on the SCell PDCCH schedules a PUSCH on the
+                # second UL carrier at tti+4 (no cross-carrier scheduling)
+                try:
+                    dci0 = Dci0.unpack(bits, self.scell.nof_prb)
+                    rb0, l_crb = riv_decode(self.scell.nof_prb, dci0.riv)
+                except ValueError:
+                    continue
+                self.pending_tx_scell[tti + 4] = UlGrant(
+                    prb_start=rb0, nof_prb=l_crb, mod=ul_mcs_to_mod(dci0.mcs),
+                    tbs=tbs_lookup(ul_mcs_to_itbs(dci0.mcs), l_crb), rnti=self.crnti)
         for tb, ok in res.tbs:
             if not ok:
                 continue

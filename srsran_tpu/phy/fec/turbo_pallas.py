@@ -85,10 +85,15 @@ def _map_kernel(T: int, lw: int):
     assert list(ps0) == [0, 0, 1, 1, 2, 2, 3, 3] and list(ps1) == [4, 4, 5, 5, 6, 6, 7, 7]
     half = lw // 2
 
-    # positions processed per fori iteration: block reads/writes + a static
-    # inner unroll amortize the loop's dynamic-slice overhead (measured to
-    # dominate at 1 position/iteration)
-    CH = 8
+    # positions processed per fori iteration: block reads + a static inner
+    # unroll amortize the loop's dynamic-slice overhead.  CH > 1 currently
+    # trips an INTERNAL error in the axon remote Mosaic compiler (the same
+    # body passes in interpret mode and each access pattern compiles in
+    # isolation), so the deployed default is the per-position form; flip
+    # TURBO_PALLAS_CHUNK once the toolchain accepts it.
+    import os
+
+    CH = int(os.environ.get("TURBO_PALLAS_CHUNK", "1"))
     assert half % CH == 0 and T % CH == 0
 
     def kernel(
@@ -111,14 +116,23 @@ def _map_kernel(T: int, lw: int):
             bp1 = _row_perm(b, ns1)
             return bp0 + (gz - xt), bp1 + (xt - gz)
 
+        def read_rows(ref, start):
+            """CH rows starting at `start` as a list of (n,) arrays.  At
+            CH == 1 a direct dynamic row index (the form the remote Mosaic
+            compiler accepts); at CH > 1 one block read, rows unrolled."""
+            if CH == 1:
+                return [ref[start]]
+            blk = ref[pl.ds(start, CH), :]
+            return [blk[i] for i in range(CH)]
+
         # --- fused boundary training (alpha forward, beta backward) ---
         def tr_body(c, carry):
             a, b = carry
             t0 = c * CH
-            ax = axt_ref[pl.ds(t0, CH), :]
-            az = azt_ref[pl.ds(t0, CH), :]
-            bx = bxt_ref[pl.ds(T - CH - t0, CH), :]
-            bz = bzt_ref[pl.ds(T - CH - t0, CH), :]
+            ax = read_rows(axt_ref, t0)
+            az = read_rows(azt_ref, t0)
+            bx = read_rows(bxt_ref, T - CH - t0)
+            bz = read_rows(bzt_ref, T - CH - t0)
             for i in range(CH):
                 a = alpha_step(a, ax[i][None, :], az[i][None, :])
                 b0, b1 = beta_branches(b, bx[CH - 1 - i][None, :], bz[CH - 1 - i][None, :])
@@ -139,10 +153,10 @@ def _map_kernel(T: int, lw: int):
             a, b = carry
             j0 = c * CH
             m0 = lw - CH - j0  # mirrored chunk start
-            ax = ax_ref[pl.ds(j0, CH), :]
-            az = az_ref[pl.ds(j0, CH), :]
-            bx = ax_ref[pl.ds(m0, CH), :]
-            bz = az_ref[pl.ds(m0, CH), :]
+            ax = read_rows(ax_ref, j0)
+            az = read_rows(az_ref, j0)
+            bx = read_rows(ax_ref, m0)
+            bz = read_rows(az_ref, m0)
             for i in range(CH):
                 a_scr[j0 + i] = a
                 # b_scr[t - half] holds beta at position t+1 for t in the
@@ -162,12 +176,15 @@ def _map_kernel(T: int, lw: int):
             a, b = carry
             j0 = half + c * CH
             m0 = lw - CH - c * CH - half  # mirrored chunk start
-            ax = ax_ref[pl.ds(j0, CH), :]
-            az = az_ref[pl.ds(j0, CH), :]
-            bx = ax_ref[pl.ds(m0, CH), :]
-            bz = az_ref[pl.ds(m0, CH), :]
-            b_next = b_scr[pl.ds(j0 - half, CH)]  # beta at j+1, rows j0..j0+CH-1
-            a_prev = a_scr[pl.ds(m0, CH)]  # alpha at rows m0..m0+CH-1
+            ax = read_rows(ax_ref, j0)
+            az = read_rows(az_ref, j0)
+            bx = read_rows(ax_ref, m0)
+            bz = read_rows(az_ref, m0)
+            # beta at j+1 for rows j0.. / alpha at rows m0..
+            b_next = ([b_scr[j0 - half]] if CH == 1
+                      else [b_scr[pl.ds(j0 - half, CH)][i] for i in range(CH)])
+            a_prev = ([a_scr[m0]] if CH == 1
+                      else [a_scr[pl.ds(m0, CH)][i] for i in range(CH)])
             for i in range(CH):
                 xa, za = ax[i][None, :], az[i][None, :]
                 xb, zb = bx[CH - 1 - i][None, :], bz[CH - 1 - i][None, :]

@@ -411,3 +411,212 @@ class DynamicUeDl:
     def total_compiles(self) -> int:
         return (self.stats["compiles_a"] + self.stats["compiles_b"]
                 + self.stats["compiles_c"])
+
+
+# ---------------------------------------------------------------------------
+# Dynamic eNB UL (PUSCH): any grant, bounded compiles
+# ---------------------------------------------------------------------------
+
+
+def _build_stage_a_ul(cell: Cell):
+    """Grant-independent SC-FDMA demod (-0.5 subcarrier shift)."""
+    ofdm = OfdmConfig.from_cell(cell, normalize=True, freq_shift_f=-0.5)
+
+    @jax.jit
+    def fn(samples_ri):
+        return _c2ri(ofdm_rx_sf(ofdm, _ri2c(samples_ri)))
+
+    return fn
+
+
+@lru_cache(maxsize=256)
+def _ul_dmrs_conj(cell: Cell, nof_prb: int, m_max: int) -> np.ndarray:
+    """Conjugated PUSCH DMRS for both slots, zero-padded to m_max: (2, m_max, 2) ri."""
+    from .phy.chest.refsignal_ul import pusch_dmrs
+
+    r = np.zeros((2, m_max), np.complex64)
+    for s in range(2):
+        r[s, : 12 * nof_prb] = np.conj(np.asarray(pusch_dmrs(cell, nof_prb, 0, s)))
+    return np.stack([r.real, r.imag], -1).astype(np.float32)
+
+
+@lru_cache(maxsize=8)
+def _idft_padded(m_sc: int, m_max: int) -> np.ndarray:
+    """(m_max, m_max, 2) ri IDFT block (zero outside the allocation)."""
+    from .phy.dft_precoding import _dft_matrix
+
+    w = np.zeros((m_max, m_max), np.complex64)
+    w[:m_sc, :m_sc] = _dft_matrix(m_sc, True)
+    return np.stack([w.real, w.imag], -1).astype(np.float32)
+
+
+@lru_cache(maxsize=4096)
+def _ul_deint_scatter(g: int, qm: int, g_max: int) -> np.ndarray:
+    """Scatter indices (g_max,) undoing the UL channel interleaver, padded
+    with the dump slot g_max."""
+    from .phy.phch.pusch import _interleaver_indices
+
+    out = np.full(g_max, g_max, np.int32)
+    out[:g] = _interleaver_indices(g, qm)
+    return out
+
+
+def _build_stage_b_ul(cell: Cell, m_max: int, mod: Mod, qm: int):
+    """Bucketed UL grant front-end: chest over the (padded) allocation →
+    MRC equalize → IDFT de-precoding (matrix as data → no per-m_sc
+    compile) → demod → CSI weight → descramble → de-interleave."""
+    from .phy.chest.refsignal_ul import dmrs_symbol_in_slot
+    from .phy.phch.pusch import pusch_symbols_data
+
+    l_dmrs = dmrs_symbol_in_slot(cell)
+    dmrs_syms = (l_dmrs, cell.nsymb_per_slot + l_dmrs)
+    data_syms = tuple(pusch_symbols_data(cell))
+    nsym = len(data_syms)
+    g_blk = nsym * m_max * qm
+
+    # time-interpolation weights between the two DMRS symbols
+    t = np.zeros((cell.nsymb_per_sf, 2), np.float32)
+    l0, l1 = dmrs_syms
+    for l in range(cell.nsymb_per_sf):
+        t[l] = (1.0, 0.0) if l <= l0 else ((0.0, 1.0) if l >= l1 else
+                                           (1.0 - (l - l0) / (l1 - l0), (l - l0) / (l1 - l0)))
+    t_data = jnp.asarray(t[list(data_syms)])  # (nsym, 2)
+
+    @jax.jit
+    def fn(grid_ri, k0, m_sc, dmrs_conj_ri, idft_ri, signs, deint_idx):
+        grid = _ri2c(grid_ri)  # (nrx, nsymb, nre)
+        nrx = grid.shape[0]
+        # clipped gather, NOT dynamic_slice: a slice start clamps when
+        # k0+m_max overruns the band (allocations near the upper edge of
+        # a small bucket), silently shifting the whole allocation
+        cols = jnp.clip(k0 + jnp.arange(m_max), 0, grid.shape[2] - 1)
+        alloc = jnp.take(grid, cols, axis=2)
+        m_mask = (jnp.arange(m_max) < m_sc)[None, :]
+        # --- chest: LS at DMRS, 5-tap masked smoothing, time interp ---
+        pilots = alloc[:, jnp.asarray(dmrs_syms), :]  # (nrx, 2, m_max)
+        ls = pilots * _ri2c(dmrs_conj_ri)[None]
+        ls = jnp.where(m_mask[None], ls, 0.0)
+        kern = jnp.ones((5,), jnp.float32)
+        wsum = jnp.convolve(m_mask[0].astype(jnp.float32), kern, mode="same")
+        sm = jax.vmap(jax.vmap(lambda row: (
+            jnp.convolve(row.real, kern, mode="same")
+            + 1j * jnp.convolve(row.imag, kern, mode="same")
+        )))(ls) / jnp.maximum(wsum, 1.0)
+        sm = jnp.where(m_mask[None], sm, 0.0)
+        resid = jnp.where(m_mask[None], ls - sm, 0.0)
+        noise = jnp.sum(jnp.abs(resid) ** 2) / jnp.maximum(
+            2.0 * nrx * m_sc.astype(jnp.float32), 1.0)
+        ce = jnp.einsum("ls,rsn->rln", t_data.astype(jnp.complex64), sm)  # (nrx, nsym, m_max)
+        # --- MRC equalize over rx antennas ---
+        y = alloc[:, jnp.asarray(data_syms), :]  # (nrx, nsym, m_max)
+        num = jnp.sum(y * jnp.conj(ce), axis=0)
+        den = jnp.sum(jnp.abs(ce) ** 2, axis=0) + noise
+        xf = jnp.where(m_mask, num / den, 0.0)  # (nsym, m_max)
+        csi = jnp.where(m_mask, den, 0.0)
+        # --- IDFT de-precoding as a data matmul (MXU) ---
+        x = jnp.matmul(xf, _ri2c(idft_ri))  # (nsym, m_max)
+        llr = demod_soft(mod, x.reshape(-1))  # (nsym*m_max*qm,) padded layout
+        csi_t = jnp.sum(csi, axis=-1, keepdims=True) / jnp.maximum(
+            m_sc.astype(jnp.float32), 1.0)
+        w = jnp.broadcast_to(csi_t, (nsym, m_max)).reshape(-1)
+        llr = llr * jnp.repeat(w, qm)
+        # compact (sym, m_max, qm) → (sym, m_sc, qm): codeword entry j
+        # reads padded position; tail beyond the true G reads the 0 slot
+        true_pos = (jnp.arange(g_blk) // (m_sc * qm)) * (m_max * qm) + (
+            jnp.arange(g_blk) % (m_sc * qm))
+        llr_c = jnp.concatenate([llr, jnp.zeros((1,), llr.dtype)])[
+            jnp.where(jnp.arange(g_blk) < nsym * m_sc * qm, true_pos, g_blk)]
+        # scrambling + interleaving act on the COMPACT codeword order
+        llr_c = scramble_soft(llr_c, signs)
+        # --- undo the UL channel interleaver (scatter as data) ---
+        out = jnp.zeros((G_MAX + 1,), llr.dtype).at[deint_idx].set(
+            jnp.concatenate([llr_c, jnp.zeros((G_MAX - g_blk,), llr.dtype)])[:G_MAX])
+        return out[:G_MAX], noise
+
+    return fn
+
+
+class DynamicEnbUl:
+    """Live eNB UL data path: any PUSCH grant with bounded compiles and
+    HARQ combining — the UL mirror of `DynamicUeDl` (reference:
+    `enb_ul.c` + `pusch.c:467` + `sch.c` UL-SCH).  Data-only grants (UCI
+    multiplexing falls back to the host path)."""
+
+    def __init__(self, cell: Cell, max_iterations: int = 5):
+        self.cell = cell
+        self.max_iterations = max_iterations
+        self._a = None
+        self._b: dict = {}
+        self._c: dict = {}
+        self._signs: dict = {}
+        self.stats = {"compiles_a": 0, "compiles_b": 0, "compiles_c": 0,
+                      "ttis": 0, "crc_ok": 0}
+        from .phy.phch.pusch import pusch_symbols_data
+
+        self._nsym = len(pusch_symbols_data(cell))
+
+    PRB_BUCKETS = (16, 40, 75, 100)
+
+    def _get_b(self, m_max: int, mod: Mod, qm: int):
+        key = (m_max, mod)
+        if key not in self._b:
+            self._b[key] = _build_stage_b_ul(self.cell, m_max, mod, qm)
+            self.stats["compiles_b"] += 1
+        return self._b[key]
+
+    def _get_c(self, desc: _TbDescriptor):
+        key = (desc.k_bucket, desc.b_bucket, desc.e_bucket)
+        if key not in self._c:
+            self._c[key] = _build_stage_c(
+                desc.k_bucket, desc.b_bucket, desc.e_bucket, G_MAX,
+                self.max_iterations)
+            self.stats["compiles_c"] += 1
+        return self._c[key]
+
+    def decode(self, samples: np.ndarray, sf_idx: int, grant, softbuffer=None):
+        """samples (nrx, sf_len) complex64; grant: phy.ue.ue_ul.UlGrant.
+        Returns (tb_bits, crc_ok, softbuffer, n_iterations)."""
+        from .phy.phch.pusch import pusch_cinit
+
+        if self._a is None:
+            self._a = _build_stage_a_ul(self.cell)
+            self.stats["compiles_a"] += 1
+        samples_ri = np.stack([samples.real, samples.imag], -1).astype(np.float32)
+        grid_ri = self._a(samples_ri)
+
+        nprb_max = _bucket(grant.nof_prb, self.PRB_BUCKETS)
+        m_max = 12 * nprb_max
+        m_sc = 12 * grant.nof_prb
+        qm = grant.qm
+        g = self._nsym * m_sc * qm
+        bfn = self._get_b(m_max, grant.mod, qm)
+        key = (grant.rnti, sf_idx, m_max, qm)
+        if key not in self._signs:
+            self._signs[key] = jnp.asarray(gold_sequence_signs(
+                pusch_cinit(grant.rnti, sf_idx, self.cell.id),
+                self._nsym * m_max * qm))
+        llr, noise = bfn(
+            grid_ri, jnp.int32(grant.prb_start * 12), jnp.int32(m_sc),
+            jnp.asarray(_ul_dmrs_conj(self.cell, grant.nof_prb, m_max)),
+            jnp.asarray(_idft_padded(m_sc, m_max)),
+            self._signs[key],
+            jnp.asarray(_ul_deint_scatter(g, qm, G_MAX)),
+        )
+        desc = _tb_descriptor(grant.tbs, g, qm, grant.rv, G_MAX, 1)
+        cfn = self._get_c(desc)
+        if softbuffer is None:
+            softbuffer = jnp.zeros((desc.b_bucket, 3, desc.k_bucket + 4), jnp.float32)
+        tbp, ok, new_soft, n_it = cfn(
+            llr, desc.gather, desc.scatter, desc.k_vec, desc.f_vec, desc.per,
+            desc.inv, desc.valid, desc.crc_is_b, desc.tb_gather,
+            desc.crc_gather, softbuffer)
+        tb = np.asarray(tbp)[desc.tbs_max - desc.tbs :]
+        self.stats["ttis"] += 1
+        ok_host = bool(ok)
+        self.stats["crc_ok"] += int(ok_host)
+        return tb, ok_host, new_soft, int(n_it)
+
+    @property
+    def total_compiles(self) -> int:
+        return (self.stats["compiles_a"] + self.stats["compiles_b"]
+                + self.stats["compiles_c"])

@@ -158,3 +158,79 @@ def test_dynamic_turbo_all_cb_sizes_sampled():
     bits = np.asarray(bits)
     for i, k in enumerate(ks):
         np.testing.assert_array_equal(bits[i, :k], msgs[i], err_msg=f"K={k}")
+
+
+def _valid_pusch_l(n):
+    for p in (2, 3, 5):
+        while n % p == 0:
+            n //= p
+    return n == 1
+
+
+def test_dynamic_ul_grant_mix_and_compile_budget():
+    """PUSCH mirror of the DL test: random UL grants (MCS x valid PRB
+    allocations x subframes) through DynamicEnbUl under a compile budget."""
+    from srsran_tpu.phy.phch.ra import tbs_lookup, ul_mcs_to_itbs, ul_mcs_to_mod
+    from srsran_tpu.phy.ue.ue_ul import UlGrant, ue_ul_encode
+    from srsran_tpu.pipeline_dynamic import DynamicEnbUl
+
+    rng = np.random.default_rng(4)
+    cell = Cell(nof_prb=50, nof_ports=1, id=17)
+    enb = DynamicEnbUl(cell)
+    ls = [l for l in range(1, 49) if _valid_pusch_l(l)]
+    n = 45
+    compiles_at = []
+    for i in range(n):
+        sf_idx = int(rng.integers(0, 10))
+        mcs = int(rng.integers(0, 24))
+        l = int(rng.choice(ls))
+        st = int(rng.integers(1, 50 - l))
+        tbs = tbs_lookup(ul_mcs_to_itbs(mcs), l)
+        if tbs == 0:
+            continue
+        g = UlGrant(prb_start=st, nof_prb=l, mod=ul_mcs_to_mod(mcs), tbs=tbs,
+                    rv=0, rnti=0x46)
+        tb = rng.integers(0, 2, tbs).astype(np.uint8)
+        tx = np.asarray(ue_ul_encode(cell, sf_idx, pusch=(g, tb)))
+        rx = (tx + 0.04 * (rng.standard_normal(tx.shape)
+                           + 1j * rng.standard_normal(tx.shape))).astype(np.complex64)
+        tbh, ok, _, _ = enb.decode(rx[None], sf_idx, g)
+        assert ok, (i, sf_idx, mcs, st, l, tbs)
+        np.testing.assert_array_equal(tbh, tb)
+        compiles_at.append(enb.total_compiles)
+    assert enb.stats["compiles_a"] == 1
+    assert enb.stats["compiles_b"] <= 8
+    assert enb.stats["compiles_c"] <= 14
+    q = max(1, len(compiles_at) // 4)
+    assert compiles_at[-1] - compiles_at[-q] <= 2, compiles_at
+
+
+def test_dynamic_ul_harq_combining():
+    """UL HARQ: rv0 fails alone at low SNR, rv2 retransmission combines."""
+    from srsran_tpu.phy.phch.ra import tbs_lookup, ul_mcs_to_itbs, ul_mcs_to_mod
+    from srsran_tpu.phy.ue.ue_ul import UlGrant, ue_ul_encode
+    from srsran_tpu.pipeline_dynamic import DynamicEnbUl
+
+    rng = np.random.default_rng(6)
+    cell = Cell(nof_prb=25, nof_ports=1, id=3)
+    enb = DynamicEnbUl(cell, max_iterations=4)
+    mcs, l = 19, 20
+    tbs = tbs_lookup(ul_mcs_to_itbs(mcs), l)
+    g0 = UlGrant(prb_start=1, nof_prb=l, mod=ul_mcs_to_mod(mcs), tbs=tbs,
+                 rv=0, rnti=0x46)
+    tb = rng.integers(0, 2, tbs).astype(np.uint8)
+    amp = 0.33
+    tx = np.asarray(ue_ul_encode(cell, 2, pusch=(g0, tb)))
+    rx0 = (tx + amp * (rng.standard_normal(tx.shape)
+                       + 1j * rng.standard_normal(tx.shape))).astype(np.complex64)
+    _, ok0, soft, _ = enb.decode(rx0[None], 2, g0)
+
+    import dataclasses as dc
+
+    g2 = dc.replace(g0, rv=2)
+    tx2 = np.asarray(ue_ul_encode(cell, 3, pusch=(g2, tb)))
+    rx2 = (tx2 + amp * (rng.standard_normal(tx2.shape)
+                        + 1j * rng.standard_normal(tx2.shape))).astype(np.complex64)
+    tbh, ok2, _, _ = enb.decode(rx2[None], 3, g2, softbuffer=soft)
+    assert ok2
+    np.testing.assert_array_equal(tbh, tb)
