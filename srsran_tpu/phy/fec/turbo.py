@@ -282,12 +282,17 @@ def map_decoder(lx, lz, lx_tail, lz_tail, k: int, dtype=jnp.float32, backend: st
         return new, a  # emit alpha at the position (pre-update)
 
     if backend == "auto":
-        # measured on the v5e (one process, K=6144, B=256): radix-2 scan
-        # 4.7 ms vs radix-4 5.6 ms vs pallas (slower still) — the scan is
-        # lane-oversubscribed (B*nw ≈ 16k lanes), so steps are VPU-bound,
-        # not launch-bound, and radix-4's (8,4,bn) broadcast costs more
-        # than two lean radix-2 steps.  bf16 also loses (renorm overhead).
-        backend = "scan"
+        # round-2 measurement on the v5e (one process, K=6144, B=256):
+        # pallas v2 (fused counter-recursions, VMEM-resident metrics,
+        # CH=8 unroll) 2.83 ms vs radix-2 scan 3.2 ms vs radix-4 5.6 ms.
+        # The pallas win is bounded by the sequential pallas grid (the
+        # VMEM scratch caps a tile at 2048 lanes, and v5e has one core),
+        # so tiles serialize where the scan uses all lanes per step.
+        # Pallas runs only on real TPUs; every other platform (tests run
+        # on CPU) takes the scan.
+        import jax as _jax
+
+        backend = "pallas" if _jax.default_backend() == "tpu" and k > 2048 else "scan"
     if backend == "scan4":
         return map_decoder4(lx, lz, lx_tail, lz_tail, k, dtype)
     if backend == "scan_fused":
