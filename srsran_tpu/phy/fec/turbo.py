@@ -704,3 +704,99 @@ def turbo_decode(d_llr, k: int, max_iterations: int = 5, crc_table=None, metric_
     )
     n_it, _, post, _ = jax.lax.while_loop(cond, body, init)
     return (post > 0).astype(jnp.uint8), post, n_it
+
+
+# --- device encoder -----------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("k",))
+def turbo_encode_device(bits, k: int):
+    """Batched turbo encoder ON DEVICE: bits (B, K) uint8 → d-streams
+    (B, 3, K+4) uint8 (same layout as `turbo_encode_np`).
+
+    The RSC recursion is sequential, but the 8-state register makes it a
+    tiny affine system over GF(2): split the codeblock into windows, run
+    each window's recursion for ALL 8 possible initial states in parallel
+    (windows on a batch axis — `lw + nw` sequential steps instead of K),
+    then one short scan composes the window state maps into each window's
+    true initial state and selects the matching parity stream.  The TPU
+    form of `turbocoder.c`'s bit loop."""
+    t = _trellis()
+    nw, lw = _window_layout(k)
+    b = bits.shape[0]
+    next_state = jnp.asarray(t["next_state"])  # (8, 2)
+    parity_tab = jnp.asarray(t["parity"])  # (8, 2)
+
+    per, _inv = _perm_tables(k)
+    u2 = jnp.take(bits, jnp.asarray(per), axis=1)  # interleaved input
+
+    def windows(u):
+        # (B, K) → (lw, B*nw) window-major
+        return u.reshape(b, nw, lw).transpose(2, 0, 1).reshape(lw, b * nw)
+
+    def enc_all_states(u_win):
+        """u_win (lw, N) → parities for all 8 init states (8, lw, N) and
+        the final state per init (8, N)."""
+        s0 = jnp.broadcast_to(jnp.arange(8, dtype=jnp.int32)[:, None],
+                              (8, u_win.shape[1]))
+
+        def step(s, ut):
+            ui = ut.astype(jnp.int32)[None, :]
+            # parity/next via 2-column select: tables indexed [state, bit]
+            pt = jnp.where(ui == 0, parity_tab[s, 0], parity_tab[s, 1])
+            ns = jnp.where(ui == 0, next_state[s, 0], next_state[s, 1])
+            return ns, pt.astype(jnp.uint8)
+
+        s_fin, ps = jax.lax.scan(step, s0, u_win)
+        return ps.transpose(1, 0, 2), s_fin  # (8, lw, N), (8, N)
+
+    def one_encoder(u):
+        u_w = windows(u)
+        ps, s_fin = enc_all_states(u_w)  # per window, all init states
+        # compose window maps: true init of window w = map of windows < w
+        # applied to state 0
+        maps = s_fin.reshape(8, b, nw)  # maps[s, :, w] = final(s) of window w
+
+        def compose(s_in, m_w):
+            # s_in (b,) current state entering this window; m_w (8, b)
+            return jnp.take_along_axis(m_w, s_in[None, :], axis=0)[0], s_in
+
+        _, inits = jax.lax.scan(
+            compose, jnp.zeros((b,), jnp.int32), jnp.moveaxis(maps, 2, 0))
+        # inits (nw, b): state entering each window; select that stream
+        init_flat = inits.transpose(1, 0).reshape(b * nw)  # (B*nw,)
+        p_sel = jnp.take_along_axis(
+            ps, init_flat[None, None, :], axis=0)[0]  # (lw, B*nw)
+        parity = p_sel.reshape(lw, b, nw).transpose(1, 2, 0).reshape(b, k)
+        # final state after the whole block = map of all windows on 0
+        last = jnp.take_along_axis(
+            maps[:, :, -1], inits[-1][None, :], axis=0)[0]  # (b,)
+        return parity, last
+
+    p1, s1 = one_encoder(bits)
+    p2, s2 = one_encoder(u2)
+
+    # 3 tail steps per encoder from the final states (forced input)
+    tb_bit = jnp.asarray(t["tail_bit"])
+    tb_par = jnp.asarray(t["tail_parity"])
+    tb_nxt = jnp.asarray(t["tail_next"])
+
+    def tails(s):
+        xs, zs = [], []
+        for _ in range(3):
+            xs.append(tb_bit[s])
+            zs.append(tb_par[s])
+            s = tb_nxt[s]
+        return [v.astype(jnp.uint8) for v in xs], [v.astype(jnp.uint8) for v in zs]
+
+    x1, z1 = tails(s1)
+    x2, z2 = tails(s2)
+    d = jnp.zeros((b, 3, k + 4), jnp.uint8)
+    d = d.at[:, 0, :k].set(bits.astype(jnp.uint8))
+    d = d.at[:, 1, :k].set(p1)
+    d = d.at[:, 2, :k].set(p2)
+    # TS 36.212 tail mapping (same as turbo_encode_np)
+    d = d.at[:, 0, k:].set(jnp.stack([x1[0], z1[1], x2[0], z2[1]], axis=1))
+    d = d.at[:, 1, k:].set(jnp.stack([z1[0], x1[2], z2[0], x2[2]], axis=1))
+    d = d.at[:, 2, k:].set(jnp.stack([x1[1], z1[2], x2[1], z2[2]], axis=1))
+    return d

@@ -30,7 +30,7 @@ from .phy.mimo import (
     predecode_zf_mmse,
 )
 from .phy.modem import demod_soft
-from .phy.ofdm import OfdmConfig, ofdm_rx_sf
+from .phy.ofdm import OfdmConfig, ofdm_rx_sf, ofdm_tx_sf
 from .phy.phch.pdsch import DlGrant, DlGrant2, pdsch_cinit, pdsch_re_indices
 from .phy.phch.sch import TbCoding, dlsch_decode_device
 from .phy.scrambling import scramble_soft
@@ -204,3 +204,80 @@ def multi_carrier_ue_dl(
         NamedSharding(mesh, P()),
     )
     return jax.jit(all_carriers, in_shardings=in_sharding, out_shardings=out_sharding)
+
+
+def enb_dl_subframe_encode(cell: Cell, sf_idx: int, cfi: int, grant: DlGrant):
+    """Jittable eNB DL data-subframe encoder — the reference's 75 Mbps DL
+    headline config (README.md:66) as DEVICE code: CRC24A (+ per-CB
+    CRC24B) as GF(2) matmuls → batched windowed turbo ENCODER
+    (`turbo_encode_device`: lw + nw sequential steps instead of K) →
+    rate-match gathers → scramble → modulate → PDSCH RE scatter → CRS
+    overlay → batched IFFT.  The reference encodes serially per CB on the
+    host CPU (`sch.c:351 encode_tb`).
+
+    Returns fn(tb_bits (tbs,) uint8) -> samples (nports, sf_len) complex64.
+    """
+    from .phy.common import LTE_CRC24A, LTE_CRC24B
+    from .phy.crc import crc_matrix_np
+    from .phy.chest.refsignal_dl import put_crs_np
+    from .phy.fec.rate_match import turbo_rm_indices
+    from .phy.fec.turbo import turbo_encode_device
+    from .phy.modem import modulate
+    from .phy.phch.sch import _e_split
+    from .phy.fec.cbsegm import cbsegm
+    from .phy.scrambling import scramble_bits
+    from .phy.sequence import gold_sequence
+
+    assert grant.tx_scheme == "port0", "bench encoder: SISO path"
+    idx = pdsch_re_indices(cell, sf_idx, cfi, grant.prb)
+    n_re = len(idx)
+    g = n_re * grant.qm
+    segm = cbsegm(grant.tbs)
+    es = _e_split(g, segm.C, grant.qm, 1)
+    ka = segm.cb_sizes[0]
+    assert all(kk == ka for kk in segm.cb_sizes), "equal-K batch (bench TBS)"
+    tbl_a = jnp.asarray(crc_matrix_np(LTE_CRC24A, grant.tbs).astype(np.float32))
+    tbl_b = jnp.asarray(crc_matrix_np(LTE_CRC24B, ka - 24).astype(np.float32))
+    rm_idx = [jnp.asarray(turbo_rm_indices(ka, es[i], grant.rv,
+                                           segm.F if i == 0 else 0))
+              for i in range(segm.C)]
+    seq = jnp.asarray(np.asarray(
+        gold_sequence(pdsch_cinit(grant.rnti, sf_idx, cell.id), g)).astype(np.uint8))
+    # grid template with CRS (+ empty control region) precomputed
+    tmpl = np.zeros((max(cell.nof_ports, 1), cell.nsymb_per_sf,
+                     cell.nof_re_per_symbol), np.complex64)
+    put_crs_np(tmpl, cell, sf_idx)
+    tmpl_ri = jnp.asarray(np.stack([tmpl.real, tmpl.imag], -1))
+    ofdm = OfdmConfig.from_cell(cell, normalize=True)
+
+    def crc_bits(x, table):
+        acc = jnp.matmul(x.astype(jnp.float32), table,
+                         preferred_element_type=jnp.float32)
+        return (acc.astype(jnp.int32) & 1).astype(jnp.uint8)
+
+    def fn(tb_bits):
+        b = jnp.concatenate([tb_bits.astype(jnp.uint8),
+                             crc_bits(tb_bits, tbl_a)])
+        # segment (+ filler zeros on CB 0, + CRC24B per CB when C > 1)
+        cbs = []
+        pos = 0
+        for i in range(segm.C):
+            f = segm.F if i == 0 else 0
+            take = ka - f - (24 if segm.C > 1 else 0)
+            cb = jnp.concatenate([jnp.zeros((f,), jnp.uint8), b[pos : pos + take]])
+            pos += take
+            if segm.C > 1:
+                cb = jnp.concatenate([cb, crc_bits(cb, tbl_b)])
+            cbs.append(cb)
+        d = turbo_encode_device(jnp.stack(cbs), ka)  # (C, 3, ka+4)
+        flat = d.reshape(segm.C, -1)
+        e = jnp.concatenate([flat[i][rm_idx[i]] for i in range(segm.C)])
+        scr = e ^ seq
+        sym = modulate(grant.mod, scr)
+        grid_ri = tmpl_ri.reshape(tmpl.shape[0], -1, 2)
+        sym_ri = jnp.stack([jnp.real(sym), jnp.imag(sym)], -1)
+        grid_ri = grid_ri.at[0, jnp.asarray(idx)].set(sym_ri)
+        grid = (grid_ri[..., 0] + 1j * grid_ri[..., 1]).reshape(tmpl.shape)
+        return ofdm_tx_sf(ofdm, grid)
+
+    return fn
