@@ -1275,9 +1275,17 @@ class UeStack:
     def __init__(self, cell: Cell, usim: Usim, cfi: int = 2, preamble: int = 17, attach_delay: int = 0,
                  tdd_cfg: tdd.TddConfig | None = None, acquire_si: bool = False,
                  srs_enabled: bool = False, sr_enabled: bool = False,
-                 tm: int = 2, nrx: int = 1):
+                 tm: int = 2, nrx: int = 1, dynamic_phy: bool = False):
         self.srs_enabled = srs_enabled
         self.sr_enabled = sr_enabled
+        # dynamic_phy: run single-codeword PDSCH decodes on the bucketed
+        # TPU pipeline (pipeline_dynamic.DynamicUeDl) — the production
+        # data path; host numpy otherwise (cheap for CPU-only tests)
+        self._dyn_phy = None
+        if dynamic_phy:
+            from ..pipeline_dynamic import DynamicUeDl
+
+            self._dyn_phy = DynamicUeDl(cell, cfi=cfi)
         # transmission mode + rx antenna count; with nrx == 2 the DL link
         # input is (2, sf_len) rx-antenna streams (not CA carriers)
         self.tm = tm
@@ -1587,6 +1595,7 @@ class UeStack:
                 self.cell, rx, sf_idx, rnti, known_cfi=self.cfi,
                 tdd=self.tdd, nrx=rx.shape[0],
                 tm=self.tm if is_c else 2,
+                dynamic=self._dyn_phy,
                 harq_softbuffers=self._dl_softbuffers if is_c else None,
                 phich=_phich_resource(self.cell, inflight[0]) if (is_c and inflight) else None,
             )

@@ -292,7 +292,9 @@ def map_decoder(lx, lz, lx_tail, lz_tail, k: int, dtype=jnp.float32, backend: st
         # on CPU) takes the scan.
         import jax as _jax
 
-        backend = "pallas" if _jax.default_backend() == "tpu" and k > 2048 else "scan"
+        lw_k = _window_layout(k)[1]
+        backend = ("pallas" if _jax.default_backend() == "tpu" and k > 2048
+                   and lw_k % 2 == 0 else "scan")
     if backend == "scan4":
         return map_decoder4(lx, lz, lx_tail, lz_tail, k, dtype)
     if backend == "scan_fused":
@@ -724,8 +726,6 @@ def turbo_encode_device(bits, k: int):
     t = _trellis()
     nw, lw = _window_layout(k)
     b = bits.shape[0]
-    next_state = jnp.asarray(t["next_state"])  # (8, 2)
-    parity_tab = jnp.asarray(t["parity"])  # (8, 2)
 
     per, _inv = _perm_tables(k)
     u2 = jnp.take(bits, jnp.asarray(per), axis=1)  # interleaved input
@@ -741,10 +741,13 @@ def turbo_encode_device(bits, k: int):
                               (8, u_win.shape[1]))
 
         def step(s, ut):
+            # pure bit algebra (turbocoder.c:140-166 recursion) — table
+            # gathers per step serialize on TPU; this is elementwise
             ui = ut.astype(jnp.int32)[None, :]
-            # parity/next via 2-column select: tables indexed [state, bit]
-            pt = jnp.where(ui == 0, parity_tab[s, 0], parity_tab[s, 1])
-            ns = jnp.where(ui == 0, next_state[s, 0], next_state[s, 1])
+            r0, r1, r2 = s & 1, (s >> 1) & 1, (s >> 2) & 1
+            inp = ui ^ r1 ^ r2
+            pt = r2 ^ r0 ^ inp
+            ns = inp + 2 * r0 + 4 * r1
             return ns, pt.astype(jnp.uint8)
 
         s_fin, ps = jax.lax.scan(step, s0, u_win)

@@ -94,7 +94,8 @@ def _map_kernel(T: int, lw: int):
     import os
 
     CH = int(os.environ.get("TURBO_PALLAS_CHUNK", "8"))
-    assert half % CH == 0 and T % CH == 0
+    while CH > 1 and (half % CH or T % CH):
+        CH //= 2  # adapt to layouts the requested chunk doesn't divide
 
     def kernel(
         axt_ref, azt_ref, ax_ref, az_ref, bxt_ref, bzt_ref,

@@ -52,6 +52,7 @@ def ue_dl_decode_subframe(
     harq_softbuffers: dict | None = None,
     phich: tuple[int, int] | None = None,
     tm: int = 2,
+    dynamic=None,
 ) -> UeDlResult:
     """Process one subframe: samples (nrx, sf_len) → decoded TBs.
 
@@ -59,6 +60,9 @@ def ue_dl_decode_subframe(
     ``tm`` is the configured transmission mode: it selects the blind-search
     format set (1A always; plus 1 for TM1/2, 2A for TM3, 2 for TM4 — the
     ue_dl.c:56-87 format tables) and the spatial-multiplexing decode path.
+    ``dynamic``: an optional `pipeline_dynamic.DynamicUeDl` — single-
+    codeword FDD PDSCH decodes then run on the bucketed TPU path (zero
+    per-grant recompiles) instead of the host-orchestrated chain.
     With ``tdd`` set: UL subframes are skipped, special subframes decode
     only the DwPTS region with the 0.75-PRB TBS rule (ra_dl.c:399,430-432),
     and the DCI is parsed at its TDD size.
@@ -162,6 +166,7 @@ def ue_dl_decode_subframe(
             res, fmt, bits, cce, grid, ce, noise, cell, sf_idx, cfi, rnti,
             nports_cell, is_tdd, last_symbol, max_iterations,
             harq_softbuffers, equalize,
+            dynamic=dynamic, samples=samples,
         )
         if handled:
             break  # one DL grant per subframe (dedup across agg levels)
@@ -170,7 +175,7 @@ def ue_dl_decode_subframe(
 
 def _decode_grant(res, fmt, bits, cce, grid, ce, noise, cell, sf_idx, cfi,
                   rnti, nports_cell, is_tdd, last_symbol, max_iterations,
-                  harq_softbuffers, equalize) -> bool:
+                  harq_softbuffers, equalize, dynamic=None, samples=None) -> bool:
     """Parse one found DCI and decode its PDSCH; returns True if a PDSCH
     decode was attempted (the caller stops at the first one)."""
     from ..phch.pdsch import pdsch_re_indices
@@ -274,10 +279,17 @@ def _decode_grant(res, fmt, bits, cce, grid, ce, noise, cell, sf_idx, cfi,
         stored = harq_softbuffers.get(harq_pid)
         if stored is not None and stored[0] == ndi:
             sb = stored[1]
-    tb, ok, sb_out = pdsch_decode(
-        grid, ce, noise, cell, sf_idx, cfi, grant, max_iterations,
-        softbuffers=sb, tdd=is_tdd, last_symbol=last_symbol,
-    )
+    if (dynamic is not None and not is_tdd and last_symbol is None
+            and grant.tx_scheme == "port0" and grant.tbs > 0):
+        # bucketed TPU data path (pipeline_dynamic): any grant, no
+        # per-grant recompiles, HARQ combining in the bucket layout
+        tb, ok, sb_out, _ = dynamic.decode(samples, sf_idx, grant,
+                                           softbuffer=sb)
+    else:
+        tb, ok, sb_out = pdsch_decode(
+            grid, ce, noise, cell, sf_idx, cfi, grant, max_iterations,
+            softbuffers=sb, tdd=is_tdd, last_symbol=last_symbol,
+        )
     if harq_softbuffers is not None:
         if ok:
             harq_softbuffers.pop(harq_pid, None)  # reset on success

@@ -58,7 +58,7 @@ from .phy.sequence import gold_sequence_signs
 K_BUCKETS = (768, 2112, 6144)
 B_BUCKETS = (1, 2, 4, 8, 16, 32)
 E_BUCKETS = (2048, 4096, 8192, 16384, 32768, 65536)
-RE_BUCKETS = (1536, 3072, 6144, 9216, 14336)
+RE_BUCKETS = (1536, 3072, 6144, 9216, 15360)
 # every stage-B program emits this fixed LLR vector length, so stage-C
 # programs key only on (K, B, E) buckets — not on the grant's G
 G_MAX = RE_BUCKETS[-1] * 8
