@@ -1,0 +1,62 @@
+"""Carrier-mesh scaling shape on the virtual 8-device CPU mesh.
+
+Real ICI scaling needs real chips; what CAN be validated here (VERDICT r1
+item 8) is (a) weak-scaling CORRECTNESS — N carriers sharded over N
+devices produce exactly the single-device results with the cross-mesh
+reduction intact — and (b) the efficiency-curve harness itself, which the
+driver can point at real hardware.  Wall-clock on virtual devices shares
+one host's cores, so the curve is reported (stderr) but only sanity-
+bounded, not asserted as ICI efficiency.
+"""
+
+import sys
+import time
+
+import jax
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from srsran_tpu.phy.common import Cell
+from srsran_tpu.phy.chest.refsignal_dl import put_crs_np
+from srsran_tpu.phy.modem import Mod
+from srsran_tpu.phy.ofdm import OfdmConfig, ofdm_tx_sf
+from srsran_tpu.phy.phch.pdsch import DlGrant, pdsch_encode_np
+from srsran_tpu.phy.phch.ra import dl_tbs
+from srsran_tpu.pipeline import multi_carrier_ue_dl
+
+
+def test_weak_scaling_correctness_and_curve():
+    rng = np.random.default_rng(0)
+    cell = Cell(nof_prb=15, nof_ports=1, id=11)
+    tbs = dl_tbs(8, 15)
+    grant = DlGrant(prb=tuple(range(15)), mod=Mod.QAM16, tbs=tbs)
+    tb = rng.integers(0, 2, tbs).astype(np.uint8)
+    grid = pdsch_encode_np(cell, 2, 1, grant, tb)
+    put_crs_np(grid, cell, 2)
+    tx = np.asarray(ofdm_tx_sf(OfdmConfig.from_cell(cell, normalize=True), grid))[0]
+    rx1 = (tx + 0.02 * (rng.standard_normal(tx.shape)
+                        + 1j * rng.standard_normal(tx.shape))).astype(np.complex64)
+
+    devices = jax.devices()
+    assert len(devices) >= 8
+    curve = {}
+    for n in (1, 2, 4, 8):
+        mesh = Mesh(np.asarray(devices[:n]), ("carriers",))
+        fn = multi_carrier_ue_dl(cell, 2, 1, grant, mesh=mesh)
+        s = np.tile(rx1[None, None, :], (n, 1, 1))
+        tb_hat, ok, total = fn(s)
+        # weak-scaling correctness: every shard decodes, reduction sums
+        assert int(jax.device_get(total)) == n
+        assert np.array_equal(np.asarray(jax.device_get(tb_hat))[n - 1], tb)
+        t0 = time.time()
+        for _ in range(3):
+            _, _, total = fn(s)
+        jax.device_get(total)
+        dt = (time.time() - t0) / 3
+        curve[n] = n * tbs / dt / 1e6
+    print(f"virtual-mesh carriers/chip curve (Mbps, host-shared): {curve}",
+          file=sys.stderr)
+    # sanity only: more carriers must not DECREASE aggregate throughput
+    # catastrophically on the shared host (allow generous slack)
+    assert curve[8] > 0.5 * curve[1]
