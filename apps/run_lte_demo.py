@@ -5,6 +5,9 @@ over the OFDM/turbo PHY — the executable analog of the reference's
 `test/run_lte.sh` E2E smoke.
 
   python apps/run_lte_demo.py [--prb 15] [--snr 25]
+  python apps/run_lte_demo.py --tun        # REAL kernel ICMP ping through
+                                           # the stack (root; netns like
+                                           # run_lte.sh:288)
 """
 
 import argparse
@@ -35,6 +38,9 @@ def main():
     ap.add_argument("--prb", type=int, default=15)
     ap.add_argument("--snr", type=float, default=None, help="add AWGN at this SNR (dB)")
     ap.add_argument("--pings", type=int, default=4)
+    ap.add_argument("--tun", action="store_true",
+                    help="kernel IP boundary: UE TUN in a netns + SPGW SGi "
+                         "TUN, ping with srsran_tpu.io.icmp_ping")
     args = ap.parse_args()
 
     cell = Cell(nof_prb=args.prb, nof_ports=1, id=7)
@@ -71,6 +77,41 @@ def main():
             print(f"[{tti} ms] UL pong: {len(spgw.sgi_rx)}/{args.pings} received at SGi")
             break
     assert attached_at is not None, "attach failed"
+
+    if args.tun:
+        import subprocess
+
+        from srsran_tpu.io.tun import TunDevice
+
+        assert TunDevice.available(), "environment forbids TUN"
+        ns = "srstpu_demo"
+        subprocess.run(["ip", "netns", "del", ns], capture_output=True)
+        subprocess.run(["ip", "netns", "add", ns], check=True)
+        try:
+            spgw.attach_tun(name="tun_sgi_demo")
+            gw = ue.attach_tun(name="tun_ue_demo", netns=ns)
+            gw.tun.add_route("default")
+            pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+            env = dict(os.environ, PYTHONPATH=pkg_root, JAX_PLATFORMS="cpu")
+            ping = subprocess.Popen(
+                ["ip", "netns", "exec", ns, "python", "-m",
+                 "srsran_tpu.io.icmp_ping", "172.16.0.254", str(args.pings), "40"],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env)
+            deadline = time.time() + 90
+            while ping.poll() is None and time.time() < deadline:
+                dl = enb.run_tti(ul)
+                ul = ue.run_tti(dl)
+                spgw.pump_tun()
+            out, _ = ping.communicate(timeout=10)
+            print("[kernel ping]", out.strip().replace(chr(10), chr(10) + "  "))
+            assert ping.returncode == 0, "kernel ping failed"
+        finally:
+            if ue.gw:
+                ue.gw.close()
+            if spgw.sgi_tun:
+                spgw.sgi_tun.close()
+            subprocess.run(["ip", "netns", "del", ns], capture_output=True)
+
     print(f"done in {time.time()-t0:.1f}s wall  |  eNB {enb.get_metrics()}  |  UE {ue.get_metrics()}")
 
 
