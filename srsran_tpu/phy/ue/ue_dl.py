@@ -280,7 +280,7 @@ def _decode_grant(res, fmt, bits, cce, grid, ce, noise, cell, sf_idx, cfi,
         if stored is not None and stored[0] == ndi:
             sb = stored[1]
     if (dynamic is not None and not is_tdd and last_symbol is None
-            and grant.tx_scheme == "port0" and grant.tbs > 0
+            and grant.tx_scheme in ("port0", "diversity") and grant.tbs > 0
             and dynamic.cfi == cfi):
         # bucketed TPU data path (pipeline_dynamic): any grant, no
         # per-grant recompiles, HARQ combining in the bucket layout
