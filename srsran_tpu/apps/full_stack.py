@@ -227,8 +227,16 @@ class EnbStack:
     def __init__(self, cell: Cell, mme: Mme, spgw: Spgw, crnti: int = 0x46, mcs: int = 5, cfi: int = 2,
                  enb_id: int = 0x19B, tdd_cfg: tdd.TddConfig | None = None,
                  scell: Cell | None = None, srs_enabled: bool = False,
-                 sr_enabled: bool = False, tm: int = 2, ul_ca: bool = False):
+                 sr_enabled: bool = False, tm: int = 2, ul_ca: bool = False,
+                 dynamic_phy: bool = False):
         self.sr_enabled = sr_enabled
+        # dynamic_phy: decode UCI-free PUSCH TTIs on the bucketed TPU
+        # pipeline (pipeline_dynamic.DynamicEnbUl); host path otherwise
+        self._dyn_ul = None
+        if dynamic_phy:
+            from ..pipeline_dynamic import DynamicEnbUl
+
+            self._dyn_ul = DynamicEnbUl(cell)
         # R10 UL carrier aggregation: BSRs also credit the SCell scheduler,
         # DCI0s go out on the SCell PDCCH, and the UE's UL becomes
         # (2, sf_len) — the 2nd UL cc_worker of the reference's CA path
@@ -772,7 +780,19 @@ class EnbStack:
             out = uci_out = None
             if dtx:
                 out = (None, False, sb_in)
-            for wc in cqi_hyps if not dtx else []:
+            # dynamic TPU path for UCI-free data TTIs (the production data
+            # plane; UCI multiplexing stays on the host chain)
+            dyn_sb = (sb_in[1] if isinstance(sb_in, tuple)
+                      and len(sb_in) == 2 and sb_in[0] == "dyn" else None)
+            if (not dtx and self._dyn_ul is not None and not srs_sf
+                    and not exp_acks and not want_cqi and len(cqi_hyps) == 1
+                    and (sb_in is None or dyn_sb is not None)):
+                tb_d, ok_d, soft_d, _ = self._dyn_ul.decode(
+                    np.asarray(samples)[None], sf_idx, grant, softbuffer=dyn_sb)
+                out = (tb_d, ok_d, ("dyn", soft_d))
+            if isinstance(sb_in, tuple) and len(sb_in) == 2 and sb_in[0] == "dyn":
+                sb_in = None  # bucket-layout softbuffer: host path restarts
+            for wc in (cqi_hyps if (not dtx and out is None) else []):
                 uci_exp = None
                 if wc or exp_acks:
                     ri_exp = (0,) if (wc and self.tm >= 3) else ()

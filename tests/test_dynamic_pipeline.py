@@ -270,3 +270,48 @@ def test_facade_on_dynamic_backend():
                                       np.asarray(res_host.tbs[0][0]))
         np.testing.assert_array_equal(np.asarray(res_dyn.tbs[0][0]), tb)
     assert dyn.stats["ttis"] == 2
+
+
+def test_full_stack_on_dynamic_pipelines():
+    """Live attach + IP traffic with BOTH ends' data planes on the
+    bucketed TPU pipelines (EnbStack/UeStack dynamic_phy=True) — the
+    'move the live stack's DL/UL data path onto it' done-criterion."""
+    from srsran_tpu.apps.full_stack import EnbStack, UeStack
+    from srsran_tpu.epc import Hss, Mme, Spgw, Subscriber
+    from srsran_tpu.stack import security as sec
+    from srsran_tpu.stack.nas_ue import Usim
+
+    imsi = "001010123456789"
+    key = bytes.fromhex("00112233445566778899aabbccddeeff")
+    opc = sec.compute_opc(key, bytes.fromhex("63bfa50ee6523365ff14c1f45f88737d"))
+    cell = Cell(nof_prb=15, nof_ports=1, id=7)
+    hss = Hss()
+    hss.add_subscriber(Subscriber("ue1", imsi, key, opc, amf=b"\x80\x00", sqn=0))
+    spgw = Spgw()
+    mme = Mme(hss, spgw)
+    enb = EnbStack(cell, mme, spgw, mcs=5, dynamic_phy=True)
+    ue = UeStack(cell, Usim(imsi, key, opc), dynamic_phy=True)
+
+    ul = None
+    for _ in range(150):
+        dl = enb.run_tti(ul)
+        ul = ue.run_tti(dl)
+        if ue.rrc_state == UeStack.RRC_ACTIVE and ue.nas.state == ue.nas.REGISTERED:
+            break
+    assert ue.nas.state == ue.nas.REGISTERED
+
+    pkts = [bytes([i]) * 60 for i in range(4)]
+    for p in pkts:
+        spgw.sgi_tx(ue.ue_ip, p)
+    for p in pkts:
+        ue.send_ip_packet(p)
+    for _ in range(80):
+        dl = enb.run_tti(ul)
+        ul = ue.run_tti(dl)
+        if len(ue.ip_rx) >= len(pkts) and len(spgw.sgi_rx) >= len(pkts):
+            break
+    assert ue.ip_rx[: len(pkts)] == pkts
+    assert [pl for _, pl in spgw.sgi_rx][: len(pkts)] == pkts
+    # both dynamic pipelines actually carried the data plane
+    assert ue._dyn_phy.stats["ttis"] > 0 and ue._dyn_phy.stats["crc_ok"] > 0
+    assert enb._dyn_ul.stats["ttis"] > 0 and enb._dyn_ul.stats["crc_ok"] > 0
