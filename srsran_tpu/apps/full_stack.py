@@ -1255,6 +1255,10 @@ class EnbStack:
         # as _process_ul)
         tti = tti - 1
         sf_idx = tti % 10
+        # age out grants whose PUSCH occasion passed un-decoded (e.g. the
+        # UE wasn't SCell-active yet) — they would otherwise pile up
+        for k in [k for k in self.pending_ul_scell if k < tti]:
+            del self.pending_ul_scell[k]
         if tti not in self.pending_ul_scell:
             return
         rnti, grant = self.pending_ul_scell.pop(tti)
