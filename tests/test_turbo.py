@@ -147,3 +147,29 @@ def test_map_decoder_backend_equivalence(backend, k):
     ref = np.asarray(map_decoder(*args, k, backend="scan"))
     alt = np.asarray(map_decoder(*args, k, backend=backend))
     np.testing.assert_allclose(ref, alt, atol=2e-4)
+
+
+def test_map_decoder_pallas_bf16_scratch(monkeypatch):
+    """The bf16-scratch kernel variant (TURBO_PALLAS_BF16: doubles the
+    tile to 4096 lanes) quantizes stored metrics; posteriors must stay
+    within ~1 LLR unit and sign-agree with the exact scan."""
+    import jax.numpy as jnp
+
+    from srsran_tpu.phy.fec import turbo_pallas
+    from srsran_tpu.phy.fec.turbo import map_decoder
+
+    monkeypatch.setattr(turbo_pallas, "BF16_SCRATCH", True)
+    monkeypatch.setattr(turbo_pallas, "TILE_N", 4096)
+    turbo_pallas.map_windows_pallas.clear_cache()
+    try:
+        k, B = 2048, 2
+        rng = np.random.default_rng(4)
+        args = [jnp.asarray(8.0 * rng.standard_normal((B, n)).astype(np.float32))
+                for n in (k, k, 3, 3)]
+        r_scan = np.asarray(map_decoder(*args, k, backend="scan"))
+        r_pal = np.asarray(map_decoder(*args, k, backend="pallas_interpret"))
+        agree = np.mean(np.sign(r_scan) == np.sign(r_pal))
+        assert agree > 0.999, agree
+        np.testing.assert_allclose(r_pal, r_scan, atol=1.5)
+    finally:
+        turbo_pallas.map_windows_pallas.clear_cache()
