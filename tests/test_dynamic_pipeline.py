@@ -315,3 +315,21 @@ def test_full_stack_on_dynamic_pipelines():
     # both dynamic pipelines actually carried the data plane
     assert ue._dyn_phy.stats["ttis"] > 0 and ue._dyn_phy.stats["crc_ok"] > 0
     assert enb._dyn_ul.stats["ttis"] > 0 and enb._dyn_ul.stats["crc_ok"] > 0
+
+
+def test_dynamic_noncontiguous_allocation():
+    """RA type 0 (RBG bitmap) allocations are non-contiguous PRB sets —
+    the padded RE gather must handle them identically."""
+    rng = np.random.default_rng(21)
+    cell = Cell(nof_prb=50, nof_ports=1, id=17)
+    ofdm = OfdmConfig.from_cell(cell, normalize=True)
+    ue = DynamicUeDl(cell, cfi=1)
+    prbs = tuple(list(range(0, 6)) + list(range(18, 27)) + list(range(42, 50)))
+    mcs = 11
+    tbs = dl_tbs(mcs, len(prbs))
+    grant = DlGrant(prb=prbs, mod=dl_mcs_to_mod(mcs), tbs=tbs, rnti=0x46)
+    tb = rng.integers(0, 2, tbs).astype(np.uint8)
+    rx = _render(cell, ofdm, 3, grant, tb, rng)
+    tb_hat, ok, _, _ = ue.decode(rx, 3, grant)
+    assert ok
+    np.testing.assert_array_equal(tb_hat, tb)
