@@ -38,7 +38,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e9
-TILE_N = 2048
+import os as _os
+
+# bf16 metric scratch halves VMEM → 4096-lane tiles → half the sequential
+# steps (the pallas grid is serial on the v5e's single core).  Costs a
+# per-step renorm + ~0.4 LLR units of storage quantisation.  Measured
+# 2026-08: the bf16 variant ALSO trips the axon remote Mosaic INTERNAL
+# error (like chunked pl.ds reads) — stays opt-in until the toolchain
+# accepts it; the f32/2048-lane default compiles and beats the scan.
+BF16_SCRATCH = _os.environ.get("TURBO_PALLAS_BF16", "0") == "1"
+TILE_N = 4096 if BF16_SCRATCH else 2048
 
 
 @lru_cache(maxsize=1)
@@ -96,6 +105,8 @@ def _map_kernel(T: int, lw: int):
     CH = int(os.environ.get("TURBO_PALLAS_CHUNK", "8"))
     while CH > 1 and (half % CH or T % CH):
         CH //= 2  # adapt to layouts the requested chunk doesn't divide
+    scr_t = jnp.bfloat16 if BF16_SCRATCH else jnp.float32
+    renorm = BF16_SCRATCH  # keep magnitudes inside bf16's mantissa
 
     def kernel(
         axt_ref, azt_ref, ax_ref, az_ref, bxt_ref, bzt_ref,
@@ -157,13 +168,16 @@ def _map_kernel(T: int, lw: int):
             bx = read_rows(ax_ref, m0)
             bz = read_rows(az_ref, m0)
             for i in range(CH):
-                a_scr[j0 + i] = a
+                a_scr[j0 + i] = a.astype(scr_t)
                 # b_scr[t - half] holds beta at position t+1 for t in the
                 # second half; carry here is beta at position m0+CH-i
-                b_scr[m0 - half + CH - 1 - i] = b
+                b_scr[m0 - half + CH - 1 - i] = b.astype(scr_t)
                 a = alpha_step(a, ax[i][None, :], az[i][None, :])
                 b0, b1 = beta_branches(b, bx[CH - 1 - i][None, :], bz[CH - 1 - i][None, :])
                 b = jnp.maximum(b0, b1)
+                if renorm:
+                    a = a - a[0:1]
+                    b = b - b[0:1]
             return a, b
 
         a, b = jax.lax.fori_loop(0, half // CH, store_body, (a, b))
@@ -188,15 +202,18 @@ def _map_kernel(T: int, lw: int):
                 # mirrored posterior at t = m0+CH-1-i (shares the beta
                 # recursion's branch metrics)
                 b0m, b1m = beta_branches(b, xb, zb)
-                am = a_prev[CH - 1 - i]
+                am = a_prev[CH - 1 - i].astype(jnp.float32)
                 out_ref[m0 + CH - 1 - i] = (
                     jnp.max(am + b1m, axis=0) - jnp.max(am + b0m, axis=0))
                 b = jnp.maximum(b0m, b1m)
                 # forward posterior at t = j0+i: live alpha + stored beta
-                b0, b1 = beta_branches(b_next[i], xa, za)
+                b0, b1 = beta_branches(b_next[i].astype(jnp.float32), xa, za)
                 out_ref[j0 + i] = (
                     jnp.max(a + b1, axis=0) - jnp.max(a + b0, axis=0))
                 a = alpha_step(a, xa, za)
+                if renorm:
+                    a = a - a[0:1]
+                    b = b - b[0:1]
             return a, b
 
         jax.lax.fori_loop(0, half // CH, post_body, (a, b))
@@ -235,8 +252,8 @@ def map_windows_pallas(
         out_specs=spec(lw),
         out_shape=jax.ShapeDtypeStruct((lw, bn), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((lw // 2, 8, tn), jnp.float32),
-            pltpu.VMEM((lw // 2, 8, tn), jnp.float32),
+            pltpu.VMEM((lw // 2, 8, tn), jnp.bfloat16 if BF16_SCRATCH else jnp.float32),
+            pltpu.VMEM((lw // 2, 8, tn), jnp.bfloat16 if BF16_SCRATCH else jnp.float32),
         ],
         interpret=interpret,
     )(ax_tr, az_tr, ax, az, bx_tr, bz_tr, a_mask, b_mask, b_known)
