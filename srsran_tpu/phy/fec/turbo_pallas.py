@@ -238,6 +238,11 @@ def map_windows_pallas(
     tiles = max(1, bn // TILE_N)
     tn = bn // tiles
     kernel = _map_kernel(T, lw)
+    if BF16_SCRATCH:
+        # halve the double-buffered input VMEM too — the 4096-lane tile
+        # otherwise exceeds the 16 MB scoped-vmem limit (observed 18.04M)
+        ax_tr, az_tr, ax, az, bx_tr, bz_tr = (
+            v.astype(jnp.bfloat16) for v in (ax_tr, az_tr, ax, az, bx_tr, bz_tr))
 
     def spec(rows):
         return pl.BlockSpec((rows, tn), lambda i: (0, i), memory_space=pltpu.VMEM)
