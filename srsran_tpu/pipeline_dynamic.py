@@ -292,7 +292,15 @@ def _build_stage_c(k_bucket: int, b_bucket: int, e_bucket: int, g_max: int,
             jnp.all(jnp.where(valid, cb_ok, True)),
             jnp.all(crc_calc == rx_crc),
         )
-        return tbp.astype(jnp.uint8), tb_ok, new_soft.reshape(bsz, 3, k_bucket + 4), n_it
+        # pack (tb bits, ok, n_it) into ONE array: a single device->host
+        # readback per TTI instead of three (each readback is a full RPC
+        # round-trip on a tunneled TPU)
+        packed = jnp.concatenate([
+            tbp.astype(jnp.uint8),
+            tb_ok.astype(jnp.uint8)[None],
+            jnp.clip(n_it, 0, 255).astype(jnp.uint8)[None],
+        ])
+        return packed, new_soft.reshape(bsz, 3, k_bucket + 4)
 
     return fn
 
@@ -313,6 +321,23 @@ def _padded_re_indices(cell: Cell, sf_idx: int, cfi: int, prb: tuple[int, ...],
     return pad, n_re, bucket
 
 
+@dataclasses.dataclass
+class PendingTb:
+    """A dispatched-but-not-read-back TB decode (device arrays).
+
+    Created by `decode_async`; realize with `DynamicUeDl.result` /
+    `DynamicEnbUl.result`.  Keeping results device-resident lets a caller
+    pipeline N TTIs in flight and amortize the device->host round-trip —
+    the TPU analog of the reference's sf_worker pipeline (the stack
+    consumes TB k while workers process k+1..k+3, thread_pool.h:46-77).
+    """
+
+    packed: jnp.ndarray  # (tbs_max + 2,) uint8: tb bits | ok | n_it
+    softbuffer: jnp.ndarray
+    tbs: int
+    tbs_max: int
+
+
 class DynamicUeDl:
     """Live UE DL data path: any grant, bounded compiles, HARQ combining.
 
@@ -330,6 +355,7 @@ class DynamicUeDl:
         self._stage_b: dict = {}
         self._stage_c: dict = {}
         self._signs: dict = {}
+        self._idx_dev: dict = {}
         self.stats = {"compiles_a": 0, "compiles_b": 0, "compiles_c": 0,
                       "ttis": 0, "crc_ok": 0}
 
@@ -368,15 +394,13 @@ class DynamicUeDl:
             self._signs[key] = jnp.asarray(gold_sequence_signs(cinit, g_max))
         return self._signs[key]
 
-    def decode(self, samples: np.ndarray, sf_idx: int, grant: DlGrant,
-               softbuffer=None):
-        """Decode one PDSCH grant from one subframe of samples.
+    def decode_async(self, samples: np.ndarray, sf_idx: int, grant: DlGrant,
+                     softbuffer=None) -> PendingTb:
+        """Dispatch one PDSCH grant decode; results stay on device.
 
-        samples: (nrx, sf_len) complex64 (host).  Returns
-        (tb_bits (tbs,) uint8, crc_ok bool, softbuffer, n_iterations).
+        samples: (nrx, sf_len) complex64 (host).  Realize with `result`.
         """
         nof_ports = 2 if grant.tx_scheme in ("diversity", "spatialmux") else 1
-        nrx = samples.shape[0]
         a = self._get_a(sf_idx, nof_ports)
         samples_ri = np.stack([samples.real, samples.imag], axis=-1).astype(np.float32)
         rx_grid_ri, ce_ri, noise, _snr = a(samples_ri)
@@ -384,28 +408,46 @@ class DynamicUeDl:
         idx_pad, n_re, n_re_max = _padded_re_indices(
             self.cell, sf_idx, self.cfi, tuple(grant.prb)
         )
+        ikey = (sf_idx, tuple(grant.prb))
+        if ikey not in self._idx_dev:
+            self._idx_dev[ikey] = jnp.asarray(idx_pad)
         nof_layers = grant.nof_layers if grant.tx_scheme == "spatialmux" else 1
         g = n_re * grant.qm * nof_layers
         g_max = n_re_max * grant.qm * nof_layers
         bfn = self._get_b(n_re_max, grant)
         signs = self._get_signs(grant.rnti, sf_idx, g_max)
-        llr = bfn(rx_grid_ri, ce_ri, noise, jnp.asarray(idx_pad),
+        llr = bfn(rx_grid_ri, ce_ri, noise, self._idx_dev[ikey],
                   jnp.int32(n_re), signs)
 
         desc = _tb_descriptor(grant.tbs, g, grant.qm, grant.rv, G_MAX, nof_layers)
         cfn = self._get_c(desc)
         if softbuffer is None:
             softbuffer = jnp.zeros((desc.b_bucket, 3, desc.k_bucket + 4), jnp.float32)
-        tbp, ok, new_soft, n_it = cfn(
+        packed, new_soft = cfn(
             llr, desc.gather, desc.scatter, desc.k_vec, desc.f_vec, desc.per,
             desc.inv, desc.valid, desc.crc_is_b, desc.tb_gather,
             desc.crc_gather, softbuffer,
         )
-        tb = np.asarray(tbp)[desc.tbs_max - desc.tbs :]
+        return PendingTb(packed, new_soft, desc.tbs, desc.tbs_max)
+
+    def result(self, p: PendingTb):
+        """Realize a pending decode: ONE device->host readback."""
+        res = np.asarray(p.packed)
+        tb = res[p.tbs_max - p.tbs : p.tbs_max]
+        ok_host = bool(res[p.tbs_max])
+        n_it = int(res[p.tbs_max + 1])
         self.stats["ttis"] += 1
-        ok_host = bool(ok)
         self.stats["crc_ok"] += int(ok_host)
-        return tb, ok_host, new_soft, int(n_it)
+        return tb, ok_host, p.softbuffer, n_it
+
+    def decode(self, samples: np.ndarray, sf_idx: int, grant: DlGrant,
+               softbuffer=None):
+        """Decode one PDSCH grant from one subframe of samples.
+
+        samples: (nrx, sf_len) complex64 (host).  Returns
+        (tb_bits (tbs,) uint8, crc_ok bool, softbuffer, n_iterations).
+        """
+        return self.result(self.decode_async(samples, sf_idx, grant, softbuffer))
 
     @property
     def total_compiles(self) -> int:
@@ -459,6 +501,22 @@ def _ul_deint_scatter(g: int, qm: int, g_max: int) -> np.ndarray:
     out = np.full(g_max, g_max, np.int32)
     out[:g] = _interleaver_indices(g, qm)
     return out
+
+
+@lru_cache(maxsize=256)
+def _ul_dmrs_conj_dev(cell: Cell, nof_prb: int, m_max: int) -> jnp.ndarray:
+    """Device-resident copy (uploading per TTI costs an RPC round-trip)."""
+    return jnp.asarray(_ul_dmrs_conj(cell, nof_prb, m_max))
+
+
+@lru_cache(maxsize=64)
+def _idft_padded_dev(m_sc: int, m_max: int) -> jnp.ndarray:
+    return jnp.asarray(_idft_padded(m_sc, m_max))
+
+
+@lru_cache(maxsize=4096)
+def _ul_deint_scatter_dev(g: int, qm: int, g_max: int) -> jnp.ndarray:
+    return jnp.asarray(_ul_deint_scatter(g, qm, g_max))
 
 
 def _build_stage_b_ul(cell: Cell, m_max: int, mod: Mod, qm: int):
@@ -573,9 +631,9 @@ class DynamicEnbUl:
             self.stats["compiles_c"] += 1
         return self._c[key]
 
-    def decode(self, samples: np.ndarray, sf_idx: int, grant, softbuffer=None):
-        """samples (nrx, sf_len) complex64; grant: phy.ue.ue_ul.UlGrant.
-        Returns (tb_bits, crc_ok, softbuffer, n_iterations)."""
+    def decode_async(self, samples: np.ndarray, sf_idx: int, grant,
+                     softbuffer=None) -> PendingTb:
+        """Dispatch one PUSCH grant decode; results stay on device."""
         from .phy.phch.pusch import pusch_cinit
 
         if self._a is None:
@@ -597,24 +655,35 @@ class DynamicEnbUl:
                 self._nsym * m_max * qm))
         llr, noise = bfn(
             grid_ri, jnp.int32(grant.prb_start * 12), jnp.int32(m_sc),
-            jnp.asarray(_ul_dmrs_conj(self.cell, grant.nof_prb, m_max)),
-            jnp.asarray(_idft_padded(m_sc, m_max)),
+            _ul_dmrs_conj_dev(self.cell, grant.nof_prb, m_max),
+            _idft_padded_dev(m_sc, m_max),
             self._signs[key],
-            jnp.asarray(_ul_deint_scatter(g, qm, G_MAX)),
+            _ul_deint_scatter_dev(g, qm, G_MAX),
         )
         desc = _tb_descriptor(grant.tbs, g, qm, grant.rv, G_MAX, 1)
         cfn = self._get_c(desc)
         if softbuffer is None:
             softbuffer = jnp.zeros((desc.b_bucket, 3, desc.k_bucket + 4), jnp.float32)
-        tbp, ok, new_soft, n_it = cfn(
+        packed, new_soft = cfn(
             llr, desc.gather, desc.scatter, desc.k_vec, desc.f_vec, desc.per,
             desc.inv, desc.valid, desc.crc_is_b, desc.tb_gather,
             desc.crc_gather, softbuffer)
-        tb = np.asarray(tbp)[desc.tbs_max - desc.tbs :]
+        return PendingTb(packed, new_soft, desc.tbs, desc.tbs_max)
+
+    def result(self, p: PendingTb):
+        """Realize a pending decode: ONE device->host readback."""
+        res = np.asarray(p.packed)
+        tb = res[p.tbs_max - p.tbs : p.tbs_max]
+        ok_host = bool(res[p.tbs_max])
+        n_it = int(res[p.tbs_max + 1])
         self.stats["ttis"] += 1
-        ok_host = bool(ok)
         self.stats["crc_ok"] += int(ok_host)
-        return tb, ok_host, new_soft, int(n_it)
+        return tb, ok_host, p.softbuffer, n_it
+
+    def decode(self, samples: np.ndarray, sf_idx: int, grant, softbuffer=None):
+        """samples (nrx, sf_len) complex64; grant: phy.ue.ue_ul.UlGrant.
+        Returns (tb_bits, crc_ok, softbuffer, n_iterations)."""
+        return self.result(self.decode_async(samples, sf_idx, grant, softbuffer))
 
     @property
     def total_compiles(self) -> int:
