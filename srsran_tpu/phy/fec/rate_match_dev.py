@@ -1,0 +1,260 @@
+"""On-device turbo rate-matching index computation (TS 36.212 §5.1.4.1).
+
+The host path (`rate_match.py`) precomputes a gather/scatter index vector
+per (K, E, rv, filler) signature and caches it — fine when grants repeat,
+but a windowed multi-TTI pipeline would have to upload stacked index
+arrays (tens of MB per window) through the host↔device link.  This module
+instead derives the de-rate-match scatter indices *inside the XLA program*
+from five scalars per codeblock (k, e, f, rv and the codeword offset):
+the sub-block interleaver, <NULL>-skipping circular buffer, and RV start
+points are all closed-form index arithmetic (the design SURVEY §7 and
+Appendix A.2 call for — the reference burns 100+ MB of static LUTs on
+this, `rm_turbo.c:75-100`).
+
+Everything is traced-size-as-data over static maxima, so ONE compiled
+program serves every (K, E, rv, filler) combination.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .rate_match import RM_PERM_TC
+
+NCOLS = 32
+
+
+def ncb_max(k_max: int) -> int:
+    """Static circular-buffer bound for CBs up to k_max."""
+    d = k_max + 4
+    return 3 * (-(-d // NCOLS)) * NCOLS
+
+
+def turbo_rm_positions_dev(k, f, rv, k_max: int):
+    """Per-codeblock circular-buffer position table, entirely on device.
+
+    k, f, rv: traced int32 scalars (CB size, filler bits, redundancy
+    version).  k_max: static bound.
+
+    Returns (pos_valid, n_valid):
+      pos_valid: (NCB_MAX,) int32 — pos_valid[m] is the flat d-stream
+        index (stream * (k_max+4) + position) of the m-th transmitted bit
+        when reading the circular buffer from k0(rv), skipping <NULL>
+        dummy and filler positions.  Entries beyond n_valid are the dump
+        index 3*(k_max+4).
+      n_valid: int32 — 3*(k+4) - 2*f distinct transmitted positions.
+    """
+    NCB = ncb_max(k_max)
+    dump = 3 * (k_max + 4)
+    perm = jnp.asarray(RM_PERM_TC, jnp.int32)
+
+    d = k + 4
+    r = (d + NCOLS - 1) // NCOLS
+    kp = NCOLS * r
+    nd = kp - d
+    ncb = 3 * kp
+    m = jnp.arange(NCB, dtype=jnp.int32)
+
+    # region A (m < kp): streams 0/1 column-read order
+    # y_idx01[i] = (i % r) * 32 + PERM[i // r]
+    ca = jnp.clip(m // r, 0, NCOLS - 1)
+    ya = (m % r) * NCOLS + perm[ca]
+    # region B (kp <= m < 3kp): j = m - kp; even j → stream 1 via
+    # y_idx01[j//2], odd j → stream 2 via pi(j//2)
+    j = m - kp
+    i1 = jnp.maximum(j // 2, 0)  # j < 0 only where region A wins the select
+    cb = jnp.clip(i1 // r, 0, NCOLS - 1)
+    yb1 = (i1 % r) * NCOLS + perm[cb]
+    yb2 = (perm[cb] + NCOLS * (i1 % r) + 1) % kp
+    is_even = (j % 2) == 0
+    stream = jnp.where(m < kp, 0, jnp.where(is_even, 1, 2)).astype(jnp.int32)
+    y = jnp.where(m < kp, ya, jnp.where(is_even, yb1, yb2))
+
+    dpos = y - nd
+    valid = (y >= nd) & (m < ncb)
+    # filler bits are <NULL> in streams 0 and 1 (turbocoder.c:133-147)
+    valid = valid & ~((stream < 2) & (dpos < f))
+    w_flat = stream * (k_max + 4) + jnp.maximum(dpos, 0)
+
+    # RV start point: ncb = 96r → ceil(ncb / (8r)) = 12 exactly, so
+    # k0 = r * (24*rv + 2) (§5.1.4.1.2)
+    k0 = r * (24 * rv + 2)
+    rot = (k0 + m) % ncb
+    w_rot = w_flat[rot]
+    v_rot = valid[rot] & (m < ncb)  # exactly one sweep (rot wraps past ncb)
+    rank = jnp.cumsum(v_rot.astype(jnp.int32)) - 1
+    tgt = jnp.where(v_rot, rank, NCB)  # out-of-bounds → dropped
+    pos_valid = jnp.full((NCB,), dump, jnp.int32).at[tgt].set(
+        w_rot, mode="drop")
+    n_valid = 3 * d - 2 * f
+    return pos_valid, n_valid
+
+
+@partial(jax.jit, static_argnames=("k_max", "g_max"))
+def codeword_scatter_dev(cb_k, cb_e, cb_f, cb_valid, rv, k_max: int, g_max: int):
+    """Scatter targets for a whole codeword's de-rate-match, on device.
+
+    cb_k/cb_e/cb_f: (B,) int32 per-CB size / rate-matched length / filler.
+    cb_valid: (B,) bool.  rv: int32 scalar.
+
+    Returns (G_MAX,) int32: position g of the codeword LLR vector scatters
+    into flat index cb*(3*(k_max+4)) + d_position of the per-TB softbuffer
+    (B, 3, k_max+4); positions past the true codeword length (or mapping
+    to <NULL>) get the dump index B*3*(k_max+4).
+    """
+    bsz = cb_k.shape[0]
+    dflat = 3 * (k_max + 4)
+    dump = bsz * dflat
+
+    pos_valid, n_valid = jax.vmap(
+        lambda k, f: turbo_rm_positions_dev(k, f, rv, k_max)
+    )(cb_k, cb_f)  # (B, NCB), (B,)
+    n_valid = jnp.where(cb_valid, jnp.maximum(n_valid, 1), 1)
+
+    e_eff = jnp.where(cb_valid, cb_e, 0)
+    bounds = jnp.cumsum(e_eff)  # (B,) exclusive-after bounds
+    g_tot = bounds[-1]
+    g = jnp.arange(g_max, dtype=jnp.int32)
+    cb = jnp.sum((g[:, None] >= bounds[None, :]).astype(jnp.int32), axis=1)
+    cb = jnp.clip(cb, 0, bsz - 1)
+    start = jnp.concatenate([jnp.zeros((1,), jnp.int32), bounds[:-1]])
+    jj = g - start[cb]
+    mm = jj % n_valid[cb]
+    tgt = cb * dflat + pos_valid[cb, mm]
+    in_cb_dump = pos_valid[cb, mm] >= dflat  # that CB's own dump slot
+    return jnp.where((g < g_tot) & ~in_cb_dump, tgt, dump)
+
+
+def _valid_rank_dev(k, f, k_max: int):
+    """Validity mask + inclusive rank over the circular buffer, in
+    unrotated order (shared core of the scatter/gather forms)."""
+    NCB = ncb_max(k_max)
+    perm = jnp.asarray(RM_PERM_TC, jnp.int32)
+    d = k + 4
+    r = (d + NCOLS - 1) // NCOLS
+    kp = NCOLS * r
+    nd = kp - d
+    ncb = 3 * kp
+    m = jnp.arange(NCB, dtype=jnp.int32)
+    ca = jnp.clip(m // r, 0, NCOLS - 1)
+    ya = (m % r) * NCOLS + perm[ca]
+    j = m - kp
+    i1 = jnp.maximum(j // 2, 0)
+    cb = jnp.clip(i1 // r, 0, NCOLS - 1)
+    yb1 = (i1 % r) * NCOLS + perm[cb]
+    yb2 = (perm[cb] + NCOLS * (i1 % r) + 1) % kp
+    is_even = (j % 2) == 0
+    stream = jnp.where(m < kp, 0, jnp.where(is_even, 1, 2)).astype(jnp.int32)
+    y = jnp.where(m < kp, ya, jnp.where(is_even, yb1, yb2))
+    dpos = y - nd
+    valid = (y >= nd) & (m < ncb) & ~((stream < 2) & (dpos < f))
+    rank_incl = jnp.cumsum(valid.astype(jnp.int32))
+    return valid, rank_incl, r, kp, nd, ncb
+
+
+def codeword_d_fill_dev(llr_pad, off, e, k, f, rv, k_max: int, rep: int):
+    """De-rate-match ONE codeblock as pure gathers (no TPU scatter).
+
+    llr_pad: (G + NCB_MAX,) codeword LLRs zero-padded (shared across the
+    TB's CBs).  off/e/k/f: traced int32 — this CB's codeword offset,
+    rate-matched length, size, filler count.  rep: static bound on
+    ceil(e / n_valid) repetition folds (callers assert it).
+
+    Returns (3, k_max+4) accumulated d-stream LLRs: position p receives
+    the sum of every transmitted bit that maps to it (the HARQ `+=`
+    semantics of rm_turbo RX); <NULL>/filler/beyond-K positions are 0.
+
+    TPU scatters serialize badly (measured 289 ms for one window of
+    scattered index builds); this form is a cumsum + `rep` strided
+    slices + two gather passes, all fast paths.
+    """
+    dflat = 3 * (k_max + 4)
+    NCB = ncb_max(k_max)
+    inv_perm = np.empty(NCOLS, np.int64)
+    inv_perm[RM_PERM_TC] = np.arange(NCOLS)
+    inv_perm = jnp.asarray(inv_perm, jnp.int32)
+
+    valid, rank_incl, r, kp, nd, ncb = _valid_rank_dev(k, f, k_max)
+    d = k + 4
+    n_valid = jnp.maximum(3 * d - 2 * f, 1)
+    k0 = r * (24 * rv + 2)
+    r0 = rank_incl[k0 - 1]  # k0 >= 2r >= 2
+
+    # fold the codeword onto the n_valid circular positions:
+    # acc[m'] = sum_t llr[off + m' + t*n_valid]  (masked to < e)
+    marange = jnp.arange(NCB, dtype=jnp.int32)
+    acc = jnp.zeros((NCB,), llr_pad.dtype)
+    for t in range(rep):
+        seg = jax.lax.dynamic_slice(llr_pad, (off + t * n_valid,), (NCB,))
+        acc = acc + jnp.where(marange + t * n_valid < e, seg, 0.0)
+
+    # closed-form sub-block interleaver position m of each flat d index
+    p = jnp.arange(dflat, dtype=jnp.int32)
+    stream = p // (k_max + 4)
+    dpos = p % (k_max + 4)
+    y = dpos + nd
+    c01 = inv_perm[y % NCOLS]
+    m01 = c01 * r + y // NCOLS
+    u = (y + kp - 1) % kp  # stream 2: (y2 - 1) mod kp = P[c] + 32*row
+    m2 = inv_perm[u % NCOLS] * r + u // NCOLS
+    m_flat = jnp.where(stream == 0, m01,
+                       jnp.where(stream == 1, kp + 2 * m01, kp + 2 * m2 + 1))
+    ok = (dpos < d) & ~((stream < 2) & (dpos < f))
+    m_safe = jnp.clip(m_flat, 0, NCB - 1)
+    j0 = (rank_incl[m_safe] - 1 - r0) % n_valid
+    fill = jnp.where(ok, acc[j0], 0.0)
+    return fill.reshape(3, k_max + 4)
+
+
+def qpp_dev(cb_k, f1, f2, k_max: int):
+    """QPP interleaver + inverse on device: per[i] = (f1·i + f2·i²) mod k.
+
+    cb_k/f1/f2: (B,) int32.  Identity beyond k (as turbo_decode_dyn
+    expects).  All arithmetic stays within int32 via modular reduction:
+    (f1·i + f2·i²) mod k == (i · ((f1 + f2·i) mod k)) mod k.
+    """
+    bsz = cb_k.shape[0]
+    i = jnp.arange(k_max, dtype=jnp.int32)[None, :]
+    k = jnp.maximum(cb_k, 1)[:, None]
+    t = (f1[:, None] + (f2[:, None] * i) % k) % k
+    per = (i * t) % k
+    per = jnp.where(i < k, per, i)
+    inv = (
+        jnp.zeros((bsz, k_max), jnp.int32)
+        .at[jnp.arange(bsz)[:, None], per]
+        .set(jnp.broadcast_to(i, (bsz, k_max)))
+    )
+    return per, inv
+
+
+def tb_reassembly_gather_dev(cb_k, cb_f, cb_valid, crc_is_b, tbs,
+                             k_max: int, tbs_max: int):
+    """TB bit-gather indices on device (sch.c TB concatenation, inverted).
+
+    Returns (tb_idx (tbs_max,) int32 left-padded gather into the flat
+    (B*k_max,) decoded-bit array [dump = B*k_max for pad positions],
+    crc_idx (24,) int32 — the received TB-CRC24A bit positions).
+    CB i contributes bits [f_i, k_i - 24·crc_is_b_i); the final 24 bits of
+    the concatenation are the TB CRC.
+    """
+    bsz = cb_k.shape[0]
+    dump = bsz * k_max
+    nbits = jnp.where(cb_valid, cb_k - cb_f - 24 * crc_is_b.astype(jnp.int32), 0)
+    bounds = jnp.cumsum(nbits)
+    start = jnp.concatenate([jnp.zeros((1,), jnp.int32), bounds[:-1]])
+
+    def src_of(u):
+        cb = jnp.sum((u[:, None] >= bounds[None, :]).astype(jnp.int32), axis=1)
+        cb = jnp.clip(cb, 0, bsz - 1)
+        local = u - start[cb] + cb_f[cb]
+        return cb * k_max + jnp.clip(local, 0, k_max - 1)
+
+    t = jnp.arange(tbs_max, dtype=jnp.int32)
+    u = t - (tbs_max - tbs)
+    tb_idx = jnp.where(u >= 0, src_of(jnp.maximum(u, 0)), dump)
+    crc_idx = src_of(tbs + jnp.arange(24, dtype=jnp.int32))
+    return tb_idx, crc_idx

@@ -1,0 +1,386 @@
+"""Windowed dynamic-grant pipeline: W TTIs per dispatch, ONE program set.
+
+The per-TTI dynamic pipeline (`pipeline_dynamic.py`) reaches zero
+steady-state recompiles, but on a tunneled TPU each TTI still pays the
+host↔device round-trips (measured ~25 ms/readback RPC) — two orders above
+the 1 ms budget.  This module amortizes them the TPU way: a **window** of
+W consecutive TTIs is decoded by one dispatch of a *fixed* three-stage
+program, whatever the per-TTI grants are:
+
+* every grant-dependent quantity is **data**, not trace constants —
+  modulation (all four constellations demodulated, one-hot selected),
+  PRB sets (padded RE index vectors), TB layout (per-CB size/rate-match
+  lengths), redundancy version, and the rate-matching scatter itself,
+  which is derived *on device* from five scalars per codeblock
+  (`phy/fec/rate_match_dev.py`) instead of host-built LUTs;
+* per-TTI constants that repeat across a connection (CRS references per
+  subframe index, scrambling signs per (rnti, sf), RE index vectors per
+  PRB set) are cached device-resident and stacked on device — zero
+  steady-state uploads besides the samples themselves;
+* the whole window returns as ONE packed uint8 array (TB bits packed
+  8-per-byte + CRC flag + iteration count per TTI): one readback RPC
+  per W TTIs.
+
+This is the TPU analog of the reference's sf_worker pipeline
+(`thread_pool.h:46-77`, 4 subframes in flight): latency is traded for
+sustained real-time throughput, with W as the depth knob.  The reference
+processes arbitrary grants in 1 ms on 4 cores (`cc_worker.cc:214-307`);
+here one chip sustains W TTIs per dispatch with a bounded-for-life
+compile set (exactly 3 programs + 2 stackers per (cell, W)).
+
+Scope: single-codeword port0 (SISO/MRC) PDSCH grants — the scheme that
+carries the DL data plane.  Diversity/spatial-multiplexing windows fall
+back to the per-TTI dynamic path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .phy.chest.chest_dl import ChestDlConfig, _chest_tables
+from .phy.common import Cell
+from .phy.fec.cbsegm import F1, F2, cb_size_index, cbsegm
+from .phy.fec.rate_match_dev import (
+    codeword_d_fill_dev,
+    ncb_max,
+    qpp_dev,
+    tb_reassembly_gather_dev,
+)
+from .phy.fec.turbo_dyn import crc_table_ab, turbo_decode_dyn
+from .phy.mimo import predecode_single_mrc
+from .phy.modem import Mod, demod_soft
+from .phy.ofdm import OfdmConfig, ofdm_rx_sf
+from .phy.phch.pdsch import DlGrant, pdsch_cinit
+from .phy.phch.sch import FILLER_LLR, _e_split
+from .phy.sequence import gold_sequence_signs
+from .pipeline_dynamic import G_MAX, RE_BUCKETS, _padded_re_indices
+
+K_MAX = 6144
+B_CB = 16          # max codeblocks per TB (LTE max TBS 75376 → 13 CBs)
+RE_MAX = RE_BUCKETS[-1]
+TBS_MAX = 76800    # ≥ max LTE single-codeword TBS (75376), 8-divisible
+TB_BYTES = TBS_MAX // 8
+QMS = (2, 4, 6, 8)
+MODS = (Mod.QPSK, Mod.QAM16, Mod.QAM64, Mod.QAM256)
+REP = 8  # static bound on rate-matching repetition folds (e <= REP * n_valid)
+
+
+def _c2ri(x):
+    return jnp.stack([jnp.real(x), jnp.imag(x)], axis=-1)
+
+
+def _ri2c(x):
+    return x[..., 0] + 1j * x[..., 1]
+
+
+# --------------------------------------------------------------------------
+# device-side stacking of cached constants (no host uploads in steady state)
+# --------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=64)
+def _stacker(n: int):
+    return jax.jit(lambda *xs: jnp.stack(xs))
+
+
+# --------------------------------------------------------------------------
+# stage programs
+# --------------------------------------------------------------------------
+
+
+def _build_win_a(cell: Cell, w: int):
+    """Front-end for W subframes: OFDM demod + CRS chest (port 0).
+
+    Samples arrive as int8 I/Q + a per-TTI scale — the native ADC layout
+    (the reference ingests int16 from UHD / cf32 from ZMQ), and 4x less
+    host→device traffic than float32 on the ingest link.  The only
+    subframe-dependent input is the conjugated CRS sequence — passed as
+    data so one program serves all 10 subframe indices."""
+    ofdm = OfdmConfig.from_cell(cell, normalize=True)
+    cfg = ChestDlConfig()
+    syms, freqs, _ref, wf, wt = _chest_tables(cell, 0, cfg, 0)
+    syms_d = jnp.asarray(syms)
+    freqs_d = jnp.asarray(freqs)
+    wf_d = jnp.asarray(wf)
+    wt_d = jnp.asarray(wt)
+
+    def one(samples_i8, scale, ref_conj_ri):
+        samples = _ri2c(samples_i8.astype(jnp.float32) * scale)
+        grid = ofdm_rx_sf(ofdm, samples)     # (nrx, nsymb, nre)
+        pilots = grid[..., syms_d[:, None], freqs_d]
+        ls = pilots * _ri2c(ref_conj_ri)     # (nrx, 4, npil)
+        per_sym = jnp.einsum("snp,rsp->rsn", wf_d, ls)
+        ce = jnp.einsum("ls,rsn->rln", wt_d.astype(jnp.complex64), per_sym)
+        resid = ls[..., 1:-1] - 0.5 * (ls[..., 2:] + ls[..., :-2])
+        noise = jnp.mean(jnp.abs(resid) ** 2) / 1.5
+        return _c2ri(grid), _c2ri(ce), noise
+
+    @jax.jit
+    def fn(samples_i8, scale, ref_conj_ri):
+        return jax.vmap(one)(samples_i8, scale, ref_conj_ri)
+
+    return fn
+
+
+def _build_win_b(w: int):
+    """Grant front-end for W TTIs: RE gather → MRC equalize → demod (all
+    constellations, one-hot select by the per-TTI Qm) → CSI weight →
+    descramble.  Emits (W, G_MAX) masked LLRs."""
+
+    def one(grid_ri, ce_ri, noise, idx, n_re, qm, signs):
+        grid = _ri2c(grid_ri)
+        ce = _ri2c(ce_ri)
+        y = grid.reshape(grid.shape[0], -1)[:, idx]       # (nrx, RE_MAX)
+        h = ce.reshape(ce.shape[0], -1)[:, idx]
+        x, csi = predecode_single_mrc(y, h, noise)
+        llr = jnp.zeros((G_MAX,), jnp.float32)
+        for mod_c, qm_c in zip(MODS, QMS):
+            lc = demod_soft(mod_c, x) * jnp.repeat(csi, qm_c)
+            lc = jnp.zeros((G_MAX,), jnp.float32).at[: RE_MAX * qm_c].set(lc)
+            llr = jnp.where(qm == qm_c, lc, llr)
+        llr = llr * signs.astype(jnp.float32)
+        mask = jnp.arange(G_MAX) < n_re * qm
+        return jnp.where(mask, llr, 0.0)
+
+    @jax.jit
+    def fn(grid_ri, ce_ri, noise, idx, n_re, qm, signs):
+        return jax.vmap(one)(grid_ri, ce_ri, noise, idx, n_re, qm, signs)
+
+    return fn
+
+
+def _build_win_c(w: int, max_iterations: int):
+    """TB decode for W TTIs: on-device de-rate-match scatter (HARQ
+    combining) → dynamic-K turbo over all W*B_CB codeblocks → CB + TB CRC
+    → packed (W, TB_BYTES+2) result [tb bytes | crc_ok | n_it]."""
+    dflat = 3 * (K_MAX + 4)
+    crc_ab = jnp.asarray(crc_table_ab(K_MAX))
+    from .phy.common import LTE_CRC24A
+    from .phy.crc import crc_matrix_np
+
+    tb_table = jnp.asarray(crc_matrix_np(LTE_CRC24A, TBS_MAX).astype(np.float32))
+    pow2 = jnp.asarray((1 << np.arange(7, -1, -1)).astype(np.uint8))
+
+    NCB = ncb_max(K_MAX)
+
+    def fill_one(llr, soft, cb_k, cb_e, cb_f, cb_valid, rv):
+        """De-rate-match one TTI's codeword into its softbuffer — pure
+        gathers (TPU scatters measured ~300 ms/window; this form is ~ms)."""
+        e_eff = jnp.where(cb_valid, cb_e, 0)
+        bounds = jnp.cumsum(e_eff)
+        start = jnp.concatenate([jnp.zeros((1,), jnp.int32), bounds[:-1]])
+        llr_pad = jnp.concatenate([llr, jnp.zeros((NCB,), llr.dtype)])
+
+        def per_cb(off, e, k, f, v):
+            fill = codeword_d_fill_dev(
+                llr_pad, off, e, jnp.maximum(k, 40), f, rv, K_MAX, REP)
+            return jnp.where(v, fill, 0.0)
+
+        fills = jax.vmap(per_cb)(start, e_eff, cb_k, cb_f, cb_valid)
+        return soft + fills
+
+    @jax.jit
+    def fn(llr, cb_k, cb_e, cb_f, cb_valid, crc_is_b, f1, f2, rv, tbs,
+           softbuffer):
+        new_soft = jax.vmap(fill_one)(
+            llr, softbuffer, cb_k, cb_e, cb_f, cb_valid, rv)  # (W,B,3,D)
+        d = new_soft.reshape(w * B_CB, 3, K_MAX + 4)
+        kf = cb_k.reshape(-1)
+        ff = cb_f.reshape(-1)
+        vf = cb_valid.reshape(-1)
+        bf = crc_is_b.reshape(-1)
+        # pin filler bits (known 0) in the systematic stream
+        pin = jnp.arange(K_MAX + 4)[None, :] < ff[:, None]
+        d = d.at[:, 0, :].set(jnp.where(pin, FILLER_LLR, d[:, 0, :]))
+        per, inv = qpp_dev(kf, f1.reshape(-1), f2.reshape(-1), K_MAX)
+        bits, _post, n_it = turbo_decode_dyn(
+            d, kf, per, inv, vf, K_MAX, max_iterations,
+            crc_table=crc_ab, crc_is_b=bf)
+        # final per-CB CRC on decoded bits (roll to the tail position)
+        pos = jnp.arange(K_MAX)
+        roll_idx = (pos[None, :] - (K_MAX - kf)[:, None]) % K_MAX
+        fb = bits.astype(jnp.float32)
+        acc = jnp.matmul(jnp.take_along_axis(fb, roll_idx, axis=1), crc_ab,
+                         preferred_element_type=jnp.float32)
+        okA = jnp.all((acc[:, :24].astype(jnp.int32) & 1) == 0, axis=-1)
+        okB = jnp.all((acc[:, 24:].astype(jnp.int32) & 1) == 0, axis=-1)
+        cb_ok = jnp.where(bf, okB, okA).reshape(w, B_CB)
+
+        bits_w = bits.reshape(w, B_CB * K_MAX)
+
+        def reassemble_one(bits_flat, cb_k, cb_f, cb_valid, crc_is_b, tbs):
+            tb_idx, crc_idx = tb_reassembly_gather_dev(
+                cb_k, cb_f, cb_valid, crc_is_b, tbs, K_MAX, TBS_MAX)
+            bflat = jnp.concatenate([bits_flat, jnp.zeros((1,), jnp.uint8)])
+            return bflat[tb_idx], bflat[crc_idx]
+
+        tbp, rx_crc = jax.vmap(reassemble_one)(
+            bits_w, cb_k, cb_f, cb_valid, crc_is_b, tbs)  # (W,TBS_MAX),(W,24)
+        crc_calc = (
+            jnp.matmul(tbp.astype(jnp.float32), tb_table,
+                       preferred_element_type=jnp.float32).astype(jnp.int32)
+            & 1
+        ).astype(jnp.uint8)
+        tb_ok = jnp.all(jnp.where(cb_valid, cb_ok, True), axis=1) & jnp.all(
+            crc_calc == rx_crc, axis=1)
+        tb_bytes = jnp.sum(
+            tbp.reshape(w, TB_BYTES, 8) * pow2[None, None, :], axis=-1
+        ).astype(jnp.uint8)
+        packed = jnp.concatenate(
+            [
+                tb_bytes,
+                tb_ok.astype(jnp.uint8)[:, None],
+                jnp.broadcast_to(
+                    jnp.clip(n_it, 0, 255).astype(jnp.uint8), (w,))[:, None],
+            ],
+            axis=1,
+        )
+        return packed, new_soft
+
+    return fn
+
+
+# --------------------------------------------------------------------------
+# facade
+# --------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class PendingWindow:
+    """A dispatched window (device arrays); realize with `results`."""
+
+    packed: jnp.ndarray      # (W, TB_BYTES + 2) uint8
+    softbuffer: jnp.ndarray  # (W, B_CB, 3, K_MAX + 4)
+    tbs: list                # per-TTI true TB sizes
+
+
+class WindowedUeDl:
+    """Decode ANY W-TTI mix of port0 PDSCH grants per dispatch.
+
+    Exactly three XLA programs for the life of the object; one packed
+    readback per window.  `decode_window` is the synchronous form;
+    `dispatch_window`/`results` pipeline multiple windows in flight.
+    """
+
+    def __init__(self, cell: Cell, cfi: int = 1, w: int = 32,
+                 max_iterations: int = 5):
+        self.cell = cell
+        self.cfi = cfi
+        self.w = w
+        self.max_iterations = max_iterations
+        self._a = _build_win_a(cell, w)
+        self._b = _build_win_b(w)
+        self._c = _build_win_c(w, max_iterations)
+        self._ref_dev: dict = {}    # sf_idx -> (4, npil, 2) device
+        self._idx_dev: dict = {}    # (sf, prb) -> (RE_MAX,) device
+        self._signs_dev: dict = {}  # (rnti, sf) -> (G_MAX,) int8 device
+        self.stats = {"windows": 0, "ttis": 0, "crc_ok": 0}
+
+    # -- cached device constants --
+    def _ref(self, sf_idx: int):
+        if sf_idx not in self._ref_dev:
+            _s, _f, ref_conj, _wf, _wt = _chest_tables(
+                self.cell, sf_idx, ChestDlConfig(), 0)
+            self._ref_dev[sf_idx] = jnp.asarray(
+                np.stack([ref_conj.real, ref_conj.imag], -1).astype(np.float32))
+        return self._ref_dev[sf_idx]
+
+    def _idx(self, sf_idx: int, prb: tuple):
+        key = (sf_idx, prb)
+        if key not in self._idx_dev:
+            pad, n_re, _bucket = _padded_re_indices(
+                self.cell, sf_idx, self.cfi, prb)
+            full = np.zeros(RE_MAX, np.int32)
+            full[: len(pad)] = pad
+            self._idx_dev[key] = (jnp.asarray(full), n_re)
+        return self._idx_dev[key]
+
+    def _signs(self, rnti: int, sf_idx: int):
+        key = (rnti, sf_idx)
+        if key not in self._signs_dev:
+            cinit = pdsch_cinit(rnti, sf_idx, self.cell.id, q=0)
+            self._signs_dev[key] = jnp.asarray(
+                gold_sequence_signs(cinit, G_MAX).astype(np.int8))
+        return self._signs_dev[key]
+
+    def dispatch_window(self, samples, sf_indices, grants,
+                        softbuffer=None) -> PendingWindow:
+        """samples: (W, nrx, sf_len) complex64; sf_indices/grants: length-W
+        lists (grants: DlGrant, port0 single-codeword).  Results stay on
+        device until `results`."""
+        w = self.w
+        assert len(sf_indices) == w and len(grants) == w
+        samples_ri = np.stack([samples.real, samples.imag], axis=-1)
+        # int8 ADC quantization per TTI (peak-scaled, AGC's role)
+        peak = np.maximum(
+            np.abs(samples_ri).reshape(w, -1).max(axis=1), 1e-12)
+        scale = (peak / 127.0).astype(np.float32)
+        samples_i8 = np.clip(
+            np.round(samples_ri / scale[:, None, None, None]), -127, 127
+        ).astype(np.int8)
+
+        refs = _stacker(w)(*[self._ref(s) for s in sf_indices])
+        idx_pairs = [self._idx(s, tuple(g.prb))
+                     for s, g in zip(sf_indices, grants)]
+        idx = _stacker(w)(*[p[0] for p in idx_pairs])
+        signs = _stacker(w)(*[self._signs(g.rnti, s)
+                              for s, g in zip(sf_indices, grants)])
+
+        # one packed int32 param upload for the whole window
+        params = np.zeros((w, 4 + 7 * B_CB), np.int32)
+        tbs_list = []
+        for i, g in enumerate(grants):
+            n_re = idx_pairs[i][1]
+            segm = cbsegm(g.tbs)
+            assert segm.C <= B_CB, f"TB with {segm.C} CBs exceeds B_CB"
+            es = _e_split(n_re * g.qm, segm.C, g.qm, 1)
+            params[i, 0] = n_re
+            params[i, 1] = g.qm
+            params[i, 2] = getattr(g, "rv", 0)
+            params[i, 3] = g.tbs
+            for c, k in enumerate(segm.cb_sizes):
+                ki = cb_size_index(k)
+                f = segm.F if c == 0 else 0
+                assert es[c] <= REP * (3 * (k + 4) - 2 * f), (
+                    f"repetition fold {es[c]}/{3*(k+4)-2*f} exceeds REP={REP}")
+                params[i, 4 + 7 * c : 11 + 7 * c] = (
+                    k, es[c], f, 1,
+                    1 if segm.C > 1 else 0, F1[ki], F2[ki])
+            tbs_list.append(g.tbs)
+        pdev = jnp.asarray(params)
+
+        grid_ri, ce_ri, noise = self._a(samples_i8, jnp.asarray(scale), refs)
+        llr = self._b(grid_ri, ce_ri, noise, idx, pdev[:, 0], pdev[:, 1],
+                      signs)
+        if softbuffer is None:
+            softbuffer = jnp.zeros((w, B_CB, 3, K_MAX + 4), jnp.float32)
+        cb = pdev[:, 4:].reshape(w, B_CB, 7)
+        packed, new_soft = self._c(
+            llr, cb[:, :, 0], cb[:, :, 1], cb[:, :, 2],
+            cb[:, :, 3].astype(bool), cb[:, :, 4].astype(bool),
+            cb[:, :, 5], cb[:, :, 6], pdev[:, 2], pdev[:, 3], softbuffer)
+        return PendingWindow(packed, new_soft, tbs_list)
+
+    def results(self, p: PendingWindow):
+        """Realize a window: ONE readback; returns [(tb, ok, n_it)] * W."""
+        res = np.asarray(p.packed)
+        out = []
+        for i, tbs in enumerate(p.tbs):
+            bits = np.unpackbits(res[i, :TB_BYTES])
+            tb = bits[TBS_MAX - tbs : TBS_MAX]
+            ok = bool(res[i, TB_BYTES])
+            n_it = int(res[i, TB_BYTES + 1])
+            self.stats["ttis"] += 1
+            self.stats["crc_ok"] += int(ok)
+            out.append((tb, ok, n_it))
+        self.stats["windows"] += 1
+        return out
+
+    def decode_window(self, samples, sf_indices, grants, softbuffer=None):
+        p = self.dispatch_window(samples, sf_indices, grants, softbuffer)
+        return self.results(p), p.softbuffer

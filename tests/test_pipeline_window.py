@@ -1,0 +1,98 @@
+"""Windowed dynamic pipeline: one fixed program set decodes any W-TTI
+grant mix (pipeline_window.WindowedUeDl)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from srsran_tpu.phy.chest.refsignal_dl import put_crs_np
+from srsran_tpu.phy.common import Cell
+from srsran_tpu.phy.ofdm import OfdmConfig, ofdm_tx_sf
+from srsran_tpu.phy.phch.pdsch import DlGrant, pdsch_encode_np
+from srsran_tpu.phy.phch.ra import dl_mcs_to_mod, dl_tbs
+from srsran_tpu.pipeline_window import WindowedUeDl
+
+W = 4
+
+
+def _mix(cell, rng, n, ofdm, noise_amp=0.02):
+    out = []
+    while len(out) < n:
+        sf_idx = int(rng.integers(0, 10))
+        mcs = int(rng.integers(0, 27))
+        l = int(rng.integers(4, cell.nof_prb + 1))
+        st = int(rng.integers(0, cell.nof_prb + 1 - l))
+        tbs = dl_tbs(mcs, l)
+        if tbs == 0:
+            continue
+        grant = DlGrant(prb=tuple(range(st, st + l)), mod=dl_mcs_to_mod(mcs),
+                        tbs=tbs, rnti=0x46)
+        tb = rng.integers(0, 2, tbs).astype(np.uint8)
+        grid = pdsch_encode_np(cell, sf_idx, 1, grant, tb)
+        put_crs_np(grid, cell, sf_idx)
+        tx = np.asarray(ofdm_tx_sf(ofdm, grid))[0]
+        rx = (tx + noise_amp * (rng.standard_normal(len(tx))
+                                + 1j * rng.standard_normal(len(tx)))
+              ).astype(np.complex64)
+        out.append((rx, sf_idx, grant, tb))
+    return out
+
+
+def test_window_decodes_random_mix():
+    rng = np.random.default_rng(7)
+    cell = Cell(nof_prb=50, nof_ports=1, id=17)
+    ofdm = OfdmConfig.from_cell(cell, normalize=True)
+    ue = WindowedUeDl(cell, cfi=1, w=W, max_iterations=2)
+
+    for round_i in range(2):  # second window: same programs, new grants
+        mix = _mix(cell, rng, W, ofdm)
+        samples = np.stack([m[0] for m in mix])[:, None, :]
+        res, _soft = ue.decode_window(
+            samples, [m[1] for m in mix], [m[2] for m in mix])
+        for (rx, sf, grant, tb), (tb_hat, ok, n_it) in zip(mix, res):
+            assert ok, f"round {round_i}: CRC failed (tbs {grant.tbs})"
+            np.testing.assert_array_equal(tb_hat, tb)
+    assert ue.stats["ttis"] == 2 * W and ue.stats["crc_ok"] == 2 * W
+
+
+def test_window_harq_combining():
+    """rv0 at heavy noise fails; rv2 retransmission combined through the
+    window softbuffer succeeds (on-device scatter-add HARQ)."""
+    rng = np.random.default_rng(5)
+    cell = Cell(nof_prb=50, nof_ports=1, id=17)
+    ofdm = OfdmConfig.from_cell(cell, normalize=True)
+    ue = WindowedUeDl(cell, cfi=1, w=W, max_iterations=4)
+
+    mcs, l = 16, 15
+    tbs = dl_tbs(mcs, l)
+    grant0 = DlGrant(prb=tuple(range(l)), mod=dl_mcs_to_mod(mcs), tbs=tbs,
+                     rnti=0x46, rv=0)
+    tb = rng.integers(0, 2, tbs).astype(np.uint8)
+
+    def tx_of(g, sf):
+        grid = pdsch_encode_np(cell, sf, 1, g, tb)
+        put_crs_np(grid, cell, sf)
+        return np.asarray(ofdm_tx_sf(ofdm, grid))[0]
+
+    amp = 0.42
+    filler = _mix(cell, rng, W - 1, ofdm)
+
+    rx0 = (tx_of(grant0, 2) + amp * (
+        rng.standard_normal(cell.sf_len) + 1j * rng.standard_normal(cell.sf_len)
+    )).astype(np.complex64)
+    mix0 = [(rx0, 2, grant0)] + [(m[0], m[1], m[2]) for m in filler]
+    samples0 = np.stack([m[0] for m in mix0])[:, None, :]
+    res0, soft0 = ue.decode_window(
+        samples0, [m[1] for m in mix0], [m[2] for m in mix0])
+    assert not res0[0][1], "rv0 unexpectedly decoded at this SNR"
+
+    grant2 = DlGrant(prb=grant0.prb, mod=grant0.mod, tbs=tbs, rnti=0x46, rv=2)
+    rx2 = (tx_of(grant2, 3) + amp * (
+        rng.standard_normal(cell.sf_len) + 1j * rng.standard_normal(cell.sf_len)
+    )).astype(np.complex64)
+    mix2 = [(rx2, 3, grant2)] + [(m[0], m[1], m[2]) for m in filler]
+    samples2 = np.stack([m[0] for m in mix2])[:, None, :]
+    res2, _ = ue.decode_window(
+        samples2, [m[1] for m in mix2], [m[2] for m in mix2],
+        softbuffer=soft0)
+    assert res2[0][1], "rv0+rv2 combining failed"
+    np.testing.assert_array_equal(res2[0][0], tb)
