@@ -296,19 +296,28 @@ def bench_dynamic_rtf(jax, jnp, rng):
     log(f"dynamic warm pass: {time.time()-t:.1f}s ok={n_ok}/{len(mix)} "
         f"compiles a/b/c = {ue.stats['compiles_a']}/{ue.stats['compiles_b']}/{ue.stats['compiles_c']}")
     compiles_before = ue.total_compiles
-    # steady state: same mix again, no recompiles
+    # steady state: same mix again, no recompiles; 4 TTIs in flight via
+    # the async API (the reference's own sf_worker pipeline depth,
+    # thread_pool.h:46-77 — TX at TTI+4)
+    from collections import deque
+
     best = float("inf")
     for _ in range(3):
+        pend = deque()
         t = time.time()
         for rx, sf_idx, grant, _ in mix:
-            ue.decode(rx, sf_idx, grant)
+            pend.append(ue.decode_async(rx, sf_idx, grant))
+            if len(pend) > 3:
+                ue.result(pend.popleft())
+        while pend:
+            ue.result(pend.popleft())
         best = min(best, (time.time() - t) / len(mix))
     assert ue.total_compiles == compiles_before, "steady state recompiled!"
     rtf = 1e-3 / best
     bits = sum(t for *_x, t in mix)
     log(f"dynamic_rtf: {best*1e3:.2f} ms/TTI over {len(mix)}-grant mix "
-        f"(~{bits/len(mix)/1e3:.0f} kbit/TTI avg) -> real-time factor {rtf:.2f}x, "
-        f"0 steady-state compiles")
+        f"(~{bits/len(mix)/1e3:.0f} kbit/TTI avg, 4 TTIs in flight) -> "
+        f"real-time factor {rtf:.2f}x, 0 steady-state compiles")
     return rtf
 
 

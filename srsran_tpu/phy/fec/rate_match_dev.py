@@ -210,6 +210,93 @@ def codeword_d_fill_dev(llr_pad, off, e, k, f, rv, k_max: int, rep: int):
     return fill.reshape(3, k_max + 4)
 
 
+def _j0_variant_dev(k, f, rv, k_max: int):
+    """Per-layout-variant first-fold index table: j0[p] for each flat
+    d-stream position p (dump-masked by validity), plus n_valid.
+
+    j0[p] = rank of position p in the RV-rotated transmitted sequence —
+    position p accumulates llr[off + j0 + t*n_valid] for t < rep.
+    """
+    dflat = 3 * (k_max + 4)
+    NCB = ncb_max(k_max)
+    inv_perm = np.empty(NCOLS, np.int64)
+    inv_perm[RM_PERM_TC] = np.arange(NCOLS)
+    inv_perm = jnp.asarray(inv_perm, jnp.int32)
+
+    _valid, rank_incl, r, kp, nd, _ncb = _valid_rank_dev(k, f, k_max)
+    d = k + 4
+    n_valid = jnp.maximum(3 * d - 2 * f, 1)
+    k0 = r * (24 * rv + 2)
+    r0 = rank_incl[k0 - 1]
+
+    p = jnp.arange(dflat, dtype=jnp.int32)
+    stream = p // (k_max + 4)
+    dpos = p % (k_max + 4)
+    y = dpos + nd
+    c01 = inv_perm[y % NCOLS]
+    m01 = c01 * r + y // NCOLS
+    u = (y + kp - 1) % kp
+    m2 = inv_perm[u % NCOLS] * r + u // NCOLS
+    m_flat = jnp.where(stream == 0, m01,
+                       jnp.where(stream == 1, kp + 2 * m01, kp + 2 * m2 + 1))
+    ok = (dpos < d) & ~((stream < 2) & (dpos < f))
+    j0 = (rank_incl[jnp.clip(m_flat, 0, NCB - 1)] - 1 - r0) % n_valid
+    return jnp.where(ok, j0, NCB), n_valid  # NCB = dump (acc[NCB] == 0)
+
+
+def codeword_d_fill_grouped_dev(llr_pad, start, e_eff, cls, k3, f3, rv,
+                                k_max: int, rep: int):
+    """De-rate-match ONE TTI's whole codeword — grouped-gather form.
+
+    A transport block has at most 3 distinct CB layouts (CB0-with-filler,
+    K-, K+), so the per-position index tables are built once per VARIANT
+    and every per-CB gather uses indices SHARED across the CB batch axis
+    (per-row-index gathers run ~100 M elem/s on the TPU; shared-index
+    gathers vectorize — measured 7x faster at equal element count).
+
+    llr_pad: (G_MAX + NCB_MAX,) zero-padded codeword LLRs.
+    start/e_eff: (B_CB,) per-CB codeword offsets / lengths (0 = unused).
+    cls: (B_CB,) int32 variant index in [0, 3).
+    k3/f3: (3,) variant CB size / filler count.  rv: scalar.
+    Returns (B_CB, 3, k_max+4) accumulated d-stream LLRs.
+    """
+    dflat = 3 * (k_max + 4)
+    NCB = ncb_max(k_max)
+    b_cb = start.shape[0]
+
+    j0_3, nv3 = jax.vmap(lambda k, f: _j0_variant_dev(k, f, rv, k_max))(k3, f3)
+    nv_c = nv3[cls]  # (B_CB,)
+
+    # fold the codeword onto circular positions per CB (contiguous slices);
+    # high repetition counts (tiny TBs on wide allocations) use a rolled
+    # loop so the program stays small
+    marange = jnp.arange(NCB, dtype=jnp.int32)
+
+    def fold_one(off, e, nv):
+        def step(t, acc):
+            seg = jax.lax.dynamic_slice(llr_pad, (off + t * nv,), (NCB,))
+            return acc + jnp.where(marange + t * nv < e, seg, 0.0)
+
+        acc = jnp.zeros((NCB,), llr_pad.dtype)
+        if rep <= 8:
+            for t in range(rep):
+                acc = step(t, acc)
+            return acc
+        t_need = jnp.minimum((e + nv - 1) // nv, rep)  # actual folds only
+        return jax.lax.fori_loop(0, t_need, step, acc)
+
+    acc = jax.vmap(fold_one)(start, e_eff, nv_c)  # (B_CB, NCB)
+    acc = jnp.concatenate(
+        [acc, jnp.zeros((b_cb, 1), llr_pad.dtype)], axis=1)  # dump slot NCB
+
+    fills = [acc[:, j0_3[v]] for v in range(3)]  # shared-index gathers
+    sel = cls[:, None]
+    fill = jnp.where(sel == 0, fills[0],
+                     jnp.where(sel == 1, fills[1], fills[2]))
+    fill = jnp.where((e_eff > 0)[:, None], fill, 0.0)
+    return fill.reshape(b_cb, 3, k_max + 4)
+
+
 def qpp_dev(cb_k, f1, f2, k_max: int):
     """QPP interleaver + inverse on device: per[i] = (f1·i + f2·i²) mod k.
 

@@ -171,6 +171,7 @@ def turbo_decode_dyn(
     max_iterations: int = 5,
     crc_table=None,
     crc_is_b=None,
+    perm_groups=None,
 ):
     """Decode a batch of dynamic-size codeblocks.
 
@@ -183,7 +184,20 @@ def turbo_decode_dyn(
     matrix, [24:] CRC24B (both built at K_max; leading-zeros invariance
     makes them exact for every K).  crc_is_b: (B,) bool selects which poly
     gates early stop per CB.
+    perm_groups: optional (per3, inv3, cls) for the windowed layout where
+    B = W * B_CB and a transport block has at most 3 distinct CB layouts
+    (CB0-with-filler / K- / K+): per3/inv3 (W, 3, K_max), cls (W, B_CB)
+    int32 in [0, 3).  Per-row-index gathers run ~100 M elem/s on the TPU
+    while gathers whose indices are SHARED across a batch axis vectorize
+    (measured 18.7 ms vs 2.7 ms for the same element count) — grouping
+    turns every interleave into 3 shared gathers + a select.
     Returns (bits (B, K_max) uint8 — zero beyond K, posteriors, n_iters).
+
+    The iteration does TWO interleaves (nat→int of ext1, int→nat of
+    ext2) — the posterior for output/early-stop is the natural-order
+    extrinsic sum sys + ext1 + ext2, so no third interleave is needed
+    (the reference extracts output from the second decoder and pays the
+    deinterleave, turbodecoder_win.h:811).
     """
     b = d_llr.shape[0]
     pos = jnp.arange(k_max)
@@ -201,29 +215,54 @@ def turbo_decode_dyn(
     beta_k1 = _beta_tail(lx1_t, lz1_t)  # (B, 8)
     beta_k2 = _beta_tail(lx2_t, lz2_t)
 
-    def permute(s, idx):
-        return jnp.take_along_axis(s, idx, axis=1)
+    if perm_groups is not None:
+        per3, inv3, cls = perm_groups
+        w, b_cb = cls.shape
 
-    sys_int = jnp.where(in_mask, permute(sys, per), 0.0)
+        def grouped(idx3):
+            def fwd(s):
+                x = s.reshape(w, b_cb, k_max)
+
+                def one_tti(xi, idx3_i, cls_i):
+                    outs = xi[:, idx3_i[0]], xi[:, idx3_i[1]], xi[:, idx3_i[2]]
+                    sel = cls_i[:, None]
+                    return jnp.where(
+                        sel == 0, outs[0],
+                        jnp.where(sel == 1, outs[1], outs[2]))
+
+                return jax.vmap(one_tti)(x, idx3, cls).reshape(b, k_max)
+
+            return fwd
+
+        permute_per = grouped(per3)
+        permute_inv = grouped(inv3)
+    else:
+        permute_per = lambda s: jnp.take_along_axis(s, per, axis=1)
+        permute_inv = lambda s: jnp.take_along_axis(s, inv, axis=1)
+
+    sys_int = jnp.where(in_mask, permute_per(sys), 0.0)
 
     def one_iteration(ext2):
-        post1 = map_decoder_dyn(sys + ext2, p1, beta_k1, k_vec, k_max)
-        ext1 = jnp.where(in_mask, post1 - (sys + ext2), 0.0)
-        in2 = sys_int + permute(ext1, per)
+        x1 = sys + ext2
+        post1 = map_decoder_dyn(x1, p1, beta_k1, k_vec, k_max)
+        ext1 = jnp.where(in_mask, post1 - x1, 0.0)
+        in2 = sys_int + permute_per(ext1)
         post2 = map_decoder_dyn(in2, p2, beta_k2, k_vec, k_max)
         ext2_int = post2 - in2
-        new_ext2 = jnp.where(in_mask, permute(ext2_int, inv), 0.0)
-        return new_ext2, permute(post2, inv)
-
-    # roll each CB's bits to the tail of the K_max buffer so the fixed
-    # CRC matrix applies (leading zeros do not change a zero-init CRC)
-    roll_idx = (pos[None, :] - (k_max - k_vec)[:, None]) % k_max  # (B, K_max)
+        new_ext2 = jnp.where(in_mask, permute_inv(ext2_int), 0.0)
+        # full APP in natural order — no third interleave
+        return new_ext2, sys + ext1 + new_ext2
 
     def crc_pass(post):
         if crc_table is None:
             return jnp.zeros((b,), bool)
         bits = jnp.where(in_mask, (post > 0).astype(jnp.float32), 0.0)
-        tail_bits = jnp.take_along_axis(bits, roll_idx, axis=1)
+        # roll each CB's bits to the buffer tail so the fixed CRC matrix
+        # applies — a batched contiguous slice, not a per-row gather
+        cat = jnp.concatenate([bits, bits], axis=1)
+        tail_bits = jax.vmap(
+            lambda row, k: jax.lax.dynamic_slice(row, (k,), (k_max,))
+        )(cat, k_vec)
         acc = jnp.matmul(tail_bits, crc_table, preferred_element_type=jnp.float32)
         okA = jnp.all((acc[:, :24].astype(jnp.int32) & 1) == 0, axis=-1)
         okB = jnp.all((acc[:, 24:].astype(jnp.int32) & 1) == 0, axis=-1)

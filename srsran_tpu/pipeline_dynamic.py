@@ -16,12 +16,14 @@ Three stages, each jitted once per bucket:
    equalize → soft demod → CSI weight → descramble → masked LLR vector.
    The RE index vector, its true length, and the scrambling signs are
    *inputs*.
-3. `stage C` (per (K,B,E,G buckets)): padded gather of per-CB rate-matched
-   LLRs → scatter-add de-rate-match (HARQ-combining) → dynamic-K batched
-   turbo decode (`fec/turbo_dyn.py`) → CRC + TB reassembly, all on device.
+3. `stage C` (per (K, B, rep) buckets): grouped-gather de-rate-match
+   computed ON DEVICE from the TB's <=3 codeblock layout variants
+   (`fec/rate_match_dev.py` — HARQ-combining, no host index arrays) →
+   dynamic-K batched turbo decode with grouped QPP interleaves
+   (`fec/turbo_dyn.py`) → CRC + TB reassembly via contiguous slices.
 
-Host work per TTI is numpy index arithmetic, memoized per grant signature
-(`_TbDescriptor`); repeated grants reuse device-resident constants.
+Host work per TTI is a ~50-int parameter vector, memoized per grant
+signature; repeated grants reuse device-resident constants.
 
 `DynamicUeDl` is the live facade: `decode(samples, sf_idx, grant)` for any
 grant, with HARQ softbuffer carry and a compile counter (`stats`) that the
@@ -39,8 +41,8 @@ import numpy as np
 
 from .phy.chest.chest_dl import chest_dl
 from .phy.common import Cell
-from .phy.fec.cbsegm import cbsegm, qpp_interleaver_np
-from .phy.fec.rate_match import turbo_rm_indices
+from .phy.fec.cbsegm import F1, F2, cb_size_index, cbsegm
+from .phy.fec.rate_match_dev import qpp_dev
 from .phy.fec.turbo_dyn import crc_table_ab, turbo_decode_dyn
 from .phy.mimo import (
     layerdemap,
@@ -57,11 +59,14 @@ from .phy.sequence import gold_sequence_signs
 
 K_BUCKETS = (768, 2112, 6144)
 B_BUCKETS = (1, 2, 4, 8, 16, 32)
-E_BUCKETS = (2048, 4096, 8192, 16384, 32768, 65536)
 RE_BUCKETS = (1536, 3072, 6144, 9216, 15360)
 # every stage-B program emits this fixed LLR vector length, so stage-C
-# programs key only on (K, B, E) buckets — not on the grant's G
+# programs key only on (K, B) buckets — the rate-matched length is data
 G_MAX = RE_BUCKETS[-1] * 8
+# rate-matching repetition-fold buckets: almost every grant folds <= 8x;
+# tiny TBs on wide allocations (SIB/paging-style) can repeat hundreds of
+# times and take a rolled-loop program keyed on the larger bucket
+REP_BUCKETS = (8, 64, 4096)
 
 
 def _bucket(n: int, buckets: tuple[int, ...]) -> int:
@@ -136,7 +141,7 @@ def _build_stage_b(n_re_max: int, mod: Mod, qm: int, tx_scheme: str,
             nof_layers if tx_scheme == "spatialmux" else 1
         )
         llr = jnp.where(mask, llr, 0.0)
-        # fixed-size output → stage C keys only on (K, B, E) buckets
+        # fixed-size output → stage C keys only on (K, B, rep) buckets
         return jnp.zeros((G_MAX,), llr.dtype).at[:g_max].set(llr)
 
     return fn
@@ -147,92 +152,36 @@ def _build_stage_b(n_re_max: int, mod: Mod, qm: int, tx_scheme: str,
 # ---------------------------------------------------------------------------
 
 
-@dataclasses.dataclass
-class _TbDescriptor:
-    """Device-resident index arrays for one (tbs, g, qm, rv) layout."""
-
-    k_bucket: int
-    b_bucket: int
-    e_bucket: int
-    tbs_max: int
-    gather: jnp.ndarray  # (B, E) into llr_g (sentinel g_max → appended 0)
-    scatter: jnp.ndarray  # (B, E) into (3*(K+4)+1) padded d-flat
-    k_vec: jnp.ndarray  # (B,)
-    f_vec: jnp.ndarray  # (B,) filler counts
-    per: jnp.ndarray  # (B, K) QPP
-    inv: jnp.ndarray  # (B, K)
-    valid: jnp.ndarray  # (B,) bool
-    crc_is_b: jnp.ndarray  # (B,) bool
-    tb_gather: jnp.ndarray  # (tbs_max,) left-padded TB bit gather (sentinel)
-    crc_gather: jnp.ndarray  # (24,) received TB-CRC bit indices
-    tbs: int
-    n_cb: int
-
-
 @lru_cache(maxsize=4096)
-def _tb_descriptor(tbs: int, g: int, qm: int, rv: int, g_max: int,
-                   nof_layers: int = 1) -> _TbDescriptor:
+def _tb_params_v2(tbs: int, g: int, qm: int, nof_layers: int = 1):
+    """Host-side TB layout for the grouped stage C: buckets + a small
+    int32 parameter template (rv patched per call).  Replaces the v1
+    per-grant device-resident gather/scatter descriptor arrays."""
     segm = cbsegm(tbs)
-    cb_sizes = segm.cb_sizes
     es = _e_split(g, segm.C, qm, nof_layers)
-    k_bucket = _bucket(max(cb_sizes), K_BUCKETS)
+    k_bucket = _bucket(max(segm.cb_sizes), K_BUCKETS)
     b_bucket = _bucket(segm.C, B_BUCKETS)
-    e_bucket = _bucket(max(es), E_BUCKETS)
-    tbs_max = k_bucket * b_bucket
-    dflat = 3 * (k_bucket + 4)
-
-    gather = np.full((b_bucket, e_bucket), g_max, np.int32)
-    scatter = np.full((b_bucket, e_bucket), dflat, np.int32)
-    per = np.tile(np.arange(k_bucket, dtype=np.int32), (b_bucket, 1))
-    inv = per.copy()
-    k_vec = np.full(b_bucket, k_bucket, np.int32)
-    f_vec = np.zeros(b_bucket, np.int32)
-    valid = np.zeros(b_bucket, bool)
-    crc_is_b = np.full(b_bucket, segm.C > 1)
-    offs = np.concatenate([[0], np.cumsum(es)])
-    tb_idx_parts = []
-    for i, k in enumerate(cb_sizes):
-        f = segm.F if i == 0 else 0
-        e = es[i]
-        idx = turbo_rm_indices(k, e, rv, f)  # into 3*(k+4)
-        stream, posn = idx // (k + 4), idx % (k + 4)
-        scatter[i, :e] = stream * (k_bucket + 4) + posn
-        gather[i, :e] = offs[i] + np.arange(e)
-        p = qpp_interleaver_np(k)
-        per[i, :k] = p
-        iv = np.empty_like(p)
-        iv[p] = np.arange(k, dtype=p.dtype)
-        inv[i, :k] = iv
-        k_vec[i] = k
-        f_vec[i] = f
-        valid[i] = True
-        end = k - (24 if segm.C > 1 else 0)
-        tb_idx_parts.append(i * k_bucket + np.arange(f, end, dtype=np.int64))
-    tb_idx = np.concatenate(tb_idx_parts)  # length tbs + 24
-    assert len(tb_idx) == tbs + 24, (len(tb_idx), tbs)
-    sentinel = b_bucket * k_bucket
-    tb_gather = np.full(tbs_max, sentinel, np.int32)
-    tb_gather[tbs_max - tbs :] = tb_idx[:tbs]
-    crc_gather = tb_idx[tbs:].astype(np.int32)
-
-    return _TbDescriptor(
-        k_bucket=k_bucket,
-        b_bucket=b_bucket,
-        e_bucket=e_bucket,
-        tbs_max=tbs_max,
-        gather=jnp.asarray(gather),
-        scatter=jnp.asarray(scatter),
-        k_vec=jnp.asarray(k_vec),
-        f_vec=jnp.asarray(f_vec),
-        per=jnp.asarray(per),
-        inv=jnp.asarray(inv),
-        valid=jnp.asarray(valid),
-        crc_is_b=jnp.asarray(crc_is_b),
-        tb_gather=jnp.asarray(tb_gather),
-        crc_gather=jnp.asarray(crc_gather),
-        tbs=tbs,
-        n_cb=segm.C,
-    )
+    k_minus = segm.K_minus if segm.C_minus > 0 else 40
+    k3 = (segm.cb_sizes[0], k_minus, segm.K_plus if segm.C_plus > 0 else 40)
+    f3 = (segm.F, 0, 0)
+    rep_need = 1
+    tmpl = np.zeros(15 + 2 * b_bucket, np.int32)
+    tmpl[1] = tbs
+    tmpl[2] = 1 if segm.C > 1 else 0
+    for v in range(3):
+        ki = cb_size_index(k3[v])
+        tmpl[3 + v] = k3[v]
+        tmpl[6 + v] = f3[v]
+        tmpl[9 + v] = F1[ki]
+        tmpl[12 + v] = F2[ki]
+    for c, k in enumerate(segm.cb_sizes):
+        f = segm.F if c == 0 else 0
+        nv = 3 * (k + 4) - 2 * f
+        rep_need = max(rep_need, -(-es[c] // nv))
+        tmpl[15 + c] = es[c]
+        tmpl[15 + b_bucket + c] = 0 if c == 0 else (1 if k == k_minus else 2)
+    rep_bucket = _bucket(rep_need, REP_BUCKETS)
+    return k_bucket, b_bucket, rep_bucket, k_bucket * b_bucket, tmpl
 
 
 @lru_cache(maxsize=64)
@@ -243,64 +192,98 @@ def _tb_crc_table(tbs_max: int) -> jnp.ndarray:
     return jnp.asarray(crc_matrix_np(LTE_CRC24A, tbs_max).astype(np.float32))
 
 
-def _build_stage_c(k_bucket: int, b_bucket: int, e_bucket: int, g_max: int,
-                   max_iterations: int):
-    dflat = 3 * (k_bucket + 4)
-    tbs_max = k_bucket * b_bucket
+def _build_stage_c_v2(k_bucket: int, b_bucket: int, max_iterations: int,
+                      rep: int = 8):
+    """Bucketed dynamic TB decode, grouped-gather form.
+
+    v2 of the stage: the v1 stage gathered/scattered through host-built
+    per-grant index arrays — correct, but per-row-index gathers and
+    scatters serialize on the TPU (measured 7-10x slower than gathers
+    whose indices are shared across a batch axis).  Here the
+    de-rate-match is computed ON DEVICE from the TB's <=3 codeblock
+    layout variants (`rate_match_dev.codeword_d_fill_grouped_dev`), the
+    QPP interleaves run as grouped shared-index gathers inside
+    `turbo_decode_dyn`, and CRC rolls / TB reassembly are contiguous
+    dynamic slices.  E is no longer a bucket dimension — the
+    rate-matched length is data — so the compile set shrinks to
+    (K, B) pairs."""
+    from .phy.fec.rate_match_dev import codeword_d_fill_grouped_dev, ncb_max
+
     crc_ab = jnp.asarray(crc_table_ab(k_bucket))
+    tbs_max = k_bucket * b_bucket
     tb_table = _tb_crc_table(tbs_max)
+    pow2 = jnp.asarray((1 << np.arange(7, -1, -1)).astype(np.uint8))
+    NCB = ncb_max(k_bucket)
+    SCRATCH = tbs_max + 24 + k_bucket
+
+    def reassemble(bits, f_cb, nbits, tbs):
+        bounds = jnp.cumsum(nbits)
+        startb = jnp.concatenate([jnp.zeros((1,), jnp.int32), bounds[:-1]])
+        base = tbs_max + 24 - (tbs + 24)
+        scratch = jnp.zeros((SCRATCH,), jnp.uint8)
+        pad = jnp.zeros((k_bucket,), jnp.uint8)
+        for c in range(b_bucket):
+            seg = jax.lax.dynamic_slice(
+                jnp.concatenate([bits[c], pad]), (f_cb[c],), (k_bucket,))
+            pos = jnp.where(nbits[c] > 0, base + startb[c], tbs_max + 24)
+            scratch = jax.lax.dynamic_update_slice(scratch, seg, (pos,))
+        return scratch[:tbs_max], scratch[tbs_max : tbs_max + 24]
 
     @jax.jit
-    def fn(llr_g, gather, scatter, k_vec, f_vec, per, inv, valid, crc_is_b,
-           tb_gather, crc_gather, softbuffer):
-        bsz = gather.shape[0]
-        src = jnp.concatenate([llr_g, jnp.zeros((1,), llr_g.dtype)])
-        e = src[gather]  # (B, E)
-        base = jnp.concatenate(
-            [softbuffer.reshape(bsz, dflat), jnp.zeros((bsz, 1), llr_g.dtype)],
-            axis=1,
-        )
-        flat = base.at[jnp.arange(bsz)[:, None], scatter].add(e)
-        new_soft = flat[:, :dflat]
-        d = new_soft.reshape(bsz, 3, k_bucket + 4)
-        # pin filler bits (known 0) in the systematic stream
-        pin = jnp.arange(k_bucket + 4)[None, :] < f_vec[:, None]
+    def fn(llr_g, params, softbuffer):
+        # params: [rv, tbs, crcb, k3 x3, f3 x3, f1 x3, f2 x3,
+        #          cb_e xB, cls xB] — ONE small upload per TTI
+        rv, tbs, crcb = params[0], params[1], params[2]
+        k3, f3 = params[3:6], params[6:9]
+        f13, f23 = params[9:12], params[12:15]
+        cb_e = params[15 : 15 + b_bucket]
+        cls = params[15 + b_bucket : 15 + 2 * b_bucket]
+        e_eff = cb_e  # already 0 for unused slots
+        bounds = jnp.cumsum(e_eff)
+        start = jnp.concatenate([jnp.zeros((1,), jnp.int32), bounds[:-1]])
+        llr_pad = jnp.concatenate([llr_g, jnp.zeros((NCB,), llr_g.dtype)])
+        new_soft = softbuffer + codeword_d_fill_grouped_dev(
+            llr_pad, start, e_eff, cls, k3, f3, rv, k_bucket, rep)
+        d = new_soft
+        cb_k = k3[cls]
+        cb_f = f3[cls]
+        vf = e_eff > 0
+        bf = jnp.broadcast_to(crcb.astype(bool), (b_bucket,))
+        pin = jnp.arange(k_bucket + 4)[None, :] < cb_f[:, None]
         d = d.at[:, 0, :].set(jnp.where(pin, FILLER_LLR, d[:, 0, :]))
-        bits, post, n_it = turbo_decode_dyn(
-            d, k_vec, per, inv, valid, k_bucket, max_iterations,
-            crc_table=crc_ab, crc_is_b=crc_is_b,
-        )
-        # final per-CB CRC on the decoded bits (same roll trick)
-        pos = jnp.arange(k_bucket)
-        roll_idx = (pos[None, :] - (k_bucket - k_vec)[:, None]) % k_bucket
+        per3, inv3 = qpp_dev(k3, f13, f23, k_bucket)
+        bits, _post, n_it = turbo_decode_dyn(
+            d, cb_k, None, None, vf, k_bucket, max_iterations,
+            crc_table=crc_ab, crc_is_b=bf,
+            perm_groups=(per3[None], inv3[None], cls[None]))
+        # final per-CB CRC via contiguous roll
         fb = bits.astype(jnp.float32)
-        tail_bits = jnp.take_along_axis(fb, roll_idx, axis=1)
+        cat = jnp.concatenate([fb, fb], axis=1)
+        tail_bits = jax.vmap(
+            lambda row, k: jax.lax.dynamic_slice(row, (k,), (k_bucket,))
+        )(cat, cb_k)
         acc = jnp.matmul(tail_bits, crc_ab, preferred_element_type=jnp.float32)
         okA = jnp.all((acc[:, :24].astype(jnp.int32) & 1) == 0, axis=-1)
         okB = jnp.all((acc[:, 24:].astype(jnp.int32) & 1) == 0, axis=-1)
-        cb_ok = jnp.where(crc_is_b, okB, okA)
-        # TB reassembly + CRC24A
-        bits_flat = jnp.concatenate([bits.reshape(-1), jnp.zeros((1,), jnp.uint8)])
-        tbp = bits_flat[tb_gather].astype(jnp.float32)  # (tbs_max,) left-padded
+        cb_ok = jnp.where(bf, okB, okA)
+
+        nbits = jnp.where(vf, cb_k - cb_f - 24 * crcb, 0)
+        tbp, rx_crc = reassemble(bits, cb_f, nbits, tbs)
         crc_calc = (
-            jnp.matmul(tbp[None, :], tb_table, preferred_element_type=jnp.float32)
-            .astype(jnp.int32)[0]
+            jnp.matmul(tbp.astype(jnp.float32)[None], tb_table,
+                       preferred_element_type=jnp.float32).astype(jnp.int32)[0]
             & 1
         ).astype(jnp.uint8)
-        rx_crc = bits_flat[crc_gather]
         tb_ok = jnp.logical_and(
-            jnp.all(jnp.where(valid, cb_ok, True)),
+            jnp.all(jnp.where(vf, cb_ok, True)),
             jnp.all(crc_calc == rx_crc),
         )
-        # pack (tb bits, ok, n_it) into ONE array: a single device->host
-        # readback per TTI instead of three (each readback is a full RPC
-        # round-trip on a tunneled TPU)
         packed = jnp.concatenate([
-            tbp.astype(jnp.uint8),
+            tbp,
             tb_ok.astype(jnp.uint8)[None],
             jnp.clip(n_it, 0, 255).astype(jnp.uint8)[None],
         ])
-        return packed, new_soft.reshape(bsz, 3, k_bucket + 4)
+        return packed, new_soft
 
     return fn
 
@@ -377,13 +360,11 @@ class DynamicUeDl:
             self.stats["compiles_b"] += 1
         return self._stage_b[key]
 
-    def _get_c(self, desc: _TbDescriptor):
-        key = (desc.k_bucket, desc.b_bucket, desc.e_bucket)
+    def _get_c(self, k_bucket: int, b_bucket: int, rep: int):
+        key = (k_bucket, b_bucket, rep)
         if key not in self._stage_c:
-            self._stage_c[key] = _build_stage_c(
-                desc.k_bucket, desc.b_bucket, desc.e_bucket, G_MAX,
-                self.max_iterations,
-            )
+            self._stage_c[key] = _build_stage_c_v2(
+                k_bucket, b_bucket, self.max_iterations, rep)
             self.stats["compiles_c"] += 1
         return self._stage_c[key]
 
@@ -419,16 +400,14 @@ class DynamicUeDl:
         llr = bfn(rx_grid_ri, ce_ri, noise, self._idx_dev[ikey],
                   jnp.int32(n_re), signs)
 
-        desc = _tb_descriptor(grant.tbs, g, grant.qm, grant.rv, G_MAX, nof_layers)
-        cfn = self._get_c(desc)
+        kb, bb, rb, tbs_max, tmpl = _tb_params_v2(grant.tbs, g, grant.qm, nof_layers)
+        cfn = self._get_c(kb, bb, rb)
+        params = tmpl.copy()
+        params[0] = grant.rv
         if softbuffer is None:
-            softbuffer = jnp.zeros((desc.b_bucket, 3, desc.k_bucket + 4), jnp.float32)
-        packed, new_soft = cfn(
-            llr, desc.gather, desc.scatter, desc.k_vec, desc.f_vec, desc.per,
-            desc.inv, desc.valid, desc.crc_is_b, desc.tb_gather,
-            desc.crc_gather, softbuffer,
-        )
-        return PendingTb(packed, new_soft, desc.tbs, desc.tbs_max)
+            softbuffer = jnp.zeros((bb, 3, kb + 4), jnp.float32)
+        packed, new_soft = cfn(llr, jnp.asarray(params), softbuffer)
+        return PendingTb(packed, new_soft, grant.tbs, tbs_max)
 
     def result(self, p: PendingTb):
         """Realize a pending decode: ONE device->host readback."""
@@ -622,12 +601,11 @@ class DynamicEnbUl:
             self.stats["compiles_b"] += 1
         return self._b[key]
 
-    def _get_c(self, desc: _TbDescriptor):
-        key = (desc.k_bucket, desc.b_bucket, desc.e_bucket)
+    def _get_c(self, k_bucket: int, b_bucket: int, rep: int):
+        key = (k_bucket, b_bucket, rep)
         if key not in self._c:
-            self._c[key] = _build_stage_c(
-                desc.k_bucket, desc.b_bucket, desc.e_bucket, G_MAX,
-                self.max_iterations)
+            self._c[key] = _build_stage_c_v2(
+                k_bucket, b_bucket, self.max_iterations, rep)
             self.stats["compiles_c"] += 1
         return self._c[key]
 
@@ -660,15 +638,14 @@ class DynamicEnbUl:
             self._signs[key],
             _ul_deint_scatter_dev(g, qm, G_MAX),
         )
-        desc = _tb_descriptor(grant.tbs, g, qm, grant.rv, G_MAX, 1)
-        cfn = self._get_c(desc)
+        kb, bb, rb, tbs_max, tmpl = _tb_params_v2(grant.tbs, g, qm, 1)
+        cfn = self._get_c(kb, bb, rb)
+        params = tmpl.copy()
+        params[0] = grant.rv
         if softbuffer is None:
-            softbuffer = jnp.zeros((desc.b_bucket, 3, desc.k_bucket + 4), jnp.float32)
-        packed, new_soft = cfn(
-            llr, desc.gather, desc.scatter, desc.k_vec, desc.f_vec, desc.per,
-            desc.inv, desc.valid, desc.crc_is_b, desc.tb_gather,
-            desc.crc_gather, softbuffer)
-        return PendingTb(packed, new_soft, desc.tbs, desc.tbs_max)
+            softbuffer = jnp.zeros((bb, 3, kb + 4), jnp.float32)
+        packed, new_soft = cfn(llr, jnp.asarray(params), softbuffer)
+        return PendingTb(packed, new_soft, grant.tbs, tbs_max)
 
     def result(self, p: PendingTb):
         """Realize a pending decode: ONE device->host readback."""

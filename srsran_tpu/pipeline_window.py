@@ -46,10 +46,9 @@ from .phy.chest.chest_dl import ChestDlConfig, _chest_tables
 from .phy.common import Cell
 from .phy.fec.cbsegm import F1, F2, cb_size_index, cbsegm
 from .phy.fec.rate_match_dev import (
-    codeword_d_fill_dev,
+    codeword_d_fill_grouped_dev,
     ncb_max,
     qpp_dev,
-    tb_reassembly_gather_dev,
 )
 from .phy.fec.turbo_dyn import crc_table_ab, turbo_decode_dyn
 from .phy.mimo import predecode_single_mrc
@@ -155,78 +154,89 @@ def _build_win_b(w: int):
 
 
 def _build_win_c(w: int, max_iterations: int):
-    """TB decode for W TTIs: on-device de-rate-match scatter (HARQ
-    combining) → dynamic-K turbo over all W*B_CB codeblocks → CB + TB CRC
-    → packed (W, TB_BYTES+2) result [tb bytes | crc_ok | n_it]."""
-    dflat = 3 * (K_MAX + 4)
+    """TB decode for W TTIs: grouped-gather de-rate-match (HARQ combining)
+    → dynamic-K turbo over all W*B_CB codeblocks with grouped interleaves
+    → CB + TB CRC → packed (W, TB_BYTES+2) result [tb bytes | ok | n_it].
+
+    Every index-dependent step uses one of the TPU's fast forms: indices
+    shared across a batch axis, contiguous dynamic slices, or contiguous
+    dynamic-update-slices — never per-row arbitrary gathers (measured
+    7-10x slower at equal element count on the v5e)."""
     crc_ab = jnp.asarray(crc_table_ab(K_MAX))
     from .phy.common import LTE_CRC24A
     from .phy.crc import crc_matrix_np
 
     tb_table = jnp.asarray(crc_matrix_np(LTE_CRC24A, TBS_MAX).astype(np.float32))
     pow2 = jnp.asarray((1 << np.arange(7, -1, -1)).astype(np.uint8))
-
     NCB = ncb_max(K_MAX)
+    SCRATCH = TBS_MAX + 24 + K_MAX  # stream + margin for padded CB writes
 
-    def fill_one(llr, soft, cb_k, cb_e, cb_f, cb_valid, rv):
-        """De-rate-match one TTI's codeword into its softbuffer — pure
-        gathers (TPU scatters measured ~300 ms/window; this form is ~ms)."""
-        e_eff = jnp.where(cb_valid, cb_e, 0)
+    def fill_one(llr, soft, e_eff, cls, k3, f3, rv):
         bounds = jnp.cumsum(e_eff)
         start = jnp.concatenate([jnp.zeros((1,), jnp.int32), bounds[:-1]])
         llr_pad = jnp.concatenate([llr, jnp.zeros((NCB,), llr.dtype)])
+        return soft + codeword_d_fill_grouped_dev(
+            llr_pad, start, e_eff, cls, k3, f3, rv, K_MAX, REP)
 
-        def per_cb(off, e, k, f, v):
-            fill = codeword_d_fill_dev(
-                llr_pad, off, e, jnp.maximum(k, 40), f, rv, K_MAX, REP)
-            return jnp.where(v, fill, 0.0)
-
-        fills = jax.vmap(per_cb)(start, e_eff, cb_k, cb_f, cb_valid)
-        return soft + fills
+    def reassemble_one(bits, k_cb, f_cb, nbits, tbs):
+        """TB concatenation as in-order contiguous writes: CB c's bits
+        [f_c, f_c + K_MAX) land at its stream offset; the next CB's write
+        overwrites the previous one's padded tail (write order ascends)."""
+        bounds = jnp.cumsum(nbits)
+        startb = jnp.concatenate([jnp.zeros((1,), jnp.int32), bounds[:-1]])
+        base = TBS_MAX + 24 - (tbs + 24)
+        scratch = jnp.zeros((SCRATCH,), jnp.uint8)
+        pad = jnp.zeros((K_MAX,), jnp.uint8)
+        for c in range(B_CB):
+            seg = jax.lax.dynamic_slice(
+                jnp.concatenate([bits[c], pad]), (f_cb[c],), (K_MAX,))
+            pos = jnp.where(nbits[c] > 0, base + startb[c], TBS_MAX + 24)
+            scratch = jax.lax.dynamic_update_slice(scratch, seg, (pos,))
+        return scratch[:TBS_MAX], scratch[TBS_MAX : TBS_MAX + 24]
 
     @jax.jit
-    def fn(llr, cb_k, cb_e, cb_f, cb_valid, crc_is_b, f1, f2, rv, tbs,
-           softbuffer):
+    def fn(llr, cb_e, cls, k3, f3, f13, f23, rv, tbs, crcb, softbuffer):
         new_soft = jax.vmap(fill_one)(
-            llr, softbuffer, cb_k, cb_e, cb_f, cb_valid, rv)  # (W,B,3,D)
+            llr, softbuffer, cb_e, cls, k3, f3, rv)  # (W,B,3,D)
         d = new_soft.reshape(w * B_CB, 3, K_MAX + 4)
+        cb_k = jnp.take_along_axis(k3, cls, axis=1)  # (W,B)
+        cb_f = jnp.take_along_axis(f3, cls, axis=1)
         kf = cb_k.reshape(-1)
         ff = cb_f.reshape(-1)
-        vf = cb_valid.reshape(-1)
-        bf = crc_is_b.reshape(-1)
+        vf = (cb_e > 0).reshape(-1)
+        bf = jnp.broadcast_to(crcb[:, None].astype(bool), (w, B_CB)).reshape(-1)
         # pin filler bits (known 0) in the systematic stream
         pin = jnp.arange(K_MAX + 4)[None, :] < ff[:, None]
         d = d.at[:, 0, :].set(jnp.where(pin, FILLER_LLR, d[:, 0, :]))
-        per, inv = qpp_dev(kf, f1.reshape(-1), f2.reshape(-1), K_MAX)
+        # grouped QPP: 3 layout variants per TTI
+        per3, inv3 = qpp_dev(
+            k3.reshape(-1), f13.reshape(-1), f23.reshape(-1), K_MAX)
+        per3 = per3.reshape(w, 3, K_MAX)
+        inv3 = inv3.reshape(w, 3, K_MAX)
         bits, _post, n_it = turbo_decode_dyn(
-            d, kf, per, inv, vf, K_MAX, max_iterations,
-            crc_table=crc_ab, crc_is_b=bf)
-        # final per-CB CRC on decoded bits (roll to the tail position)
-        pos = jnp.arange(K_MAX)
-        roll_idx = (pos[None, :] - (K_MAX - kf)[:, None]) % K_MAX
+            d, kf, None, None, vf, K_MAX, max_iterations,
+            crc_table=crc_ab, crc_is_b=bf, perm_groups=(per3, inv3, cls))
+        # final per-CB CRC: roll to buffer tail via contiguous slices
         fb = bits.astype(jnp.float32)
-        acc = jnp.matmul(jnp.take_along_axis(fb, roll_idx, axis=1), crc_ab,
-                         preferred_element_type=jnp.float32)
+        cat = jnp.concatenate([fb, fb], axis=1)
+        tail_bits = jax.vmap(
+            lambda row, k: jax.lax.dynamic_slice(row, (k,), (K_MAX,))
+        )(cat, kf)
+        acc = jnp.matmul(tail_bits, crc_ab, preferred_element_type=jnp.float32)
         okA = jnp.all((acc[:, :24].astype(jnp.int32) & 1) == 0, axis=-1)
         okB = jnp.all((acc[:, 24:].astype(jnp.int32) & 1) == 0, axis=-1)
         cb_ok = jnp.where(bf, okB, okA).reshape(w, B_CB)
 
-        bits_w = bits.reshape(w, B_CB * K_MAX)
-
-        def reassemble_one(bits_flat, cb_k, cb_f, cb_valid, crc_is_b, tbs):
-            tb_idx, crc_idx = tb_reassembly_gather_dev(
-                cb_k, cb_f, cb_valid, crc_is_b, tbs, K_MAX, TBS_MAX)
-            bflat = jnp.concatenate([bits_flat, jnp.zeros((1,), jnp.uint8)])
-            return bflat[tb_idx], bflat[crc_idx]
-
+        nbits = jnp.where(cb_e > 0,
+                          cb_k - cb_f - 24 * crcb[:, None], 0)  # (W,B)
         tbp, rx_crc = jax.vmap(reassemble_one)(
-            bits_w, cb_k, cb_f, cb_valid, crc_is_b, tbs)  # (W,TBS_MAX),(W,24)
+            bits.reshape(w, B_CB, K_MAX), cb_k, cb_f, nbits, tbs)
         crc_calc = (
             jnp.matmul(tbp.astype(jnp.float32), tb_table,
                        preferred_element_type=jnp.float32).astype(jnp.int32)
             & 1
         ).astype(jnp.uint8)
-        tb_ok = jnp.all(jnp.where(cb_valid, cb_ok, True), axis=1) & jnp.all(
+        tb_ok = jnp.all(jnp.where(cb_e > 0, cb_ok, True), axis=1) & jnp.all(
             crc_calc == rx_crc, axis=1)
         tb_bytes = jnp.sum(
             tbp.reshape(w, TB_BYTES, 8) * pow2[None, None, :], axis=-1
@@ -331,26 +341,37 @@ class WindowedUeDl:
         signs = _stacker(w)(*[self._signs(g.rnti, s)
                               for s, g in zip(sf_indices, grants)])
 
-        # one packed int32 param upload for the whole window
-        params = np.zeros((w, 4 + 7 * B_CB), np.int32)
+        # one packed int32 param upload for the whole window.  Header:
+        # [n_re, qm, rv, tbs, crc_is_b, k3 x3, f3 x3, f1 x3, f2 x3];
+        # per CB: [e, cls] — cls indexes the TB's <=3 CB layout variants
+        # (CB0-with-filler / K- / K+).
+        HDR = 17
+        params = np.zeros((w, HDR + 2 * B_CB), np.int32)
         tbs_list = []
         for i, g in enumerate(grants):
             n_re = idx_pairs[i][1]
             segm = cbsegm(g.tbs)
             assert segm.C <= B_CB, f"TB with {segm.C} CBs exceeds B_CB"
             es = _e_split(n_re * g.qm, segm.C, g.qm, 1)
-            params[i, 0] = n_re
-            params[i, 1] = g.qm
-            params[i, 2] = getattr(g, "rv", 0)
-            params[i, 3] = g.tbs
-            for c, k in enumerate(segm.cb_sizes):
-                ki = cb_size_index(k)
+            cb_sizes = segm.cb_sizes
+            k_minus = segm.K_minus if segm.C_minus > 0 else 40
+            k3 = (cb_sizes[0], k_minus, segm.K_plus)
+            f3 = (segm.F, 0, 0)
+            params[i, :5] = (n_re, g.qm, getattr(g, "rv", 0), g.tbs,
+                             1 if segm.C > 1 else 0)
+            for v in range(3):
+                ki = cb_size_index(k3[v])
+                params[i, 5 + v] = k3[v]
+                params[i, 8 + v] = f3[v]
+                params[i, 11 + v] = F1[ki]
+                params[i, 14 + v] = F2[ki]
+            for c, k in enumerate(cb_sizes):
                 f = segm.F if c == 0 else 0
                 assert es[c] <= REP * (3 * (k + 4) - 2 * f), (
                     f"repetition fold {es[c]}/{3*(k+4)-2*f} exceeds REP={REP}")
-                params[i, 4 + 7 * c : 11 + 7 * c] = (
-                    k, es[c], f, 1,
-                    1 if segm.C > 1 else 0, F1[ki], F2[ki])
+                cls = 0 if c == 0 else (1 if k == k_minus else 2)
+                params[i, HDR + 2 * c] = es[c]
+                params[i, HDR + 2 * c + 1] = cls
             tbs_list.append(g.tbs)
         pdev = jnp.asarray(params)
 
@@ -359,11 +380,11 @@ class WindowedUeDl:
                       signs)
         if softbuffer is None:
             softbuffer = jnp.zeros((w, B_CB, 3, K_MAX + 4), jnp.float32)
-        cb = pdev[:, 4:].reshape(w, B_CB, 7)
+        cb = pdev[:, HDR:].reshape(w, B_CB, 2)
         packed, new_soft = self._c(
-            llr, cb[:, :, 0], cb[:, :, 1], cb[:, :, 2],
-            cb[:, :, 3].astype(bool), cb[:, :, 4].astype(bool),
-            cb[:, :, 5], cb[:, :, 6], pdev[:, 2], pdev[:, 3], softbuffer)
+            llr, cb[:, :, 0], cb[:, :, 1], pdev[:, 5:8], pdev[:, 8:11],
+            pdev[:, 11:14], pdev[:, 14:17], pdev[:, 2], pdev[:, 3],
+            pdev[:, 4], softbuffer)
         return PendingWindow(packed, new_soft, tbs_list)
 
     def results(self, p: PendingWindow):
