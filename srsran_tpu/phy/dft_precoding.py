@@ -40,3 +40,40 @@ def dft_predecode(symbols):
     """Inverse transform (IDFT), used at the receiver."""
     m = symbols.shape[-1]
     return jnp.matmul(symbols, jnp.asarray(_dft_matrix(m, True)))
+
+
+def idft_bluestein(x, m, n_fft: int = 4096):
+    """IDFT along the last axis with a TRACED length m (Bluestein).
+
+    The windowed PUSCH pipeline needs one program for every allocation
+    width, so the transform length must be data — a per-m DFT matrix
+    would be a trace constant.  Bluestein's identity nk = (n²+k²-(n-k)²)/2
+    turns the length-m IDFT into a chirp multiply → one linear
+    convolution at a STATIC power-of-2 FFT size → chirp multiply; the
+    chirps are elementwise functions of m.
+
+    x: (..., M_MAX) complex64, data in columns [0, m), anything beyond is
+    ignored.  Returns (..., M_MAX): IDFT values in [0, m), zeros beyond.
+    Normalized by 1/sqrt(m) (matches `_dft_matrix(m, True)`).
+    n_fft must be >= 2*M_MAX - 1.
+    """
+    M = x.shape[-1]
+    assert n_fft >= 2 * M - 1
+
+    def chirp(t):
+        # exp(+j*pi*t^2/m) with the square reduced mod 2m in int32 so the
+        # phase stays small and float32-exact (t^2/m reaches ~1e5 rad)
+        num = (t * t) % (2 * m)
+        return jnp.exp(1j * jnp.pi * num.astype(jnp.float32) / m)
+
+    k = jnp.arange(M, dtype=jnp.int32)
+    in_mask = k < m
+    u = jnp.where(in_mask, x, 0.0) * chirp(k)
+    u_pad = jnp.concatenate(
+        [u, jnp.zeros(x.shape[:-1] + (n_fft - M,), x.dtype)], axis=-1)
+    l = jnp.arange(n_fft, dtype=jnp.int32)
+    d = jnp.where(l < M, l, l - n_fft)  # circular placement of lags
+    w = jnp.where(jnp.abs(d) < M, jnp.conj(chirp(d)), 0.0)
+    conv = jnp.fft.ifft(jnp.fft.fft(u_pad, axis=-1) * jnp.fft.fft(w), axis=-1)
+    out = chirp(k) * conv[..., :M] / jnp.sqrt(m.astype(jnp.float32))
+    return jnp.where(in_mask, out, 0.0).astype(jnp.complex64)

@@ -405,3 +405,220 @@ class WindowedUeDl:
     def decode_window(self, samples, sf_indices, grants, softbuffer=None):
         p = self.dispatch_window(samples, sf_indices, grants, softbuffer)
         return self.results(p), p.softbuffer
+
+
+# --------------------------------------------------------------------------
+# eNB UL (PUSCH) window — mirrors the DL design; shares stage C
+# --------------------------------------------------------------------------
+
+M_MAX = 1200  # max PUSCH allocation subcarriers (100 PRB)
+
+
+def _build_win_a_ul(cell: Cell, w: int):
+    """SC-FDMA demod for W subframes (grant independent)."""
+    ofdm = OfdmConfig.from_cell(cell, normalize=True, freq_shift_f=-0.5)
+
+    @jax.jit
+    def fn(samples_i8, scale):
+        def one(s_i8, sc):
+            return _c2ri(ofdm_rx_sf(ofdm, _ri2c(s_i8.astype(jnp.float32) * sc)))
+
+        return jax.vmap(one)(samples_i8, scale)
+
+    return fn
+
+
+def _build_win_b_ul(cell: Cell, w: int):
+    """PUSCH grant front-end for W TTIs, every grant quantity data:
+    allocation slice (contiguous dynamic-slice), DMRS chest with masked
+    smoothing, MRC, **Bluestein IDFT** de-precoding (transform length is
+    data — no per-width DFT matrices), 4-constellation demod select,
+    descramble in transmit order, channel de-interleave (closed-form
+    index math, TS 36.212 §5.2.2.8)."""
+    from .phy.chest.refsignal_ul import dmrs_symbol_in_slot
+    from .phy.dft_precoding import idft_bluestein
+    from .phy.phch.pusch import pusch_symbols_data
+
+    l_dmrs = dmrs_symbol_in_slot(cell)
+    dmrs_syms = (l_dmrs, cell.nsymb_per_slot + l_dmrs)
+    data_syms = tuple(pusch_symbols_data(cell))
+    nsym = len(data_syms)
+
+    t = np.zeros((cell.nsymb_per_sf, 2), np.float32)
+    l0, l1 = dmrs_syms
+    for l in range(cell.nsymb_per_sf):
+        t[l] = (1.0, 0.0) if l <= l0 else ((0.0, 1.0) if l >= l1 else
+                                           (1.0 - (l - l0) / (l1 - l0),
+                                            (l - l0) / (l1 - l0)))
+    t_data = jnp.asarray(t[list(data_syms)])  # (nsym, 2)
+
+    def one(grid_ri, k0, m_sc, qm, dmrs_conj_ri, signs):
+        grid = _ri2c(grid_ri)  # (nrx, nsymb, nre)
+        nrx = grid.shape[0]
+        gp = jnp.concatenate(
+            [grid, jnp.zeros((nrx, grid.shape[1], M_MAX), grid.dtype)], axis=2)
+        alloc = jax.lax.dynamic_slice(
+            gp, (0, 0, k0), (nrx, grid.shape[1], M_MAX))
+        m_mask = (jnp.arange(M_MAX) < m_sc)[None, :]
+        pilots = alloc[:, jnp.asarray(dmrs_syms), :]
+        ls = pilots * _ri2c(dmrs_conj_ri)[None]
+        ls = jnp.where(m_mask[None], ls, 0.0)
+        kern = jnp.ones((5,), jnp.float32)
+        wsum = jnp.convolve(m_mask[0].astype(jnp.float32), kern, mode="same")
+        sm = jax.vmap(jax.vmap(lambda row: (
+            jnp.convolve(row.real, kern, mode="same")
+            + 1j * jnp.convolve(row.imag, kern, mode="same")
+        )))(ls) / jnp.maximum(wsum, 1.0)
+        sm = jnp.where(m_mask[None], sm, 0.0)
+        resid = jnp.where(m_mask[None], ls - sm, 0.0)
+        noise = jnp.sum(jnp.abs(resid) ** 2) / jnp.maximum(
+            2.0 * nrx * m_sc.astype(jnp.float32), 1.0)
+        ce = jnp.einsum("ls,rsn->rln", t_data.astype(jnp.complex64), sm)
+        y = alloc[:, jnp.asarray(data_syms), :]
+        num = jnp.sum(y * jnp.conj(ce), axis=0)
+        den = jnp.sum(jnp.abs(ce) ** 2, axis=0) + noise
+        xf = jnp.where(m_mask, num / den, 0.0)  # (nsym, M_MAX)
+        csi = jnp.where(m_mask, den, 0.0)
+        x = idft_bluestein(xf, m_sc)  # (nsym, M_MAX)
+        csi_t = jnp.sum(csi, axis=-1, keepdims=True) / jnp.maximum(
+            m_sc.astype(jnp.float32), 1.0)
+        wcsi = jnp.broadcast_to(csi_t, (nsym, M_MAX)).reshape(-1)
+        # all four constellations over the padded layout; select by Qm
+        llr_pad = jnp.zeros((G_MAX,), jnp.float32)
+        xf_flat = x.reshape(-1)
+        for mod_c, qm_c in zip(MODS, QMS):
+            lc = demod_soft(mod_c, xf_flat) * jnp.repeat(wcsi, qm_c)
+            lc = jnp.zeros((G_MAX,), jnp.float32).at[: nsym * M_MAX * qm_c].set(lc)
+            llr_pad = jnp.where(qm == qm_c, lc, llr_pad)
+        # compact to transmit order: i = c*(m_sc*qm) + u  ->  padded
+        # position c*(M_MAX*qm) + u
+        g_len = nsym * m_sc * qm
+        i = jnp.arange(G_MAX, dtype=jnp.int32)
+        cc = i // jnp.maximum(m_sc * qm, 1)
+        u = i - cc * (m_sc * qm)
+        llr_t = llr_pad[jnp.clip(cc * (M_MAX * qm) + u, 0, G_MAX - 1)]
+        llr_t = jnp.where(i < g_len, llr_t, 0.0)
+        llr_t = llr_t * signs.astype(jnp.float32)
+        # de-interleave (§5.2.2.8): natural j = r*(12*qm)+c*qm+q comes
+        # from transmit i = c*(r'*qm)+r*qm+q with r' = m_sc
+        j = jnp.arange(G_MAX, dtype=jnp.int32)
+        q = j % jnp.maximum(qm, 1)
+        t2 = j // jnp.maximum(qm, 1)
+        c2 = t2 % nsym
+        r2 = t2 // nsym
+        ii = c2 * (m_sc * qm) + r2 * qm + q
+        llr_nat = llr_t[jnp.clip(ii, 0, G_MAX - 1)]
+        return jnp.where(j < g_len, llr_nat, 0.0)
+
+    @jax.jit
+    def fn(grid_ri, k0, m_sc, qm, dmrs_conj_ri, signs):
+        return jax.vmap(one)(grid_ri, k0, m_sc, qm, dmrs_conj_ri, signs)
+
+    return fn
+
+
+@lru_cache(maxsize=128)
+def _win_ul_dmrs(cell: Cell, nof_prb: int) -> jnp.ndarray:
+    from .phy.chest.refsignal_ul import pusch_dmrs
+
+    r = np.zeros((2, M_MAX), np.complex64)
+    for s in range(2):
+        r[s, : 12 * nof_prb] = np.conj(np.asarray(pusch_dmrs(cell, nof_prb, 0, s)))
+    return jnp.asarray(np.stack([r.real, r.imag], -1).astype(np.float32))
+
+
+class WindowedEnbUl:
+    """Decode ANY W-TTI mix of PUSCH data grants per dispatch — the eNB's
+    multi-UE uplink at windowed throughput; shares the DL window's
+    stage C (grouped de-rate-match + dynamic-K turbo)."""
+
+    def __init__(self, cell: Cell, w: int = 32, max_iterations: int = 5):
+        self.cell = cell
+        self.w = w
+        self.max_iterations = max_iterations
+        self._a = _build_win_a_ul(cell, w)
+        self._b = _build_win_b_ul(cell, w)
+        self._c = _build_win_c(w, max_iterations)
+        self._signs_dev: dict = {}
+        from .phy.phch.pusch import pusch_symbols_data
+
+        self._nsym = len(pusch_symbols_data(cell))
+        self.stats = {"windows": 0, "ttis": 0, "crc_ok": 0}
+
+    def _signs(self, rnti: int, sf_idx: int):
+        from .phy.phch.pusch import pusch_cinit
+
+        key = (rnti, sf_idx)
+        if key not in self._signs_dev:
+            cinit = pusch_cinit(rnti, sf_idx, self.cell.id)
+            self._signs_dev[key] = jnp.asarray(
+                gold_sequence_signs(cinit, G_MAX).astype(np.int8))
+        return self._signs_dev[key]
+
+    def dispatch_window(self, samples, sf_indices, grants,
+                        softbuffer=None) -> PendingWindow:
+        """samples: (W, nrx, sf_len) complex64; grants: UlGrant list."""
+        w = self.w
+        assert len(sf_indices) == w and len(grants) == w
+        samples_ri = np.stack([samples.real, samples.imag], axis=-1)
+        peak = np.maximum(
+            np.abs(samples_ri).reshape(w, -1).max(axis=1), 1e-12)
+        scale = (peak / 127.0).astype(np.float32)
+        samples_i8 = np.clip(
+            np.round(samples_ri / scale[:, None, None, None]), -127, 127
+        ).astype(np.int8)
+
+        dmrs = _stacker(w)(*[_win_ul_dmrs(self.cell, g.nof_prb)
+                             for g in grants])
+        signs = _stacker(w)(*[self._signs(g.rnti, s)
+                              for s, g in zip(sf_indices, grants)])
+
+        # [k0, qm, rv, tbs, crcb, m_sc, k3 x3, f3 x3, f1 x3, f2 x3] + CB pairs
+        HDR = 18
+        params = np.zeros((w, HDR + 2 * B_CB), np.int32)
+        tbs_list = []
+        for i, g in enumerate(grants):
+            m_sc = 12 * g.nof_prb
+            g_len = self._nsym * m_sc * g.qm
+            segm = cbsegm(g.tbs)
+            assert segm.C <= B_CB
+            es = _e_split(g_len, segm.C, g.qm, 1)
+            cb_sizes = segm.cb_sizes
+            k_minus = segm.K_minus if segm.C_minus > 0 else 40
+            k3 = (cb_sizes[0], k_minus,
+                  segm.K_plus if segm.C_plus > 0 else 40)
+            f3 = (segm.F, 0, 0)
+            params[i, :6] = (g.prb_start * 12, g.qm, g.rv, g.tbs,
+                             1 if segm.C > 1 else 0, m_sc)
+            for v in range(3):
+                ki = cb_size_index(k3[v])
+                params[i, 6 + v] = k3[v]
+                params[i, 9 + v] = f3[v]
+                params[i, 12 + v] = F1[ki]
+                params[i, 15 + v] = F2[ki]
+            for c, k in enumerate(cb_sizes):
+                f = segm.F if c == 0 else 0
+                assert es[c] <= REP * (3 * (k + 4) - 2 * f)
+                cls = 0 if c == 0 else (1 if k == k_minus else 2)
+                params[i, HDR + 2 * c] = es[c]
+                params[i, HDR + 2 * c + 1] = cls
+            tbs_list.append(g.tbs)
+        pdev = jnp.asarray(params)
+
+        grid_ri = self._a(samples_i8, jnp.asarray(scale))
+        llr = self._b(grid_ri, pdev[:, 0], pdev[:, 5], pdev[:, 1], dmrs,
+                      signs)
+        if softbuffer is None:
+            softbuffer = jnp.zeros((w, B_CB, 3, K_MAX + 4), jnp.float32)
+        cb = pdev[:, HDR:].reshape(w, B_CB, 2)
+        packed, new_soft = self._c(
+            llr, cb[:, :, 0], cb[:, :, 1], pdev[:, 6:9], pdev[:, 9:12],
+            pdev[:, 12:15], pdev[:, 15:18], pdev[:, 2], pdev[:, 3],
+            pdev[:, 4], softbuffer)
+        return PendingWindow(packed, new_soft, tbs_list)
+
+    results = WindowedUeDl.results
+
+    def decode_window(self, samples, sf_indices, grants, softbuffer=None):
+        p = self.dispatch_window(samples, sf_indices, grants, softbuffer)
+        return self.results(p), p.softbuffer

@@ -54,6 +54,63 @@ def test_window_decodes_random_mix():
     assert ue.stats["ttis"] == 2 * W and ue.stats["crc_ok"] == 2 * W
 
 
+def test_bluestein_idft_matches_matrix():
+    """Traced-length Bluestein IDFT == the per-width IDFT matrix for all
+    PUSCH-valid widths."""
+    import jax.numpy as jnp
+    from srsran_tpu.phy.dft_precoding import _dft_matrix, idft_bluestein
+
+    rng = np.random.default_rng(0)
+    M = 1200
+    for m in (12, 36, 180, 300, 600, 960, 1200):
+        x = np.zeros((3, M), np.complex64)
+        x[:, :m] = (rng.standard_normal((3, m))
+                    + 1j * rng.standard_normal((3, m))).astype(np.complex64)
+        ref = x[:, :m] @ _dft_matrix(m, True)
+        got = np.asarray(idft_bluestein(jnp.asarray(x), jnp.int32(m)))
+        np.testing.assert_allclose(got[:, :m], ref, atol=1e-4)
+        assert not got[:, m:].any()
+
+
+def test_window_enb_ul_random_mix():
+    """WindowedEnbUl: W PUSCH grants of mixed widths/MCS per dispatch —
+    Bluestein IDFT de-precoding, closed-form de-interleave, shared
+    grouped stage C."""
+    from srsran_tpu.phy.phch.ra import tbs_lookup, ul_mcs_to_itbs, ul_mcs_to_mod
+    from srsran_tpu.phy.ue.ue_ul import UlGrant, ue_ul_encode
+    from srsran_tpu.pipeline_window import WindowedEnbUl
+
+    rng = np.random.default_rng(9)
+    cell = Cell(nof_prb=50, nof_ports=1, id=17)
+    enb = WindowedEnbUl(cell, w=W, max_iterations=3)
+
+    mix = []
+    widths = (4, 9, 25, 50)
+    while len(mix) < W:
+        sf_idx = int(rng.integers(0, 10))
+        mcs = int(rng.integers(0, 24))
+        nprb = int(widths[rng.integers(0, len(widths))])
+        st = int(rng.integers(0, cell.nof_prb - nprb + 1))
+        tbs = tbs_lookup(ul_mcs_to_itbs(mcs), nprb)
+        if tbs == 0:
+            continue
+        grant = UlGrant(prb_start=st, nof_prb=nprb, mod=ul_mcs_to_mod(mcs),
+                        tbs=tbs, rv=0, rnti=0x46)
+        tb = rng.integers(0, 2, tbs).astype(np.uint8)
+        tx = np.asarray(ue_ul_encode(cell, sf_idx, pusch=(grant, tb)))
+        rx = (tx + 0.02 * (rng.standard_normal(len(tx))
+                           + 1j * rng.standard_normal(len(tx)))
+              ).astype(np.complex64)
+        mix.append((rx, sf_idx, grant, tb))
+
+    samples = np.stack([m[0] for m in mix])[:, None, :]
+    res, _ = enb.decode_window(samples, [m[1] for m in mix],
+                               [m[2] for m in mix])
+    for (rx, sf, grant, tb), (tb_hat, ok, n_it) in zip(mix, res):
+        assert ok, f"UL CRC failed (nprb {grant.nof_prb}, tbs {grant.tbs})"
+        np.testing.assert_array_equal(tb_hat, tb)
+
+
 def test_window_harq_combining():
     """rv0 at heavy noise fails; rv2 retransmission combined through the
     window softbuffer succeeds (on-device scatter-add HARQ)."""
