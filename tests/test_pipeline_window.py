@@ -54,6 +54,25 @@ def test_window_decodes_random_mix():
     assert ue.stats["ttis"] == 2 * W and ue.stats["crc_ok"] == 2 * W
 
 
+def test_window_compile_budget():
+    """The windowed pipeline's core contract: a fresh random mix every
+    window, yet the program set never grows — each stage jit holds
+    exactly ONE executable after any number of windows."""
+    rng = np.random.default_rng(11)
+    cell = Cell(nof_prb=25, nof_ports=1, id=5)
+    ofdm = OfdmConfig.from_cell(cell, normalize=True)
+    ue = WindowedUeDl(cell, cfi=1, w=2, max_iterations=2)
+
+    for _ in range(3):
+        mix = _mix(cell, rng, 2, ofdm)
+        samples = np.stack([m[0] for m in mix])[:, None, :]
+        res, _ = ue.decode_window(samples, [m[1] for m in mix],
+                                  [m[2] for m in mix])
+        assert all(r[1] for r in res)
+    for stage in (ue._a, ue._b, ue._c):
+        assert stage._cache_size() == 1, stage
+
+
 def test_bluestein_idft_matches_matrix():
     """Traced-length Bluestein IDFT == the per-width IDFT matrix for all
     PUSCH-valid widths."""
@@ -108,6 +127,46 @@ def test_window_enb_ul_random_mix():
                                [m[2] for m in mix])
     for (rx, sf, grant, tb), (tb_hat, ok, n_it) in zip(mix, res):
         assert ok, f"UL CRC failed (nprb {grant.nof_prb}, tbs {grant.tbs})"
+        np.testing.assert_array_equal(tb_hat, tb)
+
+
+def test_window_enb_ul_multi_ue_same_tti():
+    """The window axis doubles as the eNB's multi-UE axis: W different
+    UEs' PUSCH grants from the SAME TTI (disjoint allocations, distinct
+    RNTIs) decode in one dispatch — the cc_worker work_ul role at
+    window throughput."""
+    from srsran_tpu.phy.phch.ra import tbs_lookup, ul_mcs_to_itbs, ul_mcs_to_mod
+    from srsran_tpu.phy.ue.ue_ul import UlGrant, ue_ul_encode
+    from srsran_tpu.pipeline_window import WindowedEnbUl
+
+    rng = np.random.default_rng(3)
+    cell = Cell(nof_prb=50, nof_ports=1, id=17)
+    enb = WindowedEnbUl(cell, w=W, max_iterations=3)
+
+    sf_idx = 4
+    starts = (0, 12, 24, 36)
+    mix = []
+    for u in range(W):
+        mcs = int(rng.integers(4, 20))
+        nprb = 9
+        tbs = tbs_lookup(ul_mcs_to_itbs(mcs), nprb)
+        grant = UlGrant(prb_start=starts[u], nof_prb=nprb,
+                        mod=ul_mcs_to_mod(mcs), tbs=tbs, rv=0,
+                        rnti=0x46 + u)
+        tb = rng.integers(0, 2, tbs).astype(np.uint8)
+        tx = np.asarray(ue_ul_encode(cell, sf_idx, pusch=(grant, tb)))
+        mix.append((tx, grant, tb))
+
+    # one received subframe carrying all four UEs' PUSCH
+    rx_sum = sum(m[0] for m in mix)
+    rx = (rx_sum + 0.02 * (rng.standard_normal(len(rx_sum))
+                           + 1j * rng.standard_normal(len(rx_sum)))
+          ).astype(np.complex64)
+    samples = np.tile(rx[None, None, :], (W, 1, 1))
+    res, _ = enb.decode_window(samples, [sf_idx] * W,
+                               [m[1] for m in mix])
+    for (tx, grant, tb), (tb_hat, ok, _) in zip(mix, res):
+        assert ok, f"UE rnti {grant.rnti:#x} failed"
         np.testing.assert_array_equal(tb_hat, tb)
 
 
