@@ -319,10 +319,16 @@ class WindowedUeDl:
         return self._signs_dev[key]
 
     def dispatch_window(self, samples, sf_indices, grants,
-                        softbuffer=None) -> PendingWindow:
+                        softbuffer=None, sharding=None) -> PendingWindow:
         """samples: (W, nrx, sf_len) complex64; sf_indices/grants: length-W
         lists (grants: DlGrant, port0 single-codeword).  Results stay on
-        device until `results`."""
+        device until `results`.
+
+        sharding: optional `NamedSharding` partitioning the window axis
+        over a device mesh — W (carrier, TTI) slots shard across chips
+        exactly like the reference's cc_worker x sf_worker grid; XLA
+        propagates the partitioning through all three stages with no
+        cross-device collectives (each slot is independent)."""
         w = self.w
         assert len(sf_indices) == w and len(grants) == w
         samples_ri = np.stack([samples.real, samples.imag], axis=-1)
@@ -374,8 +380,16 @@ class WindowedUeDl:
                 params[i, HDR + 2 * c + 1] = cls
             tbs_list.append(g.tbs)
         pdev = jnp.asarray(params)
+        scale_d = jnp.asarray(scale)
+        if sharding is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
 
-        grid_ri, ce_ri, noise = self._a(samples_i8, jnp.asarray(scale), refs)
+            samples_i8 = jax.device_put(samples_i8, sharding)
+            scale_d = jax.device_put(
+                scale_d, NamedSharding(sharding.mesh,
+                                       PartitionSpec(sharding.spec[0])))
+
+        grid_ri, ce_ri, noise = self._a(samples_i8, scale_d, refs)
         llr = self._b(grid_ri, ce_ri, noise, idx, pdev[:, 0], pdev[:, 1],
                       signs)
         if softbuffer is None:
