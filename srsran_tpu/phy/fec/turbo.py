@@ -671,13 +671,18 @@ def turbo_decode(d_llr, k: int, max_iterations: int = 5, crc_table=None, metric_
     sys_int = permute(sys, per_j)
 
     def one_iteration(ext2):
-        post1 = map_decoder(sys + ext2, p1, lx1_t, lz1_t, k, metric_dtype)
-        ext1 = post1 - (sys + ext2)
+        x1 = sys + ext2
+        post1 = map_decoder(x1, p1, lx1_t, lz1_t, k, metric_dtype)
+        ext1 = post1 - x1
         in2 = sys_int + permute(ext1, per_j)
         post2 = map_decoder(in2, p2, lx2_t, lz2_t, k, metric_dtype)
         ext2_int = post2 - in2
         new_ext2 = permute(ext2_int, inv_j)
-        return new_ext2, permute(post2, inv_j)
+        # the full APP in natural order is the extrinsic sum — no second
+        # deinterleave of post2 needed (two permutes per iteration, not
+        # four; the reference deinterleaves decoder 2's hard output,
+        # turbodecoder_win.h:811)
+        return new_ext2, sys + ext1 + new_ext2
 
     def crc_pass(post):
         if crc_table is None:
