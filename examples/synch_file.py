@@ -59,8 +59,10 @@ def main(argv=None):
                 best = (r, pk, metric)
         r, pk, metric = best
         det = metric > args.threshold
-        cfo = float(np.asarray(pss_cfo_estimate(
-            jnp.asarray(frame[max(pk - 128, 0) : pk + 1]), r))) if pk >= 128 else 0.0
+        # peak index = sample where the PSS replica starts
+        cfo = (float(np.asarray(pss_cfo_estimate(
+            jnp.asarray(frame[pk : pk + 128]), r)))
+            if pk + 128 <= len(frame) else 0.0)
         n_det += int(det)
         print(f"frame {fi:3d}: N_id_2 {r}  peak @ {pk:6d}  metric {metric:6.1f} "
               f"{'DET' if det else '   '}  cfo {cfo:+.3f} subcarriers")
