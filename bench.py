@@ -39,6 +39,7 @@ BASELINES = {
     "turbo": 150.0,         # README.md:29
     "dynamic_rtf": 1.0,     # real-time = 1 TTI / ms (cc_worker budget)
     "window_rtf": 1.0,      # same budget, windowed multi-TTI pipeline
+    "window_ul_rtf": 1.0,   # eNB-side windowed PUSCH (multi-UE uplink)
     # the reference sustains one real-time 20 MHz carrier per machine;
     # this row is how many a single TPU chip sustains (full UE DL decode)
     "carriers_per_chip": 1.0,
@@ -388,6 +389,66 @@ def bench_window_rtf(jax, jnp, rng):
     return rtf
 
 
+def bench_window_ul_rtf(jax, jnp, rng):
+    """eNB-side windowed PUSCH: W mixed-width/MCS UL grants per dispatch
+    (multi-UE uplink), Bluestein IDFT de-precoding, shared stage C."""
+    from collections import deque
+
+    from srsran_tpu.phy.common import Cell
+    from srsran_tpu.phy.phch.ra import tbs_lookup, ul_mcs_to_itbs, ul_mcs_to_mod
+    from srsran_tpu.phy.ue.ue_ul import UlGrant, ue_ul_encode
+    from srsran_tpu.pipeline_window import WindowedEnbUl
+
+    cpu = jax.devices("cpu")[0]
+    cell = Cell(nof_prb=100, nof_ports=1, id=301)
+    W = 64
+    widths = (9, 25, 50, 96)
+    mix = []
+    with jax.default_device(cpu):
+        while len(mix) < 16:
+            sf_idx = int(rng.integers(0, 10))
+            mcs = int(rng.integers(0, 24))
+            nprb = int(widths[rng.integers(0, len(widths))])
+            st = int(rng.integers(0, 101 - nprb))
+            tbs = tbs_lookup(ul_mcs_to_itbs(mcs), nprb)
+            if tbs == 0:
+                continue
+            g = UlGrant(prb_start=st, nof_prb=nprb, mod=ul_mcs_to_mod(mcs),
+                        tbs=tbs, rv=0, rnti=0x46)
+            tb = rng.integers(0, 2, tbs).astype(np.uint8)
+            tx = np.asarray(ue_ul_encode(cell, sf_idx, pusch=(g, tb)))
+            rx = _awgn(rng, tx[None, :], 0.05)[0]
+            mix.append((rx, sf_idx, g, tb))
+
+    mm = (mix * (-(-W // len(mix))))[:W]
+    samples = np.stack([m[0] for m in mm])[:, None, :]
+    sfs = [m[1] for m in mm]
+    grants = [m[2] for m in mm]
+    enb = WindowedEnbUl(cell, w=W, max_iterations=6)
+    t = time.time()
+    res, _ = enb.decode_window(samples, sfs, grants)
+    n_ok = sum(r[1] for r in res)
+    log(f"window_ul compile+first: {time.time()-t:.1f}s ok={n_ok}/{W}")
+    for m, r in zip(mm, res):
+        if r[1]:
+            assert np.array_equal(r[0], m[3]), "window UL payload mismatch"
+    pend = deque()
+    best = float("inf")
+    for _ in range(3):
+        t = time.time()
+        n = 4
+        for _ in range(n):
+            pend.append(enb.dispatch_window(samples, sfs, grants))
+            if len(pend) > 3:
+                enb.results(pend.popleft())
+        while pend:
+            enb.results(pend.popleft())
+        best = min(best, (time.time() - t) / n)
+    rtf = 1e-3 / (best / W)
+    log(f"window_ul_rtf: W={W} {best/W*1e3:.2f} ms/TTI -> {rtf:.2f}x realtime")
+    return rtf
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -408,6 +469,7 @@ def main():
         ("turbo", bench_turbo),
         ("dynamic_rtf", bench_dynamic_rtf),
         ("window_rtf", bench_window_rtf),
+        ("window_ul_rtf", bench_window_ul_rtf),
     ):
         try:
             r = fn(jax, jnp, rng)
@@ -419,7 +481,7 @@ def main():
             log(f"{name} FAILED: {type(e).__name__}: {str(e)[:300]}")
 
     units = {"dynamic_rtf": "x realtime", "window_rtf": "x realtime",
-             "carriers_per_chip": "carriers"}
+             "window_ul_rtf": "x realtime", "carriers_per_chip": "carriers"}
     notes = {
         "dynamic_rtf": "per-TTI latency path; bounded by 2 host-link RPCs"
                        "/TTI on the tunneled chip (~25 ms RTT), not compute",
