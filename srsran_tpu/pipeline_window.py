@@ -28,9 +28,11 @@ processes arbitrary grants in 1 ms on 4 cores (`cc_worker.cc:214-307`);
 here one chip sustains W TTIs per dispatch with a bounded-for-life
 compile set (exactly 3 programs + 2 stackers per (cell, W)).
 
-Scope: single-codeword port0 (SISO/MRC) PDSCH grants — the scheme that
-carries the DL data plane.  Diversity/spatial-multiplexing windows fall
-back to the per-TTI dynamic path.
+Scope: single-codeword PDSCH grants, port0 (SISO/MRC) or TM2 SFBC
+transmit diversity (`scheme="diversity"` — 2-port chest + Alamouti
+combining); spatial-multiplexing windows fall back to the per-TTI
+dynamic path.  The eNB uplink mirror (`WindowedEnbUl`) covers PUSCH
+data grants with Bluestein IDFT de-precoding.
 """
 
 from __future__ import annotations
@@ -51,7 +53,7 @@ from .phy.fec.rate_match_dev import (
     qpp_dev,
 )
 from .phy.fec.turbo_dyn import crc_table_ab, turbo_decode_dyn
-from .phy.mimo import predecode_single_mrc
+from .phy.mimo import predecode_diversity2, predecode_single_mrc
 from .phy.modem import Mod, demod_soft
 from .phy.ofdm import OfdmConfig, ofdm_rx_sf
 from .phy.phch.pdsch import DlGrant, pdsch_cinit
@@ -92,8 +94,8 @@ def _stacker(n: int):
 # --------------------------------------------------------------------------
 
 
-def _build_win_a(cell: Cell, w: int):
-    """Front-end for W subframes: OFDM demod + CRS chest (port 0).
+def _build_win_a(cell: Cell, w: int, nof_ports: int = 1):
+    """Front-end for W subframes: OFDM demod + CRS chest (1 or 2 ports).
 
     Samples arrive as int8 I/Q + a per-TTI scale — the native ADC layout
     (the reference ingests int16 from UHD / cf32 from ZMQ), and 4x less
@@ -102,21 +104,26 @@ def _build_win_a(cell: Cell, w: int):
     data so one program serves all 10 subframe indices."""
     ofdm = OfdmConfig.from_cell(cell, normalize=True)
     cfg = ChestDlConfig()
-    syms, freqs, _ref, wf, wt = _chest_tables(cell, 0, cfg, 0)
-    syms_d = jnp.asarray(syms)
-    freqs_d = jnp.asarray(freqs)
-    wf_d = jnp.asarray(wf)
-    wt_d = jnp.asarray(wt)
+    tabs = [_chest_tables(cell, 0, cfg, p) for p in range(nof_ports)]
+    syms_d = [jnp.asarray(t[0]) for t in tabs]
+    freqs_d = [jnp.asarray(t[1]) for t in tabs]
+    wf_d = [jnp.asarray(t[3]) for t in tabs]
+    wt_d = [jnp.asarray(t[4]) for t in tabs]
 
     def one(samples_i8, scale, ref_conj_ri):
         samples = _ri2c(samples_i8.astype(jnp.float32) * scale)
         grid = ofdm_rx_sf(ofdm, samples)     # (nrx, nsymb, nre)
-        pilots = grid[..., syms_d[:, None], freqs_d]
-        ls = pilots * _ri2c(ref_conj_ri)     # (nrx, 4, npil)
-        per_sym = jnp.einsum("snp,rsp->rsn", wf_d, ls)
-        ce = jnp.einsum("ls,rsn->rln", wt_d.astype(jnp.complex64), per_sym)
-        resid = ls[..., 1:-1] - 0.5 * (ls[..., 2:] + ls[..., :-2])
-        noise = jnp.mean(jnp.abs(resid) ** 2) / 1.5
+        ces, noises = [], []
+        for p in range(nof_ports):
+            pilots = grid[..., syms_d[p][:, None], freqs_d[p]]
+            ls = pilots * _ri2c(ref_conj_ri[p])  # (nrx, 4, npil)
+            per_sym = jnp.einsum("snp,rsp->rsn", wf_d[p], ls)
+            ces.append(jnp.einsum(
+                "ls,rsn->rln", wt_d[p].astype(jnp.complex64), per_sym))
+            resid = ls[..., 1:-1] - 0.5 * (ls[..., 2:] + ls[..., :-2])
+            noises.append(jnp.mean(jnp.abs(resid) ** 2) / 1.5)
+        ce = jnp.stack(ces, axis=1)  # (nrx, nports, nsymb, nre)
+        noise = sum(noises) / nof_ports
         return _c2ri(grid), _c2ri(ce), noise
 
     @jax.jit
@@ -126,17 +133,22 @@ def _build_win_a(cell: Cell, w: int):
     return fn
 
 
-def _build_win_b(w: int):
-    """Grant front-end for W TTIs: RE gather → MRC equalize → demod (all
-    constellations, one-hot select by the per-TTI Qm) → CSI weight →
-    descramble.  Emits (W, G_MAX) masked LLRs."""
+def _build_win_b(w: int, scheme: str = "port0"):
+    """Grant front-end for W TTIs: RE gather → equalize (port0 MRC or
+    TM2 SFBC combining) → demod (all constellations, one-hot select by
+    the per-TTI Qm) → CSI weight → descramble.  Emits (W, G_MAX) masked
+    LLRs."""
 
     def one(grid_ri, ce_ri, noise, idx, n_re, qm, signs):
         grid = _ri2c(grid_ri)
         ce = _ri2c(ce_ri)
         y = grid.reshape(grid.shape[0], -1)[:, idx]       # (nrx, RE_MAX)
-        h = ce.reshape(ce.shape[0], -1)[:, idx]
-        x, csi = predecode_single_mrc(y, h, noise)
+        if scheme == "diversity":
+            h = ce.reshape(ce.shape[0], ce.shape[1], -1)[:, :, idx]
+            x, csi = predecode_diversity2(y, h)
+        else:
+            h = ce.reshape(ce.shape[0], ce.shape[1], -1)[:, 0, idx]
+            x, csi = predecode_single_mrc(y, h, noise)
         llr = jnp.zeros((G_MAX,), jnp.float32)
         for mod_c, qm_c in zip(MODS, QMS):
             lc = demod_soft(mod_c, x) * jnp.repeat(csi, qm_c)
@@ -278,13 +290,16 @@ class WindowedUeDl:
     """
 
     def __init__(self, cell: Cell, cfi: int = 1, w: int = 32,
-                 max_iterations: int = 5):
+                 max_iterations: int = 5, scheme: str = "port0"):
+        assert scheme in ("port0", "diversity")
         self.cell = cell
         self.cfi = cfi
         self.w = w
+        self.scheme = scheme
+        self.nof_ports = 2 if scheme == "diversity" else 1
         self.max_iterations = max_iterations
-        self._a = _build_win_a(cell, w)
-        self._b = _build_win_b(w)
+        self._a = _build_win_a(cell, w, self.nof_ports)
+        self._b = _build_win_b(w, scheme)
         self._c = _build_win_c(w, max_iterations)
         self._ref_dev: dict = {}    # sf_idx -> (4, npil, 2) device
         self._idx_dev: dict = {}    # (sf, prb) -> (RE_MAX,) device
@@ -294,10 +309,13 @@ class WindowedUeDl:
     # -- cached device constants --
     def _ref(self, sf_idx: int):
         if sf_idx not in self._ref_dev:
-            _s, _f, ref_conj, _wf, _wt = _chest_tables(
-                self.cell, sf_idx, ChestDlConfig(), 0)
-            self._ref_dev[sf_idx] = jnp.asarray(
-                np.stack([ref_conj.real, ref_conj.imag], -1).astype(np.float32))
+            refs = []
+            for p in range(self.nof_ports):
+                ref_conj = _chest_tables(
+                    self.cell, sf_idx, ChestDlConfig(), p)[2]
+                refs.append(np.stack(
+                    [ref_conj.real, ref_conj.imag], -1).astype(np.float32))
+            self._ref_dev[sf_idx] = jnp.asarray(np.stack(refs))
         return self._ref_dev[sf_idx]
 
     def _idx(self, sf_idx: int, prb: tuple):

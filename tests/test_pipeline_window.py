@@ -130,6 +130,47 @@ def test_window_enb_ul_random_mix():
         np.testing.assert_array_equal(tb_hat, tb)
 
 
+def test_window_tm2_diversity_mix():
+    """scheme="diversity": a W-mix of SFBC grants on a 2-port cell —
+    2-port chest in stage A, Alamouti combining in stage B, same fixed
+    program set."""
+    from srsran_tpu.phy.modem import Mod
+
+    rng = np.random.default_rng(21)
+    cell = Cell(nof_prb=25, nof_ports=2, id=7)
+    ofdm = OfdmConfig.from_cell(cell, normalize=True)
+    ue = WindowedUeDl(cell, cfi=1, w=W, max_iterations=3, scheme="diversity")
+    h = np.array([[0.9 + 0.3j, -0.5 + 0.7j]], np.complex64)  # 1rx x 2tx
+
+    mix = []
+    while len(mix) < W:
+        sf_idx = int(rng.integers(0, 10))
+        mcs = int(rng.integers(2, 20))
+        l = int(rng.integers(4, 26))
+        st = int(rng.integers(0, 26 - l))
+        tbs = dl_tbs(mcs, l)
+        if tbs == 0:
+            continue
+        grant = DlGrant(prb=tuple(range(st, st + l)), mod=dl_mcs_to_mod(mcs),
+                        tbs=tbs, rnti=0x46, tx_scheme="diversity")
+        tb = rng.integers(0, 2, tbs).astype(np.uint8)
+        grid = pdsch_encode_np(cell, sf_idx, 1, grant, tb)  # (2, nsymb, nre)
+        put_crs_np(grid, cell, sf_idx)
+        tx = np.asarray(ofdm_tx_sf(ofdm, grid))  # (2, sf_len)
+        rx = np.einsum("rp,pt->rt", h, tx)
+        rx = (rx + 0.02 * (rng.standard_normal(rx.shape)
+                           + 1j * rng.standard_normal(rx.shape))
+              ).astype(np.complex64)
+        mix.append((rx, sf_idx, grant, tb))
+
+    samples = np.stack([m[0] for m in mix])  # (W, 1, sf_len)
+    res, _ = ue.decode_window(samples, [m[1] for m in mix],
+                              [m[2] for m in mix])
+    for (rx, sf, grant, tb), (tb_hat, ok, _) in zip(mix, res):
+        assert ok, f"TM2 CRC failed (tbs {grant.tbs})"
+        np.testing.assert_array_equal(tb_hat, tb)
+
+
 def test_window_enb_ul_multi_ue_same_tti():
     """The window axis doubles as the eNB's multi-UE axis: W different
     UEs' PUSCH grants from the SAME TTI (disjoint allocations, distinct
