@@ -282,6 +282,17 @@ def map_decoder(lx, lz, lx_tail, lz_tail, k: int, dtype=jnp.float32, backend: st
         return new, a  # emit alpha at the position (pre-update)
 
     if backend == "auto":
+        # Pipeline-level record (r2, v5e, one process): in the full
+        # 20 MHz UE-DL pipeline at B=128 the front-end (FFT+chest+
+        # equalize+demod) is 3.3 ms and the turbo chain 17.6 ms — the
+        # MAP passes are ~85% of the headline.  max_it 4 == max_it 6
+        # wall-time (early stop converges); a 2-iteration cap saves
+        # 5.4 ms but loses 7/128 TBs at the 18 dB operating point, so
+        # convergence stragglers cost ~25%.  After the 2-permute
+        # iteration restructure, scan and Pallas are within noise at
+        # this shape (6.05 vs 6.10 ms per 256-CB decode in one
+        # process); deeper wins need the bf16 VMEM tiling the axon
+        # Mosaic toolchain currently rejects (see turbo_pallas.py).
         # round-2 measurement on the v5e (one process, K=6144, B=256):
         # pallas v2 (fused counter-recursions, VMEM-resident metrics,
         # CH=8 unroll) 2.83 ms vs radix-2 scan 3.2 ms vs radix-4 5.6 ms.
