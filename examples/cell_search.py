@@ -9,6 +9,13 @@ detection, CFO estimate, then MIB decode.
 from __future__ import annotations
 
 import argparse
+import os
+
+import jax
+
+# default to CPU so the example is usable on hosts where the TPU boundary
+# rejects complex64 I/O (axon tunnel); SRSRAN_TPU_PLATFORM=tpu overrides
+jax.config.update("jax_platforms", os.environ.get("SRSRAN_TPU_PLATFORM", "cpu"))
 
 
 def main(argv=None):

@@ -11,6 +11,13 @@ subframe (frame-counter payload), writing cf32 samples to a file or UDP.
 from __future__ import annotations
 
 import argparse
+import os
+
+import jax
+
+# default to CPU so the example is usable on hosts where the TPU boundary
+# rejects complex64 I/O (axon tunnel); SRSRAN_TPU_PLATFORM=tpu overrides
+jax.config.update("jax_platforms", os.environ.get("SRSRAN_TPU_PLATFORM", "cpu"))
 
 import numpy as np
 
