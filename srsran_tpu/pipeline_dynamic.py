@@ -109,6 +109,21 @@ def _build_stage_a(cell: Cell, sf_idx: int, nof_ports: int):
     return fn
 
 
+@lru_cache(maxsize=64)
+def _unpack_tti(nrx: int, sf_len: int, n_tail: int):
+    """Split the single per-TTI upload buffer back into (samples_ri,
+    tail): every per-TTI host value rides ONE host→device transfer —
+    each separate upload is a full RPC round-trip on a tunneled chip."""
+
+    @jax.jit
+    def fn(buf):
+        ns = nrx * sf_len * 2
+        samples_ri = buf[:ns].reshape(nrx, sf_len, 2)
+        return samples_ri, buf[ns:].astype(jnp.int32)
+
+    return fn
+
+
 # ---------------------------------------------------------------------------
 # Stage B: bucketed grant front-end (gather → equalize → demod → descramble)
 # ---------------------------------------------------------------------------
@@ -384,7 +399,6 @@ class DynamicUeDl:
         nof_ports = 2 if grant.tx_scheme in ("diversity", "spatialmux") else 1
         a = self._get_a(sf_idx, nof_ports)
         samples_ri = np.stack([samples.real, samples.imag], axis=-1).astype(np.float32)
-        rx_grid_ri, ce_ri, noise, _snr = a(samples_ri)
 
         idx_pad, n_re, n_re_max = _padded_re_indices(
             self.cell, sf_idx, self.cfi, tuple(grant.prb)
@@ -397,16 +411,25 @@ class DynamicUeDl:
         g_max = n_re_max * grant.qm * nof_layers
         bfn = self._get_b(n_re_max, grant)
         signs = self._get_signs(grant.rnti, sf_idx, g_max)
-        llr = bfn(rx_grid_ri, ce_ri, noise, self._idx_dev[ikey],
-                  jnp.int32(n_re), signs)
 
         kb, bb, rb, tbs_max, tmpl = _tb_params_v2(grant.tbs, g, grant.qm, nof_layers)
+        # ONE host->device transfer per TTI: samples + n_re + stage-C params
+        buf = np.empty(samples_ri.size + 1 + len(tmpl), np.float32)
+        buf[: samples_ri.size] = samples_ri.reshape(-1)
+        buf[samples_ri.size] = n_re
+        buf[samples_ri.size + 1 :] = tmpl
+        buf[samples_ri.size + 1] = grant.rv
+        nrx = samples.shape[0]
+        samples_d, tail = _unpack_tti(nrx, samples.shape[1], 1 + len(tmpl))(
+            jnp.asarray(buf))
+        rx_grid_ri, ce_ri, noise, _snr = a(samples_d)
+        llr = bfn(rx_grid_ri, ce_ri, noise, self._idx_dev[ikey],
+                  tail[0], signs)
+
         cfn = self._get_c(kb, bb, rb)
-        params = tmpl.copy()
-        params[0] = grant.rv
         if softbuffer is None:
             softbuffer = jnp.zeros((bb, 3, kb + 4), jnp.float32)
-        packed, new_soft = cfn(llr, jnp.asarray(params), softbuffer)
+        packed, new_soft = cfn(llr, tail[1:], softbuffer)
         return PendingTb(packed, new_soft, grant.tbs, tbs_max)
 
     def result(self, p: PendingTb):
@@ -618,7 +641,6 @@ class DynamicEnbUl:
             self._a = _build_stage_a_ul(self.cell)
             self.stats["compiles_a"] += 1
         samples_ri = np.stack([samples.real, samples.imag], -1).astype(np.float32)
-        grid_ri = self._a(samples_ri)
 
         nprb_max = _bucket(grant.nof_prb, self.PRB_BUCKETS)
         m_max = 12 * nprb_max
@@ -631,20 +653,28 @@ class DynamicEnbUl:
             self._signs[key] = jnp.asarray(gold_sequence_signs(
                 pusch_cinit(grant.rnti, sf_idx, self.cell.id),
                 self._nsym * m_max * qm))
+        kb, bb, rb, tbs_max, tmpl = _tb_params_v2(grant.tbs, g, qm, 1)
+        # ONE host->device transfer per TTI: samples + k0 + m_sc + params
+        buf = np.empty(samples_ri.size + 2 + len(tmpl), np.float32)
+        buf[: samples_ri.size] = samples_ri.reshape(-1)
+        buf[samples_ri.size] = grant.prb_start * 12
+        buf[samples_ri.size + 1] = m_sc
+        buf[samples_ri.size + 2 :] = tmpl
+        buf[samples_ri.size + 2] = grant.rv
+        samples_d, tail = _unpack_tti(
+            samples.shape[0], samples.shape[1], 2 + len(tmpl))(jnp.asarray(buf))
+        grid_ri = self._a(samples_d)
         llr, noise = bfn(
-            grid_ri, jnp.int32(grant.prb_start * 12), jnp.int32(m_sc),
+            grid_ri, tail[0], tail[1],
             _ul_dmrs_conj_dev(self.cell, grant.nof_prb, m_max),
             _idft_padded_dev(m_sc, m_max),
             self._signs[key],
             _ul_deint_scatter_dev(g, qm, G_MAX),
         )
-        kb, bb, rb, tbs_max, tmpl = _tb_params_v2(grant.tbs, g, qm, 1)
         cfn = self._get_c(kb, bb, rb)
-        params = tmpl.copy()
-        params[0] = grant.rv
         if softbuffer is None:
             softbuffer = jnp.zeros((bb, 3, kb + 4), jnp.float32)
-        packed, new_soft = cfn(llr, jnp.asarray(params), softbuffer)
+        packed, new_soft = cfn(llr, tail[2:], softbuffer)
         return PendingTb(packed, new_soft, grant.tbs, tbs_max)
 
     def result(self, p: PendingTb):
