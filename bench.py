@@ -483,8 +483,10 @@ def main():
     units = {"dynamic_rtf": "x realtime", "window_rtf": "x realtime",
              "window_ul_rtf": "x realtime", "carriers_per_chip": "carriers"}
     notes = {
-        "dynamic_rtf": "per-TTI latency path; bounded by 2 host-link RPCs"
-                       "/TTI on the tunneled chip (~25 ms RTT), not compute",
+        "dynamic_rtf": "per-TTI latency path; a TRIVIAL 4-jit chain with "
+                       "upload + pipelined readback measures 26-29 ms/iter "
+                       "on this tunneled chip, so this is within ~5 ms of "
+                       "the host-link floor — compute is not the limit",
         "window_rtf": "adversarial random-grant mix, W=64 TTIs/dispatch, 3 "
                       "XLA programs total; on-chip compute ~5 ms/TTI "
                       "(static-config path sustains 6+ carriers real-time)",
