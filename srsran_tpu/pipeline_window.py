@@ -281,6 +281,32 @@ class PendingWindow:
     tbs: list                # per-TTI true TB sizes
 
 
+@lru_cache(maxsize=8)
+def _soft_slicer():
+    return jax.jit(lambda s, i: jax.lax.dynamic_index_in_dim(
+        s, i, axis=0, keepdims=False))
+
+
+def extract_softbuffer(p: PendingWindow, i: int) -> jnp.ndarray:
+    """Device-resident softbuffer of window slot i (for HARQ carry into a
+    LATER window at any slot — retransmissions rarely land in the same
+    window position)."""
+    return _soft_slicer()(p.softbuffer, jnp.int32(i))
+
+
+@lru_cache(maxsize=64)
+def _soft_zeros(w_unused: int) -> jnp.ndarray:
+    return jnp.zeros((B_CB, 3, K_MAX + 4), jnp.float32)
+
+
+def make_softbuffer(entries) -> jnp.ndarray:
+    """Stack per-slot softbuffers (None = fresh) into a window buffer —
+    all device-side, no host transfer."""
+    w = len(entries)
+    return _stacker(w)(*[
+        e if e is not None else _soft_zeros(0) for e in entries])
+
+
 class WindowedUeDl:
     """Decode ANY W-TTI mix of port0 PDSCH grants per dispatch.
 

@@ -130,6 +130,55 @@ def test_window_enb_ul_random_mix():
         np.testing.assert_array_equal(tb_hat, tb)
 
 
+def test_window_harq_cross_window_routing():
+    """A retransmission lands in a LATER window at a DIFFERENT slot:
+    extract_softbuffer/make_softbuffer route the HARQ state between
+    windows entirely device-side."""
+    from srsran_tpu.pipeline_window import extract_softbuffer, make_softbuffer
+
+    rng = np.random.default_rng(6)
+    cell = Cell(nof_prb=50, nof_ports=1, id=17)
+    ofdm = OfdmConfig.from_cell(cell, normalize=True)
+    ue = WindowedUeDl(cell, cfi=1, w=W, max_iterations=4)
+
+    mcs, l = 16, 15
+    tbs = dl_tbs(mcs, l)
+    tb = rng.integers(0, 2, tbs).astype(np.uint8)
+    amp = 0.42
+
+    def tx_of(rv, sf):
+        g = DlGrant(prb=tuple(range(l)), mod=dl_mcs_to_mod(mcs), tbs=tbs,
+                    rnti=0x46, rv=rv)
+        grid = pdsch_encode_np(cell, sf, 1, g, tb)
+        put_crs_np(grid, cell, sf)
+        t = np.asarray(ofdm_tx_sf(ofdm, grid))[0]
+        return (t + amp * (rng.standard_normal(cell.sf_len)
+                           + 1j * rng.standard_normal(cell.sf_len))
+                ).astype(np.complex64), g
+
+    # window 1: failing rv0 at slot 1
+    rx0, g0 = tx_of(0, 2)
+    filler1 = _mix(cell, rng, W - 1, ofdm)
+    mix1 = [filler1[0]] + [(rx0, 2, g0)] + [m[:3] for m in filler1[1:]]
+    samples1 = np.stack([m[0] for m in mix1])[:, None, :]
+    p1 = ue.dispatch_window(samples1, [m[1] for m in mix1],
+                            [m[2] for m in mix1])
+    res1 = ue.results(p1)
+    assert not res1[1][1], "rv0 unexpectedly decoded"
+    carry = extract_softbuffer(p1, 1)
+
+    # window 2: rv2 retransmission at slot 3, fresh buffers elsewhere
+    rx2, g2 = tx_of(2, 5)
+    filler2 = _mix(cell, rng, W - 1, ofdm)
+    mix2 = [m[:3] for m in filler2[:3]] + [(rx2, 5, g2)]
+    samples2 = np.stack([m[0] for m in mix2])[:, None, :]
+    soft2 = make_softbuffer([None, None, None, carry])
+    res2, _ = ue.decode_window(samples2, [m[1] for m in mix2],
+                               [m[2] for m in mix2], softbuffer=soft2)
+    assert res2[3][1], "cross-window rv0+rv2 combining failed"
+    np.testing.assert_array_equal(res2[3][0], tb)
+
+
 def test_window_tm2_diversity_mix():
     """scheme="diversity": a W-mix of SFBC grants on a 2-port cell —
     2-port chest in stage A, Alamouti combining in stage B, same fixed
