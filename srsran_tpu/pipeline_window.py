@@ -680,3 +680,175 @@ class WindowedEnbUl:
     def decode_window(self, samples, sf_indices, grants, softbuffer=None):
         p = self.dispatch_window(samples, sf_indices, grants, softbuffer)
         return self.results(p), p.softbuffer
+
+# --------------------------------------------------------------------------
+# 2-codeword (TM3/TM4) DL window — each TTI fills TWO stage-C slots
+# --------------------------------------------------------------------------
+
+
+def _build_win_b_mimo(w: int):
+    """Spatial-multiplexing grant front-end for W TTIs: joint 2x2 MMSE
+    (all 3 TM4 codebook PMIs computed + one-hot selected, or TM3
+    large-delay CDD as variant 3) → layer demap → per-codeword demod/
+    descramble.  Emits (W, 2, G_MAX) masked LLRs."""
+    from .phy.mimo import layerdemap, predecode_cdd2, predecode_zf_mmse
+
+    def one(grid_ri, ce_ri, noise, idx, n_re, qm1, qm2, pmi, signs1, signs2):
+        grid = _ri2c(grid_ri)
+        ce = _ri2c(ce_ri)
+        y = grid.reshape(grid.shape[0], -1)[:, idx]             # (nrx, RE_MAX)
+        h = ce.reshape(ce.shape[0], ce.shape[1], -1)[:, :, idx]  # (nrx,2,RE_MAX)
+        xs, cs = [], []
+        for p in range(3):  # TM4 codebook PMIs as static variants
+            xv, cv = predecode_zf_mmse(y, h, 2, noise, pmi=p)
+            xs.append(xv)
+            cs.append(cv)
+        xv, cv = predecode_cdd2(y, h, noise)  # TM3 (pmi == 3 selects CDD)
+        xs.append(xv)
+        cs.append(cv)
+        x = jnp.where(pmi == 0, xs[0], jnp.where(pmi == 1, xs[1],
+                      jnp.where(pmi == 2, xs[2], xs[3])))
+        csi = jnp.where(pmi == 0, cs[0], jnp.where(pmi == 1, cs[1],
+                        jnp.where(pmi == 2, cs[2], cs[3])))
+        sym_cws = layerdemap(x, 2)
+        csi_cws = layerdemap(csi.astype(jnp.complex64), 2)
+
+        def demod_cw(sym, csi_c, qm, signs):
+            llr = jnp.zeros((G_MAX,), jnp.float32)
+            wcsi = jnp.real(csi_c)
+            for mod_c, qm_c in zip(MODS, QMS):
+                lc = demod_soft(mod_c, sym) * jnp.repeat(wcsi, qm_c)
+                lc = jnp.zeros((G_MAX,), jnp.float32).at[: RE_MAX * qm_c].set(lc)
+                llr = jnp.where(qm == qm_c, lc, llr)
+            llr = llr * signs.astype(jnp.float32)
+            mask = jnp.arange(G_MAX) < n_re * qm
+            return jnp.where(mask, llr, 0.0)
+
+        return jnp.stack([
+            demod_cw(sym_cws[0], csi_cws[0], qm1, signs1),
+            demod_cw(sym_cws[1], csi_cws[1], qm2, signs2),
+        ])
+
+    @jax.jit
+    def fn(grid_ri, ce_ri, noise, idx, n_re, qm1, qm2, pmi, signs1, signs2):
+        return jax.vmap(one)(grid_ri, ce_ri, noise, idx, n_re, qm1, qm2,
+                             pmi, signs1, signs2)
+
+    return fn
+
+
+class WindowedUeDlMimo(WindowedUeDl):
+    """2-codeword spatial-multiplexing windows (TM4 codebook PMIs 0-2 as
+    data, TM3 CDD as pmi=3): W TTIs of DlGrant2 per dispatch — each TTI
+    occupies TWO slots of the shared stage C (width 2W).  The reference's
+    150 Mbps headline config (README.md:47) on the windowed dynamic
+    path."""
+
+    def __init__(self, cell: Cell, cfi: int = 1, w: int = 32,
+                 max_iterations: int = 5):
+        self.cell = cell
+        self.cfi = cfi
+        self.w = w
+        self.scheme = "spatialmux"
+        self.nof_ports = 2
+        self.max_iterations = max_iterations
+        self._a = _build_win_a(cell, w, 2)
+        self._b = _build_win_b_mimo(w)
+        self._c = _build_win_c(2 * w, max_iterations)
+        self._ref_dev = {}
+        self._idx_dev = {}
+        self._signs_dev = {}
+        self.stats = {"windows": 0, "ttis": 0, "crc_ok": 0}
+
+    def _signs_q(self, rnti: int, sf_idx: int, q: int):
+        key = (rnti, sf_idx, q)
+        if key not in self._signs_dev:
+            cinit = pdsch_cinit(rnti, sf_idx, self.cell.id, q=q)
+            self._signs_dev[key] = jnp.asarray(
+                gold_sequence_signs(cinit, G_MAX).astype(np.int8))
+        return self._signs_dev[key]
+
+    def dispatch_window(self, samples, sf_indices, grants,
+                        softbuffer=None) -> PendingWindow:
+        """samples: (W, nrx, sf_len) complex64; grants: DlGrant2 list
+        (tx_scheme spatialmux -> pmi 0-2, cdd -> pmi slot 3)."""
+        w = self.w
+        assert len(sf_indices) == w and len(grants) == w
+        samples_ri = np.stack([samples.real, samples.imag], axis=-1)
+        peak = np.maximum(
+            np.abs(samples_ri).reshape(w, -1).max(axis=1), 1e-12)
+        scale = (peak / 127.0).astype(np.float32)
+        samples_i8 = np.clip(
+            np.round(samples_ri / scale[:, None, None, None]), -127, 127
+        ).astype(np.int8)
+
+        refs = _stacker(w)(*[self._ref(s) for s in sf_indices])
+        idx_pairs = [self._idx(s, tuple(g.prb))
+                     for s, g in zip(sf_indices, grants)]
+        idx = _stacker(w)(*[p[0] for p in idx_pairs])
+        signs1 = _stacker(w)(*[self._signs_q(g.rnti, s, 0)
+                               for s, g in zip(sf_indices, grants)])
+        signs2 = _stacker(w)(*[self._signs_q(g.rnti, s, 1)
+                               for s, g in zip(sf_indices, grants)])
+
+        HDR = 17
+        params = np.zeros((2 * w, HDR + 2 * B_CB), np.int32)
+        bparams = np.zeros((w, 4), np.int32)  # n_re, qm1, qm2, pmi
+        tbs_list = []
+        for i, g in enumerate(grants):
+            n_re = idx_pairs[i][1]
+            pmi = 3 if g.tx_scheme == "cdd" else g.pmi
+            bparams[i] = (n_re, g.qm1, g.qm2, pmi)
+            for cw, (tbs, qm, rv) in enumerate(
+                ((g.tbs1, g.qm1, g.rv1), (g.tbs2, g.qm2, g.rv2))):
+                row = 2 * i + cw
+                segm = cbsegm(tbs)
+                assert segm.C <= B_CB
+                es = _e_split(n_re * qm, segm.C, qm, 1)
+                cb_sizes = segm.cb_sizes
+                k_minus = segm.K_minus if segm.C_minus > 0 else 40
+                k3 = (cb_sizes[0], k_minus,
+                      segm.K_plus if segm.C_plus > 0 else 40)
+                f3 = (segm.F, 0, 0)
+                params[row, :5] = (n_re, qm, rv, tbs,
+                                   1 if segm.C > 1 else 0)
+                for v in range(3):
+                    ki = cb_size_index(k3[v])
+                    params[row, 5 + v] = k3[v]
+                    params[row, 8 + v] = f3[v]
+                    params[row, 11 + v] = F1[ki]
+                    params[row, 14 + v] = F2[ki]
+                for c, k in enumerate(cb_sizes):
+                    f = segm.F if c == 0 else 0
+                    assert es[c] <= REP * (3 * (k + 4) - 2 * f)
+                    cls = 0 if c == 0 else (1 if k == k_minus else 2)
+                    params[row, HDR + 2 * c] = es[c]
+                    params[row, HDR + 2 * c + 1] = cls
+                tbs_list.append(tbs)
+        pdev = jnp.asarray(params)
+        bdev = jnp.asarray(bparams)
+
+        grid_ri, ce_ri, noise = self._a(samples_i8, jnp.asarray(scale), refs)
+        llr2 = self._b(grid_ri, ce_ri, noise, idx, bdev[:, 0], bdev[:, 1],
+                       bdev[:, 2], bdev[:, 3], signs1, signs2)
+        llr = llr2.reshape(2 * w, G_MAX)
+        if softbuffer is None:
+            softbuffer = jnp.zeros((2 * w, B_CB, 3, K_MAX + 4), jnp.float32)
+        cb = pdev[:, HDR:].reshape(2 * w, B_CB, 2)
+        packed, new_soft = self._c(
+            llr, cb[:, :, 0], cb[:, :, 1], pdev[:, 5:8], pdev[:, 8:11],
+            pdev[:, 11:14], pdev[:, 14:17], pdev[:, 2], pdev[:, 3],
+            pdev[:, 4], softbuffer)
+        return PendingWindow(packed, new_soft, tbs_list)
+
+    def results(self, p: PendingWindow):
+        """[( (tb1, ok1), (tb2, ok2), n_it )] * W."""
+        rows = WindowedUeDl.results(self, p)
+        self.stats["windows"] -= 1  # counted once per codeword pair below
+        out = []
+        for i in range(0, len(rows), 2):
+            t1, ok1, n1 = rows[i]
+            t2, ok2, n2 = rows[i + 1]
+            out.append(((t1, ok1), (t2, ok2), max(n1, n2)))
+        self.stats["windows"] += 1
+        return out

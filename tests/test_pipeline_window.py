@@ -220,6 +220,57 @@ def test_window_tm2_diversity_mix():
         np.testing.assert_array_equal(tb_hat, tb)
 
 
+def test_window_mimo_two_codewords():
+    """WindowedUeDlMimo: W TTIs of 2-codeword spatial-multiplexing grants
+    (TM4 codebook PMIs and one TM3 CDD slot, mixed MCS per codeword)
+    decode through the shared stage C at width 2W."""
+    from srsran_tpu.phy.phch.pdsch import DlGrant2, pdsch_encode2_np
+    from srsran_tpu.pipeline_window import WindowedUeDlMimo
+
+    rng = np.random.default_rng(31)
+    cell = Cell(nof_prb=25, nof_ports=2, id=77)
+    ofdm = OfdmConfig.from_cell(cell, normalize=True)
+    ue = WindowedUeDlMimo(cell, cfi=1, w=W, max_iterations=4)
+    h = np.array([[1.0 + 0.1j, 0.2 - 0.3j],
+                  [-0.25 + 0.15j, 0.8 - 0.4j]], np.complex64)
+
+    mix = []
+    schemes = ["spatialmux", "spatialmux", "spatialmux", "cdd"]
+    for i in range(W):
+        sf_idx = int(rng.integers(0, 10))
+        mcs1, mcs2 = int(rng.integers(4, 16)), int(rng.integers(4, 16))
+        l = int(rng.integers(10, 26))
+        st = int(rng.integers(0, 26 - l))
+        tbs1, tbs2 = dl_tbs(mcs1, l), dl_tbs(mcs2, l)
+        grant = DlGrant2(prb=tuple(range(st, st + l)),
+                         mod1=dl_mcs_to_mod(mcs1), tbs1=tbs1,
+                         mod2=dl_mcs_to_mod(mcs2), tbs2=tbs2,
+                         pmi=int(rng.integers(0, 3)), rnti=0x46,
+                         tx_scheme=schemes[i % len(schemes)])
+        tb1 = rng.integers(0, 2, tbs1).astype(np.uint8)
+        tb2 = rng.integers(0, 2, tbs2).astype(np.uint8)
+        grid = pdsch_encode2_np(cell, sf_idx, 1, grant, tb1, tb2)
+        full = np.zeros((2, cell.nsymb_per_sf, cell.nof_re_per_symbol),
+                        np.complex64)
+        full += grid
+        put_crs_np(full, cell, sf_idx)
+        tx = np.asarray(ofdm_tx_sf(ofdm, full))  # (2, sf_len)
+        rx = np.einsum("rp,pt->rt", h, tx)
+        rx = (rx + 0.01 * (rng.standard_normal(rx.shape)
+                           + 1j * rng.standard_normal(rx.shape))
+              ).astype(np.complex64)
+        mix.append((rx, sf_idx, grant, tb1, tb2))
+
+    samples = np.stack([m[0] for m in mix])  # (W, 2, sf_len)
+    res, _ = ue.decode_window(samples, [m[1] for m in mix],
+                              [m[2] for m in mix])
+    for (rx, sf, grant, tb1, tb2), ((t1, ok1), (t2, ok2), _n) in zip(mix, res):
+        assert ok1 and ok2, (
+            f"{grant.tx_scheme} pmi={grant.pmi} cw ok=({ok1},{ok2})")
+        np.testing.assert_array_equal(t1, tb1)
+        np.testing.assert_array_equal(t2, tb2)
+
+
 def test_window_enb_ul_multi_ue_same_tti():
     """The window axis doubles as the eNB's multi-UE axis: W different
     UEs' PUSCH grants from the SAME TTI (disjoint allocations, distinct
