@@ -40,6 +40,7 @@ BASELINES = {
     "dynamic_rtf": 1.0,     # real-time = 1 TTI / ms (cc_worker budget)
     "window_rtf": 1.0,      # same budget, windowed multi-TTI pipeline
     "window_ul_rtf": 1.0,   # eNB-side windowed PUSCH (multi-UE uplink)
+    "window_mimo_rtf": 1.0,  # 2-codeword TM4 windows (the 150 Mbps config)
     # the reference sustains one real-time 20 MHz carrier per machine;
     # this row is how many a single TPU chip sustains (full UE DL decode)
     "carriers_per_chip": 1.0,
@@ -389,6 +390,84 @@ def bench_window_rtf(jax, jnp, rng):
     return rtf
 
 
+def bench_window_mimo_rtf(jax, jnp, rng):
+    """2-codeword TM4 windows (the 150 Mbps headline config on the
+    dynamic path): W TTIs of mixed-PMI/MCS DlGrant2 per dispatch."""
+    from collections import deque
+
+    from srsran_tpu.phy.chest.refsignal_dl import put_crs_np
+    from srsran_tpu.phy.common import Cell
+    from srsran_tpu.phy.ofdm import OfdmConfig, ofdm_tx_sf
+    from srsran_tpu.phy.phch.pdsch import DlGrant2, pdsch_encode2_np
+    from srsran_tpu.phy.phch.ra import dl_mcs_to_mod, dl_tbs
+    from srsran_tpu.pipeline_window import WindowedUeDlMimo
+
+    cpu = jax.devices("cpu")[0]
+    cell = Cell(nof_prb=100, nof_ports=2, id=301)
+    ofdm = OfdmConfig.from_cell(cell, normalize=True)
+    W = 32
+    h = np.array([[1.0 + 0.1j, 0.25 - 0.55j],
+                  [-0.45 + 0.3j, 0.95 + 0.05j]], np.complex64)
+
+    mix = []
+    with jax.default_device(cpu):
+        while len(mix) < 16:
+            sf_idx = int(rng.integers(0, 10))
+            mcs1 = int(rng.integers(4, 25))
+            mcs2 = int(rng.integers(4, 25))
+            l = int(rng.integers(20, 101))
+            st = int(rng.integers(0, 101 - l))
+            tbs1, tbs2 = dl_tbs(mcs1, l), dl_tbs(mcs2, l)
+            if tbs1 == 0 or tbs2 == 0:
+                continue
+            grant = DlGrant2(prb=tuple(range(st, st + l)),
+                             mod1=dl_mcs_to_mod(mcs1), tbs1=tbs1,
+                             mod2=dl_mcs_to_mod(mcs2), tbs2=tbs2,
+                             pmi=int(rng.integers(0, 3)), rnti=0x46)
+            tb1 = rng.integers(0, 2, tbs1).astype(np.uint8)
+            tb2 = rng.integers(0, 2, tbs2).astype(np.uint8)
+            grid = pdsch_encode2_np(cell, sf_idx, 1, grant, tb1, tb2)
+            full = np.zeros((2, cell.nsymb_per_sf, cell.nof_re_per_symbol),
+                            np.complex64)
+            full += grid
+            put_crs_np(full, cell, sf_idx)
+            tx = np.asarray(ofdm_tx_sf(ofdm, full))
+            rx = np.einsum("rp,pt->rt", h, tx)
+            rx = _awgn(rng, rx, NOISE_AMP / 2)
+            mix.append((rx, sf_idx, grant, tb1, tb2))
+
+    mm = (mix * (-(-W // len(mix))))[:W]
+    samples = np.stack([m[0] for m in mm])
+    sfs = [m[1] for m in mm]
+    grants = [m[2] for m in mm]
+    ue = WindowedUeDlMimo(cell, cfi=1, w=W, max_iterations=6)
+    t = time.time()
+    res, _ = ue.decode_window(samples, sfs, grants)
+    n_ok = sum(r[0][1] + r[1][1] for r in res)
+    log(f"window_mimo compile+first: {time.time()-t:.1f}s cw_ok={n_ok}/{2*W}")
+    for m, r in zip(mm, res):
+        if r[0][1]:
+            assert np.array_equal(r[0][0], m[3]), "mimo cw1 mismatch"
+        if r[1][1]:
+            assert np.array_equal(r[1][0], m[4]), "mimo cw2 mismatch"
+    pend = deque()
+    best = float("inf")
+    for _ in range(3):
+        t = time.time()
+        n = 4
+        for _ in range(n):
+            pend.append(ue.dispatch_window(samples, sfs, grants))
+            if len(pend) > 3:
+                ue.results(pend.popleft())
+        while pend:
+            ue.results(pend.popleft())
+        best = min(best, (time.time() - t) / n)
+    rtf = 1e-3 / (best / W)
+    log(f"window_mimo_rtf: W={W} {best/W*1e3:.2f} ms/TTI (2 codewords each) "
+        f"-> {rtf:.2f}x realtime")
+    return rtf
+
+
 def bench_window_ul_rtf(jax, jnp, rng):
     """eNB-side windowed PUSCH: W mixed-width/MCS UL grants per dispatch
     (multi-UE uplink), Bluestein IDFT de-precoding, shared stage C."""
@@ -470,6 +549,7 @@ def main():
         ("dynamic_rtf", bench_dynamic_rtf),
         ("window_rtf", bench_window_rtf),
         ("window_ul_rtf", bench_window_ul_rtf),
+        ("window_mimo_rtf", bench_window_mimo_rtf),
     ):
         try:
             r = fn(jax, jnp, rng)
@@ -481,7 +561,8 @@ def main():
             log(f"{name} FAILED: {type(e).__name__}: {str(e)[:300]}")
 
     units = {"dynamic_rtf": "x realtime", "window_rtf": "x realtime",
-             "window_ul_rtf": "x realtime", "carriers_per_chip": "carriers"}
+             "window_ul_rtf": "x realtime", "window_mimo_rtf": "x realtime",
+             "carriers_per_chip": "carriers"}
     notes = {
         "dynamic_rtf": "per-TTI latency path; a TRIVIAL 4-jit chain with "
                        "upload + pipelined readback measures 26-29 ms/iter "
