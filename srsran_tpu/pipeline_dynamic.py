@@ -296,7 +296,7 @@ def _build_stage_c_v2(k_bucket: int, b_bucket: int, max_iterations: int,
         packed = jnp.concatenate([
             tbp,
             tb_ok.astype(jnp.uint8)[None],
-            jnp.clip(n_it, 0, 255).astype(jnp.uint8)[None],
+            jnp.clip(jnp.max(n_it), 0, 255).astype(jnp.uint8)[None],
         ])
         return packed, new_soft
 

@@ -56,21 +56,30 @@ def test_window_decodes_random_mix():
 
 def test_window_compile_budget():
     """The windowed pipeline's core contract: a fresh random mix every
-    window, yet the program set never grows — each stage jit holds
-    exactly ONE executable after any number of windows."""
+    window, yet the program set stays bounded — stage A/B hold exactly
+    ONE executable each, and stage C at most one per dense-occupancy
+    bucket (slot count / layout-class count / fold depth)."""
+    from srsran_tpu.pipeline_window import _build_win_c
+
     rng = np.random.default_rng(11)
     cell = Cell(nof_prb=25, nof_ports=1, id=5)
     ofdm = OfdmConfig.from_cell(cell, normalize=True)
     ue = WindowedUeDl(cell, cfi=1, w=2, max_iterations=2)
 
+    before = _build_win_c.cache_info().currsize
+    keys = set()
     for _ in range(3):
         mix = _mix(cell, rng, 2, ofdm)
         samples = np.stack([m[0] for m in mix])[:, None, :]
-        res, _ = ue.decode_window(samples, [m[1] for m in mix],
-                                  [m[2] for m in mix])
+        p = ue.dispatch_window(samples, [m[1] for m in mix],
+                               [m[2] for m in mix])
+        keys.add(p.pack.key)
+        res = ue.results(p)
         assert all(r[1] for r in res)
-    for stage in (ue._a, ue._b, ue._c):
+    for stage in (ue._a, ue._b):
         assert stage._cache_size() == 1, stage
+    grown = _build_win_c.cache_info().currsize - before
+    assert grown <= len(keys) <= 3
 
 
 def test_bluestein_idft_matches_matrix():
