@@ -41,6 +41,7 @@ BASELINES = {
     "turbo": 150.0,         # README.md:29
     "dynamic_rtf": 1.0,     # real-time = 1 TTI / ms (cc_worker budget)
     "window_rtf": 1.0,      # same budget, windowed multi-TTI pipeline
+    "window_onchip_rtf": 1.0,  # device-compute-only realtime factor
     "window_ul_rtf": 1.0,   # eNB-side windowed PUSCH (multi-UE uplink)
     "window_mimo_rtf": 1.0,  # 2-codeword TM4 windows (the 150 Mbps config)
     # the reference sustains one real-time 20 MHz carrier per machine;
@@ -475,8 +476,54 @@ def bench_window_rtf(jax, jnp, rng):
         best = min(best, (time.time() - t) / n)
     rtf = 1e-3 / (best / W)
     log(f"window_rtf: W={W} {best*1e3:.1f} ms/window -> {best/W*1e3:.2f} ms/TTI "
-        f"-> {rtf:.2f}x realtime (3 programs total)")
-    return rtf
+        f"-> {rtf:.2f}x realtime")
+
+    # --- on-chip device time (the cc_worker.cc 1 ms budget question,
+    # separated from this tunnel's ~25 ms-RTT host link): per-stage
+    # timings with device-resident inputs ---
+    from srsran_tpu.pipeline_window import (
+        _assemble_soft, _quantize_ingest, _stacker, pack_window)
+
+    samples_q, scale = _quantize_ingest(samples, ue.ingest)
+    refs_d = _stacker(W)(*[ue._ref(s) for s in sfs])
+    idx_cls, cls_re, n_res = ue._re_classes(sfs, grants)
+    signs_d = _stacker(W)(*[ue._signs(g.rnti, s)
+                            for s, g in zip(sfs, grants)])
+    pk = pack_window([(g.tbs, n_res[i] * g.qm, g.qm, 0)
+                      for i, g in enumerate(grants)])
+    bpar = np.array([[n_res[i], g.qm, cls_re[i]]
+                     for i, g in enumerate(grants)], np.int32)
+    pdev = jnp.asarray(np.concatenate([bpar.reshape(-1), pk.params]))
+    sq, sc = jnp.asarray(samples_q), jnp.asarray(scale)
+    bp = pdev[: 3 * W].reshape(W, 3)
+    bfn = ue._b_for(idx_cls.shape[0])
+    cfn = ue._c_for(pk.key)
+    soft = _assemble_soft(None, pk, pk.key[1])
+
+    def stage_a():
+        return ue._a(sq, sc, refs_d)
+
+    ga, ce, nz = stage_a()
+    def stage_b():
+        return bfn(ga, ce, nz, idx_cls, bp[:, 2], bp[:, 0], bp[:, 1], signs_d)
+
+    llr = stage_b()
+    def stage_c():
+        return cfn(llr, pdev[3 * W:], soft)
+
+    parts = {}
+    for nm, f in (("A", stage_a), ("B", stage_b), ("C", stage_c)):
+        r = f()
+        sync(r[0] if isinstance(r, tuple) else r)
+        t = time.time()
+        for _ in range(10):
+            r = f()
+        sync(r[0] if isinstance(r, tuple) else r)
+        parts[nm] = (time.time() - t) / 10
+    onchip_ms = sum(parts.values()) * 1e3 / W
+    log(f"window on-chip: A={parts['A']*1e3:.1f} B={parts['B']*1e3:.1f} "
+        f"C={parts['C']*1e3:.1f} ms/window -> {onchip_ms:.2f} ms/TTI")
+    return rtf, 1.0 / onchip_ms, parts
 
 
 def bench_window_mimo_rtf(jax, jnp, rng):
@@ -629,6 +676,7 @@ def main():
 
     rng = np.random.default_rng(0)
     results = {}
+    stage_parts = None
     for name, fn in (
         ("ue_dl_siso", bench_ue_dl_siso),
         ("ue_dl_mimo", bench_ue_dl_mimo),
@@ -646,6 +694,8 @@ def main():
             r = fn(jax, jnp, rng)
             if name == "ue_dl_siso":
                 results[name], results["carriers_per_chip"] = r
+            elif name == "window_rtf":
+                results[name], results["window_onchip_rtf"], stage_parts = r
             else:
                 results[name] = r
         except Exception as e:  # never lose the other rows
@@ -653,16 +703,25 @@ def main():
 
     units = {"dynamic_rtf": "x realtime", "window_rtf": "x realtime",
              "window_ul_rtf": "x realtime", "window_mimo_rtf": "x realtime",
-             "carriers_per_chip": "carriers"}
+             "window_onchip_rtf": "x realtime", "carriers_per_chip": "carriers"}
     notes = {
         "dynamic_rtf": "per-TTI latency path; a TRIVIAL 4-jit chain with "
                        "upload + pipelined readback measures 26-29 ms/iter "
                        "on this tunneled chip, so this is within ~5 ms of "
                        "the host-link floor — compute is not the limit",
-        "window_rtf": "adversarial random-grant mix, W=64 TTIs/dispatch, 3 "
-                      "XLA programs total; on-chip compute ~5 ms/TTI "
-                      "(static-config path sustains 6+ carriers real-time)",
+        "window_rtf": "adversarial random-grant mix, W=64 TTIs/dispatch, "
+                      "wall-clock through the tunneled host link (ingest "
+                      "upload + packed readback serialize against compute "
+                      "on this link); see window_onchip_rtf for the "
+                      "device-compute capability",
     }
+    if "window_onchip_rtf" in results and stage_parts is not None:
+        notes["window_onchip_rtf"] = (
+            "device-time per stage for one W=64 window: "
+            f"front-end(OFDM+chest) {stage_parts['A']*1e3:.1f} ms, "
+            f"equalize+demod {stage_parts['B']*1e3:.1f} ms, "
+            f"de-RM+turbo+CRC {stage_parts['C']*1e3:.1f} ms — the "
+            "cc_worker.cc 1 ms/TTI budget question, un-tunneled")
     all_metrics = [
         {
             "metric": name,

@@ -1,17 +1,18 @@
 #!/usr/bin/env python
-"""npdsch_ue — NB-IoT downlink receiver: acquire the anchor carrier
-(NPSS → NSSS → MIB-NB from the NPBCH), then receive an NPDCCH-scheduled
-NPDSCH transport block (the `lib/examples/npdsch_ue.c` analog).
+"""npdsch_ue — NB-IoT downlink receiver from RAW baseband: acquire the
+anchor carrier from 1.92 Msps samples (NPSS timing correlation + CFO
+from the NPSS symbol structure → NSSS → MIB-NB), then receive an
+NPDCCH-scheduled NPDSCH transport block (the `lib/examples/npdsch_ue.c`
+analog, `ue_sync_nbiot.c` acquisition included — no grid oracle).
 
-The facade operates on per-subframe RE grids of the 180 kHz anchor
-carrier (n_sf, 14, 12):
-
-  python examples/npdsch_ue.py -i anchor_grids.npy -r 0x85
-  python examples/npdsch_ue.py --selftest          # generate + decode
+  python examples/npdsch_ue.py -i capture.cf32 -r 0x85   # raw cf32
+  python examples/npdsch_ue.py --grids anchor_grids.npy  # aligned grids
+  python examples/npdsch_ue.py --selftest   # generate raw + impair + decode
 
 `--selftest` builds a full anchor stream (NPBCH sf0, NPDCCH sf1, NPDSCH
-sf2-3, NPSS sf5, NSSS sf9), impairs it, and runs the complete receive
-chain — the npdsch_enodeb.c + npdsch_ue.c loop in one process.
+sf2-3, NPSS sf5, NSSS sf9), modulates it to raw samples, applies timing
+offset + CFO + noise, and runs the complete sample-level receive chain —
+the npdsch_enodeb.c + npdsch_ue.c loop in one process.
 """
 
 from __future__ import annotations
@@ -50,17 +51,24 @@ def _selftest_stream(rng):
     for s in range(2):
         frames[2 + s].reshape(-1)[idx] = data[s]
         put_nrs_np(frames[2 + s], ncell, 2 + s)
-    h = np.complex64(0.8 * np.exp(-0.5j))
-    noise = (rng.standard_normal(frames.shape)
-             + 1j * rng.standard_normal(frames.shape)).astype(np.complex64)
-    return frames * h + 0.03 * noise, rnti, tb
+    from srsran_tpu.phy.ue.ue_sync_nbiot import nbiot_modulate_np
+
+    tx = nbiot_modulate_np(np.tile(frames, (4, 1, 1)))
+    n = np.arange(len(tx))
+    rx = tx * np.exp(2j * np.pi * 0.015 * n / 128) * np.complex64(0.8 * np.exp(-0.5j))
+    rx = np.concatenate([np.zeros(1234, np.complex64), rx])
+    noise = (rng.standard_normal(len(rx))
+             + 1j * rng.standard_normal(len(rx))).astype(np.complex64)
+    return (rx + 0.02 * noise).astype(np.complex64), rnti, tb
 
 
 def main(argv=None):
     from srsran_tpu.phy.ue.ue_nbiot import nbiot_ue_acquire, nbiot_ue_rx_data
+    from srsran_tpu.phy.ue.ue_sync_nbiot import nbiot_acquire_raw
 
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("-i", "--input", help=".npy anchor grid stream (n_sf, 14, 12)")
+    ap.add_argument("-i", "--input", help="raw cf32 capture at 1.92 Msps")
+    ap.add_argument("--grids", help=".npy anchor grid stream (n_sf, 14, 12)")
     ap.add_argument("-r", "--rnti", type=lambda s: int(s, 0), default=0x85)
     ap.add_argument("--ctrl-sf", type=int, default=1, help="NPDCCH subframe index")
     ap.add_argument("--data-sf", type=int, default=2, help="first NPDSCH subframe")
@@ -69,17 +77,29 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     tb_expect = None
+    raw = None
     if args.selftest:
-        rx, rnti, tb_expect = _selftest_stream(np.random.default_rng(11))
+        raw, rnti, tb_expect = _selftest_stream(np.random.default_rng(11))
     elif args.input:
-        rx, rnti = np.load(args.input), args.rnti
+        raw, rnti = np.fromfile(args.input, np.complex64), args.rnti
+    elif args.grids:
+        rx, rnti = np.load(args.grids), args.rnti
     else:
-        raise SystemExit("need -i FILE or --selftest")
+        raise SystemExit("need -i FILE, --grids FILE or --selftest")
 
-    cell = nbiot_ue_acquire(rx)
-    if cell is None:
-        print("no NB-IoT cell found")
-        return 1
+    if raw is not None:
+        res = nbiot_acquire_raw(raw)
+        if res is None:
+            print("no NB-IoT cell found (raw acquisition)")
+            return 1
+        cell, rx = res.cell, res.grids
+        print(f"sync: timing {res.timing} samples, CFO {res.cfo * 15e3:+.0f} Hz, "
+              f"NPSS PSR {res.psr:.1f}")
+    else:
+        cell = nbiot_ue_acquire(rx)
+        if cell is None:
+            print("no NB-IoT cell found")
+            return 1
     print(f"cell: N_id_ncell = {cell.n_id_ncell}, MIB-NB sfn_msb={cell.mib.sfn_msb} "
           f"op_mode={cell.mib.op_mode} (NPSS at stream sf {cell.sf5_index})")
 

@@ -231,8 +231,9 @@ class EnbStack:
                  enb_id: int = 0x19B, tdd_cfg: tdd.TddConfig | None = None,
                  scell: Cell | None = None, srs_enabled: bool = False,
                  sr_enabled: bool = False, tm: int = 2, ul_ca: bool = False,
-                 dynamic_phy: bool = False):
+                 dynamic_phy: bool = False, earfcn: int = 3400):
         self.sr_enabled = sr_enabled
+        self.earfcn = earfcn  # this cell's DL carrier (inter-freq mobility)
         # dynamic_phy: decode UCI-free PUSCH TTIs on the bucketed TPU
         # pipeline (pipeline_dynamic.DynamicEnbUl); host path otherwise
         self._dyn_ul = None
@@ -538,6 +539,17 @@ class EnbStack:
         self.tti += 1
         return dl
 
+    def _in_meas_gap(self, tti: int) -> bool:
+        """True when connected UEs are away on a measurement gap (the
+        eNB configured the gaps, so it knows not to schedule then)."""
+        if self.meas_cfg is None:
+            return False
+        gap = rrc.meas_config_gap(self.meas_cfg)
+        if gap is None:
+            return False
+        period, offset = gap
+        return (tti - offset) % period < 6
+
     def _maybe_s1_handover(self, ue: _EnbUe, results: dict):
         """Source side of an S1 handover (rrc_mobility.cc S1 path): the
         reported PCI maps to a configured neighbour eNB, so ask the MME."""
@@ -580,7 +592,9 @@ class EnbStack:
         self.sched.ue_cfg(ue.crnti)
         self.sched.bearer_ue_cfg(ue.crnti, LCID_SRB1, ue.srb1_rlc)
         rrc_cmd = rrc.pack_reconfiguration(
-            mob_ctrl=rrc.make_mobility_control(self.cell.id, ue.crnti, HO_CF_PREAMBLE),
+            mob_ctrl=rrc.make_mobility_control(
+                self.cell.id, ue.crnti, HO_CF_PREAMBLE,
+                carrier_arfcn=self.earfcn),
             transaction_id=3,
             security_ho_ncc=ies["security_context"]["next_hop_chaining_count"],
         )
@@ -1069,7 +1083,13 @@ class EnbStack:
             # 2. normal DL scheduling (one grant/TTI, MAC PDUs from RLC
             # bearers); TDD: D subframes only — DwPTS TBS shrink would
             # truncate scheduler-sized PDUs
-            if sftype == tdd.SfType.D:
+            if sftype == tdd.SfType.D and not (
+                    self._in_meas_gap(tti)
+                    or self._in_meas_gap(tdd.ack_tti(self.tdd, tti))):
+                # connected UEs with a measGapConfig are away from this
+                # carrier during gap subframes (and cannot PUCCH-ack a
+                # PDSCH whose ACK occasion lands in one) — the reference
+                # scheduler skips them the same way (scheduler_ue.cc)
                 from ..phy.phch.pdsch import pdsch_nof_re
 
                 n_re = pdsch_nof_re(self.cell, sf_idx, self.cfi,
@@ -1094,7 +1114,9 @@ class EnbStack:
             # grant to connected UEs (the SR/semi-persistent stand-in —
             # the reference's UE would send a PUCCH SR instead); only on
             # grant-opportunity subframes (Table 8-2)
-            if ul_delay is not None:
+            if ul_delay is not None and not (
+                    self._in_meas_gap(tti)
+                    or self._in_meas_gap(tti + ul_delay)):
                 ul_grants = self.sched.get_ul_sched(tti)
                 active = sorted(self.ues)
                 pace_ok = (tti % 3 == 2) if self.tdd is None else True
@@ -1302,9 +1324,15 @@ class UeStack:
     def __init__(self, cell: Cell, usim: Usim, cfi: int = 2, preamble: int = 17, attach_delay: int = 0,
                  tdd_cfg: tdd.TddConfig | None = None, acquire_si: bool = False,
                  srs_enabled: bool = False, sr_enabled: bool = False,
-                 tm: int = 2, nrx: int = 1, dynamic_phy: bool = False):
+                 tm: int = 2, nrx: int = 1, dynamic_phy: bool = False,
+                 earfcn: int = 3400):
         self.srs_enabled = srs_enabled
         self.sr_enabled = sr_enabled
+        # serving carrier EARFCN; inter-frequency measurements (rrc_meas.cc
+        # + scell_recv.cc roles) retune here during configured gaps
+        self.earfcn = earfcn
+        self._ifreq_hist: list = []      # gap-captured samples (target freq)
+        self._ifreq_rsrp: dict = {}      # arfcn -> [CellMeas]
         # dynamic_phy: run single-codeword PDSCH decodes on the bucketed
         # TPU pipeline (pipeline_dynamic.DynamicUeDl) — the production
         # data path; host numpy otherwise (cheap for CPU-only tests)
@@ -1476,10 +1504,66 @@ class UeStack:
         self._t310 = -1
 
     # --- TTI processing ---
+    def tuned_earfcn(self, tti: int | None = None) -> int:
+        """The EARFCN the receiver is tuned to at `tti` — the serving
+        carrier, except during configured measurement gaps (TS 36.133
+        6 ms gaps every 40/80 ms) when an inter-frequency measObject
+        retunes it (`rrc_meas.cc` gap-based measurement; the harness
+        feeds whatever carrier this returns)."""
+        tti = self.tti if tti is None else tti
+        if self.meas_cfg is None or self.rrc_state != self.RRC_ACTIVE:
+            return self.earfcn
+        gap = rrc.meas_config_gap(self.meas_cfg)
+        if gap is None:
+            return self.earfcn
+        period, offset = gap
+        if (tti - offset) % period >= 6:
+            return self.earfcn
+        carriers = rrc.meas_config_carriers(self.meas_cfg)
+        targets = [a for a in carriers.values() if a != self.earfcn]
+        return targets[0] if targets else self.earfcn
+
+    def _gap_tti(self, tti: int, dl_samples: np.ndarray) -> None:
+        """One measurement-gap subframe: the receiver is away from the
+        serving carrier — collect the target-frequency capture; at gap
+        end (6 subframes) run the scell_recv-style search + measurement
+        and evaluate the inter-frequency A3 event."""
+        self._ifreq_hist.append(np.asarray(dl_samples))
+        self.tti += 1
+        if len(self._ifreq_hist) < 6:
+            return
+        samples = np.concatenate(self._ifreq_hist)
+        self._ifreq_hist = []
+        from ..phy.ue.intra_measure import measure_cells
+        from ..stack.rrc import meas_config_a3_offset_db
+
+        target = self.tuned_earfcn(tti)
+        neighbours = measure_cells(samples, self.cell.nof_prb)
+        self._ifreq_rsrp[target] = neighbours
+        serving = getattr(self, "_dl_rsrp_dbfs", None)
+        if (serving is None or not neighbours
+                or tti < self._meas_prohibit_tti):
+            return
+        a3 = meas_config_a3_offset_db(self.meas_cfg)
+        best = max(neighbours, key=lambda c: c.rsrp_dbfs)
+        if best.rsrp_dbfs > serving + a3:
+            carriers = rrc.meas_config_carriers(self.meas_cfg)
+            meas_id = next((m for m, a in carriers.items()
+                            if a == target), 2)
+            self._send_srb1(rrc.pack_measurement_report(
+                meas_id, serving, [(best.pci, best.rsrp_dbfs)]))
+            self.stats["meas_report"] += 1
+            self._meas_prohibit_tti = tti + 100
+
     def run_tti(self, dl_samples: np.ndarray) -> np.ndarray | None:
         tti = self.tti
         sf_idx = tti % 10
         dl_samples = np.asarray(dl_samples)
+        if self.tuned_earfcn(tti) != self.earfcn:
+            # measurement gap: away from the serving carrier — no serving
+            # DL processing, no UL transmission, no RLM accounting
+            self._gap_tti(tti, dl_samples)
+            return None
         scell_samples = None
         rx_ants = None
         if dl_samples.ndim == 2 and self.nrx == 2:
@@ -1911,6 +1995,9 @@ class UeStack:
         import dataclasses as _dc
 
         self.stats["ho"] += 1
+        if "carrier_freq" in mci:  # inter-frequency HO: retune first
+            self.earfcn = mci["carrier_freq"]["dl_carrier_freq"]
+            self.meas_cfg = None  # gaps stop; target sends a fresh config
         self.cell = _dc.replace(self.cell, id=mci["target_pci"])
         self.crnti = mci["new_ue_id"]
         self.mac = UeMac()

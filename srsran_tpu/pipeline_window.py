@@ -179,22 +179,38 @@ def _build_win_a(cell: Cell, w: int, nof_ports: int = 1):
     return fn
 
 
-def _build_win_b(w: int, scheme: str = "port0"):
-    """Grant front-end for W TTIs: RE gather → equalize (port0 MRC or
-    TM2 SFBC combining) → demod (all constellations, one-hot select by
-    the per-TTI Qm) → CSI weight → descramble.  Emits (W, G_MAX) masked
-    LLRs."""
+def _gather_re_classes(grid_ri, ce_ri, idx_cls, cls_re):
+    """Window-global class-shared RE gather: every TTI selects one of the
+    ≤NCLS distinct (sf_idx, PRB-set) index vectors, so each gather's
+    indices are SHARED across the whole window axis (the per-TTI-indexed
+    form runs at the per-row gather rate — it was ~half of stage B's
+    49 ms/window).  Returns (y (W, nrx, RE_MAX), h (W, nrx, P, RE_MAX))
+    complex."""
+    g = _ri2c(grid_ri)   # (W, nrx, nsymb, nre)
+    c = _ri2c(ce_ri)     # (W, nrx, P, nsymb, nre)
+    gf = g.reshape(g.shape[0], g.shape[1], -1)
+    cf = c.reshape(c.shape[0], c.shape[1], c.shape[2], -1)
+    ncls = idx_cls.shape[0]
+    y = gf[:, :, idx_cls[0]]
+    h = cf[:, :, :, idx_cls[0]]
+    for v in range(1, ncls):
+        m = cls_re == v
+        y = jnp.where(m[:, None, None], gf[:, :, idx_cls[v]], y)
+        h = jnp.where(m[:, None, None, None], cf[:, :, :, idx_cls[v]], h)
+    return y, h
 
-    def one(grid_ri, ce_ri, noise, idx, n_re, qm, signs):
-        grid = _ri2c(grid_ri)
-        ce = _ri2c(ce_ri)
-        y = grid.reshape(grid.shape[0], -1)[:, idx]       # (nrx, RE_MAX)
+
+def _build_win_b(w: int, scheme: str, ncls_re: int):
+    """Grant front-end for W TTIs: class-shared RE gather → equalize
+    (port0 MRC or TM2 SFBC combining) → demod (all constellations,
+    one-hot select by the per-TTI Qm) → CSI weight → descramble.
+    Emits (W, G_MAX) masked LLRs."""
+
+    def one(y, h, noise, n_re, qm, signs):
         if scheme == "diversity":
-            h = ce.reshape(ce.shape[0], ce.shape[1], -1)[:, :, idx]
             x, csi = predecode_diversity2(y, h)
         else:
-            h = ce.reshape(ce.shape[0], ce.shape[1], -1)[:, 0, idx]
-            x, csi = predecode_single_mrc(y, h, noise)
+            x, csi = predecode_single_mrc(y, h[:, 0], noise)
         llr = jnp.zeros((G_MAX,), jnp.float32)
         for mod_c, qm_c in zip(MODS, QMS):
             lc = demod_soft(mod_c, x) * jnp.repeat(csi, qm_c)
@@ -205,8 +221,9 @@ def _build_win_b(w: int, scheme: str = "port0"):
         return jnp.where(mask, llr, 0.0)
 
     @jax.jit
-    def fn(grid_ri, ce_ri, noise, idx, n_re, qm, signs):
-        return jax.vmap(one)(grid_ri, ce_ri, noise, idx, n_re, qm, signs)
+    def fn(grid_ri, ce_ri, noise, idx_cls, cls_re, n_re, qm, signs):
+        y, h = _gather_re_classes(grid_ri, ce_ri, idx_cls, cls_re)
+        return jax.vmap(one)(y, h, noise, n_re, qm, signs)
 
     return fn
 
@@ -567,7 +584,7 @@ class WindowedUeDl:
         self.nof_ports = 2 if scheme == "diversity" else 1
         self.max_iterations = max_iterations
         self._a = _build_win_a(cell, w, self.nof_ports)
-        self._b = _build_win_b(w, scheme)
+        self._b_cache: dict = {}
         self._ref_dev: dict = {}    # sf_idx -> (4, npil, 2) device
         self._idx_dev: dict = {}    # (sf, prb) -> (RE_MAX,) device
         self._signs_dev: dict = {}  # (rnti, sf) -> (G_MAX,) int8 device
@@ -575,6 +592,28 @@ class WindowedUeDl:
 
     def _c_for(self, key):
         return _build_win_c(*key, self.max_iterations)
+
+    def _b_for(self, ncls_re: int):
+        if ncls_re not in self._b_cache:
+            self._b_cache[ncls_re] = _build_win_b(self.w, self.scheme,
+                                                  ncls_re)
+        return self._b_cache[ncls_re]
+
+    def _re_classes(self, sf_indices, grants):
+        """Distinct (sf_idx, PRB-set) classes of the window → (stacked
+        device idx table (NCLS, RE_MAX), per-TTI class vector, n_re per
+        TTI)."""
+        keys: dict = {}
+        cls_re = np.zeros(len(grants), np.int32)
+        n_re = []
+        for i, (s, g) in enumerate(zip(sf_indices, grants)):
+            k = (s, tuple(g.prb))
+            cls_re[i] = keys.setdefault(k, len(keys))
+            n_re.append(self._idx(s, tuple(g.prb))[1])
+        ncls = _bucket_of(len(keys), CLS_BUCKETS)
+        rows = [self._idx(s, prb)[0] for (s, prb) in keys]
+        rows += [rows[0]] * (ncls - len(rows))
+        return _stacker(ncls)(*rows), cls_re, n_re
 
     # -- cached device constants --
     def _ref(self, sf_idx: int):
@@ -620,16 +659,14 @@ class WindowedUeDl:
         samples_q, scale = _quantize_ingest(samples, self.ingest)
 
         refs = _stacker(w)(*[self._ref(s) for s in sf_indices])
-        idx_pairs = [self._idx(s, tuple(g.prb))
-                     for s, g in zip(sf_indices, grants)]
-        idx = _stacker(w)(*[p[0] for p in idx_pairs])
+        idx_cls, cls_re, n_res = self._re_classes(sf_indices, grants)
         signs = _stacker(w)(*[self._signs(g.rnti, s)
                               for s, g in zip(sf_indices, grants)])
 
         pack = pack_window([
-            (g.tbs, idx_pairs[i][1] * g.qm, g.qm, getattr(g, "rv", 0))
+            (g.tbs, n_res[i] * g.qm, g.qm, getattr(g, "rv", 0))
             for i, g in enumerate(grants)])
-        bpar = np.array([[idx_pairs[i][1], g.qm]
+        bpar = np.array([[n_res[i], g.qm, cls_re[i]]
                          for i, g in enumerate(grants)], np.int32)
         pdev = jnp.asarray(np.concatenate([bpar.reshape(-1), pack.params]))
         scale_d = jnp.asarray(scale)
@@ -643,10 +680,12 @@ class WindowedUeDl:
                                        PartitionSpec(sharding.spec[0])))
 
         grid_ri, ce_ri, noise = self._a(samples_q, scale_d, refs)
-        bp = pdev[: 2 * w].reshape(w, 2)
-        llr = self._b(grid_ri, ce_ri, noise, idx, bp[:, 0], bp[:, 1], signs)
+        bp = pdev[: 3 * w].reshape(w, 3)
+        llr = self._b_for(idx_cls.shape[0])(
+            grid_ri, ce_ri, noise, idx_cls, bp[:, 2], bp[:, 0], bp[:, 1],
+            signs)
         soft = _assemble_soft(softbuffer, pack, pack.key[1])
-        packed, new_soft = self._c_for(pack.key)(llr, pdev[2 * w:], soft)
+        packed, new_soft = self._c_for(pack.key)(llr, pdev[3 * w:], soft)
         return PendingWindow(packed, new_soft, pack.tbs, pack)
 
     def results(self, p: PendingWindow):
@@ -862,18 +901,14 @@ class WindowedEnbUl:
 # --------------------------------------------------------------------------
 
 
-def _build_win_b_mimo(w: int):
-    """Spatial-multiplexing grant front-end for W TTIs: joint 2x2 MMSE
-    (all 3 TM4 codebook PMIs computed + one-hot selected, or TM3
-    large-delay CDD as variant 3) → layer demap → per-codeword demod/
-    descramble.  Emits (W, 2, G_MAX) masked LLRs."""
+def _build_win_b_mimo(w: int, ncls_re: int):
+    """Spatial-multiplexing grant front-end for W TTIs: class-shared RE
+    gather → joint 2x2 MMSE (all 3 TM4 codebook PMIs computed + one-hot
+    selected, or TM3 large-delay CDD as variant 3) → layer demap →
+    per-codeword demod/descramble.  Emits (W, 2, G_MAX) masked LLRs."""
     from .phy.mimo import layerdemap, predecode_cdd2, predecode_zf_mmse
 
-    def one(grid_ri, ce_ri, noise, idx, n_re, qm1, qm2, pmi, signs1, signs2):
-        grid = _ri2c(grid_ri)
-        ce = _ri2c(ce_ri)
-        y = grid.reshape(grid.shape[0], -1)[:, idx]             # (nrx, RE_MAX)
-        h = ce.reshape(ce.shape[0], ce.shape[1], -1)[:, :, idx]  # (nrx,2,RE_MAX)
+    def one(y, h, noise, n_re, qm1, qm2, pmi, signs1, signs2):
         xs, cs = [], []
         for p in range(3):  # TM4 codebook PMIs as static variants
             xv, cv = predecode_zf_mmse(y, h, 2, noise, pmi=p)
@@ -906,9 +941,11 @@ def _build_win_b_mimo(w: int):
         ])
 
     @jax.jit
-    def fn(grid_ri, ce_ri, noise, idx, n_re, qm1, qm2, pmi, signs1, signs2):
-        return jax.vmap(one)(grid_ri, ce_ri, noise, idx, n_re, qm1, qm2,
-                             pmi, signs1, signs2)
+    def fn(grid_ri, ce_ri, noise, idx_cls, cls_re, n_re, qm1, qm2, pmi,
+           signs1, signs2):
+        y, h = _gather_re_classes(grid_ri, ce_ri, idx_cls, cls_re)
+        return jax.vmap(one)(y, h, noise, n_re, qm1, qm2, pmi,
+                             signs1, signs2)
 
     return fn
 
@@ -931,11 +968,16 @@ class WindowedUeDlMimo(WindowedUeDl):
         self.nof_ports = 2
         self.max_iterations = max_iterations
         self._a = _build_win_a(cell, w, 2)
-        self._b = _build_win_b_mimo(w)
+        self._b_cache = {}
         self._ref_dev = {}
         self._idx_dev = {}
         self._signs_dev = {}
         self.stats = {"windows": 0, "ttis": 0, "crc_ok": 0}
+
+    def _b_for(self, ncls_re: int):
+        if ncls_re not in self._b_cache:
+            self._b_cache[ncls_re] = _build_win_b_mimo(self.w, ncls_re)
+        return self._b_cache[ncls_re]
 
     def _signs_q(self, rnti: int, sf_idx: int, q: int):
         key = (rnti, sf_idx, q)
@@ -954,20 +996,18 @@ class WindowedUeDlMimo(WindowedUeDl):
         samples_q, scale = _quantize_ingest(samples, self.ingest)
 
         refs = _stacker(w)(*[self._ref(s) for s in sf_indices])
-        idx_pairs = [self._idx(s, tuple(g.prb))
-                     for s, g in zip(sf_indices, grants)]
-        idx = _stacker(w)(*[p[0] for p in idx_pairs])
+        idx_cls, cls_re, n_res = self._re_classes(sf_indices, grants)
         signs1 = _stacker(w)(*[self._signs_q(g.rnti, s, 0)
                                for s, g in zip(sf_indices, grants)])
         signs2 = _stacker(w)(*[self._signs_q(g.rnti, s, 1)
                                for s, g in zip(sf_indices, grants)])
 
         row_specs = []
-        bpar = np.zeros((w, 4), np.int32)  # n_re, qm1, qm2, pmi
+        bpar = np.zeros((w, 5), np.int32)  # n_re, qm1, qm2, pmi, cls_re
         for i, g in enumerate(grants):
-            n_re = idx_pairs[i][1]
+            n_re = n_res[i]
             pmi = 3 if g.tx_scheme == "cdd" else g.pmi
-            bpar[i] = (n_re, g.qm1, g.qm2, pmi)
+            bpar[i] = (n_re, g.qm1, g.qm2, pmi, cls_re[i])
             row_specs.append((g.tbs1, n_re * g.qm1, g.qm1, g.rv1))
             row_specs.append((g.tbs2, n_re * g.qm2, g.qm2, g.rv2))
         pack = pack_window(row_specs)
@@ -975,12 +1015,13 @@ class WindowedUeDlMimo(WindowedUeDl):
 
         grid_ri, ce_ri, noise = self._a(
             jnp.asarray(samples_q), jnp.asarray(scale), refs)
-        bp = pdev[: 4 * w].reshape(w, 4)
-        llr2 = self._b(grid_ri, ce_ri, noise, idx, bp[:, 0], bp[:, 1],
-                       bp[:, 2], bp[:, 3], signs1, signs2)
+        bp = pdev[: 5 * w].reshape(w, 5)
+        llr2 = self._b_for(idx_cls.shape[0])(
+            grid_ri, ce_ri, noise, idx_cls, bp[:, 4], bp[:, 0], bp[:, 1],
+            bp[:, 2], bp[:, 3], signs1, signs2)
         llr = llr2.reshape(2 * w, G_MAX)
         soft = _assemble_soft(softbuffer, pack, pack.key[1])
-        packed, new_soft = self._c_for(pack.key)(llr, pdev[4 * w:], soft)
+        packed, new_soft = self._c_for(pack.key)(llr, pdev[5 * w:], soft)
         return PendingWindow(packed, new_soft, pack.tbs, pack)
 
     def results(self, p: PendingWindow):

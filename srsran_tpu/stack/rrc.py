@@ -518,10 +518,57 @@ def pack_reconfiguration(
 
 
 def make_meas_config(carrier_arfcn: int = 3400, a3_offset_db: int = 3,
-                     hysteresis_db: float = 0.0, meas_id: int = 1) -> dict:
-    """Intra-frequency A3 measurement config (rrc_mobility.cc
-    fill_meas_cfg: one measObjectEUTRA + one reportConfig eventA3 +
-    one measId).  Offsets are in dB; the IE carries 0.5 dB steps."""
+                     hysteresis_db: float = 0.0, meas_id: int = 1,
+                     inter_freq_arfcn: int | None = None,
+                     gap_pattern: str = "gp0", gap_offset: int = 0) -> dict:
+    """A3 measurement config (rrc_mobility.cc fill_meas_cfg: one
+    measObjectEUTRA + one reportConfig eventA3 + one measId).  Offsets
+    are in dB; the IE carries 0.5 dB steps.
+
+    With `inter_freq_arfcn`, adds a second measObjectEUTRA at that
+    carrier (measId 2 on the same A3 report config) and a measGapConfig
+    — gp0 = 6 ms gap every 40 ms, gp1 = every 80 ms (TS 36.133 §8.1.2.1;
+    `rrc_meas.cc` inter-frequency path)."""
+    cfg = _make_meas_config_base(carrier_arfcn, a3_offset_db,
+                                 hysteresis_db, meas_id)
+    if inter_freq_arfcn is not None:
+        cfg["meas_obj_to_add_mod_list"].append({
+            "meas_obj_id": 2,
+            "meas_obj": ("meas_obj_eutra", {
+                "carrier_freq": inter_freq_arfcn,
+                "allowed_meas_bw": "mbw50",
+                "presence_ant_port1": False,
+                "neigh_cell_cfg": 0b01,
+            }),
+        })
+        cfg["meas_id_to_add_mod_list"].append(
+            {"meas_id": meas_id + 1, "meas_obj_id": 2, "report_cfg_id": 1})
+        cfg["meas_gap_cfg"] = ("setup",
+                               {"gap_offset": (gap_pattern, gap_offset)})
+    return cfg
+
+
+def meas_config_gap(meas_cfg: dict):
+    """(period_ms, offset) of the configured measurement gap pattern, or
+    None — gaps are 6 ms long (TS 36.133 MGL)."""
+    g = meas_cfg.get("meas_gap_cfg")
+    if not g or g[0] != "setup":
+        return None
+    pat, off = g[1]["gap_offset"]
+    return (40 if pat == "gp0" else 80, off)
+
+
+def meas_config_carriers(meas_cfg: dict) -> dict:
+    """{meas_id: carrier ARFCN} across the config's measObjects."""
+    objs = {o["meas_obj_id"]: o["meas_obj"][1]["carrier_freq"]
+            for o in meas_cfg.get("meas_obj_to_add_mod_list", [])}
+    return {m["meas_id"]: objs[m["meas_obj_id"]]
+            for m in meas_cfg.get("meas_id_to_add_mod_list", [])
+            if m["meas_obj_id"] in objs}
+
+
+def _make_meas_config_base(carrier_arfcn: int, a3_offset_db: float,
+                           hysteresis_db: float, meas_id: int) -> dict:
     return {
         "meas_obj_to_add_mod_list": [{
             "meas_obj_id": 1,
@@ -559,10 +606,21 @@ def meas_config_a3_offset_db(meas_cfg: dict) -> float:
 
 
 def make_mobility_control(target_pci: int, new_crnti: int, preamble: int,
-                          root_seq_idx: int = 0) -> dict:
-    """mobilityControlInfo for an intra-frequency handover with a
-    contention-free dedicated preamble (rrc_mobility.cc
-    fill_mobility_reconf -> mob_ctrl_info)."""
+                          root_seq_idx: int = 0,
+                          carrier_arfcn: int | None = None) -> dict:
+    """mobilityControlInfo for a handover with a contention-free
+    dedicated preamble (rrc_mobility.cc fill_mobility_reconf ->
+    mob_ctrl_info).  `carrier_arfcn` (the target's EARFCN) makes it an
+    inter-frequency command — the UE retunes before the CF-RA."""
+    mci = _make_mobility_control_base(target_pci, new_crnti, preamble,
+                                      root_seq_idx)
+    if carrier_arfcn is not None:
+        mci["carrier_freq"] = {"dl_carrier_freq": carrier_arfcn}
+    return mci
+
+
+def _make_mobility_control_base(target_pci: int, new_crnti: int,
+                                preamble: int, root_seq_idx: int) -> dict:
     return {
         "target_pci": target_pci,
         "t304": "ms100",

@@ -159,3 +159,79 @@ def test_s1_inter_enb_handover():
         if spgw.sgi_rx:
             break
     assert spgw.sgi_rx and spgw.sgi_rx[-1][1] == b"\xee" * 45
+
+
+def test_inter_frequency_handover():
+    """Inter-frequency S1 handover with measurement gaps (rrc_meas.cc
+    inter-freq path + scell_recv.cc): eNB A (EARFCN 3400) configures a
+    second measObjectEUTRA at eNB B's carrier (EARFCN 2850) plus a gp0
+    gap pattern; during each 6 ms gap the UE retunes, searches the other
+    carrier blind (scell_recv role), and on A3 sends a report on measId 2.
+    The S1 HO command carries the target carrierFreq; the UE retunes and
+    completes CF-RA at B.  Traffic flows on the new carrier."""
+    cell_a = Cell(nof_prb=6, nof_ports=1, id=1)
+    cell_b = Cell(nof_prb=6, nof_ports=1, id=2)
+    EARFCN_A, EARFCN_B = 3400, 2850
+    hss = Hss()
+    hss.add_subscriber(Subscriber("ue1", IMSI, KEY, OPC, amf=b"\x80\x00", sqn=0))
+    spgw = Spgw()
+    mme = Mme(hss, spgw)
+    enb_a = EnbStack(cell_a, mme, spgw, mcs=5, enb_id=0x19B, earfcn=EARFCN_A)
+    enb_b = EnbStack(cell_b, mme, spgw, mcs=5, crnti=0x70, enb_id=0x19C,
+                     earfcn=EARFCN_B)
+    import srsran_tpu.stack.rrc as rrc
+
+    enb_a.meas_cfg = rrc.make_meas_config(
+        carrier_arfcn=EARFCN_A, a3_offset_db=-10.0,
+        inter_freq_arfcn=EARFCN_B, gap_pattern="gp0", gap_offset=7)
+    enb_a.s1_neighbors = {cell_b.id: enb_b.enb_id}
+    enb_b.s1_neighbors = {cell_a.id: enb_a.enb_id}
+    ue = UeStack(cell_a, Usim(IMSI, KEY, OPC), earfcn=EARFCN_A)
+
+    ul = None
+
+    def step():
+        nonlocal ul
+        ul_a = ul if ue.earfcn == EARFCN_A else None
+        ul_b = ul if ue.earfcn == EARFCN_B else None
+        dl_a = enb_a.run_tti(ul_a)
+        dl_b = enb_b.run_tti(ul_b)
+        # the UE hears whichever carrier it is tuned to (gaps retune it)
+        dl = dl_a if ue.tuned_earfcn() == EARFCN_A else dl_b
+        ul = ue.run_tti(dl)
+
+    for _ in range(150):
+        step()
+        if ue.rrc_state == UeStack.RRC_ACTIVE and ue.nas.state == ue.nas.REGISTERED:
+            break
+    assert ue.nas.state == ue.nas.REGISTERED
+    assert ue.meas_cfg is not None
+    assert rrc.meas_config_gap(ue.meas_cfg) == (40, 7)
+
+    # B is a different carrier: the UE only ever sees it inside gaps
+    for _ in range(500):
+        step()
+        if ue.stats["ho"] and not enb_a.ues:
+            break
+    assert ue.stats["meas_report"] >= 1, "inter-freq A3 report not sent"
+    assert ue.stats["ho"] == 1
+    assert ue.earfcn == EARFCN_B, "UE must retune to the target carrier"
+    assert ue.cell.id == cell_b.id
+    assert ue.rrc_state == UeStack.RRC_ACTIVE
+    assert not enb_a.ues, "source eNB must be released by the MME"
+    mme_ue = next(iter(mme.ues.values()))
+    assert mme_ue.serving_enb_id == enb_b.enb_id
+
+    # user plane on the new carrier
+    spgw.sgi_tx(ue.ue_ip, b"\xab" * 40)
+    for _ in range(40):
+        step()
+        if ue.ip_rx:
+            break
+    assert ue.ip_rx == [b"\xab" * 40]
+    ue.send_ip_packet(b"\xcd" * 36)
+    for _ in range(40):
+        step()
+        if spgw.sgi_rx:
+            break
+    assert spgw.sgi_rx and spgw.sgi_rx[-1][1] == b"\xcd" * 36

@@ -240,3 +240,45 @@ def test_nbiot_ue_facade_acquire_and_data():
     dci_hat, tb_hat, ok = nbiot_ue_rx_data(rx[1], rx[2:4], cell, rnti, 1, 2)
     assert ok and dci_hat == dci
     np.testing.assert_array_equal(tb_hat, tb)
+
+
+def test_nbiot_raw_sample_acquisition():
+    """ue_sync_nbiot.c / ue_cell_search_nbiot.c analog: acquire from RAW
+    1.92 Msps baseband — unknown timing offset, CFO, channel phase —
+    via NPSS time correlation + NPSS-based CFO estimation, then NSSS +
+    MIB-NB through the grid chain.  No grid oracle anywhere."""
+    from srsran_tpu.phy.phch.npbch import MibNb, npbch_encode_np, npbch_re_indices, put_nrs_np
+    from srsran_tpu.phy.sync.nbiot import put_npss_grid, put_nsss_grid
+    from srsran_tpu.phy.ue.ue_sync_nbiot import (
+        SF_LEN, nbiot_acquire_raw, nbiot_cell_search_scan, nbiot_modulate_np)
+
+    rng = np.random.default_rng(3)
+    ncell = 257
+    mib = MibNb(sfn_msb=5, op_mode=2)
+    frame = np.zeros((10, 14, 12), np.complex64)
+    frame[0].reshape(-1)[npbch_re_indices(ncell)] = npbch_encode_np(mib, ncell)[0]
+    put_nrs_np(frame[0], ncell, 0)
+    put_npss_grid(frame[5])
+    put_nsss_grid(frame[9], ncell, 0)
+    tx = nbiot_modulate_np(np.tile(frame, (4, 1, 1)))
+
+    # impairments: timing offset, 300 Hz CFO (0.02 subcarrier), phase, AWGN
+    cfo_norm = 0.02
+    n = np.arange(len(tx))
+    rx = tx * np.exp(2j * np.pi * cfo_norm * n / 128) * np.exp(0.7j) * 0.8
+    rx = np.concatenate([np.zeros(777, np.complex64), rx])
+    rx = (rx + 0.02 * (rng.standard_normal(len(rx))
+                       + 1j * rng.standard_normal(len(rx)))).astype(np.complex64)
+
+    res = nbiot_acquire_raw(rx)
+    assert res is not None, "raw acquisition failed"
+    assert res.cell.n_id_ncell == ncell
+    assert res.cell.mib == mib
+    assert abs(res.cfo - cfo_norm) < 0.005
+    assert res.timing % (10 * SF_LEN) == 777 % (10 * SF_LEN)
+
+    # EARFCN scan: noise-only carrier rejected, real carrier found
+    noise = (0.1 * (rng.standard_normal(len(rx))
+                    + 1j * rng.standard_normal(len(rx)))).astype(np.complex64)
+    found = nbiot_cell_search_scan({2506: noise, 2510: rx})
+    assert [e for e, _ in found] == [2510]
