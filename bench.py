@@ -122,8 +122,9 @@ def bench_ue_dl_siso(jax, jnp, rng):
 
 def bench_ue_dl_siso_q256(jax, jnp, rng):
     """20 MHz SISO QAM256 — the reference's 98 Mbps row (README.md:48).
-    QAM256 needs ~6 dB more SNR than QAM64; amp 0.045 ≈ 24 dB chest SNR,
-    1-2 dB over this pipeline's MCS27/256QAM waterfall."""
+    QAM256 needs ~8 dB more SNR than QAM64; amp 0.033 ≈ 26.6 dB chest
+    SNR, 1-2 dB over this pipeline's MCS27/256QAM waterfall (0.045 sat
+    ON the waterfall: 42/128 TBs)."""
     from srsran_tpu.phy.chest.refsignal_dl import put_crs_np
     from srsran_tpu.phy.common import Cell
     from srsran_tpu.phy.modem import Mod
@@ -144,7 +145,7 @@ def bench_ue_dl_siso_q256(jax, jnp, rng):
         tx = np.asarray(ofdm_tx_sf(ofdm, grid))[0]
 
     B = 128
-    s = _awgn(rng, np.tile(tx[None, None, :], (B, 1, 1)), 0.045)
+    s = _awgn(rng, np.tile(tx[None, None, :], (B, 1, 1)), 0.033)
     sri = jnp.asarray(np.stack([s.real, s.imag], -1).astype(np.float32))
 
     single = ue_dl_subframe(cell, 2, 1, grant, max_iterations=6)
@@ -188,7 +189,7 @@ def bench_ue_dl_mimo_q256(jax, jnp, rng):
     rx1 = np.einsum("rp,pt->rt", h, tx)
 
     B = 64
-    s = _awgn(rng, np.tile(rx1[None, :, :], (B, 1, 1)), 0.02)
+    s = _awgn(rng, np.tile(rx1[None, :, :], (B, 1, 1)), 0.016)
     sri = jnp.asarray(np.stack([s.real, s.imag], -1).astype(np.float32))
 
     single = ue_dl_subframe_mimo(cell, 2, 1, grant, max_iterations=6)
@@ -218,7 +219,9 @@ def bench_ue_dl_mimo(jax, jnp, rng):
 
     cpu = jax.devices("cpu")[0]
     cell = Cell(nof_prb=100, nof_ports=2, id=301)
-    tbs = dl_tbs(25, 100)
+    # same MCS26 operating point as the SISO row (apples-to-apples per
+    # codeword; r2 benched MCS25 here)
+    tbs = dl_tbs(26, 100)
     grant = DlGrant2(prb=tuple(range(100)), mod1=Mod.QAM64, tbs1=tbs,
                      mod2=Mod.QAM64, tbs2=tbs, pmi=1)
     tb1 = rng.integers(0, 2, tbs).astype(np.uint8)

@@ -155,11 +155,19 @@ def _window_layout(k: int) -> tuple[int, int]:
     for K=6144, B=256). Smaller K falls back to the widest-lanes layout.
     """
     if k > 2048:
+        # prefer EVEN window lengths: the Pallas MAP kernel needs lw % 2
+        # == 0, and an odd pick (e.g. 91 for K=5824) silently demoted
+        # those K to the scan path (r3 fix)
         best = None
-        for lw in range(64, 161):
+        for lw in range(64, 161, 2):
             if k % lw == 0:
                 if best is None or abs(lw - 96) < abs(best - 96):
                     best = lw
+        if best is None:
+            for lw in range(65, 161, 2):
+                if k % lw == 0:
+                    if best is None or abs(lw - 96) < abs(best - 96):
+                        best = lw
         if best is not None:
             return k // best, best
         base = 64
@@ -655,8 +663,10 @@ def dstream_tails(d_tail):
     return lx1, lz1, lx2, lz2
 
 
-@partial(jax.jit, static_argnames=("k", "max_iterations", "metric_dtype"))
-def turbo_decode(d_llr, k: int, max_iterations: int = 5, crc_table=None, metric_dtype=jnp.float32):
+@partial(jax.jit, static_argnames=("k", "max_iterations", "metric_dtype",
+                                   "backend"))
+def turbo_decode(d_llr, k: int, max_iterations: int = 5, crc_table=None,
+                 metric_dtype=jnp.float32, backend: str = "auto"):
     """Iteratively decode a batch of codeblocks.
 
     d_llr: (B, 3, K+4) float32 LLRs in d-stream layout (positive ⇒ bit 1) —
@@ -683,10 +693,10 @@ def turbo_decode(d_llr, k: int, max_iterations: int = 5, crc_table=None, metric_
 
     def one_iteration(ext2):
         x1 = sys + ext2
-        post1 = map_decoder(x1, p1, lx1_t, lz1_t, k, metric_dtype)
+        post1 = map_decoder(x1, p1, lx1_t, lz1_t, k, metric_dtype, backend)
         ext1 = post1 - x1
         in2 = sys_int + permute(ext1, per_j)
-        post2 = map_decoder(in2, p2, lx2_t, lz2_t, k, metric_dtype)
+        post2 = map_decoder(in2, p2, lx2_t, lz2_t, k, metric_dtype, backend)
         ext2_int = post2 - in2
         new_ext2 = permute(ext2_int, inv_j)
         # the full APP in natural order is the extrinsic sum — no second

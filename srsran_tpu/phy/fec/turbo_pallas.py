@@ -43,9 +43,13 @@ import os as _os
 # bf16 metric scratch halves VMEM → 4096-lane tiles → half the sequential
 # steps (the pallas grid is serial on the v5e's single core).  Costs a
 # per-step renorm + ~0.4 LLR units of storage quantisation.  Measured
-# 2026-08: the bf16 variant ALSO trips the axon remote Mosaic INTERNAL
-# error (like chunked pl.ds reads) — stays opt-in until the toolchain
-# accepts it; the f32/2048-lane default compiles and beats the scan.
+# 2026-08 (r2) and RE-TESTED 2026-08-21 (r3): the bf16 variant still
+# trips the axon remote Mosaic INTERNAL error (remote_compile HTTP 500,
+# like chunked pl.ds reads) — stays opt-in until the toolchain accepts
+# it; the f32/2048-lane default compiles and beats the scan (4.97 vs
+# 6.2 ms per 256-CB decode at K=6144).  A plain-XLA bf16 scan was also
+# measured r3: 8.7 ms — the per-step renorm it needs erases the gain,
+# so the narrow-metric path is only worth it inside VMEM.
 BF16_SCRATCH = _os.environ.get("TURBO_PALLAS_BF16", "0") == "1"
 TILE_N = 4096 if BF16_SCRATCH else 2048
 

@@ -168,3 +168,52 @@ def test_cp_detection():
         tx = tx + (rng.standard_normal(len(tx)) + 1j * rng.standard_normal(len(tx))).astype(np.complex64) * 0.05
         is_ext, m_n, m_e = cp_detect(tx, cell.symbol_sz)
         assert is_ext == expect_ext, (cp, m_n, m_e)
+
+
+def test_refsignal_dl_sync_validates_and_rejects():
+    """CRS-based fine sync (refsignal_dl_sync.c): the detected cell's
+    CRS replica correlates at the true frame boundary with an accurate
+    CFO estimate; a WRONG PCI hypothesis is rejected by the false-alarm
+    gates (decorrelated CRS)."""
+    import numpy as np
+    from srsran_tpu.phy.chest.refsignal_dl import put_crs_np
+    from srsran_tpu.phy.common import Cell
+    from srsran_tpu.phy.ofdm import OfdmConfig, ofdm_tx_sf
+    from srsran_tpu.phy.sync.pss import put_pss_grid
+    from srsran_tpu.phy.sync.refsignal_dl_sync import refsignal_dl_sync_run
+    from srsran_tpu.phy.sync.sss import put_sss_grid
+
+    rng = np.random.default_rng(5)
+    cell = Cell(nof_prb=6, nof_ports=1, id=123)
+    ofdm = OfdmConfig.from_cell(cell, normalize=True)
+    sync_sym = cell.nsymb_per_slot - 1
+    frame = []
+    for sf in range(10):
+        grid = np.zeros((1, cell.nsymb_per_sf, cell.nof_re_per_symbol),
+                        np.complex64)
+        put_crs_np(grid, cell, sf)
+        if sf in (0, 5):
+            put_pss_grid(grid[0], cell.n_id_2, cell.nof_prb, sync_sym)
+            put_sss_grid(grid[0], cell.n_id_1, cell.n_id_2, sf,
+                         cell.nof_prb, sync_sym - 1)
+        frame.append(np.asarray(ofdm_tx_sf(ofdm, grid))[0])
+    tx = np.concatenate(frame * 2)
+
+    off = 1501
+    cfo_true = 250.0  # Hz
+    n = np.arange(len(tx))
+    rx = tx * np.exp(2j * np.pi * cfo_true * n / cell.srate)
+    rx = np.concatenate([np.zeros(off, np.complex64), rx])
+    rx = (rx + 0.05 * (rng.standard_normal(len(rx))
+                       + 1j * rng.standard_normal(len(rx)))
+          ).astype(np.complex64)
+
+    res = refsignal_dl_sync_run(rx, cell)
+    assert res.found and not res.false_alarm
+    assert res.peak_index % (10 * cell.sf_len) == off
+    assert abs(res.cfo_hz - cfo_true) < 40.0
+
+    # wrong-PCI hypothesis must NOT validate
+    bad = Cell(nof_prb=6, nof_ports=1, id=124)
+    res_bad = refsignal_dl_sync_run(rx, bad)
+    assert not res_bad.found
