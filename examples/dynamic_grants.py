@@ -84,8 +84,8 @@ def main():
                       f"{'OK' if ok else 'KO'} it={n_it}")
         dt = time.time() - t0
         print(f"\n{n_ok}/{ttis} grants decoded in {ttis//W} windows of {W}, "
-              f"{bits/1e6:.2f} Mbit, {dt:.1f}s wall — exactly 3 XLA programs "
-              f"+ 2 stackers for ANY grant mix")
+              f"{bits/1e6:.2f} Mbit, {dt:.1f}s wall — fixed stage A/B programs "
+              f"+ one dense stage C per occupancy bucket, ANY grant mix")
         return
 
     ue = DynamicUeDl(cell, cfi=1)

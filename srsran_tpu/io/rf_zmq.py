@@ -118,7 +118,8 @@ class ZmqRfTx:
     dummy byte) is answered with the next pending baseband chunk."""
 
     def __init__(self, port: str, base_srate: int = ZMQ_BASERATE_DEFAULT_HZ,
-                 srate: int | None = None, fmt: str = "fc32"):
+                 srate: int | None = None, fmt: str = "fc32",
+                 timeout_ms: int = ZMQ_TIMEOUT_MS):
         import zmq
 
         self._ctx = zmq.Context.instance()
@@ -126,6 +127,7 @@ class ZmqRfTx:
         self.sock.bind(port)
         self.base_srate = base_srate
         self.srate = srate or base_srate
+        self.timeout_ms = timeout_ms
         self.enc, _, self.sample_sz = _CODECS[fmt]
         self.nsamples = 0  # base-rate sample counter (tx_t.nsamples)
 
@@ -134,10 +136,11 @@ class ZmqRfTx:
         assert self.base_srate % self.srate == 0
         return self.base_srate // self.srate
 
-    def _send_base(self, x_base: np.ndarray, timeout_ms=ZMQ_TIMEOUT_MS):
+    def _send_base(self, x_base: np.ndarray, timeout_ms=None):
         """One REQ/REP exchange: await the dummy request, reply with the
         chunk (rf_zmq_imp_tx.c:100-150)."""
-        if not self.sock.poll(timeout_ms):
+        if not self.sock.poll(timeout_ms if timeout_ms is not None
+                              else self.timeout_ms):
             raise TimeoutError("no peer request within timeout")
         req = self.sock.recv()
         assert len(req) == 1, f"unexpected request of {len(req)} bytes"
@@ -164,7 +167,8 @@ class ZmqRfRx:
     """Receiver side: ZMQ_REQ connected to the peer's tx `port`."""
 
     def __init__(self, port: str, base_srate: int = ZMQ_BASERATE_DEFAULT_HZ,
-                 srate: int | None = None, fmt: str = "fc32"):
+                 srate: int | None = None, fmt: str = "fc32",
+                 timeout_ms: int = ZMQ_TIMEOUT_MS):
         import zmq
 
         self._ctx = zmq.Context.instance()
@@ -172,6 +176,7 @@ class ZmqRfRx:
         self.sock.connect(port)
         self.base_srate = base_srate
         self.srate = srate or base_srate
+        self.timeout_ms = timeout_ms
         _, self.dec, self.sample_sz = _CODECS[fmt]
         self.next_rx_ts = 0
         self._pending = np.zeros(0, np.complex64)  # base-rate leftovers
@@ -181,7 +186,7 @@ class ZmqRfRx:
         assert self.base_srate % self.srate == 0
         return self.base_srate // self.srate
 
-    def recv(self, nsamples: int, timeout_ms=ZMQ_TIMEOUT_MS):
+    def recv(self, nsamples: int, timeout_ms=None):
         """Receive `nsamples` radio-rate samples; returns (samples,
         timestamp) with the timestamp in base-rate sample units at the
         start of the block (rf_zmq_recv_with_time_multi)."""
@@ -192,7 +197,8 @@ class ZmqRfRx:
         have = len(self._pending)
         while have < need:
             self.sock.send(b"\xff")
-            if not self.sock.poll(timeout_ms):
+            if not self.sock.poll(timeout_ms if timeout_ms is not None
+                                  else self.timeout_ms):
                 raise TimeoutError("no transmitter reply within timeout")
             data = self.dec(self.sock.recv())
             chunks.append(data)
@@ -245,3 +251,53 @@ class ZmqRf:
         for s in self.tx + self.rx:
             if s:
                 s.close()
+
+
+# --------------------------------------------------------------------------
+# radio-layer adapters: plug the fake RF under `io.radio.Radio`
+# --------------------------------------------------------------------------
+
+
+class ZmqSink:
+    """`.write(samples)` adapter so `io.radio.Radio` can transmit over
+    the fake-RF link (the reference stacks radio.cc on rf_zmq the same
+    way)."""
+
+    def __init__(self, tx: ZmqRfTx):
+        self._tx = tx
+
+    def write(self, samples):
+        self._tx.send(np.asarray(samples, np.complex64))
+
+
+class ZmqSource:
+    """`.read(n)` adapter for `Radio(source=...)`."""
+
+    def __init__(self, rx: ZmqRfRx):
+        self._rx = rx
+
+    def read(self, n):
+        samples, _ts = self._rx.recv(n)
+        return samples
+
+
+def zmq_radio(args: str, srate_hz: float, nof_channels: int = 1,
+              tx_max_gap: float = 0.1):
+    """One-call reference-style bring-up: device-args string → a
+    timestamp-aligned `Radio` speaking the wire protocol
+    (`radio::init` + `srslte_rf_open_devname("zmq", args)`)."""
+    from .radio import Radio
+
+    rf = ZmqRf(args, nof_channels)
+    rf.set_srate(int(srate_hz))
+    sinks = [ZmqSink(t) if t else _NullSink() for t in rf.tx]
+    source = ZmqSource(rf.rx[0]) if rf.rx[0] else None
+    radio = Radio(sinks, source=source, srate_hz=srate_hz,
+                  tx_max_gap=tx_max_gap)
+    radio.rf = rf  # keep the endpoints alive / closable
+    return radio
+
+
+class _NullSink:
+    def write(self, samples):
+        pass

@@ -156,3 +156,27 @@ def test_zmq_rf_facade(port_pair):
     np.testing.assert_allclose(got, 2 * x)
     rf_enb.close()
     rf_ue.close()
+
+
+def test_zmq_radio_stack(port_pair):
+    """radio.cc-on-rf_zmq stack: a timestamped Radio TX rides the wire
+    protocol; the peer's Radio rx_now sees the aligned stream."""
+    from srsran_tpu.io.rf_zmq import zmq_radio
+
+    bind, conn = port_pair
+    enb = zmq_radio(f"tx_port={bind},base_srate=1920000", srate_hz=1.92e6)
+    ue = zmq_radio(f"rx_port={conn},base_srate=1920000", srate_hz=1.92e6)
+    x = (np.arange(1920) % 7 / 7.0 + 0.5j).astype(np.complex64)
+
+    def sender():
+        enb.tx(x, timestamp=0.0)
+        enb.tx(x, timestamp=0.001)  # contiguous burst
+
+    t = threading.Thread(target=sender)
+    t.start()
+    got = ue.source.read(3840)
+    t.join()
+    np.testing.assert_allclose(got[:1920], x, atol=1e-6)
+    np.testing.assert_allclose(got[1920:], x, atol=1e-6)
+    enb.rf.close()
+    ue.rf.close()
