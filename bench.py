@@ -44,6 +44,7 @@ BASELINES = {
     "window_onchip_rtf": 1.0,  # device-compute-only realtime factor
     "window_ul_rtf": 1.0,   # eNB-side windowed PUSCH (multi-UE uplink)
     "window_mimo_rtf": 1.0,  # 2-codeword TM4 windows (the 150 Mbps config)
+    "window_dlgen_rtf": 1.0,  # eNB DL GENERATION window (sf_worker TX half)
     # the reference sustains one real-time 20 MHz carrier per machine;
     # this row is how many a single TPU chip sustains (full UE DL decode)
     "carriers_per_chip": 1.0,
@@ -485,7 +486,8 @@ def bench_window_rtf(jax, jnp, rng):
     # separated from this tunnel's ~25 ms-RTT host link): per-stage
     # timings with device-resident inputs ---
     from srsran_tpu.pipeline_window import (
-        _assemble_soft, _quantize_ingest, _stacker, pack_window)
+        _assemble_soft, _quantize_ingest, _stacker, class_tables,
+        pack_window)
 
     samples_q, scale = _quantize_ingest(samples, ue.ingest)
     refs_d = _stacker(W)(*[ue._ref(s) for s in sfs])
@@ -511,8 +513,9 @@ def bench_window_rtf(jax, jnp, rng):
         return bfn(ga, ce, nz, idx_cls, bp[:, 2], bp[:, 0], bp[:, 1], signs_d)
 
     llr = stage_b()
+    j0_tab, perq, invq = class_tables(pk)
     def stage_c():
-        return cfn(llr, pdev[3 * W:], soft)
+        return cfn(llr, pdev[3 * W:], j0_tab, perq, invq, soft)
 
     parts = {}
     for nm, f in (("A", stage_a), ("B", stage_b), ("C", stage_c)):
@@ -607,6 +610,59 @@ def bench_window_mimo_rtf(jax, jnp, rng):
     return rtf
 
 
+def bench_window_dlgen_rtf(jax, jnp, rng):
+    """eNB DL data-subframe GENERATION window (pipeline_window.
+    WindowedEnbDl): W TTIs of arbitrary grants encoded per dispatch —
+    payload→CRC/segment→dynamic-K closed-form turbo→class-shared TX rate
+    match→modulate→grid+IFFT.  Timed to a 1-scalar sync (the baseband
+    stays device-side, as it would feed a device-adjacent radio; reading
+    15.7 MB/window of samples through this tunnel is a link benchmark,
+    not a PHY one)."""
+    from srsran_tpu.phy.common import Cell
+    from srsran_tpu.phy.phch.pdsch import DlGrant
+    from srsran_tpu.phy.phch.ra import dl_mcs_to_mod, dl_tbs
+    from srsran_tpu.pipeline_window import WindowedEnbDl
+
+    cell = Cell(nof_prb=100, nof_ports=1, id=301)
+    W = 64
+    enb = WindowedEnbDl(cell, cfi=1, w=W)
+    mix = []
+    while len(mix) < 16:
+        sf_idx = int(rng.integers(0, 10))
+        mcs = int(rng.integers(0, 27))
+        l = int(rng.integers(4, 101))
+        st = int(rng.integers(0, 101 - l))
+        tbs = dl_tbs(mcs, l)
+        if tbs == 0:
+            continue
+        g = DlGrant(prb=tuple(range(st, st + l)), mod=dl_mcs_to_mod(mcs),
+                    tbs=tbs, rnti=0x46)
+        mix.append((sf_idx, g, rng.integers(0, 2, tbs).astype(np.uint8)))
+    mm = (mix * (-(-W // len(mix))))[:W]
+    sfs = [m[0] for m in mm]
+    grants = [m[1] for m in mm]
+    tbs_list = [m[2] for m in mm]
+
+    t = time.time()
+    out = enb.dispatch_window(tbs_list, sfs, grants)
+    sync(out)
+    log(f"window_dlgen compile+first: {time.time()-t:.1f}s")
+    best = float("inf")
+    for _ in range(3):
+        t = time.time()
+        n = 6
+        for _ in range(n):
+            out = enb.dispatch_window(tbs_list, sfs, grants)
+        sync(out)
+        best = min(best, (time.time() - t) / n)
+    rtf = 1e-3 / (best / W)
+    bits = sum(g.tbs for g in grants)
+    log(f"window_dlgen_rtf: W={W} {best*1e3:.1f} ms/window -> "
+        f"{best/W*1e3:.2f} ms/TTI -> {rtf:.2f}x realtime "
+        f"({bits/best/1e6:.0f} Mbps generated)")
+    return rtf
+
+
 def bench_window_ul_rtf(jax, jnp, rng):
     """eNB-side windowed PUSCH: W mixed-width/MCS UL grants per dispatch
     (multi-UE uplink), Bluestein IDFT de-precoding, shared stage C."""
@@ -692,6 +748,7 @@ def main():
         ("window_rtf", bench_window_rtf),
         ("window_ul_rtf", bench_window_ul_rtf),
         ("window_mimo_rtf", bench_window_mimo_rtf),
+        ("window_dlgen_rtf", bench_window_dlgen_rtf),
     ):
         try:
             r = fn(jax, jnp, rng)
@@ -706,7 +763,9 @@ def main():
 
     units = {"dynamic_rtf": "x realtime", "window_rtf": "x realtime",
              "window_ul_rtf": "x realtime", "window_mimo_rtf": "x realtime",
-             "window_onchip_rtf": "x realtime", "carriers_per_chip": "carriers"}
+             "window_onchip_rtf": "x realtime",
+             "window_dlgen_rtf": "x realtime",
+             "carriers_per_chip": "carriers"}
     notes = {
         "dynamic_rtf": "per-TTI latency path; a TRIVIAL 4-jit chain with "
                        "upload + pipelined readback measures 26-29 ms/iter "

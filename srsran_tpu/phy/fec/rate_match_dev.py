@@ -244,6 +244,94 @@ def _j0_variant_dev(k, f, rv, k_max: int):
     return jnp.where(ok, j0, NCB), n_valid  # NCB = dump (acc[NCB] == 0)
 
 
+def j0_variant_np(k: int, f: int, rv: int, k_max: int):
+    """Host-side `_j0_variant_dev`: the per-layout first-fold index table
+    (dflat,) int32 + n_valid, as plain numpy.
+
+    The table depends only on (k, f, rv) — ~74 KB — so windowed pipelines
+    compute it ONCE per layout class ever seen and keep it device-resident
+    (building 16 class tables on device measured 13 ms per window)."""
+    dflat = 3 * (k_max + 4)
+    NCB = ncb_max(k_max)
+    perm = np.asarray(RM_PERM_TC, np.int64)
+    inv_perm = np.empty(NCOLS, np.int64)
+    inv_perm[perm] = np.arange(NCOLS)
+
+    d = k + 4
+    r = (d + NCOLS - 1) // NCOLS
+    kp = NCOLS * r
+    nd = kp - d
+    ncb = 3 * kp
+    m = np.arange(NCB, dtype=np.int64)
+    ca = np.clip(m // r, 0, NCOLS - 1)
+    ya = (m % r) * NCOLS + perm[ca]
+    j = m - kp
+    i1 = np.maximum(j // 2, 0)
+    cb = np.clip(i1 // r, 0, NCOLS - 1)
+    yb1 = (i1 % r) * NCOLS + perm[cb]
+    yb2 = (perm[cb] + NCOLS * (i1 % r) + 1) % kp
+    is_even = (j % 2) == 0
+    stream = np.where(m < kp, 0, np.where(is_even, 1, 2))
+    y = np.where(m < kp, ya, np.where(is_even, yb1, yb2))
+    dpos = y - nd
+    valid = (y >= nd) & (m < ncb) & ~((stream < 2) & (dpos < f))
+    rank_incl = np.cumsum(valid.astype(np.int64))
+
+    n_valid = max(3 * d - 2 * f, 1)
+    k0 = r * (24 * rv + 2)
+    r0 = rank_incl[k0 - 1]
+
+    p = np.arange(dflat, dtype=np.int64)
+    stream_p = p // (k_max + 4)
+    dpos_p = p % (k_max + 4)
+    yp = dpos_p + nd
+    c01 = inv_perm[yp % NCOLS]
+    m01 = c01 * r + yp // NCOLS
+    u = (yp + kp - 1) % kp
+    m2 = inv_perm[u % NCOLS] * r + u // NCOLS
+    m_flat = np.where(stream_p == 0, m01,
+                      np.where(stream_p == 1, kp + 2 * m01, kp + 2 * m2 + 1))
+    ok = (dpos_p < d) & ~((stream_p < 2) & (dpos_p < f))
+    j0 = (rank_incl[np.clip(m_flat, 0, NCB - 1)] - 1 - r0) % n_valid
+    return np.where(ok, j0, NCB).astype(np.int32), int(n_valid)
+
+
+def tx_table_np(k: int, f: int, rv: int, k_max: int):
+    """TX-direction rate-match table for one layout class: tx_tab[j] is
+    the flat d-stream index (stream*(k_max+4) + position) of the j-th
+    transmitted bit, j in [0, n_valid) — the inverse of `j0_variant_np`
+    (position → rank).  Output index n_valid-1 at entries that would read
+    <NULL>/filler (none remain after inversion).  Repetition beyond
+    n_valid wraps via j mod n_valid on device."""
+    j0, n_valid = j0_variant_np(k, f, rv, k_max)
+    dflat = 3 * (k_max + 4)
+    d = k + 4
+    tx = np.zeros(n_valid, np.int32)
+    p = np.arange(dflat, dtype=np.int64)
+    stream = p // (k_max + 4)
+    dpos = p % (k_max + 4)
+    ok = (dpos < d) & ~((stream < 2) & (dpos < f))
+    NCB = ncb_max(k_max)
+    sel = ok & (j0 < NCB)
+    tx[j0[sel]] = p[sel].astype(np.int32)
+    return tx, n_valid
+
+
+def qpp_np(k: int, k_max: int):
+    """Host-side QPP permutation + inverse, identity beyond k (the
+    windowed pipelines cache these per CB size)."""
+    from .cbsegm import F1, F2, cb_size_index, qpp_interleaver_np
+
+    per = np.arange(k_max, dtype=np.int32)
+    inv = np.arange(k_max, dtype=np.int32)
+    p = qpp_interleaver_np(k).astype(np.int32)
+    per[:k] = p
+    inv_k = np.empty(k, np.int32)
+    inv_k[p] = np.arange(k, dtype=np.int32)
+    inv[:k] = inv_k
+    return per, inv
+
+
 def codeword_d_fill_grouped_dev(llr_pad, start, e_eff, cls, k3, f3, rv,
                                 k_max: int, rep: int):
     """De-rate-match ONE TTI's whole codeword — grouped-gather form.

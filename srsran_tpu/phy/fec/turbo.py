@@ -827,6 +827,73 @@ def turbo_encode_device(bits, k: int):
     return d
 
 
+def turbo_encode_device_dyn(bits, k_vec, perm_cls):
+    """Dynamic-K batched encoder: bits (N, K_max) uint8 (zero beyond each
+    CB's k), k_vec (N,) int32, perm_cls = (perC (NCLS, K_max) QPP tables
+    identity beyond k, cls (N,)).
+
+    Same closed-form GF(2) division as `turbo_encode_device` — fully
+    elementwise, so dynamic sizes cost nothing: positions beyond k carry
+    garbage that callers mask, and the tail registers are read at
+    [k-1, k-2, k-3] per slot.  Returns d-streams (N, 3, K_max+4) uint8
+    with each CB's 4 tail columns at [k, k+4)."""
+    t = _trellis()
+    n, k_max = bits.shape
+    perC, cls = perm_cls
+
+    u2 = bits[:, perC[0]]
+    for v in range(1, perC.shape[0]):
+        u2 = jnp.where((cls == v)[:, None], bits[:, perC[v]], u2)
+
+    p1, a1 = _rsc_parity_closed_form(bits)
+    p2, a2 = _rsc_parity_closed_form(u2)
+
+    def final_state(a):
+        idx = jnp.clip(
+            k_vec[:, None] - jnp.asarray([[1, 2, 3]]), 0, k_max - 1)
+        regs = jnp.take_along_axis(a, idx, axis=1)  # (N, 3) = r0, r1, r2
+        return regs[:, 0] + 2 * regs[:, 1] + 4 * regs[:, 2]
+
+    s1 = final_state(a1)
+    s2 = final_state(a2)
+
+    tb_bit = jnp.asarray(t["tail_bit"])
+    tb_par = jnp.asarray(t["tail_parity"])
+    tb_nxt = jnp.asarray(t["tail_next"])
+
+    def tails(s):
+        xs, zs = [], []
+        for _ in range(3):
+            xs.append(tb_bit[s])
+            zs.append(tb_par[s])
+            s = tb_nxt[s]
+        return xs, zs
+
+    x1, z1 = tails(s1)
+    x2, z2 = tails(s2)
+    # TS 36.212 tail mapping, placed at column k per slot
+    tail = jnp.stack([
+        jnp.stack([x1[0], z1[1], x2[0], z2[1]], axis=1),
+        jnp.stack([z1[0], x1[2], z2[0], x2[2]], axis=1),
+        jnp.stack([x1[1], z1[2], x2[1], z2[2]], axis=1),
+    ], axis=1).astype(jnp.uint8)  # (N, 3, 4)
+
+    pos = jnp.arange(k_max + 4)[None, :]
+    in_k = pos < k_vec[:, None]
+    d = jnp.stack([
+        jnp.where(in_k[:, : k_max], bits, 0),
+        jnp.where(in_k[:, : k_max], p1, 0),
+        jnp.where(in_k[:, : k_max], p2, 0),
+    ], axis=1)
+    d = jnp.concatenate(
+        [d, jnp.zeros((n, 3, 4), jnp.uint8)], axis=2)
+
+    def place_tail(row, tl, k):
+        return jax.lax.dynamic_update_slice(row, tl, (0, k))
+
+    return jax.vmap(place_tail)(d, tail, k_vec)
+
+
 @partial(jax.jit, static_argnames=("k",))
 def turbo_encode_device_windowed(bits, k: int):
     """Previous windowed-scan device encoder (lw + nw sequential steps),

@@ -54,12 +54,12 @@ import numpy as np
 
 from .phy.chest.chest_dl import ChestDlConfig, _chest_tables
 from .phy.common import Cell
-from .phy.fec.cbsegm import F1, F2, cb_size_index, cbsegm
-from .phy.fec.rate_match_dev import _j0_variant_dev, ncb_max, qpp_dev
+from .phy.fec.cbsegm import cbsegm
+from .phy.fec.rate_match_dev import j0_variant_np, ncb_max, qpp_np
 from .phy.fec.turbo_dyn import crc_table_ab, turbo_decode_dyn
 from .phy.mimo import predecode_diversity2, predecode_single_mrc
 from .phy.modem import Mod, demod_soft
-from .phy.ofdm import OfdmConfig, ofdm_rx_sf
+from .phy.ofdm import OfdmConfig, ofdm_rx_sf, ofdm_tx_sf
 from .phy.phch.pdsch import DlGrant, pdsch_cinit
 from .phy.phch.sch import FILLER_LLR, _e_split
 from .phy.sequence import gold_sequence_signs
@@ -76,7 +76,7 @@ MODS = (Mod.QPSK, Mod.QAM16, Mod.QAM64, Mod.QAM256)
 # stage C static-shape buckets (each combination lazily compiles once)
 CLS_BUCKETS = (4, 8, 16, 32, 64, 128)
 ECAP_BUCKETS = (16384, 49152, G_MAX)
-JFOLD_BUCKETS = (3, 11)  # log2 fold steps: rep<=8 / rep<=2048
+JFOLD_BUCKETS = (0, 3, 11)  # log2 fold steps: rep==1 / <=8 / <=2048
 TBCAP_BUCKETS = (1200, 4800, 9600, TB_BYTES)  # packed readback bytes/row
 
 
@@ -242,6 +242,8 @@ class WindowPack:
     row_start: list             # per row: first slot index
     row_ncb: list               # per row: codeblock count
     tbs: list                   # per row: TB size
+    fill_classes: list          # distinct (k, f, rv) layouts, table order
+    qpp_classes: list           # distinct k values, table order
 
 
 def pack_window(row_specs) -> WindowPack:
@@ -249,9 +251,13 @@ def pack_window(row_specs) -> WindowPack:
 
     row_specs: per codeword row (tbs, g, qm, rv) — g the codeword length
     in bits.  Returns the packed param vector + the static bucket key
-    (n_rows, n_slots, ncls_q, ncls_f, e_cap, j_fold).
+    (n_rows, n_slots, ncls_q, ncls_f, e_cap, j_fold, tb_cap).  The
+    per-class de-rate-match/QPP index tables are NOT in the params —
+    they depend only on (k, f, rv) and are cached device-resident
+    (`_j0_table_dev`/`_qpp_table_dev`; building them on device measured
+    15 ms per window).
     """
-    slots = []           # (row, off, e, k, f, crcb, cls_f, cls_q)
+    slots = []           # (row, off, e, k, f, crcb, cls_f, cls_q, nv)
     fill_cls: dict = {}  # (k, f, rv) -> id
     qpp_cls: dict = {}   # k -> id
     row_start, row_ncb, row_tbs = [], [], []
@@ -269,8 +275,8 @@ def pack_window(row_specs) -> WindowPack:
             f = segm.F if c == 0 else 0
             fc = fill_cls.setdefault((k, f, rv), len(fill_cls))
             qc = qpp_cls.setdefault(k, len(qpp_cls))
-            slots.append((r, off, es[c], k, f, crcb, fc, qc))
             nv = 3 * (k + 4) - 2 * f
+            slots.append((r, off, es[c], k, f, crcb, fc, qc, nv))
             max_e = max(max_e, es[c])
             max_rep = max(max_rep, -(-es[c] // nv))
             off += es[c]
@@ -280,46 +286,57 @@ def pack_window(row_specs) -> WindowPack:
     ncls_q = _bucket_of(len(qpp_cls), CLS_BUCKETS)
     ncls_f = _bucket_of(len(fill_cls), CLS_BUCKETS)
     e_cap = _bucket_of(max_e, ECAP_BUCKETS)
-    j_fold = _bucket_of(max(max_rep - 1, 1).bit_length(), JFOLD_BUCKETS)
+    j_fold = _bucket_of((max_rep - 1).bit_length(), JFOLD_BUCKETS)
     tb_cap = _bucket_of(-(-max(row_tbs) // 8), TBCAP_BUCKETS)
 
-    p = np.zeros(7 * n_slots + 3 * ncls_q + 3 * ncls_f + 3 * n_rows,
-                 np.int32)
-    sl = np.array(slots, np.int32).reshape(-1, 8)
+    p = np.zeros(8 * n_slots + 3 * n_rows, np.int32)
+    sl = np.array(slots, np.int32).reshape(-1, 9)
     n = len(slots)
-    pad_k = 40
     p[0:n_slots][:n] = sl[:, 0] * G_MAX + sl[:, 1]     # flat llr offset
     p[1 * n_slots:2 * n_slots][:n] = sl[:, 2]          # e (0 = unused pad)
-    p[2 * n_slots:3 * n_slots] = pad_k
+    p[2 * n_slots:3 * n_slots] = 40
     p[2 * n_slots:3 * n_slots][:n] = sl[:, 3]          # k
     p[3 * n_slots:4 * n_slots][:n] = sl[:, 4]          # f
     p[4 * n_slots:5 * n_slots][:n] = sl[:, 5]          # crcb
     p[5 * n_slots:6 * n_slots][:n] = sl[:, 6]          # cls_f
     p[6 * n_slots:7 * n_slots][:n] = sl[:, 7]          # cls_q
-    o = 7 * n_slots
-    kq = np.full(ncls_q, pad_k, np.int32)
-    for k, i in qpp_cls.items():
-        kq[i] = k
-    p[o:o + ncls_q] = kq
-    p[o + ncls_q:o + 2 * ncls_q] = [F1[cb_size_index(int(k))] for k in kq]
-    p[o + 2 * ncls_q:o + 3 * ncls_q] = [F2[cb_size_index(int(k))] for k in kq]
-    o += 3 * ncls_q
-    kf = np.full(ncls_f, pad_k, np.int32)
-    ff = np.zeros(ncls_f, np.int32)
-    rvf = np.zeros(ncls_f, np.int32)
-    for (k, f, rv), i in fill_cls.items():
-        kf[i], ff[i], rvf[i] = k, f, rv
-    p[o:o + ncls_f] = kf
-    p[o + ncls_f:o + 2 * ncls_f] = ff
-    p[o + 2 * ncls_f:o + 3 * ncls_f] = rvf
-    o += 3 * ncls_f
+    p[7 * n_slots:8 * n_slots] = 1
+    p[7 * n_slots:8 * n_slots][:n] = sl[:, 8]          # n_valid
+    o = 8 * n_slots
     p[o:o + n_rows] = row_tbs
     p[o + n_rows:o + 2 * n_rows] = row_ncb
     p[o + 2 * n_rows:o + 3 * n_rows] = row_start
 
     return WindowPack(
         key=(n_rows, n_slots, ncls_q, ncls_f, e_cap, j_fold, tb_cap),
-        params=p, row_start=row_start, row_ncb=row_ncb, tbs=row_tbs)
+        params=p, row_start=row_start, row_ncb=row_ncb, tbs=row_tbs,
+        fill_classes=list(fill_cls), qpp_classes=list(qpp_cls))
+
+
+@lru_cache(maxsize=4096)
+def _j0_table_dev(k: int, f: int, rv: int) -> jnp.ndarray:
+    """Device-resident de-rate-match index table of one layout class."""
+    j0, _nv = j0_variant_np(k, f, rv, K_MAX)
+    return jnp.asarray(j0)
+
+
+@lru_cache(maxsize=512)
+def _qpp_table_dev(k: int):
+    per, inv = qpp_np(k, K_MAX)
+    return jnp.asarray(per), jnp.asarray(inv)
+
+
+def class_tables(pack: WindowPack):
+    """Stack the window's cached per-class tables on device:
+    (j0_tab (CF, 3*(K+4)), perq (CQ, K), invq (CQ, K))."""
+    cq, cf = pack.key[2], pack.key[3]
+    f_rows = [_j0_table_dev(*c) for c in pack.fill_classes]
+    f_rows += [f_rows[0]] * (cf - len(f_rows))
+    q = [_qpp_table_dev(k) for k in pack.qpp_classes]
+    p_rows = [a for a, _ in q] + [q[0][0]] * (cq - len(q))
+    i_rows = [b for _, b in q] + [q[0][1]] * (cq - len(q))
+    return (_stacker(cf)(*f_rows), _stacker(cq)(*p_rows),
+            _stacker(cq)(*i_rows))
 
 
 @lru_cache(maxsize=32)
@@ -349,7 +366,7 @@ def _build_win_c(n_rows: int, n_slots: int, ncls_q: int, ncls_f: int,
     N, CQ, CF, R = n_slots, ncls_q, ncls_f, n_rows
 
     @jax.jit
-    def fn(llr, params, softbuffer):
+    def fn(llr, params, j0_tab, perq, invq, softbuffer):
         s_off = params[0:N]
         s_e = params[N:2 * N]
         s_k = params[2 * N:3 * N]
@@ -357,23 +374,13 @@ def _build_win_c(n_rows: int, n_slots: int, ncls_q: int, ncls_f: int,
         s_crcb = params[4 * N:5 * N]
         s_clsf = params[5 * N:6 * N]
         s_clsq = params[6 * N:7 * N]
-        o = 7 * N
-        kq, f1q, f2q = (params[o:o + CQ], params[o + CQ:o + 2 * CQ],
-                        params[o + 2 * CQ:o + 3 * CQ])
-        o += 3 * CQ
-        kf, ff, rvf = (params[o:o + CF], params[o + CF:o + 2 * CF],
-                       params[o + 2 * CF:o + 3 * CF])
-        o += 3 * CF
+        nv = params[7 * N:8 * N]
+        o = 8 * N
         row_tbs = params[o:o + R]
         row_ncb = params[o + R:o + 2 * R]
         row_start = params[o + 2 * R:o + 3 * R]
 
         valid = s_e > 0
-
-        # --- per-class index tables (pure elementwise builds) ---
-        j0_tab, nv_tab = jax.vmap(
-            lambda k, f, rv: _j0_variant_dev(k, f, rv, K_MAX))(kf, ff, rvf)
-        nv = nv_tab[s_clsf]  # (N,)
 
         # --- fold codeword segments onto circular positions ---
         llr_flat = jnp.concatenate(
@@ -385,14 +392,22 @@ def _build_win_c(n_rows: int, n_slots: int, ncls_q: int, ncls_f: int,
             seg = jnp.where(pos_e < e, seg, 0.0)
             # log-halving fold: block b += block b + 2^j (blocks of nv_s);
             # handles ANY repetition count in j_fold static steps (the r2
-            # REP=8 hard assert is gone — ADVICE r2 #1)
+            # REP=8 hard assert is gone — ADVICE r2 #1); j_fold == 0 when
+            # the whole window has no repetition (rate > 1/3 everywhere).
+            # The zero tail is padded ONCE — folded values beyond e stay
+            # zero (both addends are), so only the head ever updates.
             m = (e + nv_s - 1) // jnp.maximum(nv_s, 1)
-            for j in range(j_fold - 1, -1, -1):
-                sh = jax.lax.dynamic_slice(
-                    jnp.concatenate([seg, jnp.zeros((e_cap,), seg.dtype)]),
-                    ((1 << j) * nv_s,), (e_cap,))
-                seg = jnp.where(m > (1 << j), seg + sh, seg)
-                m = jnp.minimum(m, 1 << j)
+            if j_fold:
+                buf = jnp.concatenate(
+                    [seg, jnp.zeros((e_cap,), seg.dtype)])
+                for j in range(j_fold - 1, -1, -1):
+                    sh = jax.lax.dynamic_slice(
+                        buf, ((1 << j) * nv_s,), (e_cap,))
+                    head = jnp.where(m > (1 << j), buf[:e_cap] + sh,
+                                     buf[:e_cap])
+                    buf = buf.at[:e_cap].set(head)
+                    m = jnp.minimum(m, 1 << j)
+                seg = buf[:e_cap]
             if e_cap >= NCB:
                 return seg[:NCB]
             return jnp.concatenate(
@@ -402,7 +417,8 @@ def _build_win_c(n_rows: int, n_slots: int, ncls_q: int, ncls_f: int,
         acc = jnp.concatenate(
             [acc, jnp.zeros((N, 1), acc.dtype)], axis=1)  # dump slot NCB
 
-        # --- class-shared de-rate-match gathers + select ---
+        # --- class-shared de-rate-match gathers + select (the per-class
+        # index tables are CACHED device constants — see class_tables) ---
         fill = acc[:, j0_tab[0]]
         for c in range(1, CF):
             fill = jnp.where((s_clsf == c)[:, None], acc[:, j0_tab[c]], fill)
@@ -415,7 +431,6 @@ def _build_win_c(n_rows: int, n_slots: int, ncls_q: int, ncls_f: int,
         d = d.at[:, 0, :].set(jnp.where(pin, FILLER_LLR, d[:, 0, :]))
 
         # --- dynamic-K turbo with window-global class QPP ---
-        perq, invq = qpp_dev(kq, f1q, f2q, K_MAX)
         bf = s_crcb.astype(bool)
         bits, _post, it_vec = turbo_decode_dyn(
             d, s_k, None, None, valid, K_MAX, max_iterations,
@@ -423,12 +438,15 @@ def _build_win_c(n_rows: int, n_slots: int, ncls_q: int, ncls_f: int,
             class_perms=(perq, invq, s_clsq))
 
         # --- final per-CB CRC: roll to buffer tail via contiguous slices
-        fb = bits.astype(jnp.float32)
-        cat = jnp.concatenate([fb, fb], axis=1)
+        # (uint8 left-pad form: bits beyond K are zero, so the padded
+        # window right-aligns them at 1/4 the f32 traffic)
+        cat = jnp.concatenate(
+            [jnp.zeros((N, K_MAX), jnp.uint8), bits], axis=1)
         tail_bits = jax.vmap(
             lambda row, k: jax.lax.dynamic_slice(row, (k,), (K_MAX,))
         )(cat, s_k)
-        acc2 = jnp.matmul(tail_bits, crc_ab, preferred_element_type=jnp.float32)
+        acc2 = jnp.matmul(tail_bits.astype(jnp.float32), crc_ab,
+                          preferred_element_type=jnp.float32)
         okA = jnp.all((acc2[:, :24].astype(jnp.int32) & 1) == 0, axis=-1)
         okB = jnp.all((acc2[:, 24:].astype(jnp.int32) & 1) == 0, axis=-1)
         cb_ok = jnp.where(bf, okB, okA)
@@ -685,7 +703,9 @@ class WindowedUeDl:
             grid_ri, ce_ri, noise, idx_cls, bp[:, 2], bp[:, 0], bp[:, 1],
             signs)
         soft = _assemble_soft(softbuffer, pack, pack.key[1])
-        packed, new_soft = self._c_for(pack.key)(llr, pdev[3 * w:], soft)
+        j0_tab, perq, invq = class_tables(pack)
+        packed, new_soft = self._c_for(pack.key)(
+            llr, pdev[3 * w:], j0_tab, perq, invq, soft)
         return PendingWindow(packed, new_soft, pack.tbs, pack)
 
     def results(self, p: PendingWindow):
@@ -887,7 +907,9 @@ class WindowedEnbUl:
         bp = pdev[: 3 * w].reshape(w, 3)
         llr = self._b(grid_ri, bp[:, 0], bp[:, 1], bp[:, 2], dmrs, signs)
         soft = _assemble_soft(softbuffer, pack, pack.key[1])
-        packed, new_soft = self._c_for(pack.key)(llr, pdev[3 * w:], soft)
+        j0_tab, perq, invq = class_tables(pack)
+        packed, new_soft = self._c_for(pack.key)(
+            llr, pdev[3 * w:], j0_tab, perq, invq, soft)
         return PendingWindow(packed, new_soft, pack.tbs, pack)
 
     results = WindowedUeDl.results
@@ -1021,7 +1043,9 @@ class WindowedUeDlMimo(WindowedUeDl):
             bp[:, 2], bp[:, 3], signs1, signs2)
         llr = llr2.reshape(2 * w, G_MAX)
         soft = _assemble_soft(softbuffer, pack, pack.key[1])
-        packed, new_soft = self._c_for(pack.key)(llr, pdev[5 * w:], soft)
+        j0_tab, perq, invq = class_tables(pack)
+        packed, new_soft = self._c_for(pack.key)(
+            llr, pdev[5 * w:], j0_tab, perq, invq, soft)
         return PendingWindow(packed, new_soft, pack.tbs, pack)
 
     def results(self, p: PendingWindow):
@@ -1045,3 +1069,278 @@ class WindowedUeDlMimo(WindowedUeDl):
             out.append(((t1, ok1), (t2, ok2), max(n1, n2)))
         self.stats["windows"] += 1
         return out
+
+
+# --------------------------------------------------------------------------
+# eNB DL GENERATION window — the sf_worker TX half (enb_dl.c + sch.c
+# encode_tb) as fixed window programs: payload bytes in, baseband out
+# --------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=512)
+def _tx_table_dev(k: int, f: int, rv: int, e_cap: int) -> jnp.ndarray:
+    """TX rate-match gather table of one layout class, pre-tiled to the
+    window's e_cap so repetition wraps HOST-side and the device gather
+    keeps class-shared indices."""
+    from .phy.fec.rate_match_dev import tx_table_np
+
+    tx, nv = tx_table_np(k, f, rv, K_MAX)
+    return jnp.asarray(tx[np.arange(e_cap) % nv])
+
+
+def tx_class_tables(pack: WindowPack, e_cap: int):
+    """(tx_tab (CF, e_cap), perq (CQ, K_MAX)) from cached class tables."""
+    cq, cf = pack.key[2], pack.key[3]
+    f_rows = [_tx_table_dev(*c, e_cap) for c in pack.fill_classes]
+    f_rows += [f_rows[0]] * (cf - len(f_rows))
+    p_rows = [_qpp_table_dev(k)[0] for k in pack.qpp_classes]
+    p_rows += [p_rows[0]] * (cq - len(p_rows))
+    return _stacker(cf)(*f_rows), _stacker(cq)(*p_rows)
+
+
+@lru_cache(maxsize=32)
+def _build_win_tx(cell: Cell, n_rows: int, n_slots: int, ncls_q: int,
+                  ncls_f: int, e_cap: int, tb_cap: int, ncls_re: int):
+    """Windowed DL data-subframe ENCODER: payload bytes → TB CRC24A →
+    segmentation (+CRC24B, filler) → dynamic-K closed-form turbo encode →
+    class-shared TX rate-match gathers → in-order codeword assembly →
+    scramble → 4-constellation modulate (one-hot by Qm) → inverse-RE
+    class tables over the CRS template → batched IFFT.
+
+    The TX mirror of the decode stage C: same dense slots, same cached
+    class-table discipline (j0's inverse), same one-packed-upload
+    contract.  Scope mirrors the decode windows: PDSCH data region + CRS
+    (sync/PBCH/control render via `phy/enb/enb_dl.py`)."""
+    from .phy.common import LTE_CRC24A, LTE_CRC24B
+    from .phy.crc import crc_matrix_np
+    from .phy.fec.turbo import turbo_encode_device_dyn
+    from .phy.modem import modulate
+
+    N, CQ, CF, R = n_slots, ncls_q, ncls_f, n_rows
+    D = K_MAX + 4
+    BW = tb_cap * 8 + 24          # right-aligned row bit-stream width
+    tbl_a = jnp.asarray(
+        crc_matrix_np(LTE_CRC24A, tb_cap * 8).astype(np.float32))
+    tbl_b = jnp.asarray(
+        crc_matrix_np(LTE_CRC24B, K_MAX).astype(np.float32))
+    ofdm = OfdmConfig.from_cell(cell, normalize=True)
+
+    @jax.jit
+    def fn(payload, params, tx_tab, perq, inv_re, cls_re, qm_r, n_re_r,
+           seqs, tmpl_ri):
+        s_off = params[0:N]            # flat row*G_MAX + codeword offset
+        s_e = params[N:2 * N]
+        s_k = params[2 * N:3 * N]
+        s_f = params[3 * N:4 * N]
+        s_crcb = params[4 * N:5 * N]
+        s_clsf = params[5 * N:6 * N]
+        s_clsq = params[6 * N:7 * N]
+        o = 8 * N
+        row_ncb = params[o + R:o + 2 * R]
+        row_start = params[o + 2 * R:o + 3 * R]
+        s_src = params[o + 3 * R:o + 3 * R + N]
+
+        # --- TB CRC24A over right-aligned payload bits (leading-zeros
+        # invariance makes the fixed-width matrix exact for every tbs) ---
+        bits_tb = jnp.unpackbits(payload, axis=1)          # (R, tb_cap*8)
+        crc_a = (jnp.matmul(bits_tb.astype(jnp.float32), tbl_a,
+                            preferred_element_type=jnp.float32
+                            ).astype(jnp.int32) & 1).astype(jnp.uint8)
+        rb_flat = jnp.concatenate(
+            [jnp.zeros((R, K_MAX), jnp.uint8),
+             jnp.concatenate([bits_tb, crc_a], axis=1)],
+            axis=1).reshape(-1)
+
+        # --- per-slot right-aligned CB data (contiguous slices) +
+        # CRC24B; filler zeros live in the masked prefix ---
+        take = s_k - s_f - 24 * s_crcb
+        ra = jax.vmap(lambda src: jax.lax.dynamic_slice(
+            rb_flat, (src,), (K_MAX,)))(s_src)             # (N, K_MAX)
+        pos_k = jnp.arange(K_MAX)[None, :]
+        ra = jnp.where(pos_k >= K_MAX - take[:, None], ra, 0)
+        crc_b = (jnp.matmul(ra.astype(jnp.float32), tbl_b,
+                            preferred_element_type=jnp.float32
+                            ).astype(jnp.int32) & 1).astype(jnp.uint8)
+        crc_b = jnp.where(s_crcb[:, None] > 0, crc_b, 0)
+        rak = jnp.concatenate(
+            [ra, crc_b, jnp.zeros((N, K_MAX), jnp.uint8)], axis=1)
+        cb = jax.vmap(lambda row, k, crcb: jax.lax.dynamic_slice(
+            row, (K_MAX + 24 * crcb - k,), (K_MAX,)))(rak, s_k, s_crcb)
+
+        # --- dynamic-K closed-form turbo encode ---
+        d = turbo_encode_device_dyn(cb, s_k, (perq, s_clsq))
+        d_flat = d.reshape(N, 3 * D)
+
+        # --- class-shared TX rate match ---
+        piece = d_flat[:, tx_tab[0]]
+        for c in range(1, CF):
+            piece = jnp.where((s_clsf == c)[:, None],
+                              d_flat[:, tx_tab[c]], piece)
+        piece = jnp.where(jnp.arange(e_cap)[None, :] < s_e[:, None],
+                          piece, 0)
+
+        # --- assemble row codewords: ascending in-order writes (each
+        # piece's zero tail is overwritten by the next CB's write) ---
+        def asm_row(r):
+            row_cw = jnp.zeros((G_MAX + e_cap,), jnp.uint8)
+            base = row_start[r]
+            for c in range(MAX_CB):
+                s = jnp.clip(base + c, 0, N - 1)
+                use = c < row_ncb[r]
+                off = jnp.where(use, s_off[s] - r * G_MAX, G_MAX)
+                row_cw = jax.lax.dynamic_update_slice(
+                    row_cw, piece[s], (off,))
+            return row_cw[:G_MAX]
+
+        cw = jax.vmap(asm_row)(jnp.arange(R))
+
+        # --- scramble + modulate (one-hot by Qm) ---
+        cwm = cw ^ seqs
+        sym = jnp.zeros((R, RE_MAX), jnp.complex64)
+        for mod_c, qm_c in zip(MODS, QMS):
+            sy = modulate(mod_c, cwm[:, : RE_MAX * qm_c])
+            sym = jnp.where((qm_r == qm_c)[:, None], sy, sym)
+        mask_re = jnp.arange(RE_MAX)[None, :] < n_re_r[:, None]
+        sym = jnp.where(mask_re, sym, 0.0)
+        sym_pad = jnp.concatenate(
+            [sym, jnp.zeros((R, 1), jnp.complex64)], axis=1)
+
+        # --- grid via class-shared inverse RE tables over the template --
+        tmpl = _ri2c(tmpl_ri)                              # (R, S)
+        def overlay(c):
+            return jnp.where(inv_re[c][None, :] < RE_MAX,
+                             sym_pad[:, jnp.clip(inv_re[c], 0, RE_MAX)],
+                             tmpl)
+        g = overlay(0)
+        for c in range(1, ncls_re):
+            g = jnp.where((cls_re == c)[:, None], overlay(c), g)
+        grid = g.reshape(R, cell.nsymb_per_sf, cell.nof_re_per_symbol)
+
+        samples = jax.vmap(lambda gr: ofdm_tx_sf(ofdm, gr[None]))(grid)
+        return _c2ri(samples[:, 0])
+
+    return fn
+
+
+class WindowedEnbDl:
+    """Generate ANY W-TTI mix of port0 PDSCH data subframes per dispatch
+    — the eNB sf_worker TX half at window throughput (payload bytes in,
+    baseband out); the generation mirror of `WindowedUeDl`."""
+
+    def __init__(self, cell: Cell, cfi: int = 1, w: int = 32):
+        self.cell = cell
+        self.cfi = cfi
+        self.w = w
+        self._idx_cache: dict = {}
+        self._inv_dev: dict = {}    # (sf, prb) -> (S,) int32 inverse
+        self._seq_dev: dict = {}    # (rnti, sf) -> (G_MAX,) uint8 bits
+        self._tmpl_dev: dict = {}   # sf -> (S, 2) f32 CRS template
+        self.stats = {"windows": 0, "ttis": 0}
+
+    def _idx(self, sf_idx: int, prb: tuple):
+        key = (sf_idx, prb)
+        if key not in self._idx_cache:
+            pad, n_re, _b = _padded_re_indices(
+                self.cell, sf_idx, self.cfi, prb)
+            self._idx_cache[key] = (pad, n_re)
+        return self._idx_cache[key]
+
+    def _inv(self, sf_idx: int, prb: tuple):
+        key = (sf_idx, prb)
+        if key not in self._inv_dev:
+            pad, n_re = self._idx(sf_idx, prb)
+            S = self.cell.nsymb_per_sf * self.cell.nof_re_per_symbol
+            inv = np.full(S, RE_MAX, np.int32)
+            inv[pad[:n_re]] = np.arange(n_re, dtype=np.int32)
+            self._inv_dev[key] = jnp.asarray(inv)
+        return self._inv_dev[key], self._idx(sf_idx, prb)[1]
+
+    def _seq(self, rnti: int, sf_idx: int):
+        from .phy.sequence import gold_sequence
+
+        key = (rnti, sf_idx)
+        if key not in self._seq_dev:
+            cinit = pdsch_cinit(rnti, sf_idx, self.cell.id, q=0)
+            self._seq_dev[key] = jnp.asarray(np.asarray(
+                gold_sequence(cinit, G_MAX)).astype(np.uint8))
+        return self._seq_dev[key]
+
+    def _tmpl(self, sf_idx: int):
+        if sf_idx not in self._tmpl_dev:
+            from .phy.chest.refsignal_dl import put_crs_np
+
+            t = np.zeros((1, self.cell.nsymb_per_sf,
+                          self.cell.nof_re_per_symbol), np.complex64)
+            put_crs_np(t, self.cell, sf_idx)
+            flat = t[0].reshape(-1)
+            self._tmpl_dev[sf_idx] = jnp.asarray(
+                np.stack([flat.real, flat.imag], -1).astype(np.float32))
+        return self._tmpl_dev[sf_idx]
+
+    def dispatch_window(self, payloads, sf_indices, grants):
+        """payloads: per TTI the TB bits ((tbs,) uint8 arrays);
+        grants: DlGrant list.  Returns a device (W, sf_len, 2) float32
+        RI sample array (realize with `samples`)."""
+        w = self.w
+        assert len(payloads) == w == len(sf_indices) == len(grants)
+        n_res = [self._idx(s, tuple(g.prb))[1] for s, g in
+                 zip(sf_indices, grants)]
+        pack = pack_window([
+            (g.tbs, n_res[i] * g.qm, g.qm, getattr(g, "rv", 0))
+            for i, g in enumerate(grants)])
+        (_r, n_slots, cq, cf, e_cap, _jf, tb_cap) = pack.key
+
+        # right-aligned payload bytes (tbs divisible by 8 in LTE)
+        pay = np.zeros((w, tb_cap), np.uint8)
+        for i, (tb, g) in enumerate(zip(payloads, grants)):
+            assert len(tb) == g.tbs
+            pay[i, tb_cap - g.tbs // 8:] = np.packbits(
+                np.asarray(tb, np.uint8))
+
+        # per-slot source offsets into the front-padded row bit streams
+        BW = tb_cap * 8 + 24
+        s_src = np.zeros(n_slots, np.int32)
+        for r, g in enumerate(grants):
+            segm = cbsegm(g.tbs)
+            startb = 0
+            for c, k in enumerate(segm.cb_sizes):
+                f = segm.F if c == 0 else 0
+                take = k - f - (24 if segm.C > 1 else 0)
+                slot = pack.row_start[r] + c
+                # slice START: the K_MAX window ENDS at this slot's last
+                # data bit (the front K_MAX zero-pad keeps it >= 0)
+                s_src[slot] = (r * (K_MAX + BW) + K_MAX
+                               + (BW - (g.tbs + 24)) + startb + take
+                               - K_MAX)
+                startb += take
+
+        # RE classes + per-row params
+        keys: dict = {}
+        cls_re = np.zeros(w, np.int32)
+        for i, (s, g) in enumerate(zip(sf_indices, grants)):
+            cls_re[i] = keys.setdefault((s, tuple(g.prb)), len(keys))
+        ncls_re = _bucket_of(len(keys), CLS_BUCKETS)
+        inv_rows = [self._inv(s, prb)[0] for (s, prb) in keys]
+        inv_rows += [inv_rows[0]] * (ncls_re - len(inv_rows))
+        inv_re = _stacker(ncls_re)(*inv_rows)
+        seqs = _stacker(w)(*[self._seq(g.rnti, s)
+                             for s, g in zip(sf_indices, grants)])
+        tmpl = _stacker(w)(*[self._tmpl(s) for s in sf_indices])
+
+        params = jnp.asarray(np.concatenate([pack.params, s_src]))
+        qm_r = jnp.asarray(np.array([g.qm for g in grants], np.int32))
+        n_re_r = jnp.asarray(np.array(n_res, np.int32))
+        tx_tab, perq = tx_class_tables(pack, e_cap)
+        fn = _build_win_tx(self.cell, w, n_slots, cq, cf, e_cap, tb_cap,
+                           ncls_re)
+        out = fn(jnp.asarray(pay), params, tx_tab, perq, inv_re,
+                 jnp.asarray(cls_re), qm_r, n_re_r, seqs, tmpl)
+        self.stats["windows"] += 1
+        self.stats["ttis"] += w
+        return out
+
+    @staticmethod
+    def samples(out) -> np.ndarray:
+        """Realize a dispatched window: (W, sf_len) complex64."""
+        ri = np.asarray(out)
+        return (ri[..., 0] + 1j * ri[..., 1]).astype(np.complex64)

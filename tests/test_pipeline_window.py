@@ -362,3 +362,43 @@ def test_window_harq_combining():
         softbuffer=soft0)
     assert res2[0][1], "rv0+rv2 combining failed"
     np.testing.assert_array_equal(res2[0][0], tb)
+
+
+def test_windowed_enb_dl_generation_roundtrip():
+    """WindowedEnbDl (the sf_worker TX half as window programs): W TTIs
+    of arbitrary port0 grants encode in one dispatch — payload bytes →
+    CRC/segment → dynamic-K closed-form turbo → class-shared TX rate
+    match → modulate → grid+IFFT — and the WindowedUeDl decode windows
+    recover every payload over an AWGN link."""
+    from srsran_tpu.pipeline_window import WindowedEnbDl
+
+    rng = np.random.default_rng(13)
+    cell = Cell(nof_prb=50, nof_ports=1, id=17)
+    enb = WindowedEnbDl(cell, cfi=1, w=W)
+    ue = WindowedUeDl(cell, cfi=1, w=W, max_iterations=3)
+
+    for round_i in range(2):  # same programs, fresh grants
+        sfs, grants, tbs = [], [], []
+        while len(grants) < W:
+            sf_idx = int(rng.integers(0, 10))
+            mcs = int(rng.integers(0, 27))
+            l = int(rng.integers(4, cell.nof_prb + 1))
+            st = int(rng.integers(0, cell.nof_prb + 1 - l))
+            t = dl_tbs(mcs, l)
+            if t == 0:
+                continue
+            sfs.append(sf_idx)
+            grants.append(DlGrant(prb=tuple(range(st, st + l)),
+                                  mod=dl_mcs_to_mod(mcs), tbs=t,
+                                  rnti=0x46))
+            tbs.append(rng.integers(0, 2, t).astype(np.uint8))
+
+        out = enb.dispatch_window(tbs, sfs, grants)
+        tx = WindowedEnbDl.samples(out)  # (W, sf_len)
+        rx = (tx + 0.02 * (rng.standard_normal(tx.shape)
+                           + 1j * rng.standard_normal(tx.shape))
+              ).astype(np.complex64)
+        res, _ = ue.decode_window(rx[:, None, :], sfs, grants)
+        for (tb, (tb_hat, ok, _n)) in zip(tbs, res):
+            assert ok, f"round {round_i}: windowed TX->RX CRC failed"
+            np.testing.assert_array_equal(tb_hat, tb)
