@@ -513,9 +513,9 @@ def bench_window_rtf(jax, jnp, rng):
         return bfn(ga, ce, nz, idx_cls, bp[:, 2], bp[:, 0], bp[:, 1], signs_d)
 
     llr = stage_b()
-    j0_tab, perq, invq = class_tables(pk)
+    j0_tab, perq, invq, tb_tab = class_tables(pk)
     def stage_c():
-        return cfn(llr, pdev[3 * W:], j0_tab, perq, invq, soft)
+        return cfn(llr, pdev[3 * W:], j0_tab, perq, invq, tb_tab, soft)
 
     parts = {}
     for nm, f in (("A", stage_a), ("B", stage_b), ("C", stage_c)):

@@ -244,6 +244,7 @@ class WindowPack:
     tbs: list                   # per row: TB size
     fill_classes: list          # distinct (k, f, rv) layouts, table order
     qpp_classes: list           # distinct k values, table order
+    tb_classes: list            # distinct TB sizes, table order
 
 
 def pack_window(row_specs) -> WindowPack:
@@ -282,14 +283,19 @@ def pack_window(row_specs) -> WindowPack:
             off += es[c]
 
     n_rows = len(row_specs)
+    tb_cls: dict = {}
+    cls_tb = np.zeros(n_rows, np.int32)
+    for r, tbs_r in enumerate(row_tbs):
+        cls_tb[r] = tb_cls.setdefault(tbs_r, len(tb_cls))
     n_slots = _pow2_bucket(max(len(slots), 1))
     ncls_q = _bucket_of(len(qpp_cls), CLS_BUCKETS)
     ncls_f = _bucket_of(len(fill_cls), CLS_BUCKETS)
+    ncls_t = _bucket_of(len(tb_cls), CLS_BUCKETS)
     e_cap = _bucket_of(max_e, ECAP_BUCKETS)
     j_fold = _bucket_of((max_rep - 1).bit_length(), JFOLD_BUCKETS)
     tb_cap = _bucket_of(-(-max(row_tbs) // 8), TBCAP_BUCKETS)
 
-    p = np.zeros(8 * n_slots + 3 * n_rows, np.int32)
+    p = np.zeros(8 * n_slots + 4 * n_rows, np.int32)
     sl = np.array(slots, np.int32).reshape(-1, 9)
     n = len(slots)
     p[0:n_slots][:n] = sl[:, 0] * G_MAX + sl[:, 1]     # flat llr offset
@@ -306,11 +312,14 @@ def pack_window(row_specs) -> WindowPack:
     p[o:o + n_rows] = row_tbs
     p[o + n_rows:o + 2 * n_rows] = row_ncb
     p[o + 2 * n_rows:o + 3 * n_rows] = row_start
+    p[o + 3 * n_rows:o + 4 * n_rows] = cls_tb
 
     return WindowPack(
-        key=(n_rows, n_slots, ncls_q, ncls_f, e_cap, j_fold, tb_cap),
+        key=(n_rows, n_slots, ncls_q, ncls_f, e_cap, j_fold, tb_cap,
+             ncls_t),
         params=p, row_start=row_start, row_ncb=row_ncb, tbs=row_tbs,
-        fill_classes=list(fill_cls), qpp_classes=list(qpp_cls))
+        fill_classes=list(fill_cls), qpp_classes=list(qpp_cls),
+        tb_classes=list(tb_cls))
 
 
 @lru_cache(maxsize=4096)
@@ -326,22 +335,49 @@ def _qpp_table_dev(k: int):
     return jnp.asarray(per), jnp.asarray(inv)
 
 
+@lru_cache(maxsize=1024)
+def _tb_gather_dev(tbs: int) -> jnp.ndarray:
+    """Per-TB-size reassembly gather table: local source index into a
+    row's contiguous slot region (MAX_CB*K_MAX bits, dump = the final
+    zero pad) for each bit of the right-aligned TB||CRC stream — the
+    class-shared replacement for the 16-step scatter-ish
+    dynamic-update-slice reassembly loop (measured 7.9 ms/window)."""
+    segm = cbsegm(tbs)
+    crcb = 1 if segm.C > 1 else 0
+    dump = MAX_CB * K_MAX
+    idx = np.full(TBS_MAX + 24, dump, np.int32)
+    u0 = TBS_MAX + 24 - (tbs + 24)
+    startb = 0
+    for c, k in enumerate(segm.cb_sizes):
+        f = segm.F if c == 0 else 0
+        take = k - f - 24 * crcb
+        u = np.arange(take)
+        idx[u0 + startb + u] = c * K_MAX + f + u
+        startb += take
+    assert startb == tbs + 24
+    return jnp.asarray(idx)
+
+
 def class_tables(pack: WindowPack):
     """Stack the window's cached per-class tables on device:
-    (j0_tab (CF, 3*(K+4)), perq (CQ, K), invq (CQ, K))."""
-    cq, cf = pack.key[2], pack.key[3]
+    (j0_tab (CF, 3*(K+4)), perq (CQ, K), invq (CQ, K),
+    tb_tab (CT, TBS_MAX+24))."""
+    cq, cf, ct = pack.key[2], pack.key[3], pack.key[7]
     f_rows = [_j0_table_dev(*c) for c in pack.fill_classes]
     f_rows += [f_rows[0]] * (cf - len(f_rows))
     q = [_qpp_table_dev(k) for k in pack.qpp_classes]
     p_rows = [a for a, _ in q] + [q[0][0]] * (cq - len(q))
     i_rows = [b for _, b in q] + [q[0][1]] * (cq - len(q))
+    t_rows = [_tb_gather_dev(t) for t in pack.tb_classes]
+    t_rows += [t_rows[0]] * (ct - len(t_rows))
     return (_stacker(cf)(*f_rows), _stacker(cq)(*p_rows),
-            _stacker(cq)(*i_rows))
+            _stacker(cq)(*i_rows), _stacker(ct)(*t_rows))
 
 
 @lru_cache(maxsize=32)
 def _build_win_c(n_rows: int, n_slots: int, ncls_q: int, ncls_f: int,
-                 e_cap: int, j_fold: int, tb_cap: int, max_iterations: int):
+                 e_cap: int, j_fold: int, tb_cap: int, ncls_t: int,
+                 max_iterations: int):
     """Dense-slot TB decode: fold codeword segments (contiguous slices +
     log-halving for arbitrary repetition counts), class-shared
     de-rate-match gathers (HARQ += into the softbuffer), dynamic-K turbo
@@ -363,10 +399,10 @@ def _build_win_c(n_rows: int, n_slots: int, ncls_q: int, ncls_f: int,
     D = K_MAX + 4
     SCRATCH = TBS_MAX + 24 + K_MAX
 
-    N, CQ, CF, R = n_slots, ncls_q, ncls_f, n_rows
+    N, CQ, CF, R, CT = n_slots, ncls_q, ncls_f, n_rows, ncls_t
 
     @jax.jit
-    def fn(llr, params, j0_tab, perq, invq, softbuffer):
+    def fn(llr, params, j0_tab, perq, invq, tb_tab, softbuffer):
         s_off = params[0:N]
         s_e = params[N:2 * N]
         s_k = params[2 * N:3 * N]
@@ -376,9 +412,9 @@ def _build_win_c(n_rows: int, n_slots: int, ncls_q: int, ncls_f: int,
         s_clsq = params[6 * N:7 * N]
         nv = params[7 * N:8 * N]
         o = 8 * N
-        row_tbs = params[o:o + R]
         row_ncb = params[o + R:o + 2 * R]
         row_start = params[o + 2 * R:o + 3 * R]
+        cls_tb = params[o + 3 * R:o + 4 * R]
 
         valid = s_e > 0
 
@@ -451,36 +487,31 @@ def _build_win_c(n_rows: int, n_slots: int, ncls_q: int, ncls_f: int,
         okB = jnp.all((acc2[:, 24:].astype(jnp.int32) & 1) == 0, axis=-1)
         cb_ok = jnp.where(bf, okB, okA)
 
-        # --- per-row reassembly (in-order contiguous writes) + stats ---
+        # --- per-row reassembly via class-shared TB gather tables: rows
+        # of the same TB size share the index vector (_tb_gather_dev), so
+        # the gather vectorizes — replaces a 16-step scatter-ish
+        # dynamic-update-slice loop (7.9 ms/window) ---
         bits_flat = jnp.concatenate(
-            [bits.reshape(-1), jnp.zeros((K_MAX,), bits.dtype)])
-
-        def reassemble_one(start_slot, n_cb, tbs):
-            base = TBS_MAX + 24 - (tbs + 24)
-            scratch = jnp.zeros((SCRATCH,), jnp.uint8)
-            pos_cum = jnp.int32(0)
-            ok_r = jnp.bool_(True)
-            it_r = jnp.int32(0)
-            for c in range(MAX_CB):
-                s = jnp.clip(start_slot + c, 0, N - 1)
-                in_row = c < n_cb
-                kc, fc, cbc = s_k[s], s_f[s], s_crcb[s]
-                nb = jnp.where(in_row, kc - fc - 24 * cbc, 0)
-                # CB c's bits [f, f+K_MAX) land at the stream offset; the
-                # next CB's write overwrites this one's padded tail
-                seg = jax.lax.dynamic_slice(
-                    bits_flat, (s * K_MAX + fc,), (K_MAX,))
-                pos = jnp.where(in_row, base + pos_cum, TBS_MAX + 24)
-                scratch = jax.lax.dynamic_update_slice(scratch, seg, (pos,))
-                pos_cum = pos_cum + nb
-                ok_r = jnp.logical_and(
-                    ok_r, jnp.where(in_row, cb_ok[s], True))
-                it_r = jnp.maximum(it_r, jnp.where(in_row, it_vec[s], 0))
-            return (scratch[:TBS_MAX], scratch[TBS_MAX:TBS_MAX + 24],
-                    ok_r, it_r)
-
-        tbp, rx_crc, row_cb_ok, row_it = jax.vmap(reassemble_one)(
-            row_start, row_ncb, row_tbs)
+            [bits.reshape(-1),
+             jnp.zeros((MAX_CB * K_MAX + 1,), bits.dtype)])
+        region = jax.vmap(lambda st: jax.lax.dynamic_slice(
+            bits_flat, (st * K_MAX,), (MAX_CB * K_MAX + 1,)))(row_start)
+        region = region.at[:, MAX_CB * K_MAX].set(0)  # dump slot
+        stream = region[:, tb_tab[0]]
+        for c in range(1, CT):
+            stream = jnp.where((cls_tb == c)[:, None],
+                               region[:, tb_tab[c]], stream)
+        tbp = stream[:, :TBS_MAX]
+        rx_crc = stream[:, TBS_MAX:]
+        # per-row CB ok / iteration stats (scalar-only loop)
+        row_cb_ok = jnp.ones((R,), bool)
+        row_it = jnp.zeros((R,), jnp.int32)
+        for c in range(MAX_CB):
+            sidx = jnp.clip(row_start + c, 0, N - 1)
+            in_row = c < row_ncb
+            row_cb_ok = row_cb_ok & jnp.where(in_row, cb_ok[sidx], True)
+            row_it = jnp.maximum(
+                row_it, jnp.where(in_row, it_vec[sidx], 0))
         crc_calc = (
             jnp.matmul(tbp.astype(jnp.float32), tb_table,
                        preferred_element_type=jnp.float32).astype(jnp.int32)
@@ -703,9 +734,9 @@ class WindowedUeDl:
             grid_ri, ce_ri, noise, idx_cls, bp[:, 2], bp[:, 0], bp[:, 1],
             signs)
         soft = _assemble_soft(softbuffer, pack, pack.key[1])
-        j0_tab, perq, invq = class_tables(pack)
+        j0_tab, perq, invq, tb_tab = class_tables(pack)
         packed, new_soft = self._c_for(pack.key)(
-            llr, pdev[3 * w:], j0_tab, perq, invq, soft)
+            llr, pdev[3 * w:], j0_tab, perq, invq, tb_tab, soft)
         return PendingWindow(packed, new_soft, pack.tbs, pack)
 
     def results(self, p: PendingWindow):
@@ -907,9 +938,9 @@ class WindowedEnbUl:
         bp = pdev[: 3 * w].reshape(w, 3)
         llr = self._b(grid_ri, bp[:, 0], bp[:, 1], bp[:, 2], dmrs, signs)
         soft = _assemble_soft(softbuffer, pack, pack.key[1])
-        j0_tab, perq, invq = class_tables(pack)
+        j0_tab, perq, invq, tb_tab = class_tables(pack)
         packed, new_soft = self._c_for(pack.key)(
-            llr, pdev[3 * w:], j0_tab, perq, invq, soft)
+            llr, pdev[3 * w:], j0_tab, perq, invq, tb_tab, soft)
         return PendingWindow(packed, new_soft, pack.tbs, pack)
 
     results = WindowedUeDl.results
@@ -1043,9 +1074,9 @@ class WindowedUeDlMimo(WindowedUeDl):
             bp[:, 2], bp[:, 3], signs1, signs2)
         llr = llr2.reshape(2 * w, G_MAX)
         soft = _assemble_soft(softbuffer, pack, pack.key[1])
-        j0_tab, perq, invq = class_tables(pack)
+        j0_tab, perq, invq, tb_tab = class_tables(pack)
         packed, new_soft = self._c_for(pack.key)(
-            llr, pdev[5 * w:], j0_tab, perq, invq, soft)
+            llr, pdev[5 * w:], j0_tab, perq, invq, tb_tab, soft)
         return PendingWindow(packed, new_soft, pack.tbs, pack)
 
     def results(self, p: PendingWindow):
@@ -1138,7 +1169,7 @@ def _build_win_tx(cell: Cell, n_rows: int, n_slots: int, ncls_q: int,
         o = 8 * N
         row_ncb = params[o + R:o + 2 * R]
         row_start = params[o + 2 * R:o + 3 * R]
-        s_src = params[o + 3 * R:o + 3 * R + N]
+        s_src = params[o + 4 * R:o + 4 * R + N]  # after cls_tb
 
         # --- TB CRC24A over right-aligned payload bits (leading-zeros
         # invariance makes the fixed-width matrix exact for every tbs) ---
@@ -1288,7 +1319,7 @@ class WindowedEnbDl:
         pack = pack_window([
             (g.tbs, n_res[i] * g.qm, g.qm, getattr(g, "rv", 0))
             for i, g in enumerate(grants)])
-        (_r, n_slots, cq, cf, e_cap, _jf, tb_cap) = pack.key
+        (_r, n_slots, cq, cf, e_cap, _jf, tb_cap, _ct) = pack.key
 
         # right-aligned payload bytes (tbs divisible by 8 in LTE)
         pay = np.zeros((w, tb_cap), np.uint8)
