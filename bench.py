@@ -45,6 +45,7 @@ BASELINES = {
     "window_ul_rtf": 1.0,   # eNB-side windowed PUSCH (multi-UE uplink)
     "window_mimo_rtf": 1.0,  # 2-codeword TM4 windows (the 150 Mbps config)
     "window_dlgen_rtf": 1.0,  # eNB DL GENERATION window (sf_worker TX half)
+    "window_ulgen_rtf": 1.0,  # UE PUSCH GENERATION window (ue_ul TX half)
     # the reference sustains one real-time 20 MHz carrier per machine;
     # this row is how many a single TPU chip sustains (full UE DL decode)
     "carriers_per_chip": 1.0,
@@ -663,6 +664,55 @@ def bench_window_dlgen_rtf(jax, jnp, rng):
     return rtf
 
 
+def bench_window_ulgen_rtf(jax, jnp, rng):
+    """UE PUSCH GENERATION window (pipeline_window.WindowedUeUl): W TTIs
+    of mixed-width/MCS UL grants encoded per dispatch through the shared
+    codeword core + Bluestein DFT precoding.  Timed to a 1-scalar sync
+    (baseband stays device-side)."""
+    from srsran_tpu.phy.common import Cell
+    from srsran_tpu.phy.phch.pusch import UlGrant
+    from srsran_tpu.phy.phch.ra import tbs_lookup, ul_mcs_to_itbs, ul_mcs_to_mod
+    from srsran_tpu.pipeline_window import WindowedUeUl
+
+    cell = Cell(nof_prb=100, nof_ports=1, id=301)
+    W = 64
+    ue = WindowedUeUl(cell, w=W)
+    widths = (9, 25, 50, 96)
+    mix = []
+    while len(mix) < 16:
+        sf_idx = int(rng.integers(0, 10))
+        mcs = int(rng.integers(0, 24))
+        nprb = int(widths[rng.integers(0, len(widths))])
+        st = int(rng.integers(0, 101 - nprb))
+        tbs = tbs_lookup(ul_mcs_to_itbs(mcs), nprb)
+        if tbs == 0:
+            continue
+        g = UlGrant(prb_start=st, nof_prb=nprb, mod=ul_mcs_to_mod(mcs),
+                    tbs=tbs, rv=0, rnti=0x46)
+        mix.append((sf_idx, g, rng.integers(0, 2, tbs).astype(np.uint8)))
+    mm = (mix * (-(-W // len(mix))))[:W]
+    sfs = [m[0] for m in mm]
+    grants = [m[1] for m in mm]
+    tbs_list = [m[2] for m in mm]
+
+    t = time.time()
+    out = ue.dispatch_window(tbs_list, sfs, grants)
+    sync(out)
+    log(f"window_ulgen compile+first: {time.time()-t:.1f}s")
+    best = float("inf")
+    for _ in range(3):
+        t = time.time()
+        n = 6
+        for _ in range(n):
+            out = ue.dispatch_window(tbs_list, sfs, grants)
+        sync(out)
+        best = min(best, (time.time() - t) / n)
+    rtf = 1e-3 / (best / W)
+    log(f"window_ulgen_rtf: W={W} {best*1e3:.1f} ms/window -> "
+        f"{best/W*1e3:.2f} ms/TTI -> {rtf:.2f}x realtime")
+    return rtf
+
+
 def bench_window_ul_rtf(jax, jnp, rng):
     """eNB-side windowed PUSCH: W mixed-width/MCS UL grants per dispatch
     (multi-UE uplink), Bluestein IDFT de-precoding, shared stage C."""
@@ -749,6 +799,7 @@ def main():
         ("window_ul_rtf", bench_window_ul_rtf),
         ("window_mimo_rtf", bench_window_mimo_rtf),
         ("window_dlgen_rtf", bench_window_dlgen_rtf),
+        ("window_ulgen_rtf", bench_window_ulgen_rtf),
     ):
         try:
             r = fn(jax, jnp, rng)
@@ -765,6 +816,7 @@ def main():
              "window_ul_rtf": "x realtime", "window_mimo_rtf": "x realtime",
              "window_onchip_rtf": "x realtime",
              "window_dlgen_rtf": "x realtime",
+             "window_ulgen_rtf": "x realtime",
              "carriers_per_chip": "carriers"}
     notes = {
         "dynamic_rtf": "per-TTI latency path; a TRIVIAL 4-jit chain with "

@@ -77,3 +77,11 @@ def idft_bluestein(x, m, n_fft: int = 4096):
     conv = jnp.fft.ifft(jnp.fft.fft(u_pad, axis=-1) * jnp.fft.fft(w), axis=-1)
     out = chirp(k) * conv[..., :M] / jnp.sqrt(m.astype(jnp.float32))
     return jnp.where(in_mask, out, 0.0).astype(jnp.complex64)
+
+
+def dft_bluestein(x, m, n_fft: int = 4096):
+    """Forward DFT with a TRACED length m (the TX transform precoding of
+    the windowed PUSCH generator).  DFT = conj(IDFT(conj(x))) under the
+    symmetric 1/sqrt(m) normalization, so this reuses the Bluestein
+    machinery of `idft_bluestein` unchanged."""
+    return jnp.conj(idft_bluestein(jnp.conj(x), m, n_fft))

@@ -1129,36 +1129,24 @@ def tx_class_tables(pack: WindowPack, e_cap: int):
     return _stacker(cf)(*f_rows), _stacker(cq)(*p_rows)
 
 
-@lru_cache(maxsize=32)
-def _build_win_tx(cell: Cell, n_rows: int, n_slots: int, ncls_q: int,
-                  ncls_f: int, e_cap: int, tb_cap: int, ncls_re: int):
-    """Windowed DL data-subframe ENCODER: payload bytes → TB CRC24A →
-    segmentation (+CRC24B, filler) → dynamic-K closed-form turbo encode →
-    class-shared TX rate-match gathers → in-order codeword assembly →
-    scramble → 4-constellation modulate (one-hot by Qm) → inverse-RE
-    class tables over the CRS template → batched IFFT.
-
-    The TX mirror of the decode stage C: same dense slots, same cached
-    class-table discipline (j0's inverse), same one-packed-upload
-    contract.  Scope mirrors the decode windows: PDSCH data region + CRS
-    (sync/PBCH/control render via `phy/enb/enb_dl.py`)."""
+def _make_codeword_core(n_rows: int, n_slots: int, ncls_f: int,
+                        e_cap: int, tb_cap: int):
+    """Shared TX chain: payload bytes → TB CRC24A → segmentation
+    (+CRC24B, filler) → dynamic-K closed-form turbo encode → class-shared
+    TX rate-match gathers → in-order row codeword assembly.  Used by the
+    DL (PDSCH) and UL (PUSCH) generation windows."""
     from .phy.common import LTE_CRC24A, LTE_CRC24B
     from .phy.crc import crc_matrix_np
     from .phy.fec.turbo import turbo_encode_device_dyn
-    from .phy.modem import modulate
 
-    N, CQ, CF, R = n_slots, ncls_q, ncls_f, n_rows
+    N, CF, R = n_slots, ncls_f, n_rows
     D = K_MAX + 4
-    BW = tb_cap * 8 + 24          # right-aligned row bit-stream width
     tbl_a = jnp.asarray(
         crc_matrix_np(LTE_CRC24A, tb_cap * 8).astype(np.float32))
     tbl_b = jnp.asarray(
         crc_matrix_np(LTE_CRC24B, K_MAX).astype(np.float32))
-    ofdm = OfdmConfig.from_cell(cell, normalize=True)
 
-    @jax.jit
-    def fn(payload, params, tx_tab, perq, inv_re, cls_re, qm_r, n_re_r,
-           seqs, tmpl_ri):
+    def core(payload, params, tx_tab, perq):
         s_off = params[0:N]            # flat row*G_MAX + codeword offset
         s_e = params[N:2 * N]
         s_k = params[2 * N:3 * N]
@@ -1171,8 +1159,8 @@ def _build_win_tx(cell: Cell, n_rows: int, n_slots: int, ncls_q: int,
         row_start = params[o + 2 * R:o + 3 * R]
         s_src = params[o + 4 * R:o + 4 * R + N]  # after cls_tb
 
-        # --- TB CRC24A over right-aligned payload bits (leading-zeros
-        # invariance makes the fixed-width matrix exact for every tbs) ---
+        # TB CRC24A over right-aligned payload bits (leading-zeros
+        # invariance makes the fixed-width matrix exact for every tbs)
         bits_tb = jnp.unpackbits(payload, axis=1)          # (R, tb_cap*8)
         crc_a = (jnp.matmul(bits_tb.astype(jnp.float32), tbl_a,
                             preferred_element_type=jnp.float32
@@ -1182,8 +1170,8 @@ def _build_win_tx(cell: Cell, n_rows: int, n_slots: int, ncls_q: int,
              jnp.concatenate([bits_tb, crc_a], axis=1)],
             axis=1).reshape(-1)
 
-        # --- per-slot right-aligned CB data (contiguous slices) +
-        # CRC24B; filler zeros live in the masked prefix ---
+        # per-slot right-aligned CB data (contiguous slices) + CRC24B;
+        # filler zeros live in the masked prefix
         take = s_k - s_f - 24 * s_crcb
         ra = jax.vmap(lambda src: jax.lax.dynamic_slice(
             rb_flat, (src,), (K_MAX,)))(s_src)             # (N, K_MAX)
@@ -1198,11 +1186,11 @@ def _build_win_tx(cell: Cell, n_rows: int, n_slots: int, ncls_q: int,
         cb = jax.vmap(lambda row, k, crcb: jax.lax.dynamic_slice(
             row, (K_MAX + 24 * crcb - k,), (K_MAX,)))(rak, s_k, s_crcb)
 
-        # --- dynamic-K closed-form turbo encode ---
+        # dynamic-K closed-form turbo encode
         d = turbo_encode_device_dyn(cb, s_k, (perq, s_clsq))
         d_flat = d.reshape(N, 3 * D)
 
-        # --- class-shared TX rate match ---
+        # class-shared TX rate match
         piece = d_flat[:, tx_tab[0]]
         for c in range(1, CF):
             piece = jnp.where((s_clsf == c)[:, None],
@@ -1210,20 +1198,47 @@ def _build_win_tx(cell: Cell, n_rows: int, n_slots: int, ncls_q: int,
         piece = jnp.where(jnp.arange(e_cap)[None, :] < s_e[:, None],
                           piece, 0)
 
-        # --- assemble row codewords: ascending in-order writes (each
-        # piece's zero tail is overwritten by the next CB's write) ---
+        # assemble row codewords: ascending in-order writes (each
+        # piece's zero tail is overwritten by the next CB's write)
         def asm_row(r):
             row_cw = jnp.zeros((G_MAX + e_cap,), jnp.uint8)
             base = row_start[r]
             for c in range(MAX_CB):
-                s = jnp.clip(base + c, 0, N - 1)
+                sl = jnp.clip(base + c, 0, N - 1)
                 use = c < row_ncb[r]
-                off = jnp.where(use, s_off[s] - r * G_MAX, G_MAX)
+                off = jnp.where(use, s_off[sl] - r * G_MAX, G_MAX)
                 row_cw = jax.lax.dynamic_update_slice(
-                    row_cw, piece[s], (off,))
+                    row_cw, piece[sl], (off,))
             return row_cw[:G_MAX]
 
-        cw = jax.vmap(asm_row)(jnp.arange(R))
+        return jax.vmap(asm_row)(jnp.arange(R))
+
+    return core
+
+
+@lru_cache(maxsize=32)
+def _build_win_tx(cell: Cell, n_rows: int, n_slots: int, ncls_q: int,
+                  ncls_f: int, e_cap: int, tb_cap: int, ncls_re: int):
+    """Windowed DL data-subframe ENCODER: payload bytes → TB CRC24A →
+    segmentation (+CRC24B, filler) → dynamic-K closed-form turbo encode →
+    class-shared TX rate-match gathers → in-order codeword assembly →
+    scramble → 4-constellation modulate (one-hot by Qm) → inverse-RE
+    class tables over the CRS template → batched IFFT.
+
+    The TX mirror of the decode stage C: same dense slots, same cached
+    class-table discipline (j0's inverse), same one-packed-upload
+    contract.  Scope mirrors the decode windows: PDSCH data region + CRS
+    (sync/PBCH/control render via `phy/enb/enb_dl.py`)."""
+    from .phy.modem import modulate
+
+    R = n_rows
+    core = _make_codeword_core(n_rows, n_slots, ncls_f, e_cap, tb_cap)
+    ofdm = OfdmConfig.from_cell(cell, normalize=True)
+
+    @jax.jit
+    def fn(payload, params, tx_tab, perq, inv_re, cls_re, qm_r, n_re_r,
+           seqs, tmpl_ri):
+        cw = core(payload, params, tx_tab, perq)
 
         # --- scramble + modulate (one-hot by Qm) ---
         cwm = cw ^ seqs
@@ -1375,3 +1390,217 @@ class WindowedEnbDl:
         """Realize a dispatched window: (W, sf_len) complex64."""
         ri = np.asarray(out)
         return (ri[..., 0] + 1j * ri[..., 1]).astype(np.complex64)
+
+
+# --------------------------------------------------------------------------
+# UE UL (PUSCH) GENERATION window — the UE transmit half; completes the
+# four windowed directions (UE-DL rx, eNB-UL rx, eNB-DL tx, UE-UL tx)
+# --------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=256)
+def _ul_interleave_tab_dev(m_sc: int, qm: int, nsym: int) -> jnp.ndarray:
+    """Transmit-order source index (G_MAX,): out_t[i] = cw[tab[i]] — the
+    TS 36.212 §5.2.2.8 time-first channel interleaver, per (m_sc, Qm)
+    class (the forward of the stage-B UL de-interleave)."""
+    g_len = nsym * m_sc * qm
+    i = np.arange(G_MAX, dtype=np.int64)
+    cc = i // max(m_sc * qm, 1)
+    u = i - cc * (m_sc * qm)
+    r = u // max(qm, 1)
+    q = u - r * qm
+    j = (r * nsym + cc) * qm + q
+    return jnp.asarray(np.where(i < g_len, j, G_MAX).astype(np.int32))
+
+
+@lru_cache(maxsize=256)
+def _ul_pad_tab_dev(m_sc: int, qm: int, nsym: int) -> jnp.ndarray:
+    """Padded-layout source index, FIXED width nsym*M_MAX*8 so classes of
+    different Qm stack: padded bit position (symbol c, subcarrier
+    r < M_MAX, bit q) reads transmit-order bit c*(m_sc*qm) + r*qm + q
+    when r < m_sc; positions beyond the class's own nsym*M_MAX*qm (or
+    beyond the allocation) read the dump."""
+    width = nsym * M_MAX * 8
+    pp = np.arange(width, dtype=np.int64)
+    cc = pp // (M_MAX * qm)
+    u = pp - cc * (M_MAX * qm)
+    t = cc * (m_sc * qm) + u
+    ok = (u < m_sc * qm) & (pp < nsym * M_MAX * qm)
+    return jnp.asarray(np.where(ok, t, G_MAX).astype(np.int32))
+
+
+@lru_cache(maxsize=128)
+def _win_ul_dmrs_tx(cell: Cell, nof_prb: int) -> jnp.ndarray:
+    from .phy.chest.refsignal_ul import pusch_dmrs
+
+    r = np.zeros((2, M_MAX), np.complex64)
+    for sl in range(2):
+        r[sl, : 12 * nof_prb] = np.asarray(pusch_dmrs(cell, nof_prb, 0, sl))
+    return jnp.asarray(np.stack([r.real, r.imag], -1).astype(np.float32))
+
+
+@lru_cache(maxsize=32)
+def _build_win_ul_tx(cell: Cell, n_rows: int, n_slots: int, ncls_q: int,
+                     ncls_f: int, e_cap: int, tb_cap: int, ncls_il: int):
+    """Windowed PUSCH ENCODER: the shared codeword core, then the UL
+    chain — class-shared channel interleave → scramble → padded-layout
+    expand → one-hot modulate → Bluestein DFT precode (allocation width
+    as data) → DMRS + allocation placement (contiguous slices) → SC-FDMA
+    IFFT with the +0.5 subcarrier shift (`ue_ul.c` / sch.c:1182 roles)."""
+    from .phy.dft_precoding import dft_bluestein
+    from .phy.modem import modulate
+    from .phy.phch.pusch import pusch_symbols_data
+    from .phy.chest.refsignal_ul import dmrs_symbol_in_slot
+
+    R = n_rows
+    core = _make_codeword_core(n_rows, n_slots, ncls_f, e_cap, tb_cap)
+    ofdm = OfdmConfig.from_cell(cell, normalize=True, freq_shift_f=0.5)
+    data_syms = tuple(pusch_symbols_data(cell))
+    nsym = len(data_syms)
+    l_dmrs = dmrs_symbol_in_slot(cell)
+    dmrs_syms = (l_dmrs, cell.nsymb_per_slot + l_dmrs)
+    nre = cell.nof_re_per_symbol
+
+    @jax.jit
+    def fn(payload, params, tx_tab, perq, il_tab, pad_tab, cls_il,
+           qm_r, msc_r, k0_r, seqs, dmrs_ri):
+        cw = core(payload, params, tx_tab, perq)
+
+        # channel interleave (class-shared) + scramble in transmit order
+        cwp = jnp.concatenate(
+            [cw, jnp.zeros((R, 1), jnp.uint8)], axis=1)
+        cw_t = cwp[:, il_tab[0]]
+        for c in range(1, ncls_il):
+            cw_t = jnp.where((cls_il == c)[:, None],
+                             cwp[:, il_tab[c]], cw_t)
+        cw_t = cw_t ^ seqs
+
+        # padded (symbol, M_MAX) layout expand (class-shared)
+        ctp = jnp.concatenate(
+            [cw_t, jnp.zeros((R, 1), jnp.uint8)], axis=1)
+        pb = ctp[:, pad_tab[0]]
+        for c in range(1, ncls_il):
+            pb = jnp.where((cls_il == c)[:, None], ctp[:, pad_tab[c]], pb)
+
+        # one-hot modulate over the padded layout
+        sym = jnp.zeros((R, nsym * M_MAX), jnp.complex64)
+        for mod_c, qm_c in zip(MODS, QMS):
+            sy = modulate(mod_c, pb[:, : nsym * M_MAX * qm_c])
+            sym = jnp.where((qm_r == qm_c)[:, None], sy, sym)
+        sym = sym.reshape(R, nsym, M_MAX)
+        r_pos = jnp.arange(M_MAX)[None, None, :]
+        sym = jnp.where(r_pos < msc_r[:, None, None], sym, 0.0)
+
+        # Bluestein DFT precoding at the per-row allocation width
+        xf = jax.vmap(lambda x, m: dft_bluestein(x, m))(sym, msc_r)
+
+        # build the allocation block (nsymb, M_MAX): data symbols + DMRS
+        def one(xf_r, dmrs_r, msc, k0):
+            blk = jnp.zeros((cell.nsymb_per_sf, M_MAX), jnp.complex64)
+            for i, l in enumerate(data_syms):
+                blk = blk.at[l].set(xf_r[i])
+            dm = _ri2c(dmrs_r)
+            dm = jnp.where(jnp.arange(M_MAX)[None, :] < msc, dm, 0.0)
+            blk = blk.at[dmrs_syms[0]].set(dm[0])
+            blk = blk.at[dmrs_syms[1]].set(dm[1])
+            grid = jnp.zeros((cell.nsymb_per_sf, nre + M_MAX),
+                             jnp.complex64)
+            grid = jax.lax.dynamic_update_slice(grid, blk, (0, k0))
+            return grid[:, :nre]
+
+        grid = jax.vmap(one)(xf, dmrs_ri, msc_r, k0_r)
+        samples = jax.vmap(lambda gr: ofdm_tx_sf(ofdm, gr[None]))(grid)
+        return _c2ri(samples[:, 0])
+
+    return fn
+
+
+class WindowedUeUl:
+    """Generate ANY W-TTI mix of PUSCH data grants per dispatch — the
+    UE's transmit half at window throughput (the generation mirror of
+    `WindowedEnbUl`, which decodes these subframes)."""
+
+    def __init__(self, cell: Cell, w: int = 32):
+        self.cell = cell
+        self.w = w
+        from .phy.phch.pusch import pusch_symbols_data
+
+        self._nsym = len(pusch_symbols_data(cell))
+        self._seq_dev: dict = {}
+        self.stats = {"windows": 0, "ttis": 0}
+
+    def _seq(self, rnti: int, sf_idx: int):
+        from .phy.phch.pusch import pusch_cinit
+        from .phy.sequence import gold_sequence
+
+        key = (rnti, sf_idx)
+        if key not in self._seq_dev:
+            cinit = pusch_cinit(rnti, sf_idx, self.cell.id)
+            self._seq_dev[key] = jnp.asarray(np.asarray(
+                gold_sequence(cinit, G_MAX)).astype(np.uint8))
+        return self._seq_dev[key]
+
+    def dispatch_window(self, payloads, sf_indices, grants):
+        """payloads: per TTI the TB bits; grants: UlGrant list.  Returns
+        a device (W, sf_len, 2) float32 RI array (realize with
+        `WindowedEnbDl.samples`)."""
+        w = self.w
+        assert len(payloads) == w == len(sf_indices) == len(grants)
+        nsym = self._nsym
+        pack = pack_window([
+            (g.tbs, nsym * 12 * g.nof_prb * g.qm, g.qm, g.rv)
+            for g in grants])
+        (_r, n_slots, cq, cf, e_cap, _jf, tb_cap, _ct) = pack.key
+
+        pay = np.zeros((w, tb_cap), np.uint8)
+        for i, (tb, g) in enumerate(zip(payloads, grants)):
+            assert len(tb) == g.tbs
+            pay[i, tb_cap - g.tbs // 8:] = np.packbits(
+                np.asarray(tb, np.uint8))
+
+        BW = tb_cap * 8 + 24
+        s_src = np.zeros(n_slots, np.int32)
+        for r, g in enumerate(grants):
+            segm = cbsegm(g.tbs)
+            startb = 0
+            for c, k in enumerate(segm.cb_sizes):
+                f = segm.F if c == 0 else 0
+                take = k - f - (24 if segm.C > 1 else 0)
+                s_src[pack.row_start[r] + c] = (
+                    r * (K_MAX + BW) + K_MAX + (BW - (g.tbs + 24))
+                    + startb + take - K_MAX)
+                startb += take
+
+        # interleave classes by (m_sc, qm)
+        keys: dict = {}
+        cls_il = np.zeros(w, np.int32)
+        for i, g in enumerate(grants):
+            cls_il[i] = keys.setdefault((12 * g.nof_prb, g.qm), len(keys))
+        ncls_il = _bucket_of(len(keys), CLS_BUCKETS)
+        il_rows = [_ul_interleave_tab_dev(m, q, nsym) for (m, q) in keys]
+        pad_rows = [_ul_pad_tab_dev(m, q, nsym) for (m, q) in keys]
+        il_rows += [il_rows[0]] * (ncls_il - len(il_rows))
+        pad_rows += [pad_rows[0]] * (ncls_il - len(pad_rows))
+        il_tab = _stacker(ncls_il)(*il_rows)
+        pad_tab = _stacker(ncls_il)(*pad_rows)
+
+        seqs = _stacker(w)(*[self._seq(g.rnti, s)
+                             for s, g in zip(sf_indices, grants)])
+        dmrs = _stacker(w)(*[_win_ul_dmrs_tx(self.cell, g.nof_prb)
+                             for g in grants])
+        params = jnp.asarray(np.concatenate([pack.params, s_src]))
+        qm_r = jnp.asarray(np.array([g.qm for g in grants], np.int32))
+        msc_r = jnp.asarray(np.array([12 * g.nof_prb for g in grants],
+                                     np.int32))
+        k0_r = jnp.asarray(np.array([12 * g.prb_start for g in grants],
+                                    np.int32))
+        tx_tab, perq = tx_class_tables(pack, e_cap)
+        fn = _build_win_ul_tx(self.cell, w, n_slots, cq, cf, e_cap,
+                              tb_cap, ncls_il)
+        out = fn(jnp.asarray(pay), params, tx_tab, perq, il_tab, pad_tab,
+                 jnp.asarray(cls_il), qm_r, msc_r, k0_r, seqs, dmrs)
+        self.stats["windows"] += 1
+        self.stats["ttis"] += w
+        return out
+
+    samples = staticmethod(WindowedEnbDl.samples)

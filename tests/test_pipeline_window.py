@@ -402,3 +402,48 @@ def test_windowed_enb_dl_generation_roundtrip():
         for (tb, (tb_hat, ok, _n)) in zip(tbs, res):
             assert ok, f"round {round_i}: windowed TX->RX CRC failed"
             np.testing.assert_array_equal(tb_hat, tb)
+
+
+def test_windowed_ue_ul_generation_roundtrip():
+    """WindowedUeUl (the UE transmit half as window programs): W PUSCH
+    grants of mixed widths/MCS encode in one dispatch — shared codeword
+    core → class-shared channel interleave → scramble → Bluestein DFT
+    precode → DMRS/allocation placement → SC-FDMA — and WindowedEnbUl
+    decodes every payload.  All four windowed directions now close the
+    loop in-graph."""
+    from srsran_tpu.phy.phch.ra import tbs_lookup, ul_mcs_to_itbs, ul_mcs_to_mod
+    from srsran_tpu.phy.phch.pusch import UlGrant
+    from srsran_tpu.pipeline_window import (
+        WindowedEnbDl, WindowedEnbUl, WindowedUeUl)
+
+    rng = np.random.default_rng(23)
+    cell = Cell(nof_prb=50, nof_ports=1, id=17)
+    ue = WindowedUeUl(cell, w=W)
+    enb = WindowedEnbUl(cell, w=W, max_iterations=3)
+
+    widths = (4, 9, 25, 50)
+    for round_i in range(2):
+        sfs, grants, tbs = [], [], []
+        while len(grants) < W:
+            sf_idx = int(rng.integers(0, 10))
+            mcs = int(rng.integers(0, 24))
+            nprb = int(widths[rng.integers(0, len(widths))])
+            st = int(rng.integers(0, cell.nof_prb - nprb + 1))
+            t = tbs_lookup(ul_mcs_to_itbs(mcs), nprb)
+            if t == 0:
+                continue
+            sfs.append(sf_idx)
+            grants.append(UlGrant(prb_start=st, nof_prb=nprb,
+                                  mod=ul_mcs_to_mod(mcs), tbs=t, rv=0,
+                                  rnti=0x46))
+            tbs.append(rng.integers(0, 2, t).astype(np.uint8))
+
+        out = ue.dispatch_window(tbs, sfs, grants)
+        tx = WindowedEnbDl.samples(out)
+        rx = (tx + 0.02 * (rng.standard_normal(tx.shape)
+                           + 1j * rng.standard_normal(tx.shape))
+              ).astype(np.complex64)
+        res, _ = enb.decode_window(rx[:, None, :], sfs, grants)
+        for (tb, (tb_hat, ok, _n)) in zip(tbs, res):
+            assert ok, f"round {round_i}: windowed UL TX->RX CRC failed"
+            np.testing.assert_array_equal(tb_hat, tb)
