@@ -37,10 +37,13 @@ processes arbitrary grants in 1 ms on 4 cores (`cc_worker.cc:214-307`);
 here one chip sustains W TTIs per dispatch with a bounded-for-life
 compile set (stage A/B fixed + one stage C per occupancy bucket).
 
-Scope: single-codeword PDSCH grants, port0 (SISO/MRC) or TM2 SFBC
-transmit diversity (`scheme="diversity"`), 2-codeword TM3/TM4 spatial
-multiplexing (`WindowedUeDlMimo`), and the eNB uplink mirror
-(`WindowedEnbUl`, PUSCH with Bluestein IDFT de-precoding).
+Scope — all four directions of the sf_worker role:
+* decode: `WindowedUeDl` (port0 SISO/MRC or TM2 SFBC), `WindowedUeDlMimo`
+  (2-codeword TM3/TM4, PMI/CDD as data), `WindowedEnbUl` (multi-UE PUSCH,
+  Bluestein IDFT de-precoding);
+* generate: `WindowedEnbDl` (PDSCH data subframes, payload→baseband) and
+  `WindowedUeUl` (PUSCH with DFT precoding) through a shared dynamic-K
+  closed-form encode core.
 """
 
 from __future__ import annotations
