@@ -400,7 +400,6 @@ def _build_win_c(n_rows: int, n_slots: int, ncls_q: int, ncls_f: int,
     pow2 = jnp.asarray((1 << np.arange(7, -1, -1)).astype(np.uint8))
     NCB = ncb_max(K_MAX)
     D = K_MAX + 4
-    SCRATCH = TBS_MAX + 24 + K_MAX
 
     N, CQ, CF, R, CT = n_slots, ncls_q, ncls_f, n_rows, ncls_t
 
