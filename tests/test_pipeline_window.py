@@ -447,3 +447,37 @@ def test_windowed_ue_ul_generation_roundtrip():
         for (tb, (tb_hat, ok, _n)) in zip(tbs, res):
             assert ok, f"round {round_i}: windowed UL TX->RX CRC failed"
             np.testing.assert_array_equal(tb_hat, tb)
+
+
+def test_window_qam256_max_tb_roundtrip():
+    """The largest LTE TB (256QAM MCS27 at 100 PRB: tbs 97896, 16
+    codeblocks) through the generation + decode windows with int16
+    ingest — exercises MAX_CB=16, the TBS_MAX=98304 packing, the widest
+    rate-match classes, and the higher-SQNR ingest mode (ADVICE r2 #4)."""
+    from srsran_tpu.phy.modem import Mod
+    from srsran_tpu.pipeline_window import WindowedEnbDl
+    from srsran_tpu.phy.phch.ra import dl_tbs
+
+    rng = np.random.default_rng(41)
+    cell = Cell(nof_prb=100, nof_ports=1, id=301)
+    Wq = 2
+    enb = WindowedEnbDl(cell, cfi=1, w=Wq)
+    ue = WindowedUeDl(cell, cfi=1, w=Wq, max_iterations=6, ingest="int16")
+
+    tbs = dl_tbs(27, 100, use_256qam=True)
+    assert tbs == 97896
+    grants = [DlGrant(prb=tuple(range(100)), mod=Mod.QAM256, tbs=tbs,
+                      rnti=0x46)] * Wq
+    sfs = [2, 7]
+    tbs_bits = [rng.integers(0, 2, tbs).astype(np.uint8) for _ in range(Wq)]
+
+    from srsran_tpu.pipeline_window import WindowedEnbDl as _E
+
+    tx = _E.samples(enb.dispatch_window(tbs_bits, sfs, grants))
+    rx = (tx + 0.005 * (rng.standard_normal(tx.shape)
+                        + 1j * rng.standard_normal(tx.shape))
+          ).astype(np.complex64)
+    res, _ = ue.decode_window(rx[:, None, :], sfs, grants)
+    for tb, (tb_hat, ok, _n) in zip(tbs_bits, res):
+        assert ok, "max-TB 256QAM window decode failed"
+        np.testing.assert_array_equal(tb_hat, tb)
