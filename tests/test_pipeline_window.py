@@ -481,3 +481,53 @@ def test_window_qam256_max_tb_roundtrip():
     for tb, (tb_hat, ok, _n) in zip(tbs_bits, res):
         assert ok, "max-TB 256QAM window decode failed"
         np.testing.assert_array_equal(tb_hat, tb)
+
+
+def test_window_txgen_harq_rv_combining():
+    """HARQ through the GENERATED link: rv0 from WindowedUeUl fails at
+    heavy noise; the rv2 retransmission (different TX rate-match class,
+    same payload) combines in WindowedEnbUl's softbuffer and decodes —
+    end-to-end incremental redundancy with both directions in-graph."""
+    from srsran_tpu.phy.phch.ra import tbs_lookup, ul_mcs_to_itbs, ul_mcs_to_mod
+    from srsran_tpu.phy.phch.pusch import UlGrant
+    from srsran_tpu.pipeline_window import (
+        WindowedEnbDl, WindowedEnbUl, WindowedUeUl)
+    import dataclasses as dc
+
+    rng = np.random.default_rng(29)
+    cell = Cell(nof_prb=50, nof_ports=1, id=17)
+    Wq = 2
+    ue = WindowedUeUl(cell, w=Wq)
+    enb = WindowedEnbUl(cell, w=Wq, max_iterations=5)
+
+    mcs, nprb = 16, 15
+    tbs = tbs_lookup(ul_mcs_to_itbs(mcs), nprb)
+    g0 = UlGrant(prb_start=3, nof_prb=nprb, mod=ul_mcs_to_mod(mcs),
+                 tbs=tbs, rv=0, rnti=0x46)
+    tb = rng.integers(0, 2, tbs).astype(np.uint8)
+    filler = UlGrant(prb_start=20, nof_prb=9,
+                     mod=ul_mcs_to_mod(5),
+                     tbs=tbs_lookup(ul_mcs_to_itbs(5), 9), rv=0,
+                     rnti=0x47)
+    ftb = rng.integers(0, 2, filler.tbs).astype(np.uint8)
+
+    amp = 0.33
+
+    def link(grants, payloads, sfs):
+        tx = WindowedEnbDl.samples(ue.dispatch_window(payloads, sfs, grants))
+        return (tx + amp * (rng.standard_normal(tx.shape)
+                            + 1j * rng.standard_normal(tx.shape))
+                ).astype(np.complex64)
+
+    sfs = [4, 9]
+    rx0 = link([g0, filler], [tb, ftb], sfs)
+    p0 = enb.dispatch_window(rx0[:, None, :], sfs, [g0, filler])
+    res0 = enb.results(p0)
+    assert not res0[0][1], "rv0 unexpectedly decoded at this SNR"
+
+    g2 = dc.replace(g0, rv=2)
+    rx2 = link([g2, filler], [tb, ftb], sfs)
+    res2, _ = enb.decode_window(rx2[:, None, :], sfs, [g2, filler],
+                                softbuffer=p0.softbuffer)
+    assert res2[0][1], "rv0+rv2 TX-generated combining failed"
+    np.testing.assert_array_equal(res2[0][0], tb)
