@@ -1606,3 +1606,158 @@ class WindowedUeUl:
         return out
 
     samples = staticmethod(WindowedEnbDl.samples)
+
+
+# --------------------------------------------------------------------------
+# 2-codeword (TM3/TM4) DL GENERATION window
+# --------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=32)
+def _build_win_tx_mimo(cell: Cell, n_rows: int, n_slots: int, ncls_q: int,
+                       ncls_f: int, e_cap: int, tb_cap: int, ncls_re: int):
+    """2-codeword spatial-multiplexing DL generator: the shared codeword
+    core over 2W rows, per-codeword scramble/modulate, layer map, TM4
+    codebook / TM3 CDD precoding one-hot selected by the per-TTI PMI,
+    2-port grid overlay, 2-port IFFT — the TX mirror of
+    `WindowedUeDlMimo`."""
+    from .phy.mimo import precode_cdd2, precode_spatialmux
+    from .phy.modem import modulate
+
+    R = n_rows          # codeword rows = 2 * W
+    W2 = n_rows // 2
+    core = _make_codeword_core(n_rows, n_slots, ncls_f, e_cap, tb_cap)
+    ofdm = OfdmConfig.from_cell(cell, normalize=True)
+
+    @jax.jit
+    def fn(payload, params, tx_tab, perq, inv_re, cls_re, qm_r, n_re_t,
+           pmi_t, seqs, tmpl_ri):
+        cw = core(payload, params, tx_tab, perq)
+        cwm = cw ^ seqs
+
+        sym = jnp.zeros((R, RE_MAX), jnp.complex64)
+        for mod_c, qm_c in zip(MODS, QMS):
+            sy = modulate(mod_c, cwm[:, : RE_MAX * qm_c])
+            sym = jnp.where((qm_r == qm_c)[:, None], sy, sym)
+        n_re_rows = jnp.repeat(n_re_t, 2)
+        sym = jnp.where(jnp.arange(RE_MAX)[None, :] < n_re_rows[:, None],
+                        sym, 0.0)
+
+        # layer map (2 CW → 2 layers) + precode, PMI/CDD as data
+        layers = sym.reshape(W2, 2, RE_MAX)
+        cands = [precode_spatialmux(layers, p) for p in range(3)]
+        cands.append(precode_cdd2(layers))
+        ports = cands[0]
+        for p in range(1, 4):
+            ports = jnp.where((pmi_t == p)[:, None, None], cands[p], ports)
+
+        # 2-port grid overlay via the class-shared inverse RE tables
+        tmpl = _ri2c(tmpl_ri)                       # (W2, 2, S)
+        pp = jnp.concatenate(
+            [ports, jnp.zeros((W2, 2, 1), jnp.complex64)], axis=2)
+
+        def overlay(c):
+            return jnp.where(inv_re[c][None, None, :] < RE_MAX,
+                             pp[:, :, jnp.clip(inv_re[c], 0, RE_MAX)],
+                             tmpl)
+
+        g = overlay(0)
+        for c in range(1, ncls_re):
+            g = jnp.where((cls_re == c)[:, None, None], overlay(c), g)
+        grid = g.reshape(W2, 2, cell.nsymb_per_sf, cell.nof_re_per_symbol)
+        samples = jax.vmap(lambda gr: ofdm_tx_sf(ofdm, gr))(grid)
+        return _c2ri(samples)                       # (W2, 2, sf_len, 2)
+
+    return fn
+
+
+class WindowedEnbDlMimo(WindowedEnbDl):
+    """Generate ANY W-TTI mix of 2-codeword TM3/TM4 PDSCH subframes per
+    dispatch (DlGrant2: TM4 codebook PMIs 0-2 as data, TM3 CDD as
+    pmi 3) — validated against `WindowedUeDlMimo`."""
+
+    def _seq_q(self, rnti: int, sf_idx: int, q: int):
+        from .phy.sequence import gold_sequence
+
+        key = (rnti, sf_idx, q)
+        if key not in self._seq_dev:
+            cinit = pdsch_cinit(rnti, sf_idx, self.cell.id, q=q)
+            self._seq_dev[key] = jnp.asarray(np.asarray(
+                gold_sequence(cinit, G_MAX)).astype(np.uint8))
+        return self._seq_dev[key]
+
+    def _tmpl(self, sf_idx: int):
+        if sf_idx not in self._tmpl_dev:
+            from .phy.chest.refsignal_dl import put_crs_np
+
+            t = np.zeros((2, self.cell.nsymb_per_sf,
+                          self.cell.nof_re_per_symbol), np.complex64)
+            put_crs_np(t, self.cell, sf_idx)
+            flat = t.reshape(2, -1)
+            self._tmpl_dev[sf_idx] = jnp.asarray(
+                np.stack([flat.real, flat.imag], -1).astype(np.float32))
+        return self._tmpl_dev[sf_idx]
+
+    def dispatch_window(self, payload_pairs, sf_indices, grants):
+        """payload_pairs: per TTI (tb1_bits, tb2_bits); grants: DlGrant2.
+        Returns device (W, 2, sf_len, 2) float32 RI samples."""
+        w = self.w
+        assert len(payload_pairs) == w == len(sf_indices) == len(grants)
+        n_res = [self._idx(s, tuple(g.prb))[1] for s, g in
+                 zip(sf_indices, grants)]
+        row_specs = []
+        for i, g in enumerate(grants):
+            row_specs.append((g.tbs1, n_res[i] * g.qm1, g.qm1, g.rv1))
+            row_specs.append((g.tbs2, n_res[i] * g.qm2, g.qm2, g.rv2))
+        pack = pack_window(row_specs)
+        (_r, n_slots, cq, cf, e_cap, _jf, tb_cap, _ct) = pack.key
+
+        tbs_rows = [t for pair in payload_pairs for t in pair]
+        pay = np.zeros((2 * w, tb_cap), np.uint8)
+        for r, (tb, (tbs_r, _g, _q, _rv)) in enumerate(
+                zip(tbs_rows, row_specs)):
+            assert len(tb) == tbs_r
+            pay[r, tb_cap - tbs_r // 8:] = np.packbits(
+                np.asarray(tb, np.uint8))
+
+        BW = tb_cap * 8 + 24
+        s_src = np.zeros(n_slots, np.int32)
+        for r, (tbs_r, _g, _q, _rv) in enumerate(row_specs):
+            segm = cbsegm(tbs_r)
+            startb = 0
+            for c, k in enumerate(segm.cb_sizes):
+                f = segm.F if c == 0 else 0
+                take = k - f - (24 if segm.C > 1 else 0)
+                s_src[pack.row_start[r] + c] = (
+                    r * (K_MAX + BW) + K_MAX + (BW - (tbs_r + 24))
+                    + startb + take - K_MAX)
+                startb += take
+
+        keys: dict = {}
+        cls_re = np.zeros(w, np.int32)
+        for i, (s, g) in enumerate(zip(sf_indices, grants)):
+            cls_re[i] = keys.setdefault((s, tuple(g.prb)), len(keys))
+        ncls_re = _bucket_of(len(keys), CLS_BUCKETS)
+        inv_rows = [self._inv(s, prb)[0] for (s, prb) in keys]
+        inv_rows += [inv_rows[0]] * (ncls_re - len(inv_rows))
+        inv_re = _stacker(ncls_re)(*inv_rows)
+        seqs = _stacker(2 * w)(*[
+            self._seq_q(g.rnti, s, q)
+            for s, g in zip(sf_indices, grants) for q in (0, 1)])
+        tmpl = _stacker(w)(*[self._tmpl(s) for s in sf_indices])
+
+        params = jnp.asarray(np.concatenate([pack.params, s_src]))
+        qm_r = jnp.asarray(np.array(
+            [q for g in grants for q in (g.qm1, g.qm2)], np.int32))
+        n_re_t = jnp.asarray(np.array(n_res, np.int32))
+        pmi_t = jnp.asarray(np.array(
+            [3 if g.tx_scheme == "cdd" else g.pmi for g in grants],
+            np.int32))
+        tx_tab, perq = tx_class_tables(pack, e_cap)
+        fn = _build_win_tx_mimo(self.cell, 2 * w, n_slots, cq, cf, e_cap,
+                                tb_cap, ncls_re)
+        out = fn(jnp.asarray(pay), params, tx_tab, perq, inv_re,
+                 jnp.asarray(cls_re), qm_r, n_re_t, pmi_t, seqs, tmpl)
+        self.stats["windows"] += 1
+        self.stats["ttis"] += w
+        return out
