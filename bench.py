@@ -43,7 +43,9 @@ BASELINES = {
     "window_rtf": 1.0,      # same budget, windowed multi-TTI pipeline
     "window_onchip_rtf": 1.0,  # device-compute-only realtime factor
     "window_ul_rtf": 1.0,   # eNB-side windowed PUSCH (multi-UE uplink)
+    "window_ul_onchip_rtf": 1.0,   # same, device-compute only
     "window_mimo_rtf": 1.0,  # 2-codeword TM4 windows (the 150 Mbps config)
+    "window_mimo_onchip_rtf": 1.0,  # same, device-compute only
     "window_dlgen_rtf": 1.0,  # eNB DL GENERATION window (sf_worker TX half)
     "window_ulgen_rtf": 1.0,  # UE PUSCH GENERATION window (ue_ul TX half)
     # the reference sustains one real-time 20 MHz carrier per machine;
@@ -485,48 +487,9 @@ def bench_window_rtf(jax, jnp, rng):
 
     # --- on-chip device time (the cc_worker.cc 1 ms budget question,
     # separated from this tunnel's ~25 ms-RTT host link): per-stage
-    # timings with device-resident inputs ---
-    from srsran_tpu.pipeline_window import (
-        _assemble_soft, _quantize_ingest, _stacker, class_tables,
-        pack_window)
-
-    samples_q, scale = _quantize_ingest(samples, ue.ingest)
-    refs_d = _stacker(W)(*[ue._ref(s) for s in sfs])
-    idx_cls, cls_re, n_res = ue._re_classes(sfs, grants)
-    signs_d = _stacker(W)(*[ue._signs(g.rnti, s)
-                            for s, g in zip(sfs, grants)])
-    pk = pack_window([(g.tbs, n_res[i] * g.qm, g.qm, 0)
-                      for i, g in enumerate(grants)])
-    bpar = np.array([[n_res[i], g.qm, cls_re[i]]
-                     for i, g in enumerate(grants)], np.int32)
-    pdev = jnp.asarray(np.concatenate([bpar.reshape(-1), pk.params]))
-    sq, sc = jnp.asarray(samples_q), jnp.asarray(scale)
-    bp = pdev[: 3 * W].reshape(W, 3)
-    bfn = ue._b_for(idx_cls.shape[0])
-    cfn = ue._c_for(pk.key)
-    soft = _assemble_soft(None, pk, pk.key[1])
-
-    def stage_a():
-        return ue._a(sq, sc, refs_d)
-
-    ga, ce, nz = stage_a()
-    def stage_b():
-        return bfn(ga, ce, nz, idx_cls, bp[:, 2], bp[:, 0], bp[:, 1], signs_d)
-
-    llr = stage_b()
-    j0_tab, perq, invq, tb_tab = class_tables(pk)
-    def stage_c():
-        return cfn(llr, pdev[3 * W:], j0_tab, perq, invq, tb_tab, soft)
-
-    parts = {}
-    for nm, f in (("A", stage_a), ("B", stage_b), ("C", stage_c)):
-        r = f()
-        sync(r[0] if isinstance(r, tuple) else r)
-        t = time.time()
-        for _ in range(10):
-            r = f()
-        sync(r[0] if isinstance(r, tuple) else r)
-        parts[nm] = (time.time() - t) / 10
+    # timings through the SAME staged plan dispatch_window runs
+    # (pipeline_window.WindowedUeDl.stage_times — ADVICE r3 #1) ---
+    parts = ue.stage_times(samples, sfs, grants)
     onchip_ms = sum(parts.values()) * 1e3 / W
     log(f"window on-chip: A={parts['A']*1e3:.1f} B={parts['B']*1e3:.1f} "
         f"C={parts['C']*1e3:.1f} ms/window -> {onchip_ms:.2f} ms/TTI")
@@ -608,7 +571,11 @@ def bench_window_mimo_rtf(jax, jnp, rng):
     rtf = 1e-3 / (best / W)
     log(f"window_mimo_rtf: W={W} {best/W*1e3:.2f} ms/TTI (2 codewords each) "
         f"-> {rtf:.2f}x realtime")
-    return rtf
+    parts = ue.stage_times(samples, sfs, grants)
+    onchip_ms = sum(parts.values()) * 1e3 / W
+    log(f"window_mimo on-chip: A={parts['A']*1e3:.1f} B={parts['B']*1e3:.1f} "
+        f"C={parts['C']*1e3:.1f} ms/window -> {onchip_ms:.2f} ms/TTI")
+    return rtf, 1.0 / onchip_ms
 
 
 def bench_window_dlgen_rtf(jax, jnp, rng):
@@ -770,7 +737,11 @@ def bench_window_ul_rtf(jax, jnp, rng):
         best = min(best, (time.time() - t) / n)
     rtf = 1e-3 / (best / W)
     log(f"window_ul_rtf: W={W} {best/W*1e3:.2f} ms/TTI -> {rtf:.2f}x realtime")
-    return rtf
+    parts = enb.stage_times(samples, sfs, grants)
+    onchip_ms = sum(parts.values()) * 1e3 / W
+    log(f"window_ul on-chip: A={parts['A']*1e3:.1f} B={parts['B']*1e3:.1f} "
+        f"C={parts['C']*1e3:.1f} ms/window -> {onchip_ms:.2f} ms/TTI")
+    return rtf, 1.0 / onchip_ms
 
 
 def main():
@@ -807,6 +778,10 @@ def main():
                 results[name], results["carriers_per_chip"] = r
             elif name == "window_rtf":
                 results[name], results["window_onchip_rtf"], stage_parts = r
+            elif name == "window_ul_rtf":
+                results[name], results["window_ul_onchip_rtf"] = r
+            elif name == "window_mimo_rtf":
+                results[name], results["window_mimo_onchip_rtf"] = r
             else:
                 results[name] = r
         except Exception as e:  # never lose the other rows
@@ -814,6 +789,8 @@ def main():
 
     units = {"dynamic_rtf": "x realtime", "window_rtf": "x realtime",
              "window_ul_rtf": "x realtime", "window_mimo_rtf": "x realtime",
+             "window_ul_onchip_rtf": "x realtime",
+             "window_mimo_onchip_rtf": "x realtime",
              "window_onchip_rtf": "x realtime",
              "window_dlgen_rtf": "x realtime",
              "window_ulgen_rtf": "x realtime",

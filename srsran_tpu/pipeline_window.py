@@ -203,7 +203,7 @@ def _gather_re_classes(grid_ri, ce_ri, idx_cls, cls_re):
     return y, h
 
 
-def _build_win_b(w: int, scheme: str, ncls_re: int):
+def _build_win_b(w: int, scheme: str):
     """Grant front-end for W TTIs: class-shared RE gather → equalize
     (port0 MRC or TM2 SFBC combining) → demod (all constellations,
     one-hot select by the per-TTI Qm) → CSI weight → descramble.
@@ -645,9 +645,12 @@ class WindowedUeDl:
         return _build_win_c(*key, self.max_iterations)
 
     def _b_for(self, ncls_re: int):
+        # keyed on the RE-class bucket count only so one compiled
+        # executable serves each bucket (the jit itself specializes on
+        # idx_cls.shape — ADVICE r3 #4: the count is a cache key, not a
+        # build parameter)
         if ncls_re not in self._b_cache:
-            self._b_cache[ncls_re] = _build_win_b(self.w, self.scheme,
-                                                  ncls_re)
+            self._b_cache[ncls_re] = _build_win_b(self.w, self.scheme)
         return self._b_cache[ncls_re]
 
     def _re_classes(self, sf_indices, grants):
@@ -696,15 +699,9 @@ class WindowedUeDl:
                 gold_sequence_signs(cinit, G_MAX).astype(np.int8))
         return self._signs_dev[key]
 
-    def dispatch_window(self, samples, sf_indices, grants,
-                        softbuffer=None, sharding=None) -> PendingWindow:
-        """samples: (W, nrx, sf_len) complex64; sf_indices/grants: length-W
-        lists (grants: DlGrant, port0 single-codeword).  Results stay on
-        device until `results`.
-
-        sharding: optional `NamedSharding` partitioning the window axis
-        over a device mesh — W (carrier, TTI) slots shard across chips
-        exactly like the reference's cc_worker x sf_worker grid."""
+    def _plan(self, samples, sf_indices, grants, softbuffer=None,
+              sharding=None):
+        """Staged (name, fn) chain — see `WindowedEnbUl._plan`."""
         w = self.w
         assert len(sf_indices) == w and len(grants) == w
         samples_q, scale = _quantize_ingest(samples, self.ingest)
@@ -730,16 +727,66 @@ class WindowedUeDl:
                 scale_d, NamedSharding(sharding.mesh,
                                        PartitionSpec(sharding.spec[0])))
 
-        grid_ri, ce_ri, noise = self._a(samples_q, scale_d, refs)
         bp = pdev[: 3 * w].reshape(w, 3)
-        llr = self._b_for(idx_cls.shape[0])(
-            grid_ri, ce_ri, noise, idx_cls, bp[:, 2], bp[:, 0], bp[:, 1],
-            signs)
         soft = _assemble_soft(softbuffer, pack, pack.key[1])
         j0_tab, perq, invq, tb_tab = class_tables(pack)
-        packed, new_soft = self._c_for(pack.key)(
-            llr, pdev[3 * w:], j0_tab, perq, invq, tb_tab, soft)
+        bfn = self._b_for(idx_cls.shape[0])
+        cfn = self._c_for(pack.key)
+
+        stages = [
+            ("A", lambda _prev: self._a(samples_q, scale_d, refs)),
+            ("B", lambda abc: bfn(
+                abc[0], abc[1], abc[2], idx_cls, bp[:, 2], bp[:, 0],
+                bp[:, 1], signs)),
+            ("C", lambda llr: cfn(
+                llr, pdev[3 * w:], j0_tab, perq, invq, tb_tab, soft)),
+        ]
+        return stages, pack
+
+    def dispatch_window(self, samples, sf_indices, grants,
+                        softbuffer=None, sharding=None) -> PendingWindow:
+        """samples: (W, nrx, sf_len) complex64; sf_indices/grants: length-W
+        lists (grants: DlGrant, port0 single-codeword).  Results stay on
+        device until `results`.
+
+        sharding: optional `NamedSharding` partitioning the window axis
+        over a device mesh — W (carrier, TTI) slots shard across chips
+        exactly like the reference's cc_worker x sf_worker grid."""
+        stages, pack = self._plan(samples, sf_indices, grants, softbuffer,
+                                  sharding)
+        out = None
+        for _name, fn in stages:
+            out = fn(out)
+        packed, new_soft = out
         return PendingWindow(packed, new_soft, pack.tbs, pack)
+
+    def stage_times(self, samples, sf_indices, grants, n: int = 10):
+        """Per-stage device seconds for one window through the SAME plan
+        `dispatch_window` runs (ADVICE r3 #1: the bench must not
+        hand-replicate pipeline internals).  Synchronizes each stage with
+        a scalar readback (block_until_ready does not await execution on
+        the tunneled runtime)."""
+        import time as _time
+
+        stages, _pack = self._plan(samples, sf_indices, grants)
+
+        def _sync(x):
+            while isinstance(x, (tuple, list)):
+                x = x[0]
+            float(jnp.sum(jnp.ravel(x)[:1].astype(jnp.float32)))
+
+        times = {}
+        prev = None
+        for name, fn in stages:
+            r = fn(prev)
+            _sync(r)
+            t = _time.time()
+            for _ in range(n):
+                r = fn(prev)
+            _sync(r)
+            times[name] = (_time.time() - t) / n
+            prev = r
+        return times
 
     def results(self, p: PendingWindow):
         """Realize a window: ONE readback; returns [(tb, ok, n_it)] * W.
@@ -790,9 +837,17 @@ def _build_win_b_ul(cell: Cell, w: int):
     """PUSCH grant front-end for W TTIs, every grant quantity data:
     allocation slice (contiguous dynamic-slice), DMRS chest with masked
     smoothing, MRC, **Bluestein IDFT** de-precoding (transform length is
-    data — no per-width DFT matrices), 4-constellation demod select,
-    descramble in transmit order, channel de-interleave (closed-form
-    index math, TS 36.212 §5.2.2.8)."""
+    data — no per-width DFT matrices), 4-constellation demod select over
+    the padded (symbol, M_MAX) layout, then ONE class-shared composed
+    gather per (m_sc, Qm) class that simultaneously compacts the padded
+    layout to transmit order, applies the descramble signs, and channel
+    de-interleaves (TS 36.212 §5.2.2.8).
+
+    The compact+de-interleave steps were per-row arbitrary gathers of
+    G_MAX elements in r3 — measured 161 of stage B's 164 ms/window on
+    the v5e (per-row gathers run ~0.08 G elem/s vs ~25 G shared).  The
+    composed per-class index tables are host-built once per (m_sc, Qm)
+    and cached device-resident; stage B is 8.9 ms/window with them."""
     from .phy.chest.refsignal_ul import dmrs_symbol_in_slot
     from .phy.dft_precoding import idft_bluestein
     from .phy.phch.pusch import pusch_symbols_data
@@ -810,7 +865,7 @@ def _build_win_b_ul(cell: Cell, w: int):
                                             (l - l0) / (l1 - l0)))
     t_data = jnp.asarray(t[list(data_syms)])  # (nsym, 2)
 
-    def one(grid_ri, k0, m_sc, qm, dmrs_conj_ri, signs):
+    def one(grid_ri, k0, m_sc, qm, dmrs_conj_ri):
         grid = _ri2c(grid_ri)  # (nrx, nsymb, nre)
         nrx = grid.shape[0]
         gp = jnp.concatenate(
@@ -848,31 +903,43 @@ def _build_win_b_ul(cell: Cell, w: int):
             lc = demod_soft(mod_c, xf_flat) * jnp.repeat(wcsi, qm_c)
             lc = jnp.zeros((G_MAX,), jnp.float32).at[: nsym * M_MAX * qm_c].set(lc)
             llr_pad = jnp.where(qm == qm_c, lc, llr_pad)
-        # compact to transmit order: i = c*(m_sc*qm) + u  ->  padded
-        # position c*(M_MAX*qm) + u
-        g_len = nsym * m_sc * qm
-        i = jnp.arange(G_MAX, dtype=jnp.int32)
-        cc = i // jnp.maximum(m_sc * qm, 1)
-        u = i - cc * (m_sc * qm)
-        llr_t = llr_pad[jnp.clip(cc * (M_MAX * qm) + u, 0, G_MAX - 1)]
-        llr_t = jnp.where(i < g_len, llr_t, 0.0)
-        llr_t = llr_t * signs.astype(jnp.float32)
-        # de-interleave (§5.2.2.8): natural j = r*(12*qm)+c*qm+q comes
-        # from transmit i = c*(r'*qm)+r*qm+q with r' = m_sc
-        j = jnp.arange(G_MAX, dtype=jnp.int32)
-        q = j % jnp.maximum(qm, 1)
-        t2 = j // jnp.maximum(qm, 1)
-        c2 = t2 % nsym
-        r2 = t2 // nsym
-        ii = c2 * (m_sc * qm) + r2 * qm + q
-        llr_nat = llr_t[jnp.clip(ii, 0, G_MAX - 1)]
-        return jnp.where(j < g_len, llr_nat, 0.0)
+        return llr_pad
 
     @jax.jit
-    def fn(grid_ri, k0, m_sc, qm, dmrs_conj_ri, signs):
-        return jax.vmap(one)(grid_ri, k0, m_sc, qm, dmrs_conj_ri, signs)
+    def fn(grid_ri, k0, m_sc, qm, dmrs_conj_ri, signs, tab_llr, tab_sig,
+           cls_il):
+        llr_pad = jax.vmap(one)(grid_ri, k0, m_sc, qm, dmrs_conj_ri)
+        lp = jnp.concatenate(
+            [llr_pad, jnp.zeros((w, 1), jnp.float32)], axis=1)
+        sg = jnp.concatenate(
+            [signs.astype(jnp.float32), jnp.zeros((w, 1), jnp.float32)],
+            axis=1)
+        out = lp[:, tab_llr[0]] * sg[:, tab_sig[0]]
+        for c in range(1, tab_llr.shape[0]):
+            out = jnp.where((cls_il == c)[:, None],
+                            lp[:, tab_llr[c]] * sg[:, tab_sig[c]], out)
+        return out
 
     return fn
+
+
+@lru_cache(maxsize=256)
+def _ul_compose_tabs(m_sc: int, qm: int, nsym: int):
+    """Composed class tables for one (m_sc, Qm) class: natural position j
+    reads padded-layout LLR tab_llr[j] (dump G_MAX beyond g_len) and
+    transmit-order scrambling sign tab_sig[j] — the §5.2.2.8
+    de-interleave and the padded→transmit compaction fused into one
+    shared-index gather each."""
+    g_len = nsym * m_sc * qm
+    j = np.arange(G_MAX, dtype=np.int64)
+    q = j % qm
+    t2 = j // qm
+    c2 = t2 % nsym
+    r2 = t2 // nsym
+    tab_llr = np.where(j < g_len, c2 * (M_MAX * qm) + r2 * qm + q, G_MAX)
+    tab_sig = np.where(j < g_len, c2 * (m_sc * qm) + r2 * qm + q, G_MAX)
+    return (jnp.asarray(tab_llr.astype(np.int32)),
+            jnp.asarray(tab_sig.astype(np.int32)))
 
 
 @lru_cache(maxsize=128)
@@ -917,9 +984,11 @@ class WindowedEnbUl:
                 gold_sequence_signs(cinit, G_MAX).astype(np.int8))
         return self._signs_dev[key]
 
-    def dispatch_window(self, samples, sf_indices, grants,
-                        softbuffer=None) -> PendingWindow:
-        """samples: (W, nrx, sf_len) complex64; grants: UlGrant list."""
+    def _plan(self, samples, sf_indices, grants, softbuffer=None):
+        """Build the window's staged programs: ordered (name, fn) chain
+        where each fn consumes the previous stage's output.  Both
+        `dispatch_window` and `stage_times` run THIS plan, so per-stage
+        bench timings exercise exactly the production path."""
         w = self.w
         assert len(sf_indices) == w and len(grants) == w
         samples_q, scale = _quantize_ingest(samples, self.ingest)
@@ -929,23 +998,52 @@ class WindowedEnbUl:
         signs = _stacker(w)(*[self._signs(g.rnti, s)
                               for s, g in zip(sf_indices, grants)])
 
+        # composed de-interleave classes by (m_sc, qm)
+        keys: dict = {}
+        cls_il = np.zeros(w, np.int32)
+        for i, g in enumerate(grants):
+            cls_il[i] = keys.setdefault((12 * g.nof_prb, g.qm), len(keys))
+        ncls = _bucket_of(len(keys), CLS_BUCKETS)
+        rows = [_ul_compose_tabs(m, q, self._nsym) for (m, q) in keys]
+        rows += [rows[0]] * (ncls - len(rows))
+        tab_llr = _stacker(ncls)(*[r[0] for r in rows])
+        tab_sig = _stacker(ncls)(*[r[1] for r in rows])
+        cls_il_d = jnp.asarray(cls_il)
+
         pack = pack_window([
             (g.tbs, self._nsym * 12 * g.nof_prb * g.qm, g.qm, g.rv)
             for g in grants])
         bpar = np.array([[g.prb_start * 12, 12 * g.nof_prb, g.qm]
                          for g in grants], np.int32)
         pdev = jnp.asarray(np.concatenate([bpar.reshape(-1), pack.params]))
-
-        grid_ri = self._a(jnp.asarray(samples_q), jnp.asarray(scale))
         bp = pdev[: 3 * w].reshape(w, 3)
-        llr = self._b(grid_ri, bp[:, 0], bp[:, 1], bp[:, 2], dmrs, signs)
         soft = _assemble_soft(softbuffer, pack, pack.key[1])
         j0_tab, perq, invq, tb_tab = class_tables(pack)
-        packed, new_soft = self._c_for(pack.key)(
-            llr, pdev[3 * w:], j0_tab, perq, invq, tb_tab, soft)
+        sq, sc = jnp.asarray(samples_q), jnp.asarray(scale)
+        cfn = self._c_for(pack.key)
+
+        stages = [
+            ("A", lambda _prev: self._a(sq, sc)),
+            ("B", lambda grid_ri: self._b(
+                grid_ri, bp[:, 0], bp[:, 1], bp[:, 2], dmrs, signs,
+                tab_llr, tab_sig, cls_il_d)),
+            ("C", lambda llr: cfn(
+                llr, pdev[3 * w:], j0_tab, perq, invq, tb_tab, soft)),
+        ]
+        return stages, pack
+
+    def dispatch_window(self, samples, sf_indices, grants,
+                        softbuffer=None) -> PendingWindow:
+        """samples: (W, nrx, sf_len) complex64; grants: UlGrant list."""
+        stages, pack = self._plan(samples, sf_indices, grants, softbuffer)
+        out = None
+        for _name, fn in stages:
+            out = fn(out)
+        packed, new_soft = out
         return PendingWindow(packed, new_soft, pack.tbs, pack)
 
     results = WindowedUeDl.results
+    stage_times = WindowedUeDl.stage_times
 
     def decode_window(self, samples, sf_indices, grants, softbuffer=None):
         p = self.dispatch_window(samples, sf_indices, grants, softbuffer)
@@ -956,26 +1054,36 @@ class WindowedEnbUl:
 # --------------------------------------------------------------------------
 
 
-def _build_win_b_mimo(w: int, ncls_re: int):
+def _build_win_b_mimo(w: int):
     """Spatial-multiplexing grant front-end for W TTIs: class-shared RE
-    gather → joint 2x2 MMSE (all 3 TM4 codebook PMIs computed + one-hot
-    selected, or TM3 large-delay CDD as variant 3) → layer demap →
-    per-codeword demod/descramble.  Emits (W, 2, G_MAX) masked LLRs."""
-    from .phy.mimo import layerdemap, predecode_cdd2, predecode_zf_mmse
+    gather → fold the per-TTI precoder into H (the 3 TM4 codebook PMIs
+    and TM3 large-delay CDD are cheap elementwise transforms of H,
+    one-hot selected by the PMI as data) → ONE joint 2x2 MMSE solve →
+    layer demap → per-codeword demod/descramble.  Emits (W, 2, G_MAX)
+    masked LLRs.  (r3 ran the full Gram+solve for all 4 precoder
+    variants and selected afterwards — bit-identical but ~6% slower.)"""
+    from .phy.mimo import _codebook_2x2, layerdemap, predecode_zf_mmse
+
+    ws = [np.asarray(_codebook_2x2(p, 2)) for p in range(3)]
+    u_cdd = np.array([[1, 1], [1, -1]], np.complex64) / np.sqrt(2.0)
+    s2 = np.float32(1.0 / np.sqrt(2.0))
 
     def one(y, h, noise, n_re, qm1, qm2, pmi, signs1, signs2):
-        xs, cs = [], []
-        for p in range(3):  # TM4 codebook PMIs as static variants
-            xv, cv = predecode_zf_mmse(y, h, 2, noise, pmi=p)
-            xs.append(xv)
-            cs.append(cv)
-        xv, cv = predecode_cdd2(y, h, noise)  # TM3 (pmi == 3 selects CDD)
-        xs.append(xv)
-        cs.append(cv)
-        x = jnp.where(pmi == 0, xs[0], jnp.where(pmi == 1, xs[1],
-                      jnp.where(pmi == 2, xs[2], xs[3])))
-        csi = jnp.where(pmi == 0, cs[0], jnp.where(pmi == 1, cs[1],
-                        jnp.where(pmi == 2, cs[2], cs[3])))
+        m = h.shape[-1]
+        cands = [jnp.einsum("rpm,pl->rlm", h, jnp.asarray(ws[p]))
+                 for p in range(3)]
+        # TM3 CDD: fold W·D(i)·U per RE parity (pmi slot 3)
+        par = jnp.asarray(
+            np.where(np.arange(RE_MAX) % 2 == 0, 1.0, -1.0).astype(
+                np.complex64))
+        heff_l0 = (h[:, 0, :] * (u_cdd[0, 0] * s2)
+                   + h[:, 1, :] * (u_cdd[1, 0] * s2) * par[:m])
+        heff_l1 = (h[:, 0, :] * (u_cdd[0, 1] * s2)
+                   + h[:, 1, :] * (u_cdd[1, 1] * s2) * par[:m])
+        cands.append(jnp.stack([heff_l0, heff_l1], axis=-2))
+        heff = jnp.where(pmi == 0, cands[0], jnp.where(pmi == 1, cands[1],
+                         jnp.where(pmi == 2, cands[2], cands[3])))
+        x, csi = predecode_zf_mmse(y, heff, 2, noise, pmi=None)
         sym_cws = layerdemap(x, 2)
         csi_cws = layerdemap(csi.astype(jnp.complex64), 2)
 
@@ -1031,7 +1139,7 @@ class WindowedUeDlMimo(WindowedUeDl):
 
     def _b_for(self, ncls_re: int):
         if ncls_re not in self._b_cache:
-            self._b_cache[ncls_re] = _build_win_b_mimo(self.w, ncls_re)
+            self._b_cache[ncls_re] = _build_win_b_mimo(self.w)
         return self._b_cache[ncls_re]
 
     def _signs_q(self, rnti: int, sf_idx: int, q: int):
@@ -1042,10 +1150,9 @@ class WindowedUeDlMimo(WindowedUeDl):
                 gold_sequence_signs(cinit, G_MAX).astype(np.int8))
         return self._signs_dev[key]
 
-    def dispatch_window(self, samples, sf_indices, grants,
-                        softbuffer=None) -> PendingWindow:
-        """samples: (W, nrx, sf_len) complex64; grants: DlGrant2 list
-        (tx_scheme spatialmux -> pmi 0-2, cdd -> pmi slot 3)."""
+    def _plan(self, samples, sf_indices, grants, softbuffer=None,
+              sharding=None):
+        """Staged (name, fn) chain — see `WindowedEnbUl._plan`."""
         w = self.w
         assert len(sf_indices) == w and len(grants) == w
         samples_q, scale = _quantize_ingest(samples, self.ingest)
@@ -1067,18 +1174,33 @@ class WindowedUeDlMimo(WindowedUeDl):
             row_specs.append((g.tbs2, n_re * g.qm2, g.qm2, g.rv2))
         pack = pack_window(row_specs)
         pdev = jnp.asarray(np.concatenate([bpar.reshape(-1), pack.params]))
-
-        grid_ri, ce_ri, noise = self._a(
-            jnp.asarray(samples_q), jnp.asarray(scale), refs)
+        sq, sc = jnp.asarray(samples_q), jnp.asarray(scale)
         bp = pdev[: 5 * w].reshape(w, 5)
-        llr2 = self._b_for(idx_cls.shape[0])(
-            grid_ri, ce_ri, noise, idx_cls, bp[:, 4], bp[:, 0], bp[:, 1],
-            bp[:, 2], bp[:, 3], signs1, signs2)
-        llr = llr2.reshape(2 * w, G_MAX)
         soft = _assemble_soft(softbuffer, pack, pack.key[1])
         j0_tab, perq, invq, tb_tab = class_tables(pack)
-        packed, new_soft = self._c_for(pack.key)(
-            llr, pdev[5 * w:], j0_tab, perq, invq, tb_tab, soft)
+        bfn = self._b_for(idx_cls.shape[0])
+        cfn = self._c_for(pack.key)
+
+        stages = [
+            ("A", lambda _prev: self._a(sq, sc, refs)),
+            ("B", lambda abc: bfn(
+                abc[0], abc[1], abc[2], idx_cls, bp[:, 4], bp[:, 0],
+                bp[:, 1], bp[:, 2], bp[:, 3], signs1,
+                signs2).reshape(2 * w, G_MAX)),
+            ("C", lambda llr: cfn(
+                llr, pdev[5 * w:], j0_tab, perq, invq, tb_tab, soft)),
+        ]
+        return stages, pack
+
+    def dispatch_window(self, samples, sf_indices, grants,
+                        softbuffer=None) -> PendingWindow:
+        """samples: (W, nrx, sf_len) complex64; grants: DlGrant2 list
+        (tx_scheme spatialmux -> pmi 0-2, cdd -> pmi slot 3)."""
+        stages, pack = self._plan(samples, sf_indices, grants, softbuffer)
+        out = None
+        for _name, fn in stages:
+            out = fn(out)
+        packed, new_soft = out
         return PendingWindow(packed, new_soft, pack.tbs, pack)
 
     def results(self, p: PendingWindow):
