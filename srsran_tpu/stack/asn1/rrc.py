@@ -56,6 +56,17 @@ def crit_ext_c1(name, r8_type, n_spares):
     )
 
 
+def crit_ext_c1_alt(alt_name, typ, n_spares):
+    """Same c1+spares+future shell but with the alternative name given
+    verbatim (r9/r10 messages whose IEs aren't named *-r8)."""
+    return Choice(
+        [
+            ("c1", c1_spares([(alt_name, typ)], n_spares)),
+            ("crit_exts_future", Seq([])),
+        ]
+    )
+
+
 # ------------------------------------------------------------- RLC-Config
 
 T_POLL_RETX = Enum(
@@ -814,6 +825,67 @@ PHYS_CELL_ID_RANGE = Seq(
 
 BLACK_CELLS_TO_ADD_MOD = Seq([M("cell_idx", Int(1, 32)), M("pci_range", PHYS_CELL_ID_RANGE)])
 
+# ------------------------------------------------ inter-RAT primitives
+# (TS 36.331 §6.3.4/§6.3.1; reference rrc_asn1.cc carrier_freqs_geran_s,
+# carrier_freq_cdma2000_s, cell_global_id_*_s, bandclass_cdma2000_opts)
+
+PHYS_CELL_ID_UTRA_FDD = Int(0, 511)
+PHYS_CELL_ID_UTRA_TDD = Int(0, 127)
+PHYS_CELL_ID_GERAN = Seq(
+    [M("network_colour_code", BitStr(3)), M("base_station_colour_code", BitStr(3))]
+)
+PHYS_CELL_ID_CDMA2000 = Int(0, 511)
+ARFCN_VALUE_UTRA = Int(0, 16383)
+ARFCN_VALUE_GERAN = Int(0, 1023)
+ARFCN_VALUE_CDMA2000 = Int(0, 2047)
+BAND_INDICATOR_GERAN = Enum(["dcs1800", "pcs1900"])
+CDMA2000_TYPE = Enum(["type1_xrtt", "type_hrpd"])
+
+BANDCLASS_CDMA2000 = Enum(
+    [f"bc{i}" for i in range(18)] + [f"spare{i}" for i in range(14, 0, -1)],
+    ext=True,
+)
+assert len(BANDCLASS_CDMA2000.names) == 32
+
+CARRIER_FREQ_CDMA2000 = Seq(
+    [M("band_class", BANDCLASS_CDMA2000), M("arfcn", ARFCN_VALUE_CDMA2000)]
+)
+
+CARRIER_FREQ_GERAN = Seq(
+    [M("arfcn", ARFCN_VALUE_GERAN), M("band_ind", BAND_INDICATOR_GERAN)]
+)
+
+CARRIER_FREQS_GERAN = Seq(
+    [
+        M("start_arfcn", ARFCN_VALUE_GERAN),
+        M("band_ind", BAND_INDICATOR_GERAN),
+        M(
+            "following_arfcns",
+            Choice(
+                [
+                    ("explicit_list_of_arfcns", SeqOf(ARFCN_VALUE_GERAN, 0, 31)),
+                    (
+                        "equally_spaced_arfcns",
+                        Seq(
+                            [
+                                M("arfcn_spacing", Int(1, 8)),
+                                M("nof_following_arfcns", Int(0, 31)),
+                            ]
+                        ),
+                    ),
+                    # SIZE(1..16) in the spec; reference encodes
+                    # unconstrained (dyn_octstring)
+                    ("variable_bit_map_of_arfcns", OctStr()),
+                ]
+            ),
+        ),
+    ]
+)
+
+CELL_GLOBAL_ID_CDMA2000 = Choice(
+    [("cell_global_id1_xrtt", BitStr(47)), ("cell_global_id_hrpd", BitStr(128))]
+)
+
 MEAS_OBJECT_EUTRA = Seq(
     [
         M("carrier_freq", ARFCN),
@@ -830,7 +902,66 @@ MEAS_OBJECT_EUTRA = Seq(
     ext=True,
 )
 
-from .per import Todo  # noqa: E402
+# MeasObjectUTRA / GERAN / CDMA2000 (TS 36.331 §6.3.5; reference
+# rrc_asn1.cc meas_obj_utra_s / meas_obj_geran_s / meas_obj_cdma2000_s)
+
+MEAS_OBJECT_UTRA = Seq(
+    [
+        M("carrier_freq", ARFCN_VALUE_UTRA),
+        D("offset_freq", Int(-15, 15), 0),
+        O("cells_to_rem_list", CELL_INDEX_LIST),
+        O(
+            "cells_to_add_mod_list",
+            Choice(
+                [
+                    (
+                        "cells_to_add_mod_list_utra_fdd",
+                        SeqOf(Seq([M("cell_idx", Int(1, 32)),
+                                   M("pci", PHYS_CELL_ID_UTRA_FDD)]), 1, 32),
+                    ),
+                    (
+                        "cells_to_add_mod_list_utra_tdd",
+                        SeqOf(Seq([M("cell_idx", Int(1, 32)),
+                                   M("pci", PHYS_CELL_ID_UTRA_TDD)]), 1, 32),
+                    ),
+                ]
+            ),
+        ),
+        O(
+            "cell_for_which_to_report_cgi",
+            Choice([("utra_fdd", PHYS_CELL_ID_UTRA_FDD),
+                    ("utra_tdd", PHYS_CELL_ID_UTRA_TDD)]),
+        ),
+    ],
+    ext=True,
+)
+
+MEAS_OBJECT_GERAN = Seq(
+    [
+        M("carrier_freqs", CARRIER_FREQS_GERAN),
+        D("offset_freq", Int(-15, 15), 0),
+        D("ncc_permitted", BitStr(8), 0b11111111),
+        O("cell_for_which_to_report_cgi", PHYS_CELL_ID_GERAN),
+    ],
+    ext=True,
+)
+
+MEAS_OBJECT_CDMA2000 = Seq(
+    [
+        M("cdma2000_type", CDMA2000_TYPE),
+        M("carrier_freq", CARRIER_FREQ_CDMA2000),
+        O("search_win_size", Int(0, 15)),
+        D("offset_freq", Int(-15, 15), 0),
+        O("cells_to_rem_list", CELL_INDEX_LIST),
+        O(
+            "cells_to_add_mod_list",
+            SeqOf(Seq([M("cell_idx", Int(1, 32)),
+                       M("pci", PHYS_CELL_ID_CDMA2000)]), 1, 32),
+        ),
+        O("cell_for_which_to_report_cgi", PHYS_CELL_ID_CDMA2000),
+    ],
+    ext=True,
+)
 
 MEAS_OBJECT_TO_ADD_MOD = Seq(
     [
@@ -840,9 +971,9 @@ MEAS_OBJECT_TO_ADD_MOD = Seq(
             Choice(
                 [
                     ("meas_obj_eutra", MEAS_OBJECT_EUTRA),
-                    ("meas_obj_utra", Todo("MeasObjectUTRA")),
-                    ("meas_obj_geran", Todo("MeasObjectGERAN")),
-                    ("meas_obj_cdma2000", Todo("MeasObjectCDMA2000")),
+                    ("meas_obj_utra", MEAS_OBJECT_UTRA),
+                    ("meas_obj_geran", MEAS_OBJECT_GERAN),
+                    ("meas_obj_cdma2000", MEAS_OBJECT_CDMA2000),
                 ],
                 ext=True,
             ),
@@ -913,6 +1044,88 @@ REPORT_CONFIG_EUTRA = Seq(
     ext=True,
 )
 
+# ReportConfigInterRAT (TS 36.331 §6.3.5; reference rrc_asn1.cc
+# report_cfg_inter_rat_s — events b1/b2 with per-RAT thresholds)
+
+THRESHOLD_UTRA = Choice([("utra_rscp", Int(-5, 91)), ("utra_ec_n0", Int(0, 49))])
+THRESHOLD_GERAN = Int(0, 63)
+THRESHOLD_CDMA2000 = Int(0, 63)
+
+_B_THRES_INTER_RAT = Choice(
+    [
+        ("b1_thres_utra", THRESHOLD_UTRA),
+        ("b1_thres_geran", THRESHOLD_GERAN),
+        ("b1_thres_cdma2000", THRESHOLD_CDMA2000),
+    ]
+)
+_B2_THRES2_INTER_RAT = Choice(
+    [
+        ("b2_thres2_utra", THRESHOLD_UTRA),
+        ("b2_thres2_geran", THRESHOLD_GERAN),
+        ("b2_thres2_cdma2000", THRESHOLD_CDMA2000),
+    ]
+)
+
+REPORT_CONFIG_INTER_RAT = Seq(
+    [
+        M(
+            "trigger_type",
+            Choice(
+                [
+                    (
+                        "event",
+                        Seq(
+                            [
+                                M(
+                                    "event_id",
+                                    Choice(
+                                        [
+                                            ("event_b1", Seq([M("b1_thres", _B_THRES_INTER_RAT)])),
+                                            (
+                                                "event_b2",
+                                                Seq(
+                                                    [
+                                                        M("b2_thres1", THRESHOLD_EUTRA),
+                                                        M("b2_thres2", _B2_THRES2_INTER_RAT),
+                                                    ]
+                                                ),
+                                            ),
+                                        ],
+                                        ext=True,
+                                    ),
+                                ),
+                                M("hysteresis", Int(0, 30)),
+                                M("time_to_trigger", TIME_TO_TRIGGER),
+                            ]
+                        ),
+                    ),
+                    (
+                        "periodical",
+                        Seq(
+                            [
+                                M(
+                                    "purpose",
+                                    Enum(["report_strongest_cells",
+                                          "report_strongest_cells_for_son",
+                                          "report_cgi"]),
+                                )
+                            ]
+                        ),
+                    ),
+                ]
+            ),
+        ),
+        M("max_report_cells", Int(1, 8)),
+        M(
+            "report_interv",
+            Enum(["ms120", "ms240", "ms480", "ms640", "ms1024", "ms2048", "ms5120", "ms10240",
+                  "min1", "min6", "min12", "min30", "min60", "spare3", "spare2", "spare1"]),
+        ),
+        M("report_amount", Enum(["r1", "r2", "r4", "r8", "r16", "r32", "r64", "infinity"])),
+    ],
+    ext=True,
+)
+
 REPORT_CONFIG_TO_ADD_MOD = Seq(
     [
         M("report_cfg_id", Int(1, 32)),
@@ -921,7 +1134,7 @@ REPORT_CONFIG_TO_ADD_MOD = Seq(
             Choice(
                 [
                     ("report_cfg_eutra", REPORT_CONFIG_EUTRA),
-                    ("report_cfg_inter_rat", Todo("ReportConfigInterRAT")),
+                    ("report_cfg_inter_rat", REPORT_CONFIG_INTER_RAT),
                 ]
             ),
         ),
@@ -932,21 +1145,53 @@ MEAS_ID_TO_ADD_MOD = Seq(
     [M("meas_id", Int(1, 32)), M("meas_obj_id", Int(1, 32)), M("report_cfg_id", Int(1, 32))]
 )
 
+# QuantityConfig inter-RAT branches (reference quant_cfg_{utra,geran,
+# cdma2000}_s; single-enumerator measQuantityGERAN encodes in 0 bits)
+QUANTITY_CONFIG_UTRA = Seq(
+    [
+        M("meas_quant_utra_fdd", Enum(["cpich_rscp", "cpich_ec_n0"])),
+        D("filt_coef", FILTER_COEFFICIENT, "fc4"),
+    ]
+)
+QUANTITY_CONFIG_GERAN = Seq(
+    [
+        M("meas_quant_geran", Enum(["rssi"])),
+        D("filt_coef", FILTER_COEFFICIENT, "fc2"),
+    ]
+)
+QUANTITY_CONFIG_CDMA2000 = Seq(
+    [
+        M(
+            "meas_quant_cdma2000",
+            Enum(["pilot_strength", "pilot_pn_phase_and_pilot_strength"]),
+        )
+    ]
+)
+
 QUANTITY_CONFIG = Seq(
     [
         O(
             "quant_cfg_eutra",
             Seq([D("filt_coef_rsrp", FILTER_COEFFICIENT, "fc4"), D("filt_coef_rsrq", FILTER_COEFFICIENT, "fc4")]),
         ),
-        O("quant_cfg_utra", Todo("QuantityConfigUTRA")),
-        O("quant_cfg_geran", Todo("QuantityConfigGERAN")),
-        O("quant_cfg_cdma2000", Todo("QuantityConfigCDMA2000")),
+        O("quant_cfg_utra", QUANTITY_CONFIG_UTRA),
+        O("quant_cfg_geran", QUANTITY_CONFIG_GERAN),
+        O("quant_cfg_cdma2000", QUANTITY_CONFIG_CDMA2000),
     ],
     ext=True,
 )
 
 MEAS_GAP_CONFIG = setup_release(
     Seq([M("gap_offset", Choice([("gp0", Int(0, 39)), ("gp1", Int(0, 79))], ext=True))])
+)
+
+# PreRegistrationInfoHRPD (reference pre_regist_info_hrpd_s)
+PRE_REGISTRATION_INFO_HRPD = Seq(
+    [
+        M("pre_regist_allowed", Bool()),
+        O("pre_regist_zone_id", Int(0, 255)),
+        O("secondary_pre_regist_zone_id_list", SeqOf(Int(0, 255), 1, 2)),
+    ]
 )
 
 SPEED_STATE_PARS = setup_release(
@@ -987,7 +1232,7 @@ MEAS_CONFIG = Seq(
         O("quant_cfg", QUANTITY_CONFIG),
         O("meas_gap_cfg", MEAS_GAP_CONFIG),
         O("s_measure", Int(0, 97)),
-        O("pre_regist_info_hrpd", Todo("PreRegistrationInfoHRPD")),
+        O("pre_regist_info_hrpd", PRE_REGISTRATION_INFO_HRPD),
         O("speed_state_pars", SPEED_STATE_PARS),
     ],
     ext=True,
@@ -1021,6 +1266,81 @@ MEAS_RESULT_EUTRA = Seq(
     ]
 )
 
+# Inter-RAT measurement results (reference meas_result_utra_s,
+# meas_result_geran_s, meas_results_cdma2000_s)
+
+CELL_GLOBAL_ID_UTRA = Seq([M("plmn_id", PLMN_IDENTITY), M("cell_id", BitStr(28))])
+CELL_GLOBAL_ID_GERAN = Seq(
+    [
+        M("plmn_id", PLMN_IDENTITY),
+        M("location_area_code", BitStr(16)),
+        M("cell_id", BitStr(16)),
+    ]
+)
+
+MEAS_RESULT_UTRA = Seq(
+    [
+        M("pci", Choice([("fdd", PHYS_CELL_ID_UTRA_FDD), ("tdd", PHYS_CELL_ID_UTRA_TDD)])),
+        O(
+            "cgi_info",
+            Seq(
+                [
+                    M("cell_global_id", CELL_GLOBAL_ID_UTRA),
+                    O("location_area_code", BitStr(16)),
+                    O("routing_area_code", BitStr(8)),
+                    O("plmn_id_list", SeqOf(PLMN_IDENTITY, 1, 5)),
+                ]
+            ),
+        ),
+        M(
+            "meas_result",
+            Seq([O("utra_rscp", Int(-5, 91)), O("utra_ec_n0", Int(0, 49))], ext=True),
+        ),
+    ]
+)
+MEAS_RESULT_LIST_UTRA = SeqOf(MEAS_RESULT_UTRA, 1, 8)
+
+MEAS_RESULT_GERAN = Seq(
+    [
+        M("carrier_freq", CARRIER_FREQ_GERAN),
+        M("pci", PHYS_CELL_ID_GERAN),
+        O(
+            "cgi_info",
+            Seq(
+                [
+                    M("cell_global_id", CELL_GLOBAL_ID_GERAN),
+                    O("routing_area_code", BitStr(8)),
+                ]
+            ),
+        ),
+        M("meas_result", Seq([M("rssi", Int(0, 63))], ext=True)),
+    ]
+)
+MEAS_RESULT_LIST_GERAN = SeqOf(MEAS_RESULT_GERAN, 1, 8)
+
+MEAS_RESULT_CDMA2000 = Seq(
+    [
+        M("pci", PHYS_CELL_ID_CDMA2000),
+        O("cgi_info", CELL_GLOBAL_ID_CDMA2000),
+        M(
+            "meas_result",
+            Seq(
+                [
+                    O("pilot_pn_phase", Int(0, 32767)),
+                    M("pilot_strength", Int(0, 63)),
+                ],
+                ext=True,
+            ),
+        ),
+    ]
+)
+MEAS_RESULTS_CDMA2000 = Seq(
+    [
+        M("pre_regist_status_hrpd", Bool()),
+        M("meas_result_list_cdma2000", SeqOf(MEAS_RESULT_CDMA2000, 1, 8)),
+    ]
+)
+
 MEAS_RESULTS = Seq(
     [
         M("meas_id", Int(1, 32)),
@@ -1030,9 +1350,9 @@ MEAS_RESULTS = Seq(
             Choice(
                 [
                     ("meas_result_list_eutra", SeqOf(MEAS_RESULT_EUTRA, 1, 8)),
-                    ("meas_result_list_utra", Todo("MeasResultListUTRA")),
-                    ("meas_result_list_geran", Todo("MeasResultListGERAN")),
-                    ("meas_results_cdma2000", Todo("MeasResultsCDMA2000")),
+                    ("meas_result_list_utra", MEAS_RESULT_LIST_UTRA),
+                    ("meas_result_list_geran", MEAS_RESULT_LIST_GERAN),
+                    ("meas_results_cdma2000", MEAS_RESULTS_CDMA2000),
                 ],
                 ext=True,
             ),
@@ -1122,6 +1442,45 @@ DEDICATED_INFO_NAS = OctStr()
 
 SCELL_INDEX = Int(1, 7)
 
+_MBSFN_SUBFRAME_CONFIG = Seq(
+    [
+        M("radioframe_alloc_period", Enum(["n1", "n2", "n4", "n8", "n16", "n32"])),
+        M("radioframe_alloc_offset", Int(0, 7)),
+        M("sf_alloc", Choice([("one_frame", BitStr(6)), ("four_frames", BitStr(24))])),
+    ]
+)
+
+# UL-Configuration of RadioResourceConfigCommonSCell-r10 (TS 36.331
+# §6.3.2; reference rr_cfg_common_scell_r10_s ul_cfg_r10 inline struct)
+UL_CONFIGURATION_R10 = Seq(
+    [
+        M(
+            "ul_freq_info",
+            Seq(
+                [
+                    O("ul_carrier_freq", ARFCN),
+                    O("ul_bw", Enum(["n6", "n15", "n25", "n50", "n75", "n100"])),
+                    M("add_spec_emission_scell", Int(1, 32)),
+                ]
+            ),
+        ),
+        O("p_max", Int(-30, 33)),
+        M(
+            "ul_pwr_ctrl_common_scell",
+            Seq(
+                [
+                    M("p0_nominal_pusch", Int(-126, 24)),
+                    M("alpha", Enum(["al0", "al04", "al05", "al06", "al07", "al08", "al09", "al1"])),
+                ]
+            ),
+        ),
+        M("srs_ul_cfg_common", SRS_UL_CONFIG_COMMON),
+        M("ul_cp_len", Enum(["len1", "len2"])),
+        O("prach_cfg_scell", Seq([M("prach_cfg_idx", Int(0, 63))])),
+        M("pusch_cfg_common", PUSCH_CONFIG_COMMON),
+    ]
+)
+
 RADIO_RESOURCE_CONFIG_COMMON_SCELL = Seq(
     [
         M(
@@ -1130,15 +1489,232 @@ RADIO_RESOURCE_CONFIG_COMMON_SCELL = Seq(
                 [
                     M("dl_bw", Enum(["n6", "n15", "n25", "n50", "n75", "n100"])),
                     M("ant_info_common", ANTENNA_INFO_COMMON),
-                    O("mbsfn_sf_cfg_list", Todo("MBSFN-SubframeConfigList")),
+                    O("mbsfn_sf_cfg_list", SeqOf(_MBSFN_SUBFRAME_CONFIG, 1, 8)),
                     M("phich_cfg", PHICH_CONFIG),
                     M("pdsch_cfg_common", PDSCH_CONFIG_COMMON),
                     O("tdd_cfg", TDD_CONFIG),
                 ]
             ),
         ),
-        O("ul_cfg", Todo("UL-Configuration-r10")),
+        O("ul_cfg", UL_CONFIGURATION_R10),
     ],
+    ext=True,
+)
+
+# --- RadioResourceConfigDedicatedSCell-r10 subtree (TS 36.331 §6.3.2;
+# reference rr_cfg_ded_scell_r10_s / phys_cfg_ded_scell_r10_s) ---
+
+ANTENNA_INFO_DEDICATED_R10 = Seq(
+    [
+        M(
+            "tx_mode_r10",
+            Enum(["tm1", "tm2", "tm3", "tm4", "tm5", "tm6", "tm7", "tm8_v920",
+                  "tm9_v1020", "spare7", "spare6", "spare5", "spare4", "spare3",
+                  "spare2", "spare1"]),
+        ),
+        # codebookSubsetRestriction-r10 is an unconstrained BIT STRING
+        # (value model: (int, nbits)); the large hi routes the length
+        # through the general determinant per X.691 §10.9.3.3
+        O("codebook_subset_restrict_r10", BitStr(0, 1 << 20)),
+        M("ue_tx_ant_sel", setup_release(Enum(["closed_loop", "open_loop"]))),
+    ]
+)
+
+ANTENNA_INFO_UL_R10 = Seq(
+    [
+        O("tx_mode_ul_r10", Enum(["tm1", "tm2", "spare6", "spare5", "spare4",
+                                  "spare3", "spare2", "spare1"])),
+        O("four_ant_port_activ_r10", Enum(["setup"])),
+    ]
+)
+
+CROSS_CARRIER_SCHED_CONFIG_R10 = Seq(
+    [
+        M(
+            "sched_cell_info_r10",
+            Choice(
+                [
+                    ("own_r10", Seq([M("cif_presence_r10", Bool())])),
+                    (
+                        "other_r10",
+                        Seq(
+                            [
+                                M("sched_cell_id_r10", Int(0, 7)),
+                                M("pdsch_start_r10", Int(1, 4)),
+                            ]
+                        ),
+                    ),
+                ]
+            ),
+        )
+    ]
+)
+
+CSI_RS_CONFIG_R10 = Seq(
+    [
+        O(
+            "csi_rs_r10",
+            setup_release(
+                Seq(
+                    [
+                        M("ant_ports_count_r10", Enum(["an1", "an2", "an4", "an8"])),
+                        M("res_cfg_r10", Int(0, 31)),
+                        M("sf_cfg_r10", Int(0, 154)),
+                        M("p_c_r10", Int(-8, 15)),
+                    ]
+                )
+            ),
+        ),
+        O(
+            "zero_tx_pwr_csi_rs_r10",
+            setup_release(
+                Seq(
+                    [
+                        M("zero_tx_pwr_res_cfg_list_r10", BitStr(16)),
+                        M("zero_tx_pwr_sf_cfg_r10", Int(0, 154)),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+CQI_REPORT_PERIODIC_SCELL_R10 = setup_release(
+    Seq(
+        [
+            M("cqi_pucch_res_idx_r10", Int(0, 1184)),
+            O("cqi_pucch_res_idx_p1_r10", Int(0, 1184)),
+            M("cqi_pmi_cfg_idx", Int(0, 1023)),
+            M(
+                "cqi_format_ind_periodic_r10",
+                Choice(
+                    [
+                        (
+                            "wideband_cqi_r10",
+                            Seq([O("csi_report_mode_r10", Enum(["submode1", "submode2"]))]),
+                        ),
+                        (
+                            "subband_cqi_r10",
+                            Seq(
+                                [
+                                    M("k", Int(1, 4)),
+                                    M("periodicity_factor_r10", Enum(["n2", "n4"])),
+                                ]
+                            ),
+                        ),
+                    ]
+                ),
+            ),
+            O("ri_cfg_idx", Int(0, 1023)),
+            M("simul_ack_nack_and_cqi", Bool()),
+            O("cqi_mask_r9", Enum(["setup"])),
+            O(
+                "csi_cfg_idx_r10",
+                setup_release(
+                    Seq(
+                        [
+                            M("cqi_pmi_cfg_idx2_r10", Int(0, 1023)),
+                            O("ri_cfg_idx2_r10", Int(0, 1023)),
+                        ]
+                    )
+                ),
+            ),
+        ]
+    )
+)
+
+CQI_REPORT_CONFIG_SCELL_R10 = Seq(
+    [
+        O(
+            "cqi_report_mode_aperiodic_r10",
+            Enum(["rm12", "rm20", "rm22", "rm30", "rm31", "rm32_v1250",
+                  "rm10_v1310", "rm11_v1310"]),
+        ),
+        M("nom_pdsch_rs_epre_offset_r10", Int(-1, 6)),
+        O("cqi_report_periodic_scell_r10", CQI_REPORT_PERIODIC_SCELL_R10),
+        O("pmi_ri_report_r10", Enum(["setup"])),
+    ]
+)
+
+PUSCH_CONFIG_DEDICATED_SCELL_R10 = Seq(
+    [
+        O("group_hop_disabled_r10", Enum(["true_value"])),
+        O("dmrs_with_occ_activ_r10", Enum(["true_value"])),
+    ]
+)
+
+UL_POWER_CONTROL_DEDICATED_SCELL_R10 = Seq(
+    [
+        M("p0_ue_pusch_r10", Int(-8, 7)),
+        M("delta_mcs_enabled_r10", Enum(["en0", "en1"])),
+        M("accumulation_enabled_r10", Bool()),
+        M("psrs_offset_r10", Int(0, 15)),
+        O("psrs_offset_ap_r10", Int(0, 15)),
+        D("filt_coef_r10", FILTER_COEFFICIENT, "fc4"),
+        M("pathloss_ref_linking_r10", Enum(["pcell", "scell"])),
+    ]
+)
+
+SRS_CONFIG_AP_R10 = Seq(
+    [
+        M("srs_ant_port_ap_r10", Enum(["an1", "an2", "an4", "spare1"])),
+        M("srs_bw_ap_r10", Enum(["bw0", "bw1", "bw2", "bw3"])),
+        M("freq_domain_position_ap_r10", Int(0, 23)),
+        M("tx_comb_ap_r10", Int(0, 1)),
+        M("cyclic_shift_ap_r10", Enum(["cs0", "cs1", "cs2", "cs3", "cs4", "cs5", "cs6", "cs7"])),
+    ]
+)
+
+SRS_UL_CONFIG_DEDICATED_V1020 = Seq(
+    [M("srs_ant_port_r10", Enum(["an1", "an2", "an4", "spare1"]))]
+)
+
+SRS_UL_CONFIG_DEDICATED_APERIODIC_R10 = setup_release(
+    Seq(
+        [
+            M("srs_cfg_idx_ap_r10", Int(0, 31)),
+            O("srs_cfg_ap_dci_format4_r10", SeqOf(SRS_CONFIG_AP_R10, 1, 3)),
+            O(
+                "srs_activ_ap_r10",
+                setup_release(Seq([M("srs_cfg_ap_r10", SRS_CONFIG_AP_R10)])),
+            ),
+        ]
+    )
+)
+
+PHYSICAL_CONFIG_DEDICATED_SCELL_R10 = Seq(
+    [
+        O(
+            "non_ul_cfg",
+            Seq(
+                [
+                    O("ant_info_r10", ANTENNA_INFO_DEDICATED_R10),
+                    O("cross_carrier_sched_cfg_r10", CROSS_CARRIER_SCHED_CONFIG_R10),
+                    O("csi_rs_cfg_r10", CSI_RS_CONFIG_R10),
+                    O("pdsch_cfg_ded_r10", PDSCH_CONFIG_DEDICATED),
+                ]
+            ),
+        ),
+        O(
+            "ul_cfg",
+            Seq(
+                [
+                    O("ant_info_ul_r10", ANTENNA_INFO_UL_R10),
+                    O("pusch_cfg_ded_scell_r10", PUSCH_CONFIG_DEDICATED_SCELL_R10),
+                    O("ul_pwr_ctrl_ded_scell_r10", UL_POWER_CONTROL_DEDICATED_SCELL_R10),
+                    O("cqi_report_cfg_scell_r10", CQI_REPORT_CONFIG_SCELL_R10),
+                    O("srs_ul_cfg_ded_r10", SRS_UL_CONFIG_DEDICATED),
+                    O("srs_ul_cfg_ded_v1020", SRS_UL_CONFIG_DEDICATED_V1020),
+                    O("srs_ul_cfg_ded_aperiodic_r10", SRS_UL_CONFIG_DEDICATED_APERIODIC_R10),
+                ]
+            ),
+        ),
+    ],
+    ext=True,
+)
+
+RADIO_RESOURCE_CONFIG_DEDICATED_SCELL_R10 = Seq(
+    [O("phys_cfg_ded_scell_r10", PHYSICAL_CONFIG_DEDICATED_SCELL_R10)],
     ext=True,
 )
 
@@ -1150,7 +1726,24 @@ SCELL_TO_ADD_MOD = Seq(
             Seq([M("phys_cell_id", PHYS_CELL_ID), M("dl_carrier_freq", ARFCN)]),
         ),
         O("rr_cfg_common_scell", RADIO_RESOURCE_CONFIG_COMMON_SCELL),
-        O("rr_cfg_ded_scell", Todo("RadioResourceConfigDedicatedSCell-r10")),
+        O("rr_cfg_ded_scell", RADIO_RESOURCE_CONFIG_DEDICATED_SCELL_R10),
+    ],
+    ext=True,
+)
+
+# OtherConfig-r9 (reference other_cfg_r9_s root; r11+ additions arrive
+# as unknown extension groups and round-trip via the raw preservation)
+OTHER_CONFIG_R9 = Seq(
+    [
+        O(
+            "report_proximity_cfg_r9",
+            Seq(
+                [
+                    O("proximity_ind_eutra_r9", Enum(["enabled"])),
+                    O("proximity_ind_utra_r9", Enum(["enabled"])),
+                ]
+            ),
+        )
     ],
     ext=True,
 )
@@ -1166,7 +1759,7 @@ RECFG_V1020 = Seq(
 
 RECFG_V920 = Seq(
     [
-        O("other_cfg", Todo("OtherConfig-r9")),
+        O("other_cfg", OTHER_CONFIG_R9),
         O("full_cfg", Enum(["true"])),
         O("non_crit_ext", RECFG_V1020),
     ]
@@ -1200,11 +1793,11 @@ RRC_CONN_RECFG = Seq(
 REDIRECTED_CARRIER_INFO = Choice(
     [
         ("eutra", ARFCN),
-        ("geran", Todo("CarrierFreqsGERAN")),
+        ("geran", CARRIER_FREQS_GERAN),
         ("utra_fdd", Int(0, 16383)),
         ("utra_tdd", Int(0, 16383)),
-        ("cdma2000_hrpd", Todo("CarrierFreqCDMA2000")),
-        ("cdma2000_1x_rtt", Todo("CarrierFreqCDMA2000")),
+        ("cdma2000_hrpd", CARRIER_FREQ_CDMA2000),
+        ("cdma2000_1x_rtt", CARRIER_FREQ_CDMA2000),
     ],
     ext=True,
 )
@@ -1214,11 +1807,21 @@ FREQ_PRIORITY_EUTRA = Seq([M("carrier_freq", ARFCN), M("cell_resel_prio", Int(0,
 IDLE_MODE_MOBILITY_CONTROL_INFO = Seq(
     [
         O("freq_prio_list_eutra", SeqOf(FREQ_PRIORITY_EUTRA, 1, 8)),
-        O("freq_prio_list_geran", Todo("FreqsPriorityListGERAN")),
-        O("freq_prio_list_utra_fdd", Todo("FreqsPriorityListUTRA-FDD")),
-        O("freq_prio_list_utra_tdd", Todo("FreqsPriorityListUTRA-TDD")),
-        O("band_class_prio_list_hrpd", Todo("BandClassPriorityListHRPD")),
-        O("band_class_prio_list1_xrtt", Todo("BandClassPriorityList1XRTT")),
+        O("freq_prio_list_geran", SeqOf(Seq([
+            M("carrier_freqs", CARRIER_FREQS_GERAN),
+            M("cell_resel_prio", Int(0, 7))]), 1, 16)),
+        O("freq_prio_list_utra_fdd", SeqOf(Seq([
+            M("carrier_freq", ARFCN_VALUE_UTRA),
+            M("cell_resel_prio", Int(0, 7))]), 1, 16)),
+        O("freq_prio_list_utra_tdd", SeqOf(Seq([
+            M("carrier_freq", ARFCN_VALUE_UTRA),
+            M("cell_resel_prio", Int(0, 7))]), 1, 16)),
+        O("band_class_prio_list_hrpd", SeqOf(Seq([
+            M("band_class", BANDCLASS_CDMA2000),
+            M("cell_resel_prio", Int(0, 7))]), 1, 32)),
+        O("band_class_prio_list1_xrtt", SeqOf(Seq([
+            M("band_class", BANDCLASS_CDMA2000),
+            M("cell_resel_prio", Int(0, 7))]), 1, 32)),
         O("t320", Enum(["min5", "min10", "min20", "min30", "min60", "min120", "min180", "spare1"])),
     ],
     ext=True,
@@ -1317,6 +1920,370 @@ DL_INFO_TRANSFER = Seq(
     ]
 )
 
+# ---------------------------------------------------------------------
+# Inter-RAT mobility + miscellaneous DL-DCCH messages (TS 36.331 §6.2.2;
+# reference mob_from_eutra_cmd_s, csfb_params_resp_cdma2000_s,
+# ho_from_eutra_prep_request_s, counter_check_s, ue_info_request_r9_s,
+# logged_meas_cfg_r10_s, rn_recfg_r10_s)
+# ---------------------------------------------------------------------
+
+_LATE_NONCRIT = Seq([O("late_non_crit_ext", OctStr()), O("non_crit_ext", Seq([]))])
+
+# element SIZE(1..23) in the spec; reference encodes each element as an
+# unconstrained octet string (bounded_array<dyn_octstring, 10>)
+SYS_INFO_LIST_GERAN = SeqOf(OctStr(), 1, 10)
+SI_OR_PSI_GERAN = Choice(
+    [("si", SYS_INFO_LIST_GERAN), ("psi", SYS_INFO_LIST_GERAN)]
+)
+
+_HANDOVER = Seq(
+    [
+        # NOTE: Handover.targetRAT-Type is its own enumeration (reference
+        # ho_s::target_rat_type_opts), NOT the RAT-Type IE
+        M("target_rat_type", Enum(["utra", "geran", "cdma2000_1xrtt",
+                                   "cdma2000_hrpd", "nr", "eutra",
+                                   "spare2", "spare1"], ext=True)),
+        M("target_rat_msg_container", OctStr()),
+        O("nas_security_param_from_eutra", OctStr(1, 1)),
+        O("sys_info", SI_OR_PSI_GERAN),
+    ]
+)
+
+_CELL_CHANGE_ORDER = Seq(
+    [
+        M("t304", Enum(["ms100", "ms200", "ms500", "ms1000", "ms2000",
+                        "ms4000", "ms8000", "ms10000_v1310"])),
+        M(
+            "target_rat",
+            Choice(
+                [
+                    (
+                        "geran",
+                        Seq(
+                            [
+                                M("pci", PHYS_CELL_ID_GERAN),
+                                M("carrier_freq", CARRIER_FREQ_GERAN),
+                                O("network_ctrl_order", BitStr(2)),
+                                O("sys_info", SI_OR_PSI_GERAN),
+                            ]
+                        ),
+                    )
+                ],
+                ext=True,
+            ),
+        ),
+    ]
+)
+
+E_CSFB_R9 = Seq(
+    [
+        O("msg_cont_cdma2000_1xrtt_r9", OctStr()),
+        O("mob_cdma2000_hrpd_r9", Enum(["ho", "redirection"])),
+        O("msg_cont_cdma2000_hrpd_r9", OctStr()),
+        O("redirect_carrier_cdma2000_hrpd_r9", CARRIER_FREQ_CDMA2000),
+    ]
+)
+
+MOBILITY_FROM_EUTRA_COMMAND = Seq(
+    [
+        M("rrc_transaction_id", Int(0, 3)),
+        M(
+            "crit_exts",
+            Choice(
+                [
+                    (
+                        "c1",
+                        Choice(
+                            [
+                                (
+                                    "mob_from_eutra_cmd_r8",
+                                    Seq(
+                                        [
+                                            M("cs_fallback_ind", Bool()),
+                                            M("purpose", Choice([
+                                                ("handover", _HANDOVER),
+                                                ("cell_change_order", _CELL_CHANGE_ORDER),
+                                            ])),
+                                            O("non_crit_ext", _LATE_NONCRIT),
+                                        ]
+                                    ),
+                                ),
+                                (
+                                    "mob_from_eutra_cmd_r9",
+                                    Seq(
+                                        [
+                                            M("cs_fallback_ind", Bool()),
+                                            M("purpose", Choice([
+                                                ("handover", _HANDOVER),
+                                                ("cell_change_order", _CELL_CHANGE_ORDER),
+                                                ("e_csfb_r9", E_CSFB_R9),
+                                            ], ext=True)),
+                                            O("non_crit_ext", _LATE_NONCRIT),
+                                        ]
+                                    ),
+                                ),
+                                ("spare2", Null()),
+                                ("spare1", Null()),
+                            ]
+                        ),
+                    ),
+                    ("crit_exts_future", Seq([])),
+                ]
+            ),
+        ),
+    ]
+)
+
+CSFB_PARAMETERS_RESPONSE_CDMA2000 = Seq(
+    [
+        M("rrc_transaction_id", Int(0, 3)),
+        M(
+            "crit_exts",
+            Choice(
+                [
+                    (
+                        "csfb_params_resp_cdma2000_r8",
+                        Seq(
+                            [
+                                M("rand", BitStr(32)),
+                                M("mob_params", OctStr()),
+                                O("non_crit_ext", _LATE_NONCRIT),
+                            ]
+                        ),
+                    ),
+                    ("crit_exts_future", Seq([])),
+                ]
+            ),
+        ),
+    ]
+)
+
+HANDOVER_FROM_EUTRA_PREPARATION_REQUEST = Seq(
+    [
+        M("rrc_transaction_id", Int(0, 3)),
+        M(
+            "crit_exts",
+            crit_ext_c1(
+                "ho_from_eutra_prep_request",
+                Seq(
+                    [
+                        M("cdma2000_type", CDMA2000_TYPE),
+                        O("rand", BitStr(32)),
+                        O("mob_params", OctStr()),
+                        O("non_crit_ext", _LATE_NONCRIT),
+                    ]
+                ),
+                3,
+            ),
+        ),
+    ]
+)
+
+DRB_COUNT_MSB_INFO = Seq(
+    [
+        M("drb_id", Int(1, 32)),
+        M("count_msb_ul", Int(0, 33554431)),
+        M("count_msb_dl", Int(0, 33554431)),
+    ]
+)
+
+COUNTER_CHECK = Seq(
+    [
+        M("rrc_transaction_id", Int(0, 3)),
+        M(
+            "crit_exts",
+            crit_ext_c1(
+                "counter_check",
+                Seq(
+                    [
+                        M("drb_count_msb_info_list", SeqOf(DRB_COUNT_MSB_INFO, 1, 11)),
+                        O("non_crit_ext", _LATE_NONCRIT),
+                    ]
+                ),
+                3,
+            ),
+        ),
+    ]
+)
+
+UE_INFORMATION_REQUEST_R9 = Seq(
+    [
+        M("rrc_transaction_id", Int(0, 3)),
+        M(
+            "crit_exts",
+            crit_ext_c1_alt(
+                "ue_info_request_r9",
+                Seq(
+                    [
+                        M("rach_report_req_r9", Bool()),
+                        M("rlf_report_req_r9", Bool()),
+                        O("non_crit_ext", _LATE_NONCRIT),
+                    ]
+                ),
+                3,
+            ),
+        ),
+    ]
+)
+
+TRACE_REFERENCE_R10 = Seq(
+    [M("plmn_id_r10", PLMN_IDENTITY), M("trace_id_r10", OctStr(3, 3))]
+)
+
+AREA_CONFIGURATION_R10 = Choice(
+    [
+        ("cell_global_id_list_r10", SeqOf(CELL_GLOBAL_ID_EUTRA, 1, 32)),
+        ("tac_list_r10", SeqOf(BitStr(16), 1, 8)),
+    ]
+)
+
+LOGGED_MEASUREMENT_CONFIGURATION_R10 = Seq(
+    [
+        M(
+            "crit_exts",
+            crit_ext_c1_alt(
+                "logged_meas_cfg_r10",
+                Seq(
+                    [
+                        M("trace_ref_r10", TRACE_REFERENCE_R10),
+                        M("trace_recording_session_ref_r10", OctStr(2, 2)),
+                        M("tce_id_r10", OctStr(1, 1)),
+                        M("absolute_time_info_r10", BitStr(48)),
+                        O("area_cfg_r10", AREA_CONFIGURATION_R10),
+                        M("logging_dur_r10", Enum(["min10", "min20", "min40", "min60",
+                                                   "min90", "min120", "spare2", "spare1"])),
+                        M("logging_interv_r10", Enum(["ms1280", "ms2560", "ms5120", "ms10240",
+                                                      "ms20480", "ms30720", "ms40960", "ms61440"])),
+                        O("non_crit_ext", _LATE_NONCRIT),
+                    ]
+                ),
+                3,
+            ),
+        ),
+    ]
+)
+
+RN_SUBFRAME_CONFIG_R10 = Seq(
+    [
+        O(
+            "sf_cfg_pattern_r10",
+            Choice(
+                [
+                    ("sf_cfg_pattern_fdd_r10", BitStr(8)),
+                    ("sf_cfg_pattern_tdd_r10", Int(0, 31)),
+                ]
+            ),
+        ),
+        O(
+            "rpdcch_cfg_r10",
+            Seq(
+                [
+                    M("res_alloc_type_r10", Enum(["type0", "type1", "type2_localized",
+                                                  "type2_distributed", "spare4", "spare3",
+                                                  "spare2", "spare1"])),
+                    M(
+                        "res_block_assign_r10",
+                        # extensible CHOICE (ext bit + index on the wire)
+                        Choice(
+                            ext=True,
+                            alts=[
+                                (
+                                    "type01_r10",
+                                    Choice(
+                                        [("nrb6_r10", BitStr(6)), ("nrb15_r10", BitStr(8)),
+                                         ("nrb25_r10", BitStr(13)), ("nrb50_r10", BitStr(17)),
+                                         ("nrb75_r10", BitStr(19)), ("nrb100_r10", BitStr(25))]
+                                    ),
+                                ),
+                                (
+                                    "type2_r10",
+                                    Choice(
+                                        [("nrb6_r10", BitStr(5)), ("nrb15_r10", BitStr(7)),
+                                         ("nrb25_r10", BitStr(9)), ("nrb50_r10", BitStr(11)),
+                                         ("nrb75_r10", BitStr(12)), ("nrb100_r10", BitStr(13))]
+                                    ),
+                                ),
+                            ]
+                        ),
+                    ),
+                    M(
+                        "demod_rs_r10",
+                        Choice(
+                            [
+                                ("interleaving_r10", Enum(["crs"])),
+                                ("no_interleaving_r10", Enum(["crs", "dmrs"])),
+                            ]
+                        ),
+                    ),
+                    M("pdsch_start_r10", Int(1, 3)),
+                    M(
+                        "pucch_cfg_r10",
+                        Choice(
+                            [
+                                (
+                                    "tdd",
+                                    Choice(
+                                        [
+                                            ("ch_sel_r10", SeqOf(Int(0, 2047), 1, 4)),
+                                            ("fallback_for_format3", Seq([
+                                                M("n1_pucch_an_p0_r10", Int(0, 2047)),
+                                                O("n1_pucch_an_p1_r10", Int(0, 2047)),
+                                            ])),
+                                        ]
+                                    ),
+                                ),
+                                (
+                                    "fdd",
+                                    Seq(
+                                        [
+                                            M("n1_pucch_an_p0_r10", Int(0, 2047)),
+                                            O("n1_pucch_an_p1_r10", Int(0, 2047)),
+                                        ]
+                                    ),
+                                ),
+                            ]
+                        ),
+                    ),
+                ],
+                ext=True,
+            ),
+        ),
+    ],
+    ext=True,
+)
+
+# sib_type2_r10 carries the full SIB2 schema, defined later in the BCCH
+# section — the field is patched in right after SIB2 (Python objects are
+# late-bound; the schema tree is only walked at encode/decode time)
+RN_SYSTEM_INFORMATION_R10 = Seq(
+    [
+        O("sib_type1_r10", OctStr()),
+        O("sib_type2_r10", Seq([])),  # patched to SIB2 below
+    ],
+    ext=True,
+)
+
+RN_RECONFIGURATION_R10 = Seq(
+    [
+        M("rrc_transaction_id", Int(0, 3)),
+        M(
+            "crit_exts",
+            crit_ext_c1_alt(
+                "rn_recfg_r10",
+                Seq(
+                    [
+                        O("rn_sys_info_r10", RN_SYSTEM_INFORMATION_R10),
+                        O("rn_sf_cfg_r10", RN_SUBFRAME_CONFIG_R10),
+                        O("late_non_crit_ext", OctStr()),
+                        O("non_crit_ext", Seq([])),
+                    ]
+                ),
+                3,
+            ),
+        ),
+    ]
+)
+
 DL_DCCH_MESSAGE = Seq(
     [
         M(
@@ -1327,18 +2294,18 @@ DL_DCCH_MESSAGE = Seq(
                         "c1",
                         Choice(
                             [
-                                ("csfb_params_resp_cdma2000", Todo("CSFBParametersResponseCDMA2000")),
+                                ("csfb_params_resp_cdma2000", CSFB_PARAMETERS_RESPONSE_CDMA2000),
                                 ("dl_info_transfer", DL_INFO_TRANSFER),
-                                ("ho_from_eutra_prep_request", Todo("HandoverFromEUTRAPreparationRequest")),
-                                ("mob_from_eutra_cmd", Todo("MobilityFromEUTRACommand")),
+                                ("ho_from_eutra_prep_request", HANDOVER_FROM_EUTRA_PREPARATION_REQUEST),
+                                ("mob_from_eutra_cmd", MOBILITY_FROM_EUTRA_COMMAND),
                                 ("rrc_conn_recfg", RRC_CONN_RECFG),
                                 ("rrc_conn_release", RRC_CONN_RELEASE),
                                 ("security_mode_cmd", SECURITY_MODE_COMMAND),
                                 ("ue_cap_enquiry", UE_CAPABILITY_ENQUIRY),
-                                ("counter_check", Todo("CounterCheck")),
-                                ("ue_info_request_r9", Todo("UEInformationRequest-r9")),
-                                ("logged_meas_cfg_r10", Todo("LoggedMeasurementConfiguration-r10")),
-                                ("rn_recfg_r10", Todo("RNReconfiguration-r10")),
+                                ("counter_check", COUNTER_CHECK),
+                                ("ue_info_request_r9", UE_INFORMATION_REQUEST_R9),
+                                ("logged_meas_cfg_r10", LOGGED_MEASUREMENT_CONFIGURATION_R10),
+                                ("rn_recfg_r10", RN_RECONFIGURATION_R10),
                                 ("spare4", Null()),
                                 ("spare3", Null()),
                                 ("spare2", Null()),
@@ -1597,6 +2564,280 @@ UL_INFO_TRANSFER = Seq(
     ]
 )
 
+# ---------------------------------------------------------------------
+# Remaining UL-DCCH messages (TS 36.331 §6.2.2; reference
+# csfb_params_request_cdma2000_s, ul_ho_prep_transfer_s,
+# counter_check_resp_s, ue_info_resp_r9_s (incl. rlf_report_r9_s),
+# proximity_ind_r9_s, rn_recfg_complete_r10_s, mbms_count_resp_r10_s,
+# inter_freq_rstd_meas_ind_r10_s)
+# ---------------------------------------------------------------------
+
+CSFB_PARAMETERS_REQUEST_CDMA2000 = Seq(
+    [
+        M(
+            "crit_exts",
+            Choice(
+                [
+                    ("csfb_params_request_cdma2000_r8",
+                     Seq([O("non_crit_ext", _LATE_NONCRIT)])),
+                    ("crit_exts_future", Seq([])),
+                ]
+            ),
+        )
+    ]
+)
+
+UL_HANDOVER_PREPARATION_TRANSFER = Seq(
+    [
+        M(
+            "crit_exts",
+            Choice(
+                [
+                    (
+                        "c1",
+                        c1_spares(
+                            [
+                                (
+                                    "ul_ho_prep_transfer_r8",
+                                    Seq(
+                                        [
+                                            M("cdma2000_type", CDMA2000_TYPE),
+                                            O("meid", BitStr(56)),
+                                            M("ded_info", OctStr()),
+                                            O("non_crit_ext", _LATE_NONCRIT),
+                                        ]
+                                    ),
+                                )
+                            ],
+                            3,
+                        ),
+                    ),
+                    ("crit_exts_future", Seq([])),
+                ]
+            ),
+        )
+    ]
+)
+
+DRB_COUNT_INFO = Seq(
+    [
+        M("drb_id", Int(1, 32)),
+        M("count_ul", Int(0, 4294967295)),
+        M("count_dl", Int(0, 4294967295)),
+    ]
+)
+
+COUNTER_CHECK_RESPONSE = Seq(
+    [
+        M("rrc_transaction_id", Int(0, 3)),
+        M(
+            "crit_exts",
+            Choice(
+                [
+                    (
+                        "counter_check_resp_r8",
+                        Seq(
+                            [
+                                M("drb_count_info_list", SeqOf(DRB_COUNT_INFO, 0, 11)),
+                                O("non_crit_ext", _LATE_NONCRIT),
+                            ]
+                        ),
+                    ),
+                    ("crit_exts_future", Seq([])),
+                ]
+            ),
+        ),
+    ]
+)
+
+# RLF-Report-r9 root + the per-carrier MeasResult2 element types the
+# r10+ extensions reference (reference rlf_report_r9_s,
+# meas_result2_{eutra,utra,cdma2000}_r9_s)
+MEAS_RESULT2_EUTRA_R9 = Seq(
+    [
+        M("carrier_freq_r9", ARFCN),
+        M("meas_result_list_r9", SeqOf(MEAS_RESULT_EUTRA, 1, 8)),
+    ]
+)
+MEAS_RESULT2_UTRA_R9 = Seq(
+    [
+        M("carrier_freq_r9", ARFCN_VALUE_UTRA),
+        M("meas_result_list_r9", SeqOf(MEAS_RESULT_UTRA, 1, 8)),
+    ]
+)
+MEAS_RESULT2_CDMA2000_R9 = Seq(
+    [
+        M("carrier_freq_r9", CARRIER_FREQ_CDMA2000),
+        # the inner "list" is the full MeasResultsCDMA2000 struct
+        # (pre-registration flag + list), per reference
+        # meas_result2_cdma2000_r9_s
+        M("meas_result_list_r9", MEAS_RESULTS_CDMA2000),
+    ]
+)
+
+RLF_REPORT_R9 = Seq(
+    [
+        M(
+            "meas_result_last_serv_cell_r9",
+            Seq([M("rsrp_result_r9", Int(0, 97)), O("rsrq_result_r9", Int(0, 34))]),
+        ),
+        O(
+            "meas_result_neigh_cells_r9",
+            Seq(
+                [
+                    O("meas_result_list_eutra_r9", SeqOf(MEAS_RESULT2_EUTRA_R9, 1, 8)),
+                    O("meas_result_list_utra_r9", SeqOf(MEAS_RESULT2_UTRA_R9, 1, 8)),
+                    O("meas_result_list_geran_r9", SeqOf(MEAS_RESULT_GERAN, 1, 8)),
+                    O("meas_results_cdma2000_r9", SeqOf(MEAS_RESULT2_CDMA2000_R9, 1, 8)),
+                ]
+            ),
+        ),
+    ],
+    ext=True,
+)
+
+UE_INFORMATION_RESPONSE_R9 = Seq(
+    [
+        M("rrc_transaction_id", Int(0, 3)),
+        M(
+            "crit_exts",
+            crit_ext_c1_alt(
+                "ue_info_resp_r9",
+                Seq(
+                    [
+                        O(
+                            "rach_report_r9",
+                            Seq(
+                                [
+                                    M("nof_preambs_sent_r9", Int(1, 200)),
+                                    M("contention_detected_r9", Bool()),
+                                ]
+                            ),
+                        ),
+                        O("rlf_report_r9", RLF_REPORT_R9),
+                        O("non_crit_ext", _LATE_NONCRIT),
+                    ]
+                ),
+                3,
+            ),
+        ),
+    ]
+)
+
+PROXIMITY_INDICATION_R9 = Seq(
+    [
+        M(
+            "crit_exts",
+            crit_ext_c1_alt(
+                "proximity_ind_r9",
+                Seq(
+                    [
+                        M("type_r9", Enum(["entering", "leaving"])),
+                        M(
+                            "carrier_freq_r9",
+                            Choice(
+                                [("eutra_r9", ARFCN), ("utra_r9", ARFCN_VALUE_UTRA)],
+                                ext=True,
+                                ext_alts=[("eutra2_v9e0", Int(65536, 262143))],
+                            ),
+                        ),
+                        O("non_crit_ext", _LATE_NONCRIT),
+                    ]
+                ),
+                3,
+            ),
+        ),
+    ]
+)
+
+RN_RECONFIGURATION_COMPLETE_R10 = Seq(
+    [
+        M("rrc_transaction_id", Int(0, 3)),
+        M(
+            "crit_exts",
+            crit_ext_c1_alt(
+                "rn_recfg_complete_r10",
+                Seq(
+                    [
+                        O("late_non_crit_ext", OctStr()),
+                        O("non_crit_ext", Seq([])),
+                    ]
+                ),
+                3,
+            ),
+        ),
+    ]
+)
+
+MBMS_COUNTING_RESPONSE_R10 = Seq(
+    [
+        M(
+            "crit_exts",
+            crit_ext_c1_alt(
+                "count_resp_r10",
+                Seq(
+                    [
+                        O("mbsfn_area_idx_r10", Int(0, 7)),
+                        O(
+                            "count_resp_list_r10",
+                            SeqOf(Seq([M("count_resp_service_r10", Int(0, 15))],
+                                      ext=True), 1, 16),
+                        ),
+                        O("late_non_crit_ext", OctStr()),
+                        O("non_crit_ext", Seq([])),
+                    ]
+                ),
+                3,
+            ),
+        ),
+    ]
+)
+
+RSTD_INTER_FREQ_INFO_R10 = Seq(
+    [
+        M("carrier_freq_r10", ARFCN),
+        M("meas_prs_offset_r10", Int(0, 39)),
+    ],
+    ext=True,
+)
+
+INTER_FREQ_RSTD_MEASUREMENT_INDICATION_R10 = Seq(
+    [
+        M(
+            "crit_exts",
+            crit_ext_c1_alt(
+                "inter_freq_rstd_meas_ind_r10",
+                Seq(
+                    [
+                        M(
+                            "rstd_inter_freq_ind_r10",
+                            Choice(
+                                [
+                                    (
+                                        "start",
+                                        Seq(
+                                            [
+                                                M(
+                                                    "rstd_inter_freq_info_list_r10",
+                                                    SeqOf(RSTD_INTER_FREQ_INFO_R10, 1, 3),
+                                                )
+                                            ]
+                                        ),
+                                    ),
+                                    ("stop", Null()),
+                                ]
+                            ),
+                        ),
+                        O("late_non_crit_ext", OctStr()),
+                        O("non_crit_ext", Seq([])),
+                    ]
+                ),
+                3,
+            ),
+        ),
+    ]
+)
+
 UL_DCCH_MESSAGE = Seq(
     [
         M(
@@ -1607,7 +2848,7 @@ UL_DCCH_MESSAGE = Seq(
                         "c1",
                         Choice(
                             [
-                                ("csfb_params_request_cdma2000", Todo("CSFBParametersRequestCDMA2000")),
+                                ("csfb_params_request_cdma2000", CSFB_PARAMETERS_REQUEST_CDMA2000),
                                 ("meas_report", MEASUREMENT_REPORT),
                                 ("rrc_conn_recfg_complete", RRC_CONN_RECFG_COMPLETE),
                                 ("rrc_conn_reest_complete", RRC_CONN_REEST_COMPLETE),
@@ -1615,14 +2856,14 @@ UL_DCCH_MESSAGE = Seq(
                                 ("security_mode_complete", SECURITY_MODE_COMPLETE),
                                 ("security_mode_fail", SECURITY_MODE_FAILURE),
                                 ("ue_cap_info", UE_CAPABILITY_INFORMATION),
-                                ("ul_ho_prep_transfer", Todo("ULHandoverPreparationTransfer")),
+                                ("ul_ho_prep_transfer", UL_HANDOVER_PREPARATION_TRANSFER),
                                 ("ul_info_transfer", UL_INFO_TRANSFER),
-                                ("counter_check_resp", Todo("CounterCheckResponse")),
-                                ("ue_info_resp_r9", Todo("UEInformationResponse-r9")),
-                                ("proximity_ind_r9", Todo("ProximityIndication-r9")),
-                                ("rn_recfg_complete_r10", Todo("RNReconfigurationComplete-r10")),
-                                ("mbms_count_resp_r10", Todo("MBMSCountingResponse-r10")),
-                                ("inter_freq_rstd_meas_ind_r10", Todo("InterFreqRSTDMeasurementIndication-r10")),
+                                ("counter_check_resp", COUNTER_CHECK_RESPONSE),
+                                ("ue_info_resp_r9", UE_INFORMATION_RESPONSE_R9),
+                                ("proximity_ind_r9", PROXIMITY_INDICATION_R9),
+                                ("rn_recfg_complete_r10", RN_RECONFIGURATION_COMPLETE_R10),
+                                ("mbms_count_resp_r10", MBMS_COUNTING_RESPONSE_R10),
+                                ("inter_freq_rstd_meas_ind_r10", INTER_FREQ_RSTD_MEASUREMENT_INDICATION_R10),
                             ]
                         ),
                     ),
@@ -1690,13 +2931,7 @@ UE_TIMERS_AND_CONSTANTS = Seq(
     ext=True,
 )
 
-MBSFN_SUBFRAME_CONFIG = Seq(
-    [
-        M("radioframe_alloc_period", Enum(["n1", "n2", "n4", "n8", "n16", "n32"])),
-        M("radioframe_alloc_offset", Int(0, 7)),
-        M("sf_alloc", Choice([("one_frame", BitStr(6)), ("four_frames", BitStr(24))])),
-    ]
-)
+MBSFN_SUBFRAME_CONFIG = _MBSFN_SUBFRAME_CONFIG  # defined with the SCell section above
 
 SIB2 = Seq(
     [
@@ -1730,6 +2965,9 @@ SIB2 = Seq(
         M("late_non_crit_ext", OctStr()),
     ],
 )
+
+# late-bind the full SIB2 schema into RN-SystemInformation-r10
+RN_SYSTEM_INFORMATION_R10.fields[1] = O("sib_type2_r10", SIB2)
 
 SIB_TYPE = Enum(
     ["sib_type3", "sib_type4", "sib_type5", "sib_type6", "sib_type7", "sib_type8",
@@ -1866,23 +3104,334 @@ SIB3 = Seq(
     ],
 )
 
+# ---------------------------------------------------------------------
+# SIB4-SIB13 (TS 36.331 §6.3.1; reference sib_type{4..13}_s).  Root
+# fields are complete; release-10+ extension-addition groups arrive as
+# unknown groups and round-trip bit-exactly via the engine's raw
+# preservation (per.py Seq "_extN").
+# ---------------------------------------------------------------------
+
+INTRA_FREQ_NEIGH_CELL_INFO = Seq(
+    [M("pci", PHYS_CELL_ID), M("q_offset_cell", Q_OFFSET_RANGE)], ext=True
+)
+
+SIB4 = Seq(
+    [
+        O("intra_freq_neigh_cell_list", SeqOf(INTRA_FREQ_NEIGH_CELL_INFO, 1, 16)),
+        O("intra_freq_black_cell_list", SeqOf(PHYS_CELL_ID_RANGE, 1, 16)),
+        O("csg_pci_range", PHYS_CELL_ID_RANGE),
+    ],
+    ext=True,
+    ext_additions=[
+        [O("late_non_crit_ext", OctStr())],
+        [O("intra_freq_neigh_hsdn_cell_list_r15", SeqOf(PHYS_CELL_ID_RANGE, 1, 16))],
+    ],
+)
+
+INTER_FREQ_NEIGH_CELL_INFO = Seq(
+    [M("pci", PHYS_CELL_ID), M("q_offset_cell", Q_OFFSET_RANGE)]
+)
+
+INTER_FREQ_CARRIER_FREQ_INFO = Seq(
+    [
+        M("dl_carrier_freq", ARFCN),
+        M("q_rx_lev_min", Int(-70, -22)),
+        O("p_max", Int(-30, 33)),
+        M("t_resel_eutra", Int(0, 7)),
+        O("t_resel_eutra_sf", SPEED_STATE_SCALE_FACTORS),
+        M("thresh_x_high", Int(0, 31)),
+        M("thresh_x_low", Int(0, 31)),
+        M("allowed_meas_bw", Enum(["mbw6", "mbw15", "mbw25", "mbw50", "mbw75", "mbw100"])),
+        M("presence_ant_port1", Bool()),
+        O("cell_resel_prio", Int(0, 7)),
+        M("neigh_cell_cfg", BitStr(2)),
+        D("q_offset_freq", Q_OFFSET_RANGE, "db0"),
+        O("inter_freq_neigh_cell_list", SeqOf(INTER_FREQ_NEIGH_CELL_INFO, 1, 16)),
+        O("inter_freq_black_cell_list", SeqOf(PHYS_CELL_ID_RANGE, 1, 16)),
+    ],
+    ext=True,
+    ext_additions=[
+        [
+            O("q_qual_min_r9", Int(-34, -3)),
+            O("thresh_x_q_r9", Seq([M("thresh_x_high_q_r9", Int(0, 31)),
+                                    M("thresh_x_low_q_r9", Int(0, 31))])),
+        ],
+        [O("q_qual_min_wb_r11", Int(-34, -3))],
+    ],
+)
+
+SIB5 = Seq(
+    [M("inter_freq_carrier_freq_list", SeqOf(INTER_FREQ_CARRIER_FREQ_INFO, 1, 8))],
+    ext=True,
+    ext_additions=[[O("late_non_crit_ext", OctStr())]],
+)
+
+CARRIER_FREQ_UTRA_FDD = Seq(
+    [
+        M("carrier_freq", ARFCN_VALUE_UTRA),
+        O("cell_resel_prio", Int(0, 7)),
+        M("thresh_x_high", Int(0, 31)),
+        M("thresh_x_low", Int(0, 31)),
+        M("q_rx_lev_min", Int(-60, -13)),
+        M("p_max_utra", Int(-50, 33)),
+        M("q_qual_min", Int(-24, 0)),
+    ],
+    ext=True,
+    ext_additions=[
+        [O("thresh_x_q_r9", Seq([M("thresh_x_high_q_r9", Int(0, 31)),
+                                 M("thresh_x_low_q_r9", Int(0, 31))]))],
+    ],
+)
+
+CARRIER_FREQ_UTRA_TDD = Seq(
+    [
+        M("carrier_freq", ARFCN_VALUE_UTRA),
+        O("cell_resel_prio", Int(0, 7)),
+        M("thresh_x_high", Int(0, 31)),
+        M("thresh_x_low", Int(0, 31)),
+        M("q_rx_lev_min", Int(-60, -13)),
+        M("p_max_utra", Int(-50, 33)),
+    ],
+    ext=True,
+)
+
+SIB6 = Seq(
+    [
+        O("carrier_freq_list_utra_fdd", SeqOf(CARRIER_FREQ_UTRA_FDD, 1, 16)),
+        O("carrier_freq_list_utra_tdd", SeqOf(CARRIER_FREQ_UTRA_TDD, 1, 16)),
+        M("t_resel_utra", Int(0, 7)),
+        O("t_resel_utra_sf", SPEED_STATE_SCALE_FACTORS),
+    ],
+    ext=True,
+    ext_additions=[[O("late_non_crit_ext", OctStr())]],
+)
+
+CARRIER_FREQS_INFO_GERAN = Seq(
+    [
+        M("carrier_freqs", CARRIER_FREQS_GERAN),
+        M(
+            "common_info",
+            Seq(
+                [
+                    O("cell_resel_prio", Int(0, 7)),
+                    M("ncc_permitted", BitStr(8)),
+                    M("q_rx_lev_min", Int(0, 45)),
+                    O("p_max_geran", Int(0, 39)),
+                    M("thresh_x_high", Int(0, 31)),
+                    M("thresh_x_low", Int(0, 31)),
+                ]
+            ),
+        ),
+    ],
+    ext=True,
+)
+
+SIB7 = Seq(
+    [
+        M("t_resel_geran", Int(0, 7)),
+        O("t_resel_geran_sf", SPEED_STATE_SCALE_FACTORS),
+        O("carrier_freqs_info_list", SeqOf(CARRIER_FREQS_INFO_GERAN, 1, 16)),
+    ],
+    ext=True,
+    ext_additions=[O("late_non_crit_ext", OctStr())],
+)
+
+# --- SIB8 (CDMA2000) supporting structures ---
+
+SYS_TIME_INFO_CDMA2000 = Seq(
+    [
+        M("cdma_eutra_synchronisation", Bool()),
+        M(
+            "cdma_sys_time",
+            Choice([("sync_sys_time", BitStr(39)), ("async_sys_time", BitStr(49))]),
+        ),
+    ]
+)
+
+BAND_CLASS_INFO_CDMA2000 = Seq(
+    [
+        M("band_class", BANDCLASS_CDMA2000),
+        O("cell_resel_prio", Int(0, 7)),
+        M("thresh_x_high", Int(0, 63)),
+        M("thresh_x_low", Int(0, 63)),
+    ],
+    ext=True,
+)
+
+NEIGH_CELLS_PER_BANDCLASS_CDMA2000 = Seq(
+    [
+        M("arfcn", ARFCN_VALUE_CDMA2000),
+        M("pci_list", SeqOf(PHYS_CELL_ID_CDMA2000, 1, 16)),
+    ]
+)
+
+NEIGH_CELL_CDMA2000 = Seq(
+    [
+        M("band_class", BANDCLASS_CDMA2000),
+        M("neigh_cells_per_freq_list", SeqOf(NEIGH_CELLS_PER_BANDCLASS_CDMA2000, 1, 16)),
+    ]
+)
+
+CELL_RESELECTION_PARAMS_CDMA2000 = Seq(
+    [
+        M("band_class_list", SeqOf(BAND_CLASS_INFO_CDMA2000, 1, 32)),
+        M("neigh_cell_list", SeqOf(NEIGH_CELL_CDMA2000, 1, 16)),
+        M("t_resel_cdma2000", Int(0, 7)),
+        O("t_resel_cdma2000_sf", SPEED_STATE_SCALE_FACTORS),
+    ]
+)
+
+CSFB_REGISTRATION_PARAM_1XRTT = Seq(
+    [
+        M("sid", BitStr(15)),
+        M("nid", BitStr(16)),
+        M("multiple_sid", Bool()),
+        M("multiple_nid", Bool()),
+        M("home_reg", Bool()),
+        M("foreign_sid_reg", Bool()),
+        M("foreign_nid_reg", Bool()),
+        M("param_reg", Bool()),
+        M("pwr_up_reg", Bool()),
+        M("regist_period", BitStr(7)),
+        M("regist_zone", BitStr(12)),
+        M("total_zone", BitStr(3)),
+        M("zone_timer", BitStr(3)),
+    ]
+)
+
+SIB8 = Seq(
+    [
+        O("sys_time_info", SYS_TIME_INFO_CDMA2000),
+        O("search_win_size", Int(0, 15)),
+        O(
+            "params_hrpd",
+            Seq(
+                [
+                    M("pre_regist_info_hrpd", PRE_REGISTRATION_INFO_HRPD),
+                    O("cell_resel_params_hrpd", CELL_RESELECTION_PARAMS_CDMA2000),
+                ]
+            ),
+        ),
+        O(
+            "params1_xrtt",
+            Seq(
+                [
+                    O("csfb_regist_param1_xrtt", CSFB_REGISTRATION_PARAM_1XRTT),
+                    O("long_code_state1_xrtt", BitStr(42)),
+                    O("cell_resel_params1_xrtt", CELL_RESELECTION_PARAMS_CDMA2000),
+                ]
+            ),
+        ),
+    ],
+    ext=True,
+    ext_additions=[[O("late_non_crit_ext", OctStr())]],
+)
+
+SIB9 = Seq(
+    # SIZE(1..48) in the spec; the reference's generator encodes it as an
+    # UNCONSTRAINED octet string (dyn_octstring, 8-bit length) — match it
+    [O("hnb_name", OctStr())],
+    ext=True,
+    ext_additions=[O("late_non_crit_ext", OctStr())],
+)
+
+SIB10 = Seq(
+    [
+        M("msg_id", BitStr(16)),
+        M("serial_num", BitStr(16)),
+        M("warning_type", OctStr(2, 2)),
+        O("dummy", OctStr(50, 50)),
+    ],
+    ext=True,
+    ext_additions=[O("late_non_crit_ext", OctStr())],
+)
+
+WARNING_MSG_SEGMENT_TYPE = Enum(["not_last_segment", "last_segment"])
+
+SIB11 = Seq(
+    [
+        M("msg_id", BitStr(16)),
+        M("serial_num", BitStr(16)),
+        M("warning_msg_segment_type", WARNING_MSG_SEGMENT_TYPE),
+        M("warning_msg_segment_num", Int(0, 63)),
+        M("warning_msg_segment", OctStr()),
+        O("data_coding_scheme", OctStr(1, 1)),
+    ],
+    ext=True,
+    ext_additions=[O("late_non_crit_ext", OctStr())],
+)
+
+SIB12_R9 = Seq(
+    [
+        M("msg_id_r9", BitStr(16)),
+        M("serial_num_r9", BitStr(16)),
+        M("warning_msg_segment_type_r9", WARNING_MSG_SEGMENT_TYPE),
+        M("warning_msg_segment_num_r9", Int(0, 63)),
+        M("warning_msg_segment_r9", OctStr()),
+        O("data_coding_scheme_r9", OctStr(1, 1)),
+        O("late_non_crit_ext", OctStr()),
+    ],
+    ext=True,
+    ext_additions=[
+        [O("warning_area_coordinates_segment_r15", OctStr())],
+    ],
+)
+
+MBSFN_AREA_INFO_R9 = Seq(
+    [
+        M("mbsfn_area_id_r9", Int(0, 255)),
+        M("non_mbsfn_region_len", Enum(["s1", "s2"])),
+        M("notif_ind_r9", Int(0, 7)),
+        M(
+            "mcch_cfg_r9",
+            Seq(
+                [
+                    M("mcch_repeat_period_r9", Enum(["rf32", "rf64", "rf128", "rf256"])),
+                    M("mcch_offset_r9", Int(0, 10)),
+                    M("mcch_mod_period_r9", Enum(["rf512", "rf1024"])),
+                    M("sf_alloc_info_r9", BitStr(6)),
+                    M("sig_mcs_r9", Enum(["n2", "n7", "n13", "n19"])),
+                ]
+            ),
+        ),
+    ],
+    ext=True,
+)
+
+MBMS_NOTIFICATION_CONFIG_R9 = Seq(
+    [
+        M("notif_repeat_coeff_r9", Enum(["n2", "n4"])),
+        M("notif_offset_r9", Int(0, 10)),
+        M("notif_sf_idx_r9", Int(1, 6)),
+    ]
+)
+
+SIB13_R9 = Seq(
+    [
+        M("mbsfn_area_info_list_r9", SeqOf(MBSFN_AREA_INFO_R9, 1, 8)),
+        M("notif_cfg_r9", MBMS_NOTIFICATION_CONFIG_R9),
+        O("late_non_crit_ext", OctStr()),
+    ],
+    ext=True,
+)
+
 SIB_TYPE_AND_INFO_ITEM = Choice(
     [
         ("sib2", SIB2),
         ("sib3", SIB3),
-        ("sib4", Todo("SIB4")),
-        ("sib5", Todo("SIB5")),
-        ("sib6", Todo("SIB6")),
-        ("sib7", Todo("SIB7")),
-        ("sib8", Todo("SIB8")),
-        ("sib9", Todo("SIB9")),
-        ("sib10", Todo("SIB10")),
-        ("sib11", Todo("SIB11")),
+        ("sib4", SIB4),
+        ("sib5", SIB5),
+        ("sib6", SIB6),
+        ("sib7", SIB7),
+        ("sib8", SIB8),
+        ("sib9", SIB9),
+        ("sib10", SIB10),
+        ("sib11", SIB11),
     ],
     ext=True,
     ext_alts=[
-        ("sib12_v920", Todo("SIB12-r9")),
-        ("sib13_v920", Todo("SIB13-r9")),
+        ("sib12_v920", SIB12_R9),
+        ("sib13_v920", SIB13_R9),
     ],
 )
 
@@ -1968,6 +3517,18 @@ MBSFN_AREA_CONFIGURATION_R9 = Seq(
     ]
 )
 
+# MBMSCountingRequest-r10 (reference mbms_count_request_r10_s)
+MBMS_COUNTING_REQUEST_R10 = Seq(
+    [
+        M(
+            "count_request_list_r10",
+            SeqOf(Seq([M("tmgi_r10", TMGI_R9)], ext=True), 1, 16),
+        ),
+        O("late_non_crit_ext", OctStr()),
+        O("non_crit_ext", Seq([])),
+    ]
+)
+
 MCCH_MESSAGE = Seq(
     [
         M(
@@ -1979,7 +3540,7 @@ MCCH_MESSAGE = Seq(
                         "later",
                         Choice(
                             [
-                                ("c2", Choice([("mbms_count_request_r10", Todo("MBMSCountingRequest-r10"))])),
+                                ("c2", Choice([("mbms_count_request_r10", MBMS_COUNTING_REQUEST_R10)])),
                                 ("msg_class_ext", Seq([])),
                             ]
                         ),
