@@ -28,6 +28,12 @@ from srsran_tpu.runtime import MetricsHub, StdoutMetrics, load_config
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default=None)
+    ap.add_argument("--rr-conf", default=None,
+                    help="libconfig cell list (srsenb rr.conf format)")
+    ap.add_argument("--sib-conf", default=None,
+                    help="libconfig SIB contents (srsenb sib.conf format)")
+    ap.add_argument("--drb-conf", default=None,
+                    help="libconfig QCI bearer profiles (drb.conf format)")
     ap.add_argument("--dest", default="127.0.0.1:2101")
     ap.add_argument("--ttis", type=int, default=200)
     ap.add_argument("--payload-period", type=int, default=5)
@@ -35,7 +41,16 @@ def main():
     args, extra = ap.parse_known_args()
     cfg = load_config(args.config, overrides=extra)
 
-    cell = Cell(nof_prb=cfg.phy.nof_prb, nof_ports=cfg.phy.nof_ports, id=cfg.phy.cell_id)
+    if args.rr_conf:
+        # operator config plane (enb_cfg_parser.cc role): the cell
+        # identity comes from rr.conf's cell_list
+        from srsran_tpu.runtime.enb_cfg import EnbConfig
+
+        op_cfg = EnbConfig.load(args.rr_conf, args.sib_conf, args.drb_conf)
+        cell = Cell(nof_prb=cfg.phy.nof_prb, nof_ports=cfg.phy.nof_ports,
+                    id=op_cfg.cells[0].get("pci", cfg.phy.cell_id))
+    else:
+        cell = Cell(nof_prb=cfg.phy.nof_prb, nof_ports=cfg.phy.nof_ports, id=cfg.phy.cell_id)
     enb = EnbApp(cell, rnti=cfg.rnti, cfi=cfg.phy.cfi,
                  pcap_path=cfg.pcap.filename if cfg.pcap.enable else None)
     host, port = args.dest.split(":")

@@ -208,11 +208,24 @@ class _EnbUe:
             self.srb1_pdcp, self.drb_pdcp = _bearer_set(None, 0, 0, is_enb=True)
 
 
-CQI_PERIOD = 10  # periodic wideband CQI on PUSCH: TTIs where tti % 10 == 5
+CQI_PERIOD = 10  # periodic wideband CQI: TTIs where tti % 10 == 5
+RI_PERIOD_FACTOR = 4  # m-RI: every 4th periodic report carries RI instead
 
 
 def cqi_on_pusch(tti: int) -> bool:
     return tti % CQI_PERIOD == 5
+
+
+def cqi_report_is_ri(tti: int) -> bool:
+    """TS 36.213 §7.2.2: the RI report rides every m-RI-th periodic CQI
+    occasion (cc_worker.cc:822 set_uci_periodic_cqi RI instances)."""
+    return (tti // CQI_PERIOD) % RI_PERIOD_FACTOR == 0
+
+
+def _cqi_resource(crnti: int) -> int:
+    """Dedicated periodic-CQI PUCCH format-2 resource
+    (cqi-PUCCH-ResourceIndex analog), above the SR range."""
+    return 20 + (crnti % 6)
 
 
 def snr_db_to_cqi(snr_db: float) -> int:
@@ -231,8 +244,17 @@ class EnbStack:
                  enb_id: int = 0x19B, tdd_cfg: tdd.TddConfig | None = None,
                  scell: Cell | None = None, srs_enabled: bool = False,
                  sr_enabled: bool = False, tm: int = 2, ul_ca: bool = False,
-                 dynamic_phy: bool = False, earfcn: int = 3400):
+                 dynamic_phy: bool = False, earfcn: int = 3400,
+                 windowed_phy: bool = False, phy_window: int = 4,
+                 phy_device=None, cfi_adapt: bool = False):
         self.sr_enabled = sr_enabled
+        # CFI adaptation (scheduler_grid.cc role): per-TTI control-region
+        # sizing from the dry-run CCE demand; the UE side must then read
+        # the CFI from PCFICH (UeStack cfi=None)
+        self.cfi_adapt = cfi_adapt
+        assert not (cfi_adapt and windowed_phy), (
+            "the windowed engines compile per fixed CFI; CFI adaptation "
+            "needs the per-TTI host path")
         self.earfcn = earfcn  # this cell's DL carrier (inter-freq mobility)
         # dynamic_phy: decode UCI-free PUSCH TTIs on the bucketed TPU
         # pipeline (pipeline_dynamic.DynamicEnbUl); host path otherwise
@@ -241,6 +263,19 @@ class EnbStack:
             from ..pipeline_dynamic import DynamicEnbUl
 
             self._dyn_ul = DynamicEnbUl(cell)
+        # windowed_phy: the windowed TPU engines as the live data plane
+        # (pipeline_window via apps.windowed_plane) — W TTIs per dispatch,
+        # HARQ feedback stretched to 4+W on BOTH ends (see
+        # windowed_plane.py's timing contract); FDD only
+        self._win_ul = None
+        self.harq_delay = 4
+        if windowed_phy:
+            assert tdd_cfg is None, "windowed data plane is FDD-only"
+            from .windowed_plane import WindowedEnbUlPlane
+
+            self._win_ul = WindowedEnbUlPlane(cell, w=phy_window,
+                                              device=phy_device)
+            self.harq_delay = 4 + phy_window
         # R10 UL carrier aggregation: BSRs also credit the SCell scheduler,
         # DCI0s go out on the SCell PDCCH, and the UE's UL becomes
         # (2, sf_len) — the 2nd UL cc_worker of the reference's CA path
@@ -306,6 +341,19 @@ class EnbStack:
         self.on_meas_report = None  # (enb, ue, meas_results) -> None
         self.on_ho_complete = None  # (enb, ue) -> None
         self.s1_neighbors: dict[int, int] = {}  # target PCI -> macro eNB id (rr.conf nbr list)
+
+    def _ack_tti(self, dl_tti: int) -> int:
+        """ACK position for a PDSCH at dl_tti: TS 36.213 §10.1 timing, or
+        dl_tti + harq_delay on the windowed data plane (both ends run the
+        same stretched-feedback contract)."""
+        if self.harq_delay != 4:
+            return dl_tti + self.harq_delay
+        return tdd.ack_tti(self.tdd, dl_tti)
+
+    def _phich_tti(self, pusch_tti: int) -> int:
+        if self.harq_delay != 4:
+            return pusch_tti + self.harq_delay
+        return tdd.phich_tti(self.tdd, pusch_tti)
 
     # --- single-UE compatibility views ---
     @property
@@ -519,6 +567,12 @@ class EnbStack:
         self._process_ul(tti, sf_idx, ul_samples)
         if scell_ul is not None and self.scell is not None:
             self._process_scell_ul(tti, sf_idx, scell_ul)
+        if self._win_ul is not None:
+            # the PUSCH plane lives in the link's tti-1 domain (samples
+            # arrive one TTI after the UE transmitted them)
+            self._win_ul.flush(tti - 1)
+            for ev in self._win_ul.poll(tti - 1):
+                self._complete_ul_data(ev)
         if hasattr(self.mme, "pump_s11"):
             self.mme.pump_s11()  # DDN → S1AP Paging fan-out
         # UL inactivity → graceful RRCConnectionRelease, then context
@@ -705,6 +759,42 @@ class EnbStack:
                 key = "dl_ack" if ack else "dl_nack"
                 self.stats[key] = self.stats.get(key, 0) + len(entries)
         self._pusch_acks = [e for e in acks if e["on_pusch"]]
+        # periodic CQI/RI on PUCCH format 2 (the standing reporting loop,
+        # cc_worker.cc:822): at a CQI occasion where a UE has NO PUSCH and
+        # no colliding ACK (the UE drops CQI for the format-1a ACK then),
+        # decode its dedicated format-2 resource
+        if self.tdd is None and cqi_on_pusch(tti) and tti not in self.pending_ul:
+            from ..phy.phch.pucch import PucchConfig as _P2
+
+            ack_rntis = {e["rnti"] for e in acks}
+            rx_grid_cqi = None
+            for rnti_c, u in self.ues.items():
+                if u.rrc_state < self.RRC_ACTIVE or rnti_c in ack_rntis:
+                    continue
+                if rx_grid_cqi is None:
+                    rx_grid_cqi = enb_ul_fft(self.cell, samples[None])
+                is_ri = cqi_report_is_ri(tti) and self.tm >= 3
+                nbits = 1 if is_ri else (6 if self.tm == 4 else 4)
+                bits, metric = enb_ul_decode_pucch(
+                    self.cell, sf_idx, rx_grid_cqi,
+                    _P2(n_pucch=_cqi_resource(rnti_c)), "2", nbits)
+                if float(np.asarray(metric)) <= 0.25:
+                    continue  # DTX
+                b = np.asarray(bits).astype(int)
+                if is_ri:
+                    u.last_ri = 1 + int(b[0])
+                    self.stats["ri_pucch_rx"] = self.stats.get("ri_pucch_rx", 0) + 1
+                    if u.last_ri == 2:
+                        self.sched.two_cw.add(rnti_c)
+                    else:
+                        self.sched.two_cw.discard(rnti_c)
+                else:
+                    cqi = int("".join(str(x) for x in b[:4]), 2)
+                    self.sched.cqi_info(rnti_c, cqi)
+                    u.last_cqi_tti = tti
+                    if self.tm == 4 and len(b) >= 6:
+                        u.last_pmi = int("".join(str(x) for x in b[4:6]), 2)
+                    self.stats["cqi_pucch_rx"] = self.stats.get("cqi_pucch_rx", 0) + 1
         # PRACH occasion (FDD: sf 1; TDD: sf 2, UL in every config); a
         # PUSCH scheduled in the same subframe is decoded too (signals add)
         if sf_idx == self.prach_sf:
@@ -767,7 +857,6 @@ class EnbStack:
             ue = self.ues.get(rnti)
             if ue is None:
                 return
-            rx_grid = enb_ul_fft(self.cell, samples[None])
             ue_ctx = self.ues.get(rnti)
             exp_acks = [e for e in getattr(self, "_pusch_acks", []) if e["rnti"] == rnti]
             apcqi = tti in self._apcqi
@@ -781,6 +870,26 @@ class EnbStack:
             cqi_hyps = [want_cqi]
             if (cqi_on_pusch(tti) or apcqi) and ue_ctx is not None:
                 cqi_hyps.append(not want_cqi)
+            # windowed TPU data plane: UCI-free data TTIs queue into the
+            # W-TTI PUSCH window (the host chain keeps UCI multiplexing,
+            # SRS-shortened subframes and the DTX hypothesis — same split
+            # as the dynamic pipeline).  A whole-subframe energy gate
+            # stands in for the per-allocation one: the scheduler grants
+            # at most one PUSCH per TTI here.
+            if (self._win_ul is not None and not srs_sf and not exp_acks
+                    and not want_cqi and len(cqi_hyps) == 1
+                    and float(np.mean(np.abs(np.asarray(samples)) ** 2)) >= 1e-7):
+                harq_state = self._ul_harq.pop(tti, None)
+                sb_w, txc = None, 1
+                if harq_state is not None:
+                    sb0, txc0 = harq_state
+                    txc = txc0 + 1
+                    if isinstance(sb0, tuple) and len(sb0) == 2 and sb0[0] == "win":
+                        sb_w = sb0[1]
+                self._win_ul.submit(samples, sf_idx, grant, rnti, tti,
+                                    softbuffer=sb_w, tx_count=txc)
+                return
+            rx_grid = enb_ul_fft(self.cell, samples[None])
             from ..phy.phch.pusch import UciCfg
 
             harq_state = self._ul_harq.pop(tti, None)  # (softbuffers, tx_count)
@@ -807,8 +916,9 @@ class EnbStack:
                 tb_d, ok_d, soft_d, _ = self._dyn_ul.decode(
                     np.asarray(samples)[None], sf_idx, grant, softbuffer=dyn_sb)
                 out = (tb_d, ok_d, ("dyn", soft_d))
-            if isinstance(sb_in, tuple) and len(sb_in) == 2 and sb_in[0] == "dyn":
-                sb_in = None  # bucket-layout softbuffer: host path restarts
+            if (isinstance(sb_in, tuple) and len(sb_in) == 2
+                    and sb_in[0] in ("dyn", "win")):
+                sb_in = None  # device-layout softbuffer: host path restarts
             for wc in (cqi_hyps if (not dtx and out is None) else []):
                 uci_exp = None
                 if wc or exp_acks:
@@ -846,7 +956,7 @@ class EnbStack:
             # non-adaptive retransmission (same PRBs, next rv) and keeps
             # the softbuffer chain for combining (softbuffer.c role at
             # the eNB; reference mac.cc crc_info → sched UL retx)
-            ph_tti = tdd.phich_tti(self.tdd, tti)
+            ph_tti = self._phich_tti(tti)
             group, n_seq = _phich_resource(self.cell, grant)
             hi = 1
             if not ok and tx_count < UL_HARQ_MAX_TX:
@@ -891,32 +1001,66 @@ class EnbStack:
                 return
             self.stats["ul_crc_ok"] += 1
             ue.last_ul_ok_tti = self.tti
-            pdu = np.packbits(np.asarray(tb)).tobytes()
-            bsr, sdus = parse_ul_pdu(pdu)
-            if bsr:
-                self.sched.ul_bsr(rnti, bsr)
-                if (self.ul_ca and self.scell_sched is not None
-                        and ue.scell_state == 2):
-                    # UL CA: split the buffer across both carriers
-                    self.scell_sched.ul_bsr(rnti, bsr // 2)
-            for lcid, sdu in sdus:
-                if lcid == LCID_PHR and sdu:
-                    # power headroom (ue.cc:357-359 → sched_ue::ul_phr)
-                    ue.last_phr_db = phr_db(sdu[0])
-                    self.sched.ul_phr(rnti, ue.last_phr_db)
-                    self.stats["phr_rx"] = self.stats.get("phr_rx", 0) + 1
-                elif lcid == LCID_CCCH:
-                    self._handle_ccch(ue, sdu)
-                elif lcid == LCID_SRB1:
-                    ue.srb1_rlc.write_pdu(sdu)
-                    while (r := ue.srb1_rlc.read_sdu()) is not None:
-                        self._handle_srb1(ue, r)
-                elif lcid == LCID_DRB1:
-                    ue.drb_rlc.write_pdu(sdu)
-                    while (r := ue.drb_rlc.read_sdu()) is not None:
-                        ip_pkt = ue.drb_pdcp.write_pdu(r)
-                        if ip_pkt is not None:
-                            self.spgw.rx_from_enb(self.gtpu.tx(ue.dl_teid, ip_pkt))
+            self._deliver_ul_pdu(ue, rnti, np.packbits(np.asarray(tb)).tobytes())
+
+    def _deliver_ul_pdu(self, ue: "_EnbUe", rnti: int, pdu: bytes):
+        """Route one CRC-passing UL MAC PDU into MAC CEs / RLC bearers
+        (the mac.cc pdu-processing tail, shared by the host, dynamic and
+        windowed decode paths)."""
+        bsr, sdus = parse_ul_pdu(pdu)
+        if bsr:
+            self.sched.ul_bsr(rnti, bsr)
+            if (self.ul_ca and self.scell_sched is not None
+                    and ue.scell_state == 2):
+                # UL CA: split the buffer across both carriers
+                self.scell_sched.ul_bsr(rnti, bsr // 2)
+        for lcid, sdu in sdus:
+            if lcid == LCID_PHR and sdu:
+                # power headroom (ue.cc:357-359 → sched_ue::ul_phr)
+                ue.last_phr_db = phr_db(sdu[0])
+                self.sched.ul_phr(rnti, ue.last_phr_db)
+                self.stats["phr_rx"] = self.stats.get("phr_rx", 0) + 1
+            elif lcid == LCID_CCCH:
+                self._handle_ccch(ue, sdu)
+            elif lcid == LCID_SRB1:
+                ue.srb1_rlc.write_pdu(sdu)
+                while (r := ue.srb1_rlc.read_sdu()) is not None:
+                    self._handle_srb1(ue, r)
+            elif lcid == LCID_DRB1:
+                ue.drb_rlc.write_pdu(sdu)
+                while (r := ue.drb_rlc.read_sdu()) is not None:
+                    ip_pkt = ue.drb_pdcp.write_pdu(r)
+                    if ip_pkt is not None:
+                        self.spgw.rx_from_enb(self.gtpu.tx(ue.dl_teid, ip_pkt))
+
+    def _complete_ul_data(self, ev: dict):
+        """Deferred completion of a windowed PUSCH decode: PHICH + UL
+        HARQ retransmission chain at the stretched timing, then the same
+        PDU delivery as the inline path."""
+        tti, rnti, grant = ev["tti"], ev["rnti"], ev["grant"]
+        ok, tb = ev["ok"], ev["tb"]
+        ue = self.ues.get(rnti)
+        ph_tti = self._phich_tti(tti)
+        group, n_seq = _phich_resource(self.cell, grant)
+        hi = 1
+        if not ok and ev["tx_count"] < UL_HARQ_MAX_TX:
+            retx_tti = tdd.pusch_tti(self.tdd, ph_tti)
+            if retx_tti not in self.pending_ul:
+                hi = 0
+                from ..stack.mac import HARQ_RV_SEQ
+
+                g2 = dataclasses.replace(grant, rv=HARQ_RV_SEQ[ev["tx_count"] % 4])
+                self.pending_ul[retx_tti] = (rnti, g2)
+                self._ul_harq[retx_tti] = (("win", ev["soft"]), ev["tx_count"])
+        self.pending_phich.setdefault(ph_tti, []).append((group, n_seq, hi))
+        if not ok:
+            self.stats["ul_crc_ko"] += 1
+            return
+        self.stats["ul_crc_ok"] += 1
+        if ue is None:
+            return
+        ue.last_ul_ok_tti = self.tti
+        self._deliver_ul_pdu(ue, rnti, np.packbits(np.asarray(tb)).tobytes())
 
     def _pump_spgw(self):
         teid_map = {u.dl_teid: u for u in self.ues.values()}
@@ -939,7 +1083,21 @@ class EnbStack:
         self.spgw.tx_queue.extendleft(reversed(requeue))
 
     def _build_dl(self, tti: int, sf_idx: int) -> np.ndarray:
-        sched = DlSched(cfi=self.cfi, phich=self.pending_phich.pop(tti, []))
+        cfi = self.cfi
+        if self.cfi_adapt:
+            # CFI adaptation (scheduler_grid.cc:154-165): dry-run the CCE
+            # allocation for this TTI's expected DCI demand and take the
+            # smallest control region that hosts it
+            from ..stack.sched_grid import min_cfi_for
+
+            demands = [r for r, u in self.ues.items()
+                       if u.rrc_state != self.RRC_IDLE][:4]
+            if self.pending_rars:
+                demands.append(1 + self.prach_sf)
+            if sf_idx == 5 or (tti % 80) in (16, 17):
+                demands.append(0xFFFF)
+            cfi = min_cfi_for(self.cell, sf_idx, demands, cfi_min=self.cfi)
+        sched = DlSched(cfi=cfi, phich=self.pending_phich.pop(tti, []))
         sftype = tdd.sf_type(self.tdd, sf_idx)
         if sftype == tdd.SfType.U:  # eNB silent on UL subframes
             _, samples = enb_dl_subframe(self.cell, sf_idx, sched, tdd=self.tdd)
@@ -949,19 +1107,15 @@ class EnbStack:
         can_pdsch = sftype == tdd.SfType.D or tdd.nof_dw(self.tdd) >= 9
         is_tdd = self.tdd is not None
         dwpts = sftype == tdd.SfType.S
-        n = nof_cce(self.cell, sf_idx, self.cfi)
-        used_cce: list[tuple[int, int]] = []  # (start, L) taken this TTI
+        from ..stack.sched_grid import PdcchGrid
+
+        grid_cce = PdcchGrid(self.cell, sf_idx, cfi)
 
         def alloc_cce(rnti: int) -> tuple[int, int] | None:
-            """First collision-free (agg, cce) from the UE search space —
-            the scheduler_grid.cc PDCCH allocation."""
-            cands = search_space_candidates(rnti, sf_idx, n)
-            for agg in sorted(cands, reverse=True):
-                for cce in cands[agg]:
-                    if all(cce + agg <= s or cce >= s + l for s, l in used_cce):
-                        used_cce.append((cce, agg))
-                        return agg, cce
-            return None
+            """First collision-free (agg, cce) from the RNTI's search
+            space (UE-specific or common) — the scheduler_grid.cc PDCCH
+            allocation, now through the shared `stack.sched_grid` grid."""
+            return grid_cce.alloc(rnti, agg_levels=(8, 4, 2, 1))
 
         def add_dl_tb(rnti: int, mcs: int, tb_bytes_pdu: bytes, ndi: int = 1, rv: int = 0, harq_pid: int = 0,
                       rb_start: int = 0, l_crb: int | None = None):
@@ -1085,14 +1239,14 @@ class EnbStack:
             # truncate scheduler-sized PDUs
             if sftype == tdd.SfType.D and not (
                     self._in_meas_gap(tti)
-                    or self._in_meas_gap(tdd.ack_tti(self.tdd, tti))):
+                    or self._in_meas_gap(self._ack_tti(tti))):
                 # connected UEs with a measGapConfig are away from this
                 # carrier during gap subframes (and cannot PUCCH-ack a
                 # PDSCH whose ACK occasion lands in one) — the reference
                 # scheduler skips them the same way (scheduler_ue.cc)
                 from ..phy.phch.pdsch import pdsch_nof_re
 
-                n_re = pdsch_nof_re(self.cell, sf_idx, self.cfi,
+                n_re = pdsch_nof_re(self.cell, sf_idx, cfi,
                                     tuple(range(self.cell.nof_prb)), is_tdd)
                 grants = self.sched.get_dl_sched(tti, pdsch_nof_re=n_re)
                 for g in grants:
@@ -1104,7 +1258,7 @@ class EnbStack:
                     if loc2 is not None:
                         # real feedback: PUCCH 1a (or UCI-on-PUSCH) at the
                         # TS 36.213 §10.1 ACK subframe; NACK/DTX → retx
-                        self.pending_dl_ack.setdefault(tdd.ack_tti(self.tdd, tti), []).append(
+                        self.pending_dl_ack.setdefault(self._ack_tti(tti), []).append(
                             {"rnti": g.rnti, "pid": g.harq_pid, "n_pucch": loc2[1],
                              "on_pusch": False, "dl_tti": tti})
                     else:
@@ -1321,11 +1475,13 @@ class UeStack:
     # measurements onto the dBm scale q-RxLevMin (TS 36.304) is defined on
     DBFS_REF_DBM = -70.0
 
-    def __init__(self, cell: Cell, usim: Usim, cfi: int = 2, preamble: int = 17, attach_delay: int = 0,
+    def __init__(self, cell: Cell, usim: Usim, cfi: int | None = 2, preamble: int = 17, attach_delay: int = 0,
                  tdd_cfg: tdd.TddConfig | None = None, acquire_si: bool = False,
                  srs_enabled: bool = False, sr_enabled: bool = False,
                  tm: int = 2, nrx: int = 1, dynamic_phy: bool = False,
-                 earfcn: int = 3400):
+                 earfcn: int = 3400,
+                 windowed_phy: bool = False, phy_window: int = 4,
+                 phy_device=None):
         self.srs_enabled = srs_enabled
         self.sr_enabled = sr_enabled
         # serving carrier EARFCN; inter-frequency measurements (rrc_meas.cc
@@ -1341,6 +1497,19 @@ class UeStack:
             from ..pipeline_dynamic import DynamicUeDl
 
             self._dyn_phy = DynamicUeDl(cell, cfi=cfi)
+        # windowed_phy: the windowed TPU engines as the live data plane —
+        # data PDSCH subframes queue into W-TTI windows and the HARQ
+        # feedback runs at 4+W on both ends (windowed_plane.py contract)
+        self._win_dl = None
+        self.harq_delay = 4
+        if windowed_phy:
+            assert tdd_cfg is None, "windowed data plane is FDD-only"
+            from .windowed_plane import WindowedUeDlPlane
+
+            self._win_dl = WindowedUeDlPlane(cell, cfi=cfi, w=phy_window,
+                                             tm=tm, nrx=nrx,
+                                             device=phy_device)
+            self.harq_delay = 4 + phy_window
         # transmission mode + rx antenna count; with nrx == 2 the DL link
         # input is (2, sf_len) rx-antenna streams (not CA carriers)
         self.tm = tm
@@ -1584,6 +1753,10 @@ class UeStack:
         if sf_idx == 9:
             self._run_measurements(tti)
             self._run_idle_reselection()
+        if self._win_dl is not None:
+            self._win_dl.flush(tti)
+            for ev in self._win_dl.poll(tti):
+                self._complete_dl_data(ev)
         if self.gw is not None and self.rrc_state == self.RRC_ACTIVE:
             self.gw.pump_ul(self.send_ip_packet)
         ul = self._build_ul(tti, sf_idx)
@@ -1679,6 +1852,33 @@ class UeStack:
             self.stats["meas_report"] += 1
             self._meas_prohibit_tti = tti + 100  # reportInterval stand-in
 
+    def _ack_tti(self, dl_tti: int) -> int:
+        if self.harq_delay != 4:
+            return dl_tti + self.harq_delay
+        return tdd.ack_tti(self.tdd, dl_tti)
+
+    def _complete_dl_data(self, ev: dict):
+        """Deferred completion of a windowed PDSCH decode: the same DL
+        HARQ feedback + duplicate-suppression logic the inline path runs,
+        with the ACK scheduled at the stretched position."""
+        dci_d = ev["dci"]
+        ok = all(okb for _, okb in ev["tbs"])
+        ndi_key = ev["ndi"]
+        last = self._dl_ndi.get(dci_d.harq_pid)
+        is_dup = last is not None and last[0] == ndi_key and last[1]
+        self._dl_ndi[dci_d.harq_pid] = (ndi_key, ok or is_dup)
+        self.pending_ack.setdefault(self._ack_tti(ev["tti"]), []).append(
+            (ev["cce"], 1 if (ok or is_dup) else 0, ev["tti"]))
+        if ok and not is_dup:
+            for tb_i, _ok_i in ev["tbs"]:
+                self.stats["dl_tbs_ok"] += 1
+                self._handle_dl_pdu(np.packbits(np.asarray(tb_i)).tobytes())
+
+    def _phich_tti(self, pusch_tti: int) -> int:
+        if self.harq_delay != 4:
+            return pusch_tti + self.harq_delay
+        return tdd.phich_tti(self.tdd, pusch_tti)
+
     def _process_dl(self, tti: int, sf_idx: int, samples: np.ndarray):
         if tdd.sf_type(self.tdd, sf_idx) == tdd.SfType.U:
             return  # nothing to receive on our own UL subframes
@@ -1702,11 +1902,16 @@ class UeStack:
             inflight = None  # context reset while a PUSCH was in flight
         for rnti in rntis:
             is_c = rnti == self.crnti
+            win = None
+            if (self._win_dl is not None and is_c
+                    and self.rrc_state == self.RRC_ACTIVE):
+                self._win_dl.current_tti = tti
+                win = self._win_dl
             res = ue_dl_decode_subframe(
                 self.cell, rx, sf_idx, rnti, known_cfi=self.cfi,
                 tdd=self.tdd, nrx=rx.shape[0],
                 tm=self.tm if is_c else 2,
-                dynamic=self._dyn_phy,
+                dynamic=self._dyn_phy, deferred=win,
                 harq_softbuffers=self._dl_softbuffers if is_c else None,
                 phich=_phich_resource(self.cell, inflight[0]) if (is_c and inflight) else None,
             )
@@ -1744,6 +1949,8 @@ class UeStack:
                         prb_start=rb0, nof_prb=l_crb, mod=ul_mcs_to_mod(dci0.mcs),
                         tbs=tbs_lookup(ul_mcs_to_itbs(dci0.mcs), l_crb), rnti=rnti,
                     )
+            if rnti == self.crnti and res.deferred:
+                continue  # windowed plane: completion via _complete_dl_data
             if rnti == self.crnti and res.dci_used is not None and res.tbs:
                 # DL HARQ feedback + duplicate suppression (dl_harq.cc).
                 # 2-codeword grants (DCI 2/2A) report ONE bit = AND of the
@@ -1757,7 +1964,7 @@ class UeStack:
                 last = self._dl_ndi.get(dci_d.harq_pid)
                 is_dup = last is not None and last[0] == ndi_key and last[1]
                 self._dl_ndi[dci_d.harq_pid] = (ndi_key, ok or is_dup)
-                self.pending_ack.setdefault(tdd.ack_tti(self.tdd, tti), []).append(
+                self.pending_ack.setdefault(self._ack_tti(tti), []).append(
                     (res.cce_used, 1 if (ok or is_dup) else 0, tti))
                 if ok and not is_dup:
                     for tb_i, _ok_i in res.tbs:
@@ -1838,6 +2045,14 @@ class UeStack:
             if self.tdd is None:
                 # prach-ConfigIndex 3 → FDD sf 1 (TS 36.211 Table 5.7.1-2)
                 self.prach_sf = {3: 1}.get(p["prach_config_index"], self.prach_sf)
+            # apply the broadcast PRACH plane (prach.c follows SIB2's
+            # rootSequenceIndex/zeroCorrelationZone/frequencyOffset)
+            self.prach_cfg = PrachConfig(
+                root_seq_index=p["root_seq_idx"],
+                zero_corr_zone=p["zero_corr_zone"],
+                freq_offset=p["prach_freq_offset"],
+                nof_preambles=p["nof_preambles"],
+            )
             self.n310 = p["n310"]
             self.t310_ms = p["t310_ms"]
 
@@ -2103,6 +2318,29 @@ class UeStack:
                 cfgp = PucchConfig(n_pucch=acks[-1][0])
                 return ue_ul_encode(self.cell, sf_idx, pucch1=(cfgp, [bit]),
                                     ta_samples=self.ta_samples)
+            if (self.tdd is None and cqi_on_pusch(tti)
+                    and self.rrc_state == self.RRC_ACTIVE):
+                # periodic CQI/RI on PUCCH format 2 (cc_worker.cc:822
+                # set_uci_periodic_cqi): the standing reporting loop when
+                # no PUSCH is granted this TTI.  A colliding ACK took the
+                # format-1a branch above (simultaneousAckNackAndCQI=false
+                # drops the CQI, as the reference does).
+                from ..phy.phch.pucch import PucchConfig
+
+                if cqi_report_is_ri(tti) and self.tm >= 3:
+                    bits = (1 if getattr(self, "_dl_rank", 1) == 2 else 0,)
+                    self.stats["ri_pucch_sent"] = self.stats.get("ri_pucch_sent", 0) + 1
+                else:
+                    cqi = snr_db_to_cqi(getattr(self, "_dl_snr_db", 20.0))
+                    bits = tuple(int(b) for b in np.binary_repr(cqi, 4))
+                    if self.tm == 4:
+                        pmi = int(getattr(self, "_dl_pmi", 0)) & 3
+                        bits = bits + tuple(int(b) for b in np.binary_repr(pmi, 2))
+                    self.stats["cqi_pucch_sent"] = self.stats.get("cqi_pucch_sent", 0) + 1
+                cfg2 = PucchConfig(n_pucch=_cqi_resource(self.crnti))
+                return ue_ul_encode(self.cell, sf_idx,
+                                    pucch2=(cfg2, np.array(bits, np.uint8)),
+                                    ta_samples=self.ta_samples)
             if _is_srs_sf(self.srs_enabled, self.tdd, tti) and self.rrc_state >= self.RRC_ACTIVE:
                 # standalone wideband sounding on the SRS subframe
                 return ue_ul_encode(self.cell, sf_idx, srs=(0, self.cell.nof_prb),
@@ -2152,7 +2390,7 @@ class UeStack:
             uci = UciCfg(cqi_bits=cqi_bits, ack=tuple(b for _, b, _t in acks or ()),
                          ri=ri_bits)
         # watch the PHICH for this transmission (ul_harq.cc role)
-        self._ul_inflight[tdd.phich_tti(self.tdd, tti)] = (grant, tb_bits, tx_count)
+        self._ul_inflight[self._phich_tti(tti)] = (grant, tb_bits, tx_count)
         srs = None
         if _is_srs_sf(self.srs_enabled, self.tdd, tti) and self.rrc_state >= self.RRC_ACTIVE:
             srs = (0, self.cell.nof_prb)  # wideband sounding, shortened PUSCH

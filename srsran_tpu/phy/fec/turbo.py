@@ -312,7 +312,14 @@ def map_decoder(lx, lz, lx_tail, lz_tail, k: int, dtype=jnp.float32, backend: st
         import jax as _jax
 
         lw_k = _window_layout(k)[1]
-        backend = ("pallas" if _jax.default_backend() == "tpu" and k > 2048
+        # honor an active `jax.default_device(cpu)` scope: the process
+        # backend can be TPU while this computation is pinned to CPU
+        # (e.g. the full stack's host control path), where the Mosaic
+        # kernel cannot lower
+        _dev = getattr(_jax.config, "jax_default_device", None)
+        _on_tpu = (_jax.default_backend() == "tpu"
+                   and (_dev is None or getattr(_dev, "platform", "tpu") == "tpu"))
+        backend = ("pallas" if _on_tpu and k > 2048
                    and lw_k % 2 == 0 else "scan")
     if backend == "scan4":
         return map_decoder4(lx, lz, lx_tail, lz_tail, k, dtype)

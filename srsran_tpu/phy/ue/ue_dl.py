@@ -36,6 +36,7 @@ class UeDlResult:
     dci_format: str = ""  # "1A" | "1" | "2" | "2a"
     cce_used: int = -1  # its CCE start (→ PUCCH 1a resource, pucch_proc.c:257)
     phich_ack: bool | None = None  # decoded HI when a resource was watched
+    deferred: bool = False  # PDSCH queued on a windowed plane (no tbs yet)
     rank: int = 0  # recommended RI (0 = not measured; cc_worker.cc:566)
     pmi: int = 0  # recommended codebook index for the measured rank
 
@@ -53,6 +54,7 @@ def ue_dl_decode_subframe(
     phich: tuple[int, int] | None = None,
     tm: int = 2,
     dynamic=None,
+    deferred=None,
 ) -> UeDlResult:
     """Process one subframe: samples (nrx, sf_len) → decoded TBs.
 
@@ -63,6 +65,12 @@ def ue_dl_decode_subframe(
     ``dynamic``: an optional `pipeline_dynamic.DynamicUeDl` — single-
     codeword FDD PDSCH decodes then run on the bucketed TPU path (zero
     per-grant recompiles) instead of the host-orchestrated chain.
+    ``deferred``: an optional `apps.windowed_plane.WindowedUeDlPlane` —
+    FDD data grants are queued into W-TTI windows instead of being
+    decoded here; the result arrives via the plane's `poll` and the
+    returned UeDlResult carries ``deferred=True`` with no tbs entries
+    (the sf_worker-pipeline analog, cc_worker.cc:214 with N subframes
+    in flight).
     With ``tdd`` set: UL subframes are skipped, special subframes decode
     only the DwPTS region with the 0.75-PRB TBS rule (ra_dl.c:399,430-432),
     and the DCI is parsed at its TDD size.
@@ -166,7 +174,7 @@ def ue_dl_decode_subframe(
             res, fmt, bits, cce, grid, ce, noise, cell, sf_idx, cfi, rnti,
             nports_cell, is_tdd, last_symbol, max_iterations,
             harq_softbuffers, equalize,
-            dynamic=dynamic, samples=samples,
+            dynamic=dynamic, samples=samples, deferred=deferred,
         )
         if handled:
             break  # one DL grant per subframe (dedup across agg levels)
@@ -175,7 +183,8 @@ def ue_dl_decode_subframe(
 
 def _decode_grant(res, fmt, bits, cce, grid, ce, noise, cell, sf_idx, cfi,
                   rnti, nports_cell, is_tdd, last_symbol, max_iterations,
-                  harq_softbuffers, equalize, dynamic=None, samples=None) -> bool:
+                  harq_softbuffers, equalize, dynamic=None, samples=None,
+                  deferred=None) -> bool:
     """Parse one found DCI and decode its PDSCH; returns True if a PDSCH
     decode was attempted (the caller stops at the first one)."""
     from ..phch.pdsch import pdsch_re_indices
@@ -205,6 +214,17 @@ def _decode_grant(res, fmt, bits, cce, grid, ce, noise, cell, sf_idx, cfi,
             mod2=dl_mcs_to_mod(dci.mcs2), tbs2=dl_tbs(dci.mcs2, l_crb),
             rv1=dci.rv1, rv2=dci.rv2, pmi=pmi, rnti=rnti, tx_scheme=scheme,
         )
+        if (deferred is not None and getattr(deferred, "mimo", False)
+                and not is_tdd and last_symbol is None
+                and grant.tbs1 > 0 and grant.tbs2 > 0):
+            deferred.submit(samples, sf_idx, grant, dci.harq_pid,
+                            (dci.ndi1, dci.ndi2), tti=-1, dci=dci, fmt=fmt,
+                            cce=cce)
+            res.dci_used = dci
+            res.dci_format = fmt
+            res.cce_used = cce
+            res.deferred = True
+            return True
         sbs = (None, None)
         if harq_softbuffers is not None:
             stored = harq_softbuffers.get(dci.harq_pid)
@@ -274,6 +294,16 @@ def _decode_grant(res, fmt, bits, cce, grid, ce, noise, cell, sf_idx, cfi,
     # (ndi, softbuffers) between retransmissions (softbuffer.c role);
     # a toggled NDI means a NEW transport block — stale LLRs from the
     # previous (possibly failed) TB must not be combined in
+    if (deferred is not None and not getattr(deferred, "mimo", False)
+            and not is_tdd and last_symbol is None
+            and grant.tx_scheme in ("port0", "diversity") and grant.tbs > 0):
+        deferred.submit(samples, sf_idx, grant, harq_pid, ndi, tti=-1,
+                        dci=dci, fmt=fmt, cce=cce)
+        res.dci_used = dci
+        res.dci_format = fmt
+        res.cce_used = cce
+        res.deferred = True
+        return True
     sb = None
     if harq_softbuffers is not None:
         stored = harq_softbuffers.get(harq_pid)

@@ -269,7 +269,11 @@ class Scheduler:
         grants: list[DlSchedGrant] = []
         cursor = 0  # next free PRB
 
-        # 1. HARQ retransmissions (original l_crb preserved for equal TBS)
+        # 1. HARQ retransmissions (original l_crb preserved for equal TBS).
+        # At most ONE grant per UE per TTI: the UE decodes a single DL
+        # grant per subframe, so a second same-RNTI DCI would always be
+        # lost as DTX (invariant from scheduler_test_rand.cc, caught by
+        # tests/test_mac_rand.py).
         for rnti in rntis:
             ue = self.ues[rnti]
             for h in ue.dl_harq:
@@ -282,6 +286,7 @@ class Scheduler:
                     rnti, cursor, h.n_prb, h.mcs, h.tbs_bits, h.ndi, h.rv, h.pid,
                     h.pdu, pdu2=h.pdu2, mcs2=h.mcs2, tbs_bits2=h.tbs_bits2))
                 cursor += h.n_prb
+                break  # one DL grant per UE per TTI
 
         # 2. round-robin new data over the remaining band
         order = rntis[self.rr_next % len(rntis):] + rntis[: self.rr_next % len(rntis)]

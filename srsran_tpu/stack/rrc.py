@@ -331,6 +331,7 @@ def pack_sib1(cell_id: int, tac: int = 1, freq_band: int = 7,
 
 def pack_sib2(nof_ra_preambles: int = 52, prach_config_index: int = 3,
               root_seq_idx: int = 0, n310: int = 4, t310_ms: int = 200,
+              zero_corr_zone: int = 1, prach_freq_offset: int = 0,
               sib3: dict | None = None) -> bytes:
     """SystemInformation carrying SIB2 (the rr.conf/sib.conf analog);
     optionally SIB3 in the same SI message (sib.conf.example schedules
@@ -351,8 +352,8 @@ def pack_sib2(nof_ra_preambles: int = 52, prach_config_index: int = 3,
             "prach_cfg": {"root_seq_idx": root_seq_idx,
                           "prach_cfg_info": {"prach_cfg_idx": prach_config_index,
                                              "high_speed_flag": False,
-                                             "zero_correlation_zone_cfg": 11,
-                                             "prach_freq_offset": 2}},
+                                             "zero_correlation_zone_cfg": zero_corr_zone,
+                                             "prach_freq_offset": prach_freq_offset}},
             "pdsch_cfg_common": {"ref_sig_pwr": 0, "p_b": 0},
             "pusch_cfg_common": {
                 "pusch_cfg_basic": {"n_sb": 1, "hop_mode": "inter_sub_frame",
@@ -445,6 +446,8 @@ def sib2_rach_params(sib2: dict) -> dict:
         "nof_preambles": int(rach["preamb_info"]["nof_ra_preambs"][1:]),
         "prach_config_index": prach["prach_cfg_info"]["prach_cfg_idx"],
         "root_seq_idx": prach["root_seq_idx"],
+        "zero_corr_zone": prach["prach_cfg_info"]["zero_correlation_zone_cfg"],
+        "prach_freq_offset": prach["prach_cfg_info"]["prach_freq_offset"],
         "ra_resp_win_sf": int(rach["ra_supervision_info"]["ra_resp_win_size"][2:]),
         "n310": int(timers["n310"][1:]),
         "t310_ms": int(timers["t310"][2:]),
