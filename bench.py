@@ -48,6 +48,7 @@ BASELINES = {
     "window_mimo_onchip_rtf": 1.0,  # same, device-compute only
     "window_dlgen_rtf": 1.0,  # eNB DL GENERATION window (sf_worker TX half)
     "window_ulgen_rtf": 1.0,  # UE PUSCH GENERATION window (ue_ul TX half)
+    "stack_window_rtf": 1.0,  # FULL STACK loop with the windowed data plane
     # the reference sustains one real-time 20 MHz carrier per machine;
     # this row is how many a single TPU chip sustains (full UE DL decode)
     "carriers_per_chip": 1.0,
@@ -744,6 +745,58 @@ def bench_window_ul_rtf(jax, jnp, rng):
     return rtf, 1.0 / onchip_ms
 
 
+def bench_stack_window_rtf(jax, jnp, rng):
+    """The full stack loop (attach + saturated DL + periodic UL) with the
+    windowed TPU data plane under it — VERDICT r3 item 1's bench row."""
+    from srsran_tpu.apps.full_stack import EnbStack, UeStack
+    from srsran_tpu.epc import Hss, Mme, Spgw, Subscriber
+    from srsran_tpu.phy.common import Cell
+    from srsran_tpu.stack import security as sec
+    from srsran_tpu.stack.nas_ue import Usim
+
+    IMSI = "001010123456789"
+    KEY = bytes.fromhex("00112233445566778899aabbccddeeff")
+    OPC = sec.compute_opc(KEY, bytes.fromhex("63bfa50ee6523365ff14c1f45f88737d"))
+    tpu = jax.devices()[0]
+    cpu = jax.devices("cpu")[0]
+    cell = Cell(nof_prb=25, nof_ports=1, id=7)
+    hss = Hss()
+    hss.add_subscriber(Subscriber("ue1", IMSI, KEY, OPC, amf=b"\x80\x00", sqn=0))
+    spgw = Spgw()
+    mme = Mme(hss, spgw)
+    enb = EnbStack(cell, mme, spgw, mcs=8,
+                   windowed_phy=True, phy_window=8, phy_device=tpu)
+    ue = UeStack(cell, Usim(IMSI, KEY, OPC),
+                 windowed_phy=True, phy_window=8, phy_device=tpu)
+    ul = None
+    with jax.default_device(cpu):
+        for tti in range(200):
+            dl = enb.run_tti(ul)
+            ul = ue.run_tti(dl)
+            if (ue.rrc_state == UeStack.RRC_ACTIVE
+                    and ue.nas.state == ue.nas.REGISTERED):
+                break
+        assert ue.nas.state == ue.nas.REGISTERED, "attach failed"
+        for i in range(16):
+            spgw.sgi_tx(ue.ue_ip, bytes([i]) * 120)
+        for _ in range(80):  # warm the engines
+            dl = enb.run_tti(ul)
+            ul = ue.run_tti(dl)
+        for i in range(64):
+            spgw.sgi_tx(ue.ue_ip, bytes([i & 0xFF]) * 120)
+        n = 200
+        t = time.time()
+        for _ in range(n):
+            dl = enb.run_tti(ul)
+            ul = ue.run_tti(dl)
+        dt = (time.time() - t) / n
+    rtf = 1e-3 / dt
+    log(f"stack_window_rtf: {dt*1e3:.2f} ms/TTI -> {rtf:.3f}x realtime; "
+        f"dl windows {ue._win_dl.stats}, ul windows {enb._win_ul.stats}, "
+        f"ip_rx {len(ue.ip_rx)}")
+    return rtf
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -771,6 +824,7 @@ def main():
         ("window_mimo_rtf", bench_window_mimo_rtf),
         ("window_dlgen_rtf", bench_window_dlgen_rtf),
         ("window_ulgen_rtf", bench_window_ulgen_rtf),
+        ("stack_window_rtf", bench_stack_window_rtf),
     ):
         try:
             r = fn(jax, jnp, rng)
@@ -794,6 +848,7 @@ def main():
              "window_onchip_rtf": "x realtime",
              "window_dlgen_rtf": "x realtime",
              "window_ulgen_rtf": "x realtime",
+             "stack_window_rtf": "x realtime",
              "carriers_per_chip": "carriers"}
     notes = {
         "dynamic_rtf": "per-TTI latency path; a TRIVIAL 4-jit chain with "
@@ -801,10 +856,21 @@ def main():
                        "on this tunneled chip, so this is within ~5 ms of "
                        "the host-link floor — compute is not the limit",
         "window_rtf": "adversarial random-grant mix, W=64 TTIs/dispatch, "
-                      "wall-clock through the tunneled host link (ingest "
-                      "upload + packed readback serialize against compute "
-                      "on this link); see window_onchip_rtf for the "
-                      "device-compute capability",
+                      "wall-clock through the tunneled host link.  The "
+                      "link is the hard ceiling: measured 30-55 MB/s "
+                      "uploads with NO transfer/compute overlap (r4 "
+                      "threaded experiment), while one 20 MHz carrier "
+                      "needs 61.4 MB/s of int8 I/Q — wall-clock realtime "
+                      "ingest is physically impossible on this tunnel "
+                      "regardless of pipelining; see window_onchip_rtf "
+                      "for the device capability",
+        "stack_window_rtf": "apps/full_stack.py attach+IP loop with the "
+                            "windowed engines as the data plane on the "
+                            "TPU and the per-TTI control path (PDCCH/DL "
+                            "render, Python) on the host CPU — the "
+                            "control path dominates the wall clock; the "
+                            "TPU windows run at the window_*_onchip "
+                            "rates",
     }
     if "window_onchip_rtf" in results and stage_parts is not None:
         notes["window_onchip_rtf"] = (

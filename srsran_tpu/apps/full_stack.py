@@ -72,10 +72,10 @@ def _prach_sf(tdd_cfg) -> int:
 def _phich_resource(cell: Cell, grant: UlGrant) -> tuple[int, int]:
     """(n_group, n_seq) for a PUSCH, TS 36.213 §9.1.2 with n_DMRS = 0:
     n_group = I_PRB_RA mod N_group, n_seq spread by the PRB quotient."""
-    from ..phy.phch.phich import nof_phich_groups
+    from ..phy.phch.phich import nof_phich_groups, nof_phich_sequences
 
     ng = nof_phich_groups(cell)
-    return grant.prb_start % ng, (grant.prb_start // ng) % 8
+    return grant.prb_start % ng, (grant.prb_start // ng) % nof_phich_sequences(cell)
 
 
 UL_HARQ_MAX_TX = 4  # 1 + 3 retransmissions (reference harq default)

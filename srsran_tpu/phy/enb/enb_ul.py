@@ -55,12 +55,13 @@ def enb_ul_decode_pucch(
     fmt: str, nof_bits: int,
 ):
     """fmt: '1' | '2'.  Returns (bits, metric)."""
-    from ..phch.pucch import pucch_f1_prb
+    from ..phch.pucch import _f1_covers, pucch_f1_prb
 
     prb_local = np.zeros((cell.nsymb_per_sf, 12), np.complex64)
     for slot in range(2):
         ns = 2 * sf_idx + slot
-        m = pucch_f1_prb(cfg.n_pucch, ns, cell.nof_prb, cfg.delta_shift)
+        m = pucch_f1_prb(cfg.n_pucch, ns, cell.nof_prb, cfg.delta_shift,
+                         covers=_f1_covers(cell))
         sl = slice(slot * cell.nsymb_per_slot, (slot + 1) * cell.nsymb_per_slot)
         prb_local[sl] = rx_grid[0, sl, m * 12 : (m + 1) * 12]
     if fmt == "1":

@@ -342,14 +342,21 @@ def map_decoder(lx, lz, lx_tail, lz_tail, k: int, dtype=jnp.float32, backend: st
         )
         return llr.reshape(lw, b, nw).transpose(1, 2, 0).reshape(b, k).astype(jnp.float32)
 
-    a_tr, _ = jax.lax.scan(alpha_step, jnp.zeros((8, bn), dtype), (ax_train, az_train))
+    # "scan_uN": unroll N trellis steps per loop iteration — same math,
+    # fewer sequential loop dispatches (the scan is latency-heavy: each
+    # step touches only (8, bn) elements)
+    unroll = int(backend[6:]) if backend.startswith("scan_u") else 1
+
+    a_tr, _ = jax.lax.scan(alpha_step, jnp.zeros((8, bn), dtype),
+                           (ax_train, az_train), unroll=unroll)
     # window 0 gets the exact known initial state
     a_init = a_tr.reshape(8, b, nw)
     known = jnp.concatenate(
         [jnp.zeros((1, b, 1), dtype), jnp.full((7, b, 1), NEG_INF, dtype)], axis=0
     )
     a_init = jnp.concatenate([known, a_init[:, :, 1:]], axis=2).reshape(8, bn)
-    _, alphas = jax.lax.scan(alpha_step_out, a_init, (ax_main, az_main))
+    _, alphas = jax.lax.scan(alpha_step_out, a_init, (ax_main, az_main),
+                             unroll=unroll)
     # alphas: (lw, 8, bn)
 
     # --- beta, fused with posterior ---
@@ -377,7 +384,8 @@ def map_decoder(lx, lz, lx_tail, lz_tail, k: int, dtype=jnp.float32, backend: st
         return (new - new[0:1]) if renorm else new, None
 
     b_tr, _ = jax.lax.scan(
-        beta_train_step, jnp.zeros((8, bn), dtype), (bx_train[::-1], bz_train[::-1])
+        beta_train_step, jnp.zeros((8, bn), dtype),
+        (bx_train[::-1], bz_train[::-1]), unroll=unroll
     )
     beta_k = _beta_tail(lx_tail, lz_tail).astype(dtype)  # (B, 8)
     b_init = b_tr.reshape(8, b, nw)
@@ -396,7 +404,7 @@ def map_decoder(lx, lz, lx_tail, lz_tail, k: int, dtype=jnp.float32, backend: st
     _, llr_rev = jax.lax.scan(
         beta_post_step,
         b_init,
-        (ax_main[::-1], az_main[::-1], alphas[::-1]),
+        (ax_main[::-1], az_main[::-1], alphas[::-1]), unroll=unroll,
     )
     llr = llr_rev[::-1]  # (lw, bn)
     return llr.reshape(lw, b, nw).transpose(1, 2, 0).reshape(b, k).astype(jnp.float32)

@@ -25,7 +25,21 @@ from ..sequence import gold_sequence
 from .uci import rm_decode, rm_encode
 from .uci_data import RM20_BASIS
 
-# format 1: data symbols / DMRS symbols within a slot (normal CP)
+# format 1 / format 2: data and DMRS symbol positions within a slot,
+# per cyclic prefix (TS 36.211 Tables 5.4.1-2 / 5.4.2-1; pucch.c)
+def _f1_syms(cell: Cell):
+    if cell.nsymb_per_slot == 7:
+        return (0, 1, 5, 6), (2, 3, 4)
+    return (0, 1, 4, 5), (2, 3)
+
+
+def _f2_syms(cell: Cell):
+    if cell.nsymb_per_slot == 7:
+        return (0, 2, 3, 4, 6), (1, 5)
+    return (0, 1, 2, 4, 5), (3,)
+
+
+# normal-CP aliases (kept for external callers)
 F1_DATA_SYMS = (0, 1, 5, 6)
 F1_DMRS_SYMS = (2, 3, 4)
 F2_DATA_SYMS = (0, 2, 3, 4, 6)
@@ -33,21 +47,29 @@ F2_DMRS_SYMS = (1, 5)
 
 # orthogonal covers for format 1 (length 4, TS 36.211 Table 5.4.1-2)
 W4 = np.array([[1, 1, 1, 1], [1, -1, 1, -1], [1, -1, -1, 1]], np.float32)
-# DMRS covers length 3 (Table 5.5.2.2.1-2)
+# DMRS covers length 3 (Table 5.5.2.2.1-2) and length 2 (extended CP)
 W3 = np.exp(
     2j * np.pi / 3 * np.array([[0, 0, 0], [0, 1, 2], [0, 2, 1]], np.float64)
 ).astype(np.complex64)
+W2 = np.array([[1, 1], [1, -1]], np.complex64)
+
+
+def _f1_covers(cell: Cell) -> int:
+    """Format-1 cover count c: 3 (normal CP) or 2 (extended CP,
+    Table 5.4.3-1)."""
+    return 3 if cell.nsymb_per_slot == 7 else 2
 
 
 @lru_cache(maxsize=256)
 def ncs_cell(cell: Cell) -> np.ndarray:
-    """Cell-specific cyclic-shift hopping table (20 slots, 7 symbols):
-    ncs(ns, l) = sum 2^i c(8*(7*ns+l)+i) (TS 36.211 §5.4)."""
-    c = gold_sequence(cell.id, 8 * 7 * 20)
-    out = np.zeros((20, 7), np.int32)
+    """Cell-specific cyclic-shift hopping table (20 slots, nsymb
+    symbols): ncs(ns, l) = sum 2^i c(8*(nsymb*ns+l)+i) (TS 36.211 §5.4)."""
+    nsym = cell.nsymb_per_slot
+    c = gold_sequence(cell.id, 8 * nsym * 20)
+    out = np.zeros((20, nsym), np.int32)
     for ns in range(20):
-        for l in range(7):
-            idx = 8 * (7 * ns + l)
+        for l in range(nsym):
+            idx = 8 * (nsym * ns + l)
             out[ns, l] = int(sum(c[idx + i] << i for i in range(8)))
     return out
 
@@ -65,23 +87,25 @@ class PucchConfig:
     delta_shift: int = 2
 
 
-def pucch_f1_prb(n_pucch: int, ns: int, nof_prb: int, delta_shift: int = 2) -> int:
-    """PRB of a format-1 resource: 12/Δ · 3 = 18 resources share one PRB
-    (Δ=2) before spilling to the next one (TS 36.211 §5.4.3 m formula with
-    N(2)_RB = 0, c = 3)."""
-    per_prb = (12 // delta_shift) * 3
+def pucch_f1_prb(n_pucch: int, ns: int, nof_prb: int, delta_shift: int = 2,
+                 covers: int = 3) -> int:
+    """PRB of a format-1 resource: 12/Δ · c resources share one PRB
+    (c = 3 normal CP, 2 extended) before spilling to the next one
+    (TS 36.211 §5.4.3 m formula with N(2)_RB = 0)."""
+    per_prb = (12 // delta_shift) * covers
     return pucch_prb(n_pucch // per_prb, ns, nof_prb)
 
 
 def _f1_alpha_cover(cell: Cell, cfg: PucchConfig, ns: int):
     """Per-symbol cyclic shifts + cover index for format 1 (simplified
-    in-PRB resource mapping: 6 shifts × 3 covers = 18 orthogonal
-    resources; the (shift, cover) pair is unique for n_pucch % 18)."""
+    in-PRB resource mapping: 6 shifts × c covers orthogonal resources;
+    the (shift, cover) pair is unique for n_pucch % (6·c))."""
     shifts = []
     ncs = ncs_cell(cell)
-    n = cfg.n_pucch % 18
+    c = _f1_covers(cell)
+    n = cfg.n_pucch % (6 * c)
     base_shift = (n * cfg.delta_shift) % 12
-    for l in range(7):
+    for l in range(cell.nsymb_per_slot):
         shifts.append((base_shift + ncs[ns, l]) % 12)
     cover = n // 6
     return shifts, cover
@@ -176,15 +200,19 @@ def pucch_format1_encode_np(cell: Cell, cfg: PucchConfig, sf_idx: int, bits) -> 
     r = base_sequence(u, 12)
     out = np.zeros((cell.nsymb_per_sf, 12), np.complex64)
     n = np.arange(12)
+    nsym = cell.nsymb_per_slot
+    data_syms, dmrs_syms = _f1_syms(cell)
+    wd = W3 if nsym == 7 else W2  # DMRS cover length tracks N_RS per CP
+    c = _f1_covers(cell)
     for slot in range(2):
         ns = 2 * sf_idx + slot
         shifts, cover = _f1_alpha_cover(cell, cfg, ns)
-        for i, l in enumerate(F1_DATA_SYMS):
+        for i, l in enumerate(data_syms):
             alpha = 2 * np.pi * shifts[l] / 12
-            out[slot * 7 + l] = d * W4[cover % 3, i] * r * np.exp(1j * alpha * n)
-        for i, l in enumerate(F1_DMRS_SYMS):
+            out[slot * nsym + l] = d * W4[cover % c, i] * r * np.exp(1j * alpha * n)
+        for i, l in enumerate(dmrs_syms):
             alpha = 2 * np.pi * shifts[l] / 12
-            out[slot * 7 + l] = W3[cover % 3, i] * r * np.exp(1j * alpha * n)
+            out[slot * nsym + l] = wd[cover % c, i] * r * np.exp(1j * alpha * n)
     return out
 
 
@@ -198,19 +226,24 @@ def pucch_format1_decode(prb_grid, cell: Cell, cfg: PucchConfig, sf_idx: int, no
     n = np.arange(12)
     est = []
     data = []
+    nsym = cell.nsymb_per_slot
+    data_syms, dmrs_syms = _f1_syms(cell)
+    wd = W3 if nsym == 7 else W2
+    c = _f1_covers(cell)
     for slot in range(2):
         ns = 2 * sf_idx + slot
         shifts, cover = _f1_alpha_cover(cell, cfg, ns)
         h_acc = 0.0
-        for i, l in enumerate(F1_DMRS_SYMS):
+        for i, l in enumerate(dmrs_syms):
             alpha = 2 * np.pi * shifts[l] / 12
-            ref = jnp.asarray((np.exp(1j * alpha * n)).astype(np.complex64)) * r * W3[cover % 3, i]
-            h_acc = h_acc + jnp.sum(prb_grid[slot * 7 + l] * jnp.conj(ref))
-        h = h_acc / (3 * 12)
-        for i, l in enumerate(F1_DATA_SYMS):
+            ref = (jnp.asarray((np.exp(1j * alpha * n)).astype(np.complex64))
+                   * r * wd[cover % c, i])
+            h_acc = h_acc + jnp.sum(prb_grid[slot * nsym + l] * jnp.conj(ref))
+        h = h_acc / (len(dmrs_syms) * 12)
+        for i, l in enumerate(data_syms):
             alpha = 2 * np.pi * shifts[l] / 12
-            ref = jnp.asarray((np.exp(1j * alpha * n)).astype(np.complex64)) * r * np.float32(W4[cover % 3, i])
-            z = jnp.sum(prb_grid[slot * 7 + l] * jnp.conj(ref)) / 12
+            ref = jnp.asarray((np.exp(1j * alpha * n)).astype(np.complex64)) * r * np.float32(W4[cover % c, i])
+            z = jnp.sum(prb_grid[slot * nsym + l] * jnp.conj(ref)) / 12
             data.append(z * jnp.conj(h) / (jnp.abs(h) ** 2 + 1e-9))
         est.append(jnp.abs(h) ** 2)
     d = jnp.mean(jnp.stack(data))
@@ -236,16 +269,18 @@ def pucch_format2_encode_np(cell: Cell, cfg: PucchConfig, sf_idx: int, uci_bits)
     out = np.zeros((cell.nsymb_per_sf, 12), np.complex64)
     n = np.arange(12)
     ncs = ncs_cell(cell)
+    nsym = cell.nsymb_per_slot
+    data_syms, dmrs_syms = _f2_syms(cell)
     k = 0
     for slot in range(2):
         ns = 2 * sf_idx + slot
-        for l in F2_DATA_SYMS:
+        for l in data_syms:
             alpha = 2 * np.pi * ((cfg.n_pucch + ncs[ns, l]) % 12) / 12
-            out[slot * 7 + l] = d[k] * r * np.exp(1j * alpha * n)
+            out[slot * nsym + l] = d[k] * r * np.exp(1j * alpha * n)
             k += 1
-        for l in F2_DMRS_SYMS:
+        for l in dmrs_syms:
             alpha = 2 * np.pi * ((cfg.n_pucch + ncs[ns, l]) % 12) / 12
-            out[slot * 7 + l] = r * np.exp(1j * alpha * n)
+            out[slot * nsym + l] = r * np.exp(1j * alpha * n)
     return out
 
 
@@ -257,18 +292,20 @@ def pucch_format2_decode(prb_grid, cell: Cell, cfg: PucchConfig, sf_idx: int, no
     ncs = ncs_cell(cell)
     # channel per slot from DMRS
     zs = []
+    nsym = cell.nsymb_per_slot
+    data_syms, dmrs_syms = _f2_syms(cell)
     for slot in range(2):
         ns = 2 * sf_idx + slot
         h_acc = 0.0
-        for l in F2_DMRS_SYMS:
+        for l in dmrs_syms:
             alpha = 2 * np.pi * ((cfg.n_pucch + ncs[ns, l]) % 12) / 12
             ref = jnp.asarray(np.exp(1j * alpha * n).astype(np.complex64)) * r
-            h_acc = h_acc + jnp.sum(prb_grid[slot * 7 + l] * jnp.conj(ref))
-        h = h_acc / (2 * 12)
-        for l in F2_DATA_SYMS:
+            h_acc = h_acc + jnp.sum(prb_grid[slot * nsym + l] * jnp.conj(ref))
+        h = h_acc / (len(dmrs_syms) * 12)
+        for l in data_syms:
             alpha = 2 * np.pi * ((cfg.n_pucch + ncs[ns, l]) % 12) / 12
             ref = jnp.asarray(np.exp(1j * alpha * n).astype(np.complex64)) * r
-            z = jnp.sum(prb_grid[slot * 7 + l] * jnp.conj(ref)) / 12
+            z = jnp.sum(prb_grid[slot * nsym + l] * jnp.conj(ref)) / 12
             zs.append(z * jnp.conj(h) / (jnp.abs(h) ** 2 + 1e-9))
     d = jnp.stack(zs)  # (10,) QPSK symbols
     llr = demod_soft(Mod.QPSK, d)
@@ -284,6 +321,9 @@ def pucch_format2ab_encode_np(
     """Formats 2a/2b (TS 36.211 §5.4.2, pucch.c): CQI as format 2 plus 1-2
     HARQ-ACK bits BPSK/QPSK-modulated onto the second DMRS symbol of each
     slot."""
+    assert cell.nsymb_per_slot == 7, (
+        "formats 2a/2b exist only for normal CP (TS 36.211 Table 5.4-1; "
+        "extended CP joint-codes HARQ-ACK with the CQI on format 2)")
     out = pucch_format2_encode_np(cell, cfg, sf_idx, uci_bits).copy()
     ack = np.asarray(ack_bits, np.uint8)
     if len(ack) == 1:  # 2a: BPSK

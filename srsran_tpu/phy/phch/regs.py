@@ -8,8 +8,12 @@ Produces, per cell (+CFI), the exact physical RE indices of:
     sub-block interleaver + cell-ID cyclic shift.
 
 Master REG order is PRB-major, then REG slot, then symbol ("lowest k then
-l"), matching the standard's mapping walk. Normal CP, normal PHICH
-duration (the reference's default configuration).
+l"), matching the standard's mapping walk.  Both cyclic prefixes and
+both PHICH durations are supported (reference regs.c:286 group counting,
+:331-337 extended-duration symbol spread): extended CP doubles the PHICH
+group count (two groups per mapping unit, NSF 2) and places CRS in
+symbol 3, extended PHICH duration spreads a group's three REGs over
+symbols 0-2.
 """
 
 from __future__ import annotations
@@ -28,11 +32,16 @@ PDCCH_PERM = [
 ]  # TS 36.212 §5.1.4.2.1 column permutation
 
 
-def _regs_per_symbol(l: int, nof_ports: int) -> int:
+def _regs_per_symbol(l: int, nof_ports: int, nsymb_slot: int = 7) -> int:
+    """REGs in control symbol l: 2 where CRS lives (l=0; l=1 with 4
+    ports; l = nsymb-3, which falls inside a 4-symbol control region for
+    extended CP), else 3."""
     if l == 0:
         return 2
     if l == 1:
         return 2 if nof_ports == 4 else 3
+    if l == nsymb_slot - 3:
+        return 2
     return 3
 
 
@@ -53,7 +62,8 @@ def build_regs(cell: Cell):
     nof_prb, ports = cell.nof_prb, cell.nof_ports
     vo = cell.id % 3
     max_ctrl = 4 if nof_prb <= 10 else 3
-    n = [_regs_per_symbol(l, ports) for l in range(max_ctrl)]
+    n = [_regs_per_symbol(l, ports, cell.nsymb_per_slot)
+         for l in range(max_ctrl)]
 
     # master order: prb-major, REG slot (jmax), then symbol
     regs: list[dict] = []
@@ -76,24 +86,35 @@ def build_regs(cell: Cell):
         reg["assigned"] = True
         pcfich.append(reg)
 
-    # PHICH: Ng groups of 3 REGs, normal duration (all in symbol 0) (§6.9.3)
+    # PHICH mapping units of 3 REGs each (§6.9.3; regs.c:286-337).
+    # Normal duration: all three REGs in symbol 0.  Extended duration:
+    # one REG in each of symbols 0..2 (li = i).  Extended CP associates
+    # TWO groups with each mapping unit (NSF 2), so the group count
+    # doubles while the REG footprint per unit stays 3.
     ng = {0: 1 / 6, 1: 1 / 2, 2: 1.0, 3: 2.0}.get(cell.phich_resources, 1 / 6)
-    ngroups = int(np.ceil(ng * nof_prb / 8))
-    avail0 = [r for r in regs if r["l"] == 0 and not r["assigned"]]
-    n0 = len(avail0)
-    phich: list[list[dict]] = []
-    for mi in range(ngroups):
-        group = []
+    is_ext_cp = cell.nsymb_per_slot == 6
+    ext_dur = cell.phich_length == 1
+    n_units = int(np.ceil(ng * nof_prb / 8))
+    avail = {l: [r for r in regs if r["l"] == l and not r["assigned"]]
+             for l in range(min(3, max_ctrl))}
+    nl = {l: len(v) for l, v in avail.items()}
+    phich: list[list[dict]] = []  # mapping units (3 REGs each)
+    for mi in range(n_units):
+        unit = []
         for i in range(3):
-            ni = (cell.id + mi + i * n0 // 3) % n0
-            reg = avail0[ni]
+            li = i if ext_dur else 0
+            navail = nl[li]
+            ni = ((cell.id * navail // nl[0]) + mi + i * navail // 3) % navail
+            reg = avail[li][ni]
             if reg["assigned"]:
                 # collision cannot happen for valid configs; guard anyway
-                ni = next(x for x in range(n0) if not avail0[x]["assigned"])
-                reg = avail0[ni]
+                ni = next(x for x in range(navail)
+                          if not avail[li][x]["assigned"])
+                reg = avail[li][ni]
             reg["assigned"] = True
-            group.append(reg)
-        phich.append(group)
+            unit.append(reg)
+        phich.append(unit)
+    nof_phich_groups = 2 * n_units if is_ext_cp else n_units
 
     # PDCCH per CFI: interleave + cell-ID cyclic shift (§6.8.5)
     pdcch = {}
@@ -116,7 +137,8 @@ def build_regs(cell: Cell):
         useful = (m_total // 9) * 9
         pdcch[cfi] = out[:useful]
 
-    return dict(regs=regs, pcfich=pcfich, phich=phich, pdcch=pdcch)
+    return dict(regs=regs, pcfich=pcfich, phich=phich, pdcch=pdcch,
+                nof_phich_groups=nof_phich_groups)
 
 
 def _flat(reg: dict, nre: int) -> np.ndarray:
@@ -133,13 +155,27 @@ def pcfich_re_indices_true(cell: Cell) -> np.ndarray:
 
 @lru_cache(maxsize=64)
 def phich_group_re_indices_true(cell: Cell, group: int) -> np.ndarray:
+    """Flat RE indices carrying PHICH `group`.
+
+    Normal CP: the full 12 REs of the group's mapping unit.  Extended
+    CP: two groups share a unit with spreading factor 2 — the even group
+    rides subcarrier pairs (0,1) of each REG quadruplet, the odd group
+    pairs (2,3) (TS 36.211 §6.9.1 ext-CP resource split)."""
     r = build_regs(cell)
     nre = cell.nof_re_per_symbol
-    return np.concatenate([_flat(reg, nre) for reg in r["phich"][group]])
+    if cell.nsymb_per_slot == 7:
+        return np.concatenate([_flat(reg, nre) for reg in r["phich"][group]])
+    unit = r["phich"][group // 2]
+    half = group % 2
+    out = []
+    for reg in unit:
+        flat = _flat(reg, nre)
+        out.append(flat[2 * half : 2 * half + 2])
+    return np.concatenate(out)
 
 
 def nof_phich_groups_true(cell: Cell) -> int:
-    return len(build_regs(cell)["phich"])
+    return build_regs(cell)["nof_phich_groups"]
 
 
 @lru_cache(maxsize=64)

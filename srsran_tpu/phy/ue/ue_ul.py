@@ -53,11 +53,12 @@ def ue_ul_encode(
             continue
         cfg, payload = item
         prb_local = enc(cell, cfg, sf_idx, payload)
-        from ..phch.pucch import pucch_f1_prb
+        from ..phch.pucch import _f1_covers, pucch_f1_prb
 
         for slot in range(2):
             ns = 2 * sf_idx + slot
-            m = pucch_f1_prb(cfg.n_pucch, ns, cell.nof_prb, cfg.delta_shift)
+            m = pucch_f1_prb(cfg.n_pucch, ns, cell.nof_prb, cfg.delta_shift,
+                             covers=_f1_covers(cell))
             sl = slice(slot * cell.nsymb_per_slot, (slot + 1) * cell.nsymb_per_slot)
             grid[sl, m * 12 : (m + 1) * 12] += prb_local[sl]
     ofdm = OfdmConfig.from_cell(cell, normalize=True, freq_shift_f=0.5)

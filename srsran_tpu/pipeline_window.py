@@ -91,6 +91,15 @@ def _ri2c(x):
     return x[..., 0] + 1j * x[..., 1]
 
 
+def _upload(x):
+    """Host→device transfer of a shaped host array as a FLAT buffer +
+    on-device reshape: the tunneled runtime moves flat buffers ~40%
+    faster than shaped ones (measured r4: (64,1,30720,2) int8 172 ms vs
+    108 ms flat for the same 3.9 MB)."""
+    x = np.ascontiguousarray(x)
+    return jnp.asarray(x.reshape(-1)).reshape(x.shape)
+
+
 def _bucket_of(n, buckets):
     for b in buckets:
         if n <= b:
@@ -718,7 +727,7 @@ class WindowedUeDl:
                          for i, g in enumerate(grants)], np.int32)
         pdev = jnp.asarray(np.concatenate([bpar.reshape(-1), pack.params]))
         scale_d = jnp.asarray(scale)
-        samples_q = jnp.asarray(samples_q)
+        samples_q = _upload(samples_q)
         if sharding is not None:
             from jax.sharding import NamedSharding, PartitionSpec
 
@@ -1019,7 +1028,7 @@ class WindowedEnbUl:
         bp = pdev[: 3 * w].reshape(w, 3)
         soft = _assemble_soft(softbuffer, pack, pack.key[1])
         j0_tab, perq, invq, tb_tab = class_tables(pack)
-        sq, sc = jnp.asarray(samples_q), jnp.asarray(scale)
+        sq, sc = _upload(samples_q), jnp.asarray(scale)
         cfn = self._c_for(pack.key)
 
         stages = [
@@ -1174,7 +1183,7 @@ class WindowedUeDlMimo(WindowedUeDl):
             row_specs.append((g.tbs2, n_re * g.qm2, g.qm2, g.rv2))
         pack = pack_window(row_specs)
         pdev = jnp.asarray(np.concatenate([bpar.reshape(-1), pack.params]))
-        sq, sc = jnp.asarray(samples_q), jnp.asarray(scale)
+        sq, sc = _upload(samples_q), jnp.asarray(scale)
         bp = pdev[: 5 * w].reshape(w, 5)
         soft = _assemble_soft(softbuffer, pack, pack.key[1])
         j0_tab, perq, invq, tb_tab = class_tables(pack)
