@@ -136,16 +136,28 @@ class ZmqRfTx:
         assert self.base_srate % self.srate == 0
         return self.base_srate // self.srate
 
+    # the reference receiver rejects messages over its ring capacity and
+    # kills its RX thread (rf_zmq_imp_rx.c:63, ZMQ_MAX_BUFFER_SIZE) — cap
+    # every reply at the same bound so a large timed-TX gap stays interop
+    # (ADVICE r3 #3); 24.6 MB @ fc32 = ~3.07 M base samples
+    MAX_BUFFER_BYTES = 24_600_000
+
     def _send_base(self, x_base: np.ndarray, timeout_ms=None):
-        """One REQ/REP exchange: await the dummy request, reply with the
-        chunk (rf_zmq_imp_tx.c:100-150)."""
-        if not self.sock.poll(timeout_ms if timeout_ms is not None
-                              else self.timeout_ms):
-            raise TimeoutError("no peer request within timeout")
-        req = self.sock.recv()
-        assert len(req) == 1, f"unexpected request of {len(req)} bytes"
-        self.sock.send(self.enc(x_base))
-        self.nsamples += len(x_base)
+        """REQ/REP exchanges: await the dummy request, reply with the
+        chunk (rf_zmq_imp_tx.c:100-150) — split so no single message
+        exceeds the reference receiver's buffer bound."""
+        max_samps = max(1, self.MAX_BUFFER_BYTES // self.sample_sz)
+        for off in range(0, max(len(x_base), 1), max_samps):
+            chunk = x_base[off : off + max_samps]
+            if len(chunk) == 0:
+                break
+            if not self.sock.poll(timeout_ms if timeout_ms is not None
+                                  else self.timeout_ms):
+                raise TimeoutError("no peer request within timeout")
+            req = self.sock.recv()
+            assert len(req) == 1, f"unexpected request of {len(req)} bytes"
+            self.sock.send(self.enc(chunk))
+            self.nsamples += len(chunk)
 
     def send(self, samples: np.ndarray, timestamp: int | None = None):
         """Transmit radio-rate samples; a future `timestamp` (base-rate

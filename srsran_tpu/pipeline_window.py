@@ -334,7 +334,15 @@ def pack_window(row_specs) -> WindowPack:
         tb_classes=list(tb_cls))
 
 
-@lru_cache(maxsize=4096)
+# Device-table cache budgets (ADVICE r3 #2): the tables are cheap to
+# rebuild host-side, so the caches are sized for one busy cell's working
+# set instead of every (k, f, rv)/TBS combination ever seen — worst-case
+# pinned HBM stays ~100 MB instead of ~1 GB:
+#   j0: 512 x ~74 KB = 38 MB;  tb: 128 x ~394 KB = 50 MB;
+#   tx: 64 x <=440 KB = 28 MB.
+
+
+@lru_cache(maxsize=512)
 def _j0_table_dev(k: int, f: int, rv: int) -> jnp.ndarray:
     """Device-resident de-rate-match index table of one layout class."""
     j0, _nv = j0_variant_np(k, f, rv, K_MAX)
@@ -347,7 +355,7 @@ def _qpp_table_dev(k: int):
     return jnp.asarray(per), jnp.asarray(inv)
 
 
-@lru_cache(maxsize=1024)
+@lru_cache(maxsize=128)
 def _tb_gather_dev(tbs: int) -> jnp.ndarray:
     """Per-TB-size reassembly gather table: local source index into a
     row's contiguous slot region (MAX_CB*K_MAX bits, dump = the final
@@ -1241,7 +1249,7 @@ class WindowedUeDlMimo(WindowedUeDl):
 # --------------------------------------------------------------------------
 
 
-@lru_cache(maxsize=512)
+@lru_cache(maxsize=64)
 def _tx_table_dev(k: int, f: int, rv: int, e_cap: int) -> jnp.ndarray:
     """TX rate-match gather table of one layout class, pre-tiled to the
     window's e_cap so repetition wraps HOST-side and the device gather
