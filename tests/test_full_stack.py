@@ -380,9 +380,12 @@ def test_aperiodic_cqi_request():
     for _ in range(200):
         dl = enb.run_tti(ul)
         ul = ue.run_tti(dl)
-        if enb.stats.get("apcqi_req", 0) >= 2 and enb.stats.get("cqi_rx", 0) >= 2:
+        if enb.stats.get("apcqi_req", 0) >= 1 and enb.stats.get("cqi_rx", 0) >= 2:
             break
-    assert enb.stats.get("apcqi_req", 0) >= 2
+    # with the r4 standing PUCCH-2 periodic loop the report rarely goes
+    # stale, so the staleness-triggered aperiodic request fires at least
+    # once (not repeatedly as before the periodic plane existed)
+    assert enb.stats.get("apcqi_req", 0) >= 1
     assert enb.stats.get("cqi_rx", 0) >= 2
     reported = enb.sched.ues[next(iter(enb.sched.ues))].cqi
     assert 1 <= reported <= 15
