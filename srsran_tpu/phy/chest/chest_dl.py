@@ -168,6 +168,23 @@ def chest_dl(grid, cell: Cell, sf_idx: int, cfg: ChestDlConfig = ChestDlConfig()
       snr    (..., nof_ports) float32
     """
     nof_ports = nof_ports or min(cell.nof_ports, 2)
+    return _chest_dl_fn(cell, sf_idx, cfg, nof_ports, last_symbol)(grid)
+
+
+@lru_cache(maxsize=512)
+def _chest_dl_fn(cell: Cell, sf_idx: int, cfg: ChestDlConfig, nof_ports: int,
+                 last_symbol: int | None):
+    """Cached jitted estimator per static config — host callers (the
+    full-stack per-TTI control path) hit a compiled executable instead of
+    ~40 eager dispatches (~6 ms) per subframe; in-trace callers nest."""
+    import jax
+
+    return jax.jit(lambda grid: _chest_dl_impl(
+        grid, cell, sf_idx, cfg, nof_ports, last_symbol))
+
+
+def _chest_dl_impl(grid, cell: Cell, sf_idx: int, cfg: ChestDlConfig,
+                   nof_ports: int, last_symbol: int | None):
     ces, noises, rsrps = [], [], []
     for p in range(nof_ports):
         syms, freqs, ref_conj, wf, wt = _chest_tables(cell, sf_idx, cfg, p, last_symbol)

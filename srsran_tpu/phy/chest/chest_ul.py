@@ -8,6 +8,7 @@ formulation as `chest_dl`.
 
 from __future__ import annotations
 
+from functools import lru_cache as _lru_cache
 
 import jax.numpy as jnp
 import numpy as np
@@ -23,6 +24,22 @@ def chest_ul(rx_grid, cell: Cell, prb_start: int, nof_prb_alloc: int, cyclic_shi
     rx_grid: (..., nsymb_sf, nre) received grid.
     Returns (ce (..., nsymb_sf, 12*nof_prb_alloc), noise_est (...,)).
     """
+    return _chest_ul_fn(cell, prb_start, nof_prb_alloc, cyclic_shift, smooth_len)(rx_grid)
+
+
+@_lru_cache(maxsize=512)
+def _chest_ul_fn(cell: Cell, prb_start: int, nof_prb_alloc: int,
+                 cyclic_shift: int, smooth_len: int):
+    """Cached jitted estimator per static allocation (see chest_dl's
+    `_chest_dl_fn`) — the eager version cost ~6 ms/call in per-op
+    dispatch on the eNB control path."""
+    import jax
+
+    return jax.jit(lambda g: _chest_ul_impl(
+        g, cell, prb_start, nof_prb_alloc, cyclic_shift, smooth_len))
+
+
+def _chest_ul_impl(rx_grid, cell, prb_start, nof_prb_alloc, cyclic_shift, smooth_len):
     m_sc = 12 * nof_prb_alloc
     k0 = prb_start * 12
     l_dmrs = dmrs_symbol_in_slot(cell)

@@ -100,14 +100,32 @@ def _trellis():
 
 
 def _rsc_encode_np(bits: np.ndarray):
-    """Parity stream of one RSC encoder; returns (parity, final_regs)."""
-    t = _trellis()
-    out = np.zeros(len(bits), np.uint8)
-    s = 0
-    for i, b in enumerate(bits):
-        out[i] = t["parity"][s, b]
-        s = t["next_state"][s, b]
-    return out, s
+    """Parity stream of one RSC encoder; returns (parity, final_regs).
+
+    Vectorized over the whole block: the feedback register sequence
+    a = (1/g0)·u over GF(2) with g0 = 1+D²+D³, whose impulse response is
+    periodic with period 7 ([1,0,1,1,1,0,0]), so a[i] reduces to four
+    per-phase prefix-XORs Q[i]^Q[i-2]^Q[i-3]^Q[i-4] where Q[j] is the
+    running XOR of u over the j mod 7 phase class.  Parity is then
+    g1(D)·a with g1 = 1+D+D³.  (The bit-serial trellis walk this
+    replaces cost ~2 ms per 6144-bit codeblock on the host encode path.)
+    """
+    u = np.asarray(bits, np.uint8)
+    k = len(u)
+    if k == 0:
+        return np.zeros(0, np.uint8), 0
+    q = np.empty(k, np.uint8)
+    for p in range(7):
+        q[p::7] = np.bitwise_xor.accumulate(u[p::7])
+    a = q.copy()
+    for c in (2, 3, 4):
+        a[c:] ^= q[: k - c]
+    z = a.copy()
+    z[1:] ^= a[:-1]
+    z[3:] ^= a[:-3]
+    # register (a[i-1], a[i-2], a[i-3]) in the _trellis() state encoding
+    s = int(a[-3] if k >= 3 else 0) << 2 | int(a[-2] if k >= 2 else 0) << 1 | int(a[-1])
+    return z, s
 
 
 def _rsc_tail_np(s: int):

@@ -22,6 +22,9 @@ from __future__ import annotations
 import enum
 from functools import lru_cache
 
+from functools import partial
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -127,11 +130,14 @@ def modulate(mod: Mod, bits):
     raise NotImplementedError(mod)
 
 
+@partial(jax.jit, static_argnums=0)
 def demod_soft(mod: Mod, symbols):
     """complex64 symbols (..., n) → float32 LLRs (..., n*m).
 
     Zone-based max-log approximation, exact float parity with
     `demod_soft.c` float paths. Positive LLR ⇒ bit 1.
+    Jitted (mod static) so host control-path callers reuse a compiled
+    executable per (mod, shape); in-trace callers nest transparently.
     """
     re, im = jnp.real(symbols), jnp.imag(symbols)
     if mod == Mod.BPSK:

@@ -22,7 +22,7 @@ import numpy as np
 from ..common import LTE_CRC16, Cell
 from ..crc import crc_compute_np
 from ..fec.conv import convcoder_encode_np, viterbi_decode
-from ..fec.rate_match import conv_rate_match_rx, conv_rate_match_tx
+from ..fec.rate_match import conv_rate_match_rx, conv_rate_match_rx_np, conv_rate_match_tx
 from ..modem import Mod, demod_soft, modulate
 from ..sequence import gold_sequence, gold_sequence_signs
 
@@ -137,8 +137,7 @@ def pdcch_blind_search(
     for lvl, starts in cands.items():
         for st in starts:
             e = llr_all[st * CCE_BITS : (st + lvl) * CCE_BITS]
-            d_llr = np.asarray(conv_rate_match_rx(jnp.asarray(e), d))
-            hyps.append((lvl, st, d_llr))
+            hyps.append((lvl, st, conv_rate_match_rx_np(e, d)))
     if not hyps:
         return []
     batch = jnp.asarray(np.stack([h[2] for h in hyps]))

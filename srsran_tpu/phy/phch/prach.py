@@ -116,6 +116,43 @@ def _idft839() -> np.ndarray:
     return (np.exp(2j * np.pi * np.outer(n, n) / NZC) / np.sqrt(NZC)).astype(np.complex64)
 
 
+@lru_cache(maxsize=64)
+def _detect_fn(cell: Cell, cfg: PrachConfig):
+    """Cached jitted detector for one (cell, cfg): FFT → root conjugate
+    multiply → 839-point IDFT matmul → one (64, n_cs) zone gather +
+    segmented max.  All 64 preamble zones are extracted with a single
+    precomputed index matrix (no per-preamble Python loop — the eager
+    version cost ~170 ms/call on the host control path)."""
+    import jax
+
+    nfft = prach_nfft(cell)
+    fmap = _freq_map(cell, cfg)
+    roots, pre = _roots_and_shifts(cfg)
+    rootmat = np.stack([np.conj(zc_freq_np(u)) for u in roots])  # (R, 839)
+    n_cs = cfg.n_cs
+    # a preamble with cyclic shift s and propagation delay d (ZC-sample
+    # units) peaks at profile index m = (d - s) mod NZC, so preamble v's
+    # zone is [NZC-s, NZC-s+Ncs) with delay = m - (NZC-s).
+    root_idx = np.array([r for r, _ in pre], np.int32)  # (64,)
+    zone_idx = np.stack(
+        [((NZC - s) % NZC + np.arange(n_cs)) % NZC for _, s in pre]
+    ).astype(np.int32)  # (64, n_cs)
+
+    @jax.jit
+    def fn(samples, threshold):
+        x = samples[..., :nfft]
+        xf = jnp.fft.fft(x, axis=-1)[..., fmap]
+        prod = xf[..., None, :] * rootmat  # (..., R, 839)
+        prof = jnp.abs(jnp.matmul(prod, _idft839())) ** 2  # (..., R, 839)
+        mean_p = jnp.mean(prof, axis=-1)  # (..., R)
+        zprof = prof[..., root_idx[:, None], zone_idx]  # (..., 64, n_cs)
+        metric = jnp.max(zprof, axis=-1) / mean_p[..., root_idx]
+        delay = jnp.argmax(zprof, axis=-1).astype(jnp.int32)
+        return metric, delay, metric > threshold
+
+    return fn
+
+
 def prach_detect(cell: Cell, cfg: PrachConfig, samples, threshold: float = 15.0):
     """Detect preambles in a window starting at the PRACH sequence.
 
@@ -123,29 +160,4 @@ def prach_detect(cell: Cell, cfg: PrachConfig, samples, threshold: float = 15.0)
     Returns (metric (..., 64), delay_samples (..., 64), detected (..., 64));
     metric = zone peak power / global mean power per root.
     """
-    nfft = prach_nfft(cell)
-    x = samples[..., :nfft]
-    xf = jnp.fft.fft(x, axis=-1)[..., jnp.asarray(_freq_map(cell, cfg))]
-    roots, pre = _roots_and_shifts(cfg)
-    rootmat = np.stack([np.conj(zc_freq_np(u)) for u in roots])  # (R, 839)
-    prod = xf[..., None, :] * jnp.asarray(rootmat)  # (..., R, 839)
-    # delay profile per root: IDFT over the 839 bins
-    prof = jnp.abs(jnp.matmul(prod, jnp.asarray(_idft839()))) ** 2  # (...,R,839)
-    mean_p = jnp.mean(prof, axis=-1, keepdims=True)
-
-    n_cs = cfg.n_cs
-    # a preamble with cyclic shift s and propagation delay d (ZC-sample
-    # units) peaks at profile index m = (d - s) mod NZC, so preamble v's
-    # zone is [NZC-s, NZC-s+Ncs) with delay = m - (NZC-s).
-    metrics, delays = [], []
-    for root_i, shift in pre:
-        lo = (NZC - shift) % NZC
-        idx = (lo + np.arange(n_cs)) % NZC
-        zprof = prof[..., root_i, jnp.asarray(idx)]
-        peak = jnp.max(zprof, axis=-1)
-        pos = jnp.argmax(zprof, axis=-1)
-        metrics.append(peak / mean_p[..., root_i, 0])
-        delays.append(pos.astype(jnp.int32))
-    metric = jnp.stack(metrics, axis=-1)
-    delay = jnp.stack(delays, axis=-1)
-    return metric, delay, metric > threshold
+    return _detect_fn(cell, cfg)(jnp.asarray(samples), threshold)

@@ -222,41 +222,42 @@ def pucch_format1_decode(prb_grid, cell: Cell, cfg: PucchConfig, sf_idx: int, no
     Coherent: channel from the DMRS symbols, then despread data symbols.
     """
     u = cell.id % 30
-    r = jnp.asarray(base_sequence(u, 12))
+    r = np.asarray(base_sequence(u, 12))
     n = np.arange(12)
+    grid = np.asarray(prb_grid)
     est = []
     data = []
     nsym = cell.nsymb_per_slot
     data_syms, dmrs_syms = _f1_syms(cell)
     wd = W3 if nsym == 7 else W2
     c = _f1_covers(cell)
+    # pure numpy: (nsymb, 12) host math — an eager-JAX version of this
+    # cost ~11 ms/call in per-op dispatch on the full-stack control path
     for slot in range(2):
         ns = 2 * sf_idx + slot
         shifts, cover = _f1_alpha_cover(cell, cfg, ns)
         h_acc = 0.0
         for i, l in enumerate(dmrs_syms):
             alpha = 2 * np.pi * shifts[l] / 12
-            ref = (jnp.asarray((np.exp(1j * alpha * n)).astype(np.complex64))
-                   * r * wd[cover % c, i])
-            h_acc = h_acc + jnp.sum(prb_grid[slot * nsym + l] * jnp.conj(ref))
+            ref = np.exp(1j * alpha * n).astype(np.complex64) * r * wd[cover % c, i]
+            h_acc = h_acc + np.sum(grid[slot * nsym + l] * np.conj(ref))
         h = h_acc / (len(dmrs_syms) * 12)
         for i, l in enumerate(data_syms):
             alpha = 2 * np.pi * shifts[l] / 12
-            ref = jnp.asarray((np.exp(1j * alpha * n)).astype(np.complex64)) * r * np.float32(W4[cover % c, i])
-            z = jnp.sum(prb_grid[slot * nsym + l] * jnp.conj(ref)) / 12
-            data.append(z * jnp.conj(h) / (jnp.abs(h) ** 2 + 1e-9))
-        est.append(jnp.abs(h) ** 2)
-    d = jnp.mean(jnp.stack(data))
-    # DTX metric: DMRS correlation-energy ratio — ≈1 when this resource is
-    # transmitted, ≈1/36 for noise (scale-free; cf. pucch.c threshold)
-    metric = jnp.sum(jnp.stack(est)) / (jnp.mean(jnp.abs(prb_grid) ** 2) + 1e-12)
+            ref = np.exp(1j * alpha * n).astype(np.complex64) * r * np.float32(W4[cover % c, i])
+            z = np.sum(grid[slot * nsym + l] * np.conj(ref)) / 12
+            data.append(z * np.conj(h) / (np.abs(h) ** 2 + 1e-9))
+        est.append(np.abs(h) ** 2)
+    d = np.mean(np.stack(data))
+    # DTX metric: DMRS correlation-energy ratio (see original comment)
+    metric = np.sum(np.stack(est)) / (np.mean(np.abs(grid) ** 2) + 1e-12)
     if nof_bits == 0:
-        return jnp.zeros(0, jnp.uint8), metric
+        return np.zeros(0, np.uint8), metric
     if nof_bits == 1:
-        return (jnp.real(d) + jnp.imag(d) < 0).astype(jnp.uint8)[None], metric
-    b0 = (jnp.real(d) < 0).astype(jnp.uint8)
-    b1 = (jnp.imag(d) < 0).astype(jnp.uint8)
-    return jnp.stack([b0, b1]), metric
+        return np.asarray([np.real(d) + np.imag(d) < 0], np.uint8), metric
+    b0 = np.uint8(np.real(d) < 0)
+    b1 = np.uint8(np.imag(d) < 0)
+    return np.stack([b0, b1]), metric
 
 
 def pucch_format2_encode_np(cell: Cell, cfg: PucchConfig, sf_idx: int, uci_bits) -> np.ndarray:

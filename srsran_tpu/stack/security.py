@@ -22,6 +22,9 @@ test_f12345.cc).
 from __future__ import annotations
 
 import hashlib
+from functools import lru_cache as _lru_cache
+
+import numpy as np
 import hmac as _hmac
 
 # ---------------------------------------------------------------------------
@@ -108,17 +111,58 @@ def aes128_encrypt(key: bytes, block: bytes) -> bytes:
     return _aes_encrypt_block(_aes_expand_key(key), block)
 
 
+
+# Vectorized AES tables: ShiftRows permutation of the column-major state
+# (s[r + 4c]) and the GF(2^8) xtime multiples used by MixColumns.
+_SBOX_NP = np.frombuffer(AES_SBOX, np.uint8)
+_SHIFT_ROWS = np.array([(i + 4 * (i % 4)) % 16 for i in range(16)])
+_GM2 = np.array([_gf_mul(x, 2) for x in range(256)], np.uint8)
+_GM3 = np.array([_gf_mul(x, 3) for x in range(256)], np.uint8)
+
+
+@_lru_cache(maxsize=32)
+def _aes_expand_key_np(key: bytes) -> np.ndarray:
+    return np.frombuffer(b"".join(_aes_expand_key(key)), np.uint8).reshape(11, 16)
+
+
+def _aes_encrypt_blocks_np(rks: np.ndarray, blocks: np.ndarray) -> np.ndarray:
+    """Encrypt (n, 16) uint8 blocks at once (FIPS-197, batched over n)."""
+    s = blocks ^ rks[0]
+    for rnd in range(1, 11):
+        s = _SBOX_NP[s][:, _SHIFT_ROWS]
+        if rnd < 10:
+            a = s.reshape(-1, 4, 4)  # (n, col, row)
+            r0, r1, r2, r3 = a[..., 0], a[..., 1], a[..., 2], a[..., 3]
+            s = np.stack(
+                [
+                    _GM2[r0] ^ _GM3[r1] ^ r2 ^ r3,
+                    r0 ^ _GM2[r1] ^ _GM3[r2] ^ r3,
+                    r0 ^ r1 ^ _GM2[r2] ^ _GM3[r3],
+                    _GM3[r0] ^ r1 ^ r2 ^ _GM2[r3],
+                ],
+                axis=-1,
+            ).reshape(-1, 16)
+        s = s ^ rks[rnd]
+    return s
+
+
 def aes128_ctr(key: bytes, counter0: bytes, data: bytes) -> bytes:
-    """AES-CTR keystream XOR, 128-bit big-endian counter increment."""
-    rks = _aes_expand_key(key)
-    out = bytearray()
+    """AES-CTR keystream XOR, 128-bit big-endian counter increment.
+
+    The keystream blocks are independent, so all of them are encrypted in
+    one numpy-vectorized pass (`_aes_encrypt_blocks_np`) — per-PDU EEA2 on
+    the full-stack control path was the single biggest host cost with the
+    scalar block cipher (~30 ms/TTI at 25 PRB)."""
+    n = (len(data) + 15) // 16
+    if n == 0:
+        return b""
     ctr = int.from_bytes(counter0, "big")
-    for off in range(0, len(data), 16):
-        ks = _aes_encrypt_block(rks, ctr.to_bytes(16, "big"))
-        chunk = data[off : off + 16]
-        out += bytes(a ^ b for a, b in zip(chunk, ks))
-        ctr = (ctr + 1) & ((1 << 128) - 1)
-    return bytes(out)
+    ctrs = np.frombuffer(
+        b"".join(((ctr + i) & ((1 << 128) - 1)).to_bytes(16, "big") for i in range(n)),
+        np.uint8,
+    ).reshape(n, 16)
+    ks = _aes_encrypt_blocks_np(_aes_expand_key_np(key), ctrs).reshape(-1)[: len(data)]
+    return (np.frombuffer(data, np.uint8) ^ ks).tobytes()
 
 
 def aes128_cmac(key: bytes, msg: bytes) -> bytes:
