@@ -46,6 +46,7 @@ BASELINES = {
     "window_ul_onchip_rtf": 1.0,   # same, device-compute only
     "window_mimo_rtf": 1.0,  # 2-codeword TM4 windows (the 150 Mbps config)
     "window_mimo_onchip_rtf": 1.0,  # same, device-compute only
+    "window_loopback_rtf": 1.0,  # eNB gen → on-chip channel → UE decode
     "window_dlgen_rtf": 1.0,  # eNB DL GENERATION window (sf_worker TX half)
     "window_ulgen_rtf": 1.0,  # UE PUSCH GENERATION window (ue_ul TX half)
     "stack_window_rtf": 1.0,  # FULL STACK loop with the windowed data plane
@@ -579,6 +580,77 @@ def bench_window_mimo_rtf(jax, jnp, rng):
     return rtf, 1.0 / onchip_ms
 
 
+def bench_window_loopback_rtf(jax, jnp, rng):
+    """The full eNB→UE DL link with baseband RESIDENT on the TPU:
+    generation window → on-chip flat channel+AWGN → decode window via the
+    device-ingest path.  Only payload bits cross the host link (~8x less
+    traffic than raw-sample ingest — which this tunnel cannot sustain at
+    20 MHz realtime: the measured ~45 MB/s serialized link ceiling is
+    below the 61.4 MB/s an int8 complex stream needs; see the window_rtf
+    note).  This is the TPU serving topology matching the reference's
+    single-host srsenb↔srsue ZMQ loopback (lib/src/phy/rf/rf_zmq_imp.c),
+    with the sample hand-off in HBM instead of a socket."""
+    from collections import deque
+
+    from srsran_tpu.phy.common import Cell
+    from srsran_tpu.phy.phch.pdsch import DlGrant
+    from srsran_tpu.phy.phch.ra import dl_mcs_to_mod, dl_tbs
+    from srsran_tpu.pipeline_window import (
+        WindowedEnbDl, WindowedUeDl, window_channel)
+
+    cell = Cell(nof_prb=100, nof_ports=1, id=301)
+    W = 64
+    sfs, grants, tbs = [], [], []
+    while len(grants) < W:
+        sf_idx = int(rng.integers(0, 10))
+        mcs = int(rng.integers(0, 27))
+        l = int(rng.integers(4, 101))
+        st = int(rng.integers(0, 101 - l))
+        t = dl_tbs(mcs, l)
+        if t == 0:
+            continue
+        sfs.append(sf_idx)
+        grants.append(DlGrant(prb=tuple(range(st, st + l)),
+                              mod=dl_mcs_to_mod(mcs), tbs=t, rnti=0x46))
+        tbs.append(rng.integers(0, 2, t).astype(np.uint8))
+
+    enb = WindowedEnbDl(cell, cfi=1, w=W)
+    ue = WindowedUeDl(cell, cfi=1, w=W, max_iterations=6)
+    h = np.array([[0.95 - 0.2j]], np.complex64)
+
+    def one(seed=0):
+        tx = enb.dispatch_window(tbs, sfs, grants)
+        rx = window_channel(tx, h, noise_amp=0.02, seed=seed)
+        return ue.dispatch_window(rx, sfs, grants)
+
+    t = time.time()
+    res = ue.results(one())
+    n_ok = sum(r[1] for r in res)
+    log(f"window_loopback compile+first: {time.time()-t:.1f}s ok={n_ok}/{W}")
+    for tb, r in zip(tbs, res):
+        assert r[1], "loopback CRC failed"
+        assert np.array_equal(r[0], tb), "loopback payload mismatch"
+
+    pend = deque()
+    best = float("inf")
+    bits = sum(g.tbs for g in grants)
+    for _ in range(3):
+        t = time.time()
+        n = 6
+        for _ in range(n):
+            pend.append(one())
+            if len(pend) > 3:
+                ue.results(pend.popleft())
+        while pend:
+            ue.results(pend.popleft())
+        best = min(best, (time.time() - t) / n)
+    rtf = 1e-3 / (best / W)
+    log(f"window_loopback_rtf: W={W} {best/W*1e3:.2f} ms/TTI "
+        f"({bits/W/1e3:.0f} kbit/TTI avg) -> {rtf:.2f}x realtime "
+        f"({bits*rtf/(W*1e3):.0f} Mbps through the full gen+decode link)")
+    return rtf
+
+
 def bench_window_dlgen_rtf(jax, jnp, rng):
     """eNB DL data-subframe GENERATION window (pipeline_window.
     WindowedEnbDl): W TTIs of arbitrary grants encoded per dispatch —
@@ -822,6 +894,7 @@ def main():
         ("window_rtf", bench_window_rtf),
         ("window_ul_rtf", bench_window_ul_rtf),
         ("window_mimo_rtf", bench_window_mimo_rtf),
+        ("window_loopback_rtf", bench_window_loopback_rtf),
         ("window_dlgen_rtf", bench_window_dlgen_rtf),
         ("window_ulgen_rtf", bench_window_ulgen_rtf),
         ("stack_window_rtf", bench_stack_window_rtf),

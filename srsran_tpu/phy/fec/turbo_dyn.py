@@ -37,7 +37,8 @@ import numpy as np
 from .turbo import NEG_INF, TRAIN, _beta_tail, _trellis, _window_layout, dstream_tails
 
 
-def map_decoder_dyn(lx, lz, beta_k, k_vec, k_max: int, dtype=jnp.float32):
+def map_decoder_dyn(lx, lz, beta_k, k_vec, k_max: int, dtype=jnp.float32,
+                    backend: str = "auto"):
     """One constituent max-log-MAP pass over dynamic-size codeblocks.
 
     lx, lz: (B, K_max) systematic+apriori / parity LLRs, zero beyond each
@@ -47,7 +48,10 @@ def map_decoder_dyn(lx, lz, beta_k, k_vec, k_max: int, dtype=jnp.float32):
 
     Same window layout/scan structure as `turbo.map_decoder` (states on
     sublanes, B*nw windows on lanes); the only dynamic additions are the
-    per-lane beta injection and the erasure region.
+    per-lane beta injection and the erasure region.  backend "auto" takes
+    the Pallas VMEM kernel on real TPUs (the injection rides the kernel's
+    dynamic-K input, `turbo_pallas._map_kernel(dyn=True)`); every other
+    platform runs the XLA scan.
     """
     t = _trellis()
     nw, lw = _window_layout(k_max)
@@ -78,6 +82,37 @@ def map_decoder_dyn(lx, lz, beta_k, k_vec, k_max: int, dtype=jnp.float32):
     az_train = win_view(pad_z, starts, T)
     ax_main = win_view(x, starts, lw)
     az_main = win_view(z, starts, lw)
+
+    if backend == "auto":
+        _dev = getattr(jax.config, "jax_default_device", None)
+        _on_tpu = (jax.default_backend() == "tpu"
+                   and (_dev is None
+                        or getattr(_dev, "platform", "tpu") == "tpu"))
+        backend = ("pallas" if _on_tpu and k_max > 2048 and lw % 2 == 0
+                   else "scan")
+    if backend in ("pallas", "pallas_interpret"):
+        from .turbo_pallas import map_windows_pallas
+
+        lane_w = np.tile(np.arange(nw), b)
+        a_mask = jnp.asarray((lane_w == 0).astype(np.float32)[None, :])
+        b_mask = jnp.zeros((1, bn), jnp.float32)  # kq handles q == lw
+        b_known = jnp.repeat(beta_k.astype(jnp.float32), nw, axis=0).T
+        w_starts_t = jnp.asarray(np.tile(starts, b).astype(np.int32))
+        k_local = jnp.repeat(k_vec.astype(jnp.int32), nw) - w_starts_t
+        kq = jnp.where((k_local >= 1) & (k_local <= lw), k_local, 0
+                       ).astype(jnp.float32)[None, :]
+        bx_train_p = win_view(
+            jnp.concatenate([x, jnp.zeros((b, T), dtype)], -1),
+            starts + lw, T)
+        bz_train_p = win_view(
+            jnp.concatenate([z, jnp.zeros((b, T), dtype)], -1),
+            starts + lw, T)
+        llr = map_windows_pallas(
+            ax_train, az_train, ax_main, az_main, bx_train_p, bz_train_p,
+            a_mask, b_mask, b_known, T=T, lw=lw,
+            interpret=(backend == "pallas_interpret"), kq=kq)
+        return llr.reshape(lw, b, nw).transpose(1, 2, 0).reshape(
+            b, k_max).astype(jnp.float32)
 
     c_spu0 = jnp.asarray(spu[:, 0:1], dtype)
     c_spu1 = jnp.asarray(spu[:, 1:2], dtype)
@@ -160,7 +195,7 @@ def map_decoder_dyn(lx, lz, beta_k, k_vec, k_max: int, dtype=jnp.float32):
     return llr.reshape(lw, b, nw).transpose(1, 2, 0).reshape(b, k_max).astype(jnp.float32)
 
 
-@partial(jax.jit, static_argnames=("k_max", "max_iterations"))
+@partial(jax.jit, static_argnames=("k_max", "max_iterations", "backend"))
 def turbo_decode_dyn(
     d_llr,
     k_vec,
@@ -173,6 +208,7 @@ def turbo_decode_dyn(
     crc_is_b=None,
     perm_groups=None,
     class_perms=None,
+    backend: str = "auto",
 ):
     """Decode a batch of dynamic-size codeblocks.
 
@@ -269,10 +305,12 @@ def turbo_decode_dyn(
 
     def one_iteration(ext2):
         x1 = sys + ext2
-        post1 = map_decoder_dyn(x1, p1, beta_k1, k_vec, k_max)
+        post1 = map_decoder_dyn(x1, p1, beta_k1, k_vec, k_max,
+                                backend=backend)
         ext1 = jnp.where(in_mask, post1 - x1, 0.0)
         in2 = sys_int + permute_per(ext1)
-        post2 = map_decoder_dyn(in2, p2, beta_k2, k_vec, k_max)
+        post2 = map_decoder_dyn(in2, p2, beta_k2, k_vec, k_max,
+                                backend=backend)
         ext2_int = post2 - in2
         new_ext2 = jnp.where(in_mask, permute_inv(ext2_int), 0.0)
         # full APP in natural order — no third interleave

@@ -51,7 +51,12 @@ import os as _os
 # measured r3: 8.7 ms — the per-step renorm it needs erases the gain,
 # so the narrow-metric path is only worth it inside VMEM.
 BF16_SCRATCH = _os.environ.get("TURBO_PALLAS_BF16", "0") == "1"
-TILE_N = 4096 if BF16_SCRATCH else 2048
+# r4 tile sweep on the v5e (K=6144, B=256 full decode, one process):
+# 256→5.03 ms, 512→4.91 ms, 1024→5.18 ms, 2048→5.57 ms, 4096→Mosaic
+# INTERNAL.  Narrow tiles win: the serial grid is not the limit (32
+# tiles at 512 lanes beat 8 at 2048) — per-step VPU width is.
+TILE_N = int(_os.environ.get(
+    "TURBO_PALLAS_TILE", "1024" if BF16_SCRATCH else "512"))
 
 
 @lru_cache(maxsize=1)
@@ -91,7 +96,13 @@ def _signs(n):
     return c_spu0, c_spp0, c_sp0
 
 
-def _map_kernel(T: int, lw: int):
+def _map_kernel(T: int, lw: int, dyn: bool = False):
+    """dyn=True adds per-lane mid-stream beta injection for dynamic-K
+    codeblocks (`turbo_dyn.map_decoder_dyn`): an extra (1, bn) float32
+    input `kq` holds the backward-carry position (K - w*lw, in [1, lw])
+    at which the lane's exact tail beta replaces the carry; 0 = never.
+    The static kernel's end-of-window b_mask init is the q == lw special
+    case of the same mechanism."""
     tb = _tables()
     ps0, ps1 = tb["ps0"], tb["ps1"]
     ns0, ns1 = tb["ns0"], tb["ns1"]
@@ -114,8 +125,12 @@ def _map_kernel(T: int, lw: int):
 
     def kernel(
         axt_ref, azt_ref, ax_ref, az_ref, bxt_ref, bzt_ref,
-        amask_ref, bmask_ref, bknown_ref, out_ref, a_scr, b_scr,
+        amask_ref, bmask_ref, bknown_ref, *rest,
     ):
+        if dyn:
+            kq_ref, out_ref, a_scr, b_scr = rest
+        else:
+            out_ref, a_scr, b_scr = rest
         n = axt_ref.shape[1]
         # sign constants hoisted out of the hot loops
         c_spu0, c_spp0, c_sp0 = _signs(n)
@@ -161,6 +176,14 @@ def _map_kernel(T: int, lw: int):
         a = jnp.where(amask_ref[0][None, :] > 0, known, a)
         b = jnp.where(bmask_ref[0][None, :] > 0, bknown_ref[:], b)
 
+        def inject(b, q):
+            """Dynamic-K: replace the backward carry (beta at position q)
+            with the lane's exact tail beta where q == kq."""
+            if not dyn:
+                return b
+            return jnp.where(kq_ref[0][None, :] == q.astype(jnp.float32),
+                             bknown_ref[:], b)
+
         # --- first half: pure recursions, metrics stored (no posteriors
         # are computable yet) ---
         def store_body(c, carry):
@@ -172,6 +195,7 @@ def _map_kernel(T: int, lw: int):
             bx = read_rows(ax_ref, m0)
             bz = read_rows(az_ref, m0)
             for i in range(CH):
+                b = inject(b, m0 + (CH - i))
                 a_scr[j0 + i] = a.astype(scr_t)
                 # b_scr[t - half] holds beta at position t+1 for t in the
                 # second half; carry here is beta at position m0+CH-i
@@ -205,6 +229,7 @@ def _map_kernel(T: int, lw: int):
                 xb, zb = bx[CH - 1 - i][None, :], bz[CH - 1 - i][None, :]
                 # mirrored posterior at t = m0+CH-1-i (shares the beta
                 # recursion's branch metrics)
+                b = inject(b, m0 + (CH - i))
                 b0m, b1m = beta_branches(b, xb, zb)
                 am = a_prev[CH - 1 - i].astype(jnp.float32)
                 out_ref[m0 + CH - 1 - i] = (
@@ -228,20 +253,24 @@ def _map_kernel(T: int, lw: int):
 @partial(jax.jit, static_argnames=("T", "lw", "interpret"))
 def map_windows_pallas(
     ax_tr, az_tr, ax, az, bx_tr, bz_tr, a_mask, b_mask, b_known,
-    T: int, lw: int, interpret: bool = False,
+    T: int, lw: int, interpret: bool = False, kq=None,
 ):
     """Run the windowed MAP over all lanes.
 
     ax_tr/az_tr/bx_tr/bz_tr: (T, bn); ax/az: (lw, bn);
     a_mask/b_mask: (1, bn) 1.0 where the lane is window 0 / last window;
     b_known: (8, bn) exact beta_K for last-window lanes.
-    Returns posterior (lw, bn) float32.
+    kq: optional (1, bn) float32 — dynamic-K beta-injection positions
+    (K - w*lw in [1, lw], 0 = never); with kq, pass b_mask zeros and
+    b_known the per-lane tail beta (the q == lw case replaces the static
+    init).  Returns posterior (lw, bn) float32.
     """
     assert lw % 2 == 0
     bn = ax.shape[1]
     tiles = max(1, bn // TILE_N)
     tn = bn // tiles
-    kernel = _map_kernel(T, lw)
+    dyn = kq is not None
+    kernel = _map_kernel(T, lw, dyn)
     if BF16_SCRATCH:
         # halve the double-buffered input VMEM too — the 4096-lane tile
         # otherwise exceeds the 16 MB scoped-vmem limit (observed 18.04M)
@@ -251,13 +280,18 @@ def map_windows_pallas(
     def spec(rows):
         return pl.BlockSpec((rows, tn), lambda i: (0, i), memory_space=pltpu.VMEM)
 
+    ins = [ax_tr, az_tr, ax, az, bx_tr, bz_tr, a_mask, b_mask, b_known]
+    in_specs = [
+        spec(T), spec(T), spec(lw), spec(lw), spec(T), spec(T),
+        spec(1), spec(1), spec(8),
+    ]
+    if dyn:
+        ins.append(kq)
+        in_specs.append(spec(1))
     return pl.pallas_call(
         kernel,
         grid=(tiles,),
-        in_specs=[
-            spec(T), spec(T), spec(lw), spec(lw), spec(T), spec(T),
-            spec(1), spec(1), spec(8),
-        ],
+        in_specs=in_specs,
         out_specs=spec(lw),
         out_shape=jax.ShapeDtypeStruct((lw, bn), jnp.float32),
         scratch_shapes=[
@@ -265,4 +299,4 @@ def map_windows_pallas(
             pltpu.VMEM((lw // 2, 8, tn), jnp.bfloat16 if BF16_SCRATCH else jnp.float32),
         ],
         interpret=interpret,
-    )(ax_tr, az_tr, ax, az, bx_tr, bz_tr, a_mask, b_mask, b_known)
+    )(*ins)

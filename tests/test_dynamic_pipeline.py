@@ -160,6 +160,58 @@ def test_dynamic_turbo_all_cb_sizes_sampled():
         np.testing.assert_array_equal(bits[i, :k], msgs[i], err_msg=f"K={k}")
 
 
+def test_dynamic_turbo_pallas_kernel_parity():
+    """The Pallas dynamic-K MAP (per-lane mid-stream beta injection,
+    `turbo_pallas._map_kernel(dyn=True)`) decodes a mixed-K batch
+    identically to the XLA scan path (interpret mode on CPU)."""
+    import jax.numpy as jnp
+
+    from srsran_tpu.phy.common import LTE_CRC24A
+    from srsran_tpu.phy.crc import crc_attach_np
+    from srsran_tpu.phy.fec.turbo import turbo_encode_np
+    from srsran_tpu.phy.fec.turbo_dyn import crc_table_ab, turbo_decode_dyn
+
+    rng = np.random.default_rng(7)
+    k_max = 2112
+    ks = [40, 512, 1056, 2048, 2112]
+    b = 8
+    d = np.zeros((b, 3, k_max + 4), np.float32)
+    per = np.tile(np.arange(k_max, dtype=np.int32), (b, 1))
+    inv = per.copy()
+    k_vec = np.full(b, k_max, np.int32)
+    valid = np.zeros(b, bool)
+    msgs = {}
+    for i in range(b):
+        k = ks[i % len(ks)]
+        msg = rng.integers(0, 2, k - 24).astype(np.uint8)
+        cb = crc_attach_np(msg, LTE_CRC24A)
+        msgs[i] = cb
+        enc = turbo_encode_np(cb).astype(np.float32)
+        d[i, :, : k + 4] = (2 * enc - 1) * 2 + rng.normal(0, 1.0, enc.shape)
+        p = qpp_interleaver_np(k)
+        iv = np.empty_like(p)
+        iv[p] = np.arange(k, dtype=p.dtype)
+        per[i, :k], inv[i, :k] = p, iv
+        k_vec[i] = k
+        valid[i] = True
+
+    args = (jnp.asarray(d), jnp.asarray(k_vec), jnp.asarray(per),
+            jnp.asarray(inv), jnp.asarray(valid))
+    kw = dict(crc_table=jnp.asarray(crc_table_ab(k_max)),
+              crc_is_b=jnp.asarray(np.zeros(b, bool)))
+    bits_s, post_s, _ = turbo_decode_dyn(*args, k_max, 4, backend="scan",
+                                         **kw)
+    bits_p, post_p, _ = turbo_decode_dyn(
+        *args, k_max, 4, backend="pallas_interpret", **kw)
+    for i in range(b):
+        k = int(k_vec[i])
+        np.testing.assert_array_equal(np.asarray(bits_p)[i, :k], msgs[i])
+    np.testing.assert_array_equal(np.asarray(bits_s), np.asarray(bits_p))
+    mask = np.arange(k_max)[None, :] < np.asarray(k_vec)[:, None]
+    np.testing.assert_allclose(np.asarray(post_s)[mask],
+                               np.asarray(post_p)[mask], atol=2e-3)
+
+
 def _valid_pusch_l(n):
     for p in (2, 3, 5):
         while n % p == 0:

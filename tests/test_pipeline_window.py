@@ -404,6 +404,84 @@ def test_windowed_enb_dl_generation_roundtrip():
             np.testing.assert_array_equal(tb_hat, tb)
 
 
+def test_window_device_loopback():
+    """Device-resident loopback: generation window → on-chip channel
+    (`window_channel`) → decode window with device ingest — baseband
+    never crosses the host boundary (the TPU serving topology; the
+    reference's equivalent is the srsenb↔srsue ZMQ sample loop,
+    lib/src/phy/rf/rf_zmq_imp.c, which this design replaces with an
+    in-HBM hand-off)."""
+    from srsran_tpu.pipeline_window import WindowedEnbDl, window_channel
+
+    rng = np.random.default_rng(41)
+    cell = Cell(nof_prb=50, nof_ports=1, id=17)
+    enb = WindowedEnbDl(cell, cfi=1, w=W)
+    ue = WindowedUeDl(cell, cfi=1, w=W, max_iterations=3)
+    h = np.array([[0.9 - 0.35j]], np.complex64)
+
+    for round_i in range(2):
+        sfs, grants, tbs = [], [], []
+        while len(grants) < W:
+            sf_idx = int(rng.integers(0, 10))
+            mcs = int(rng.integers(0, 27))
+            l = int(rng.integers(4, cell.nof_prb + 1))
+            st = int(rng.integers(0, cell.nof_prb + 1 - l))
+            t = dl_tbs(mcs, l)
+            if t == 0:
+                continue
+            sfs.append(sf_idx)
+            grants.append(DlGrant(prb=tuple(range(st, st + l)),
+                                  mod=dl_mcs_to_mod(mcs), tbs=t,
+                                  rnti=0x46))
+            tbs.append(rng.integers(0, 2, t).astype(np.uint8))
+
+        tx = enb.dispatch_window(tbs, sfs, grants)   # device (W, L, 2)
+        rx = window_channel(tx, h, noise_amp=0.02, seed=round_i)
+        assert isinstance(rx, jnp.ndarray)
+        res, _ = ue.decode_window(rx, sfs, grants)   # device ingest path
+        for (tb, (tb_hat, ok, _n)) in zip(tbs, res):
+            assert ok, f"round {round_i}: device loopback CRC failed"
+            np.testing.assert_array_equal(tb_hat, tb)
+
+
+def test_window_device_loopback_mimo():
+    """2x2 MIMO device loopback: WindowedEnbDlMimo → on-chip 2x2 channel
+    → WindowedUeDlMimo device ingest."""
+    from srsran_tpu.phy.phch.pdsch import DlGrant2
+    from srsran_tpu.pipeline_window import (
+        WindowedEnbDlMimo, WindowedUeDlMimo, window_channel)
+
+    rng = np.random.default_rng(43)
+    cell = Cell(nof_prb=25, nof_ports=2, id=77)
+    enb = WindowedEnbDlMimo(cell, cfi=1, w=W)
+    ue = WindowedUeDlMimo(cell, cfi=1, w=W, max_iterations=4)
+    h = np.array([[1.0 + 0.1j, 0.2 - 0.3j],
+                  [-0.25 + 0.15j, 0.8 - 0.4j]], np.complex64)
+
+    sfs, grants, pairs = [], [], []
+    for i in range(W):
+        mcs1, mcs2 = int(rng.integers(4, 16)), int(rng.integers(4, 16))
+        l = int(rng.integers(10, 26))
+        st = int(rng.integers(0, 26 - l))
+        sfs.append(int(rng.integers(0, 10)))
+        grants.append(DlGrant2(prb=tuple(range(st, st + l)),
+                               mod1=dl_mcs_to_mod(mcs1),
+                               tbs1=dl_tbs(mcs1, l),
+                               mod2=dl_mcs_to_mod(mcs2),
+                               tbs2=dl_tbs(mcs2, l),
+                               pmi=int(rng.integers(0, 3)), rnti=0x46))
+        pairs.append((rng.integers(0, 2, grants[-1].tbs1).astype(np.uint8),
+                      rng.integers(0, 2, grants[-1].tbs2).astype(np.uint8)))
+
+    tx = enb.dispatch_window(pairs, sfs, grants)     # device (W, 2, L, 2)
+    rx = window_channel(tx, h, noise_amp=0.01)
+    res, _ = ue.decode_window(rx, sfs, grants)
+    for (tb1, tb2), ((t1h, ok1), (t2h, ok2), _n) in zip(pairs, res):
+        assert ok1 and ok2, "MIMO device loopback failed"
+        np.testing.assert_array_equal(t1h, tb1)
+        np.testing.assert_array_equal(t2h, tb2)
+
+
 def test_windowed_ue_ul_generation_roundtrip():
     """WindowedUeUl (the UE transmit half as window programs): W PUSCH
     grants of mixed widths/MCS encode in one dispatch — shared codeword
