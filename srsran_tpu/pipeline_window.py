@@ -77,8 +77,12 @@ QMS = (2, 4, 6, 8)
 MODS = (Mod.QPSK, Mod.QAM16, Mod.QAM64, Mod.QAM256)
 
 # stage C static-shape buckets (each combination lazily compiles once)
-CLS_BUCKETS = (4, 8, 16, 32, 64, 128)
-ECAP_BUCKETS = (16384, 49152, G_MAX)
+# bucket ladders use ~1.33-1.5x steps: stage C's fold/de-RM/reassembly
+# costs scale with the PADDED sizes, and the r4 prefix profile showed the
+# pow2/coarse ladders wasting 25-45% of the window (e.g. 176 real slots
+# padded to 256, CF=22 classes padded to 32)
+CLS_BUCKETS = (4, 8, 12, 16, 24, 32, 48, 64, 96, 128)
+ECAP_BUCKETS = (16384, 24576, 32768, 49152, 65536, G_MAX)
 JFOLD_BUCKETS = (0, 3, 11)  # log2 fold steps: rep==1 / <=8 / <=2048
 TBCAP_BUCKETS = (1200, 4800, 9600, TB_BYTES)  # packed readback bytes/row
 
@@ -111,10 +115,17 @@ def _bucket_of(n, buckets):
 
 
 def _pow2_bucket(n):
+    """Slot-count bucket: powers of two plus the 1.5x midpoints (12, 24,
+    48, 96, 192, 384, …) — the dense-slot programs' fold cost scales
+    linearly with the bucket, so the finer ladder saves up to 25% padded
+    work per window at the cost of a few more cached compiles."""
     b = 8
-    while b < n:
+    while True:
+        if n <= b:
+            return b
+        if n <= b + b // 2:
+            return b + b // 2
         b *= 2
-    return b
 
 
 # --------------------------------------------------------------------------
@@ -435,7 +446,12 @@ def _build_win_c(n_rows: int, n_slots: int, ncls_q: int, ncls_f: int,
     from .phy.common import LTE_CRC24A
     from .phy.crc import crc_matrix_np
 
-    tb_table = jnp.asarray(crc_matrix_np(LTE_CRC24A, TBS_MAX).astype(np.float32))
+    # TB stream width bucketed to the window's largest TB (leading-zeros
+    # invariance keeps the CRC matrix exact at any width ≥ tbs) — the
+    # reassembly gather and TB-CRC matmul were sized TBS_MAX for every
+    # window (r4 prefix profile: 6.0 of 26.9 ms on a tb_cap=9600 window)
+    sw = tb_cap * 8
+    tb_table = jnp.asarray(crc_matrix_np(LTE_CRC24A, sw).astype(np.float32))
     pow2 = jnp.asarray((1 << np.arange(7, -1, -1)).astype(np.uint8))
     NCB = ncb_max(K_MAX)
     D = K_MAX + 4
@@ -538,12 +554,15 @@ def _build_win_c(n_rows: int, n_slots: int, ncls_q: int, ncls_f: int,
         region = jax.vmap(lambda st: jax.lax.dynamic_slice(
             bits_flat, (st * K_MAX,), (MAX_CB * K_MAX + 1,)))(row_start)
         region = region.at[:, MAX_CB * K_MAX].set(0)  # dump slot
-        stream = region[:, tb_tab[0]]
+        # the stream is right-aligned: only the trailing sw+24 bits can be
+        # non-pad for any row in this window, so the class tables are
+        # statically cropped to that width
+        stream = region[:, tb_tab[0, TBS_MAX - sw:]]
         for c in range(1, CT):
             stream = jnp.where((cls_tb == c)[:, None],
-                               region[:, tb_tab[c]], stream)
-        tbp = stream[:, :TBS_MAX]
-        rx_crc = stream[:, TBS_MAX:]
+                               region[:, tb_tab[c, TBS_MAX - sw:]], stream)
+        tbp = stream[:, :sw]
+        rx_crc = stream[:, sw:]
         # per-row CB ok / iteration stats (scalar-only loop)
         row_cb_ok = jnp.ones((R,), bool)
         row_it = jnp.zeros((R,), jnp.int32)
@@ -563,8 +582,7 @@ def _build_win_c(n_rows: int, n_slots: int, ncls_q: int, ncls_f: int,
         # the readback link runs ~25-45 MB/s, so the packed width is
         # bucketed to the window's largest TB
         tb_bytes = jnp.sum(
-            tbp[:, (TB_BYTES - tb_cap) * 8:].reshape(R, tb_cap, 8)
-            * pow2[None, None, :], axis=-1
+            tbp.reshape(R, tb_cap, 8) * pow2[None, None, :], axis=-1
         ).astype(jnp.uint8)
         packed = jnp.concatenate(
             [
