@@ -599,7 +599,8 @@ def bench_window_loopback_rtf(jax, jnp, rng):
         WindowedEnbDl, WindowedUeDl, window_channel)
 
     cell = Cell(nof_prb=100, nof_ports=1, id=301)
-    W = 64
+    W = 128   # r4 sweep: W=128/depth=3 beats W=64 (amortizes per-window
+    # host prep + dispatch against the 128 ms air-time budget)
     sfs, grants, tbs = [], [], []
     while len(grants) < W:
         sf_idx = int(rng.integers(0, 10))

@@ -339,6 +339,11 @@ def pack_window(row_specs) -> WindowPack:
     e_cap = _bucket_of(max_e, ECAP_BUCKETS)
     j_fold = _bucket_of((max_rep - 1).bit_length(), JFOLD_BUCKETS)
     tb_cap = _bucket_of(-(-max(row_tbs) // 8), TBCAP_BUCKETS)
+    # dense packed-readback size: each row contributes exactly its own
+    # TB bytes + 2 status bytes (the (R, tb_cap) form read back the
+    # window's LARGEST TB width for every row — 2-3x the bytes on a
+    # ~45 MB/s link)
+    d_total = _pow2_bucket(sum(t // 8 + 2 for t in row_tbs))
 
     p = np.zeros(8 * n_slots + 4 * n_rows, np.int32)
     sl = np.array(slots, np.int32).reshape(-1, 9)
@@ -361,7 +366,7 @@ def pack_window(row_specs) -> WindowPack:
 
     return WindowPack(
         key=(n_rows, n_slots, ncls_q, ncls_f, e_cap, j_fold, tb_cap,
-             ncls_t),
+             ncls_t, d_total),
         params=p, row_start=row_start, row_ncb=row_ncb, tbs=row_tbs,
         fill_classes=list(fill_cls), qpp_classes=list(qpp_cls),
         tb_classes=list(tb_cls))
@@ -430,13 +435,16 @@ def class_tables(pack: WindowPack):
 @lru_cache(maxsize=32)
 def _build_win_c(n_rows: int, n_slots: int, ncls_q: int, ncls_f: int,
                  e_cap: int, j_fold: int, tb_cap: int, ncls_t: int,
-                 max_iterations: int):
+                 d_total: int, max_iterations: int):
     """Dense-slot TB decode: fold codeword segments (contiguous slices +
     log-halving for arbitrary repetition counts), class-shared
     de-rate-match gathers (HARQ += into the softbuffer), dynamic-K turbo
     over the N dense slots with window-global class QPP, per-CB + TB CRC,
-    per-row reassembly → packed (R, TB_BYTES+2) result
-    [tb bytes | ok | n_it].
+    per-row reassembly → ONE dense packed result buffer
+    (d_total + tb_cap + 2,) uint8 where row r occupies
+    [off_r, off_r + tbs_r/8 + 2) as [tb bytes | ok | n_it] — exactly the
+    row's own bytes cross the ~45 MB/s readback link, not the window's
+    largest-TB width.
 
     Every index-dependent step uses one of the TPU's fast forms: indices
     shared across the whole slot axis, contiguous dynamic slices, or
@@ -584,7 +592,7 @@ def _build_win_c(n_rows: int, n_slots: int, ncls_q: int, ncls_f: int,
         tb_bytes = jnp.sum(
             tbp.reshape(R, tb_cap, 8) * pow2[None, None, :], axis=-1
         ).astype(jnp.uint8)
-        packed = jnp.concatenate(
+        rows = jnp.concatenate(
             [
                 tb_bytes,
                 tb_ok.astype(jnp.uint8)[:, None],
@@ -592,7 +600,23 @@ def _build_win_c(n_rows: int, n_slots: int, ncls_q: int, ncls_f: int,
             ],
             axis=1,
         )
-        return packed, new_soft
+        # dense pack: left-align each row's real block ([trailing tbs/8
+        # bytes | ok | it]) with a batched contiguous slice, then write
+        # the R fixed-width segments at ascending dense offsets — later
+        # rows overwrite earlier rows' zero tails (in-order
+        # dynamic_update_slice is the fast scatter form on the v5e)
+        row_tbs = params[o:o + R]
+        nb = row_tbs // 8 + 2
+        off = jnp.cumsum(nb) - nb
+        src = jnp.concatenate(
+            [rows, jnp.zeros((R, tb_cap + 2), jnp.uint8)], axis=1)
+        segs = jax.vmap(lambda row, n: jax.lax.dynamic_slice(
+            row, (tb_cap + 2 - n,), (tb_cap + 2,)))(src, nb)
+        dense = jnp.zeros((d_total + tb_cap + 2,), jnp.uint8)
+        for r in range(R):
+            dense = jax.lax.dynamic_update_slice(
+                dense, segs[r], (off[r],))
+        return dense, new_soft
 
     return fn
 
@@ -846,18 +870,21 @@ class WindowedUeDl:
         return times
 
     def results(self, p: PendingWindow):
-        """Realize a window: ONE readback; returns [(tb, ok, n_it)] * W.
+        """Realize a window: ONE dense readback; returns
+        [(tb, ok, n_it)] * W — row r's block at its cumulative offset is
+        [tbs/8 tb bytes | ok | n_it].
 
         n_it is the max turbo-iteration count over the TTI's own
         codeblocks (per-slot counts tracked in `turbo_decode_dyn`)."""
         res = np.asarray(p.packed)
-        cap = p.pack.key[6]
         out = []
-        for i, tbs in enumerate(p.tbs):
-            bits = np.unpackbits(res[i, :cap])
-            tb = bits[cap * 8 - tbs : cap * 8]
-            ok = bool(res[i, cap])
-            n_it = int(res[i, cap + 1])
+        off = 0
+        for tbs in p.tbs:
+            nb = tbs // 8
+            tb = np.unpackbits(res[off:off + nb])
+            ok = bool(res[off + nb])
+            n_it = int(res[off + nb + 1])
+            off += nb + 2
             self.stats["ttis"] += 1
             self.stats["crc_ok"] += int(ok)
             out.append((tb, ok, n_it))
@@ -1266,16 +1293,16 @@ class WindowedUeDlMimo(WindowedUeDl):
         stats count one TTI per codeword PAIR; crc_ok counts pairs with
         both codewords good (ADVICE r2 #3)."""
         res = np.asarray(p.packed)
-        cap = p.pack.key[6]
         out = []
-        for i in range(0, len(p.tbs), 2):
-            rows = []
-            for r in (i, i + 1):
-                bits = np.unpackbits(res[r, :cap])
-                rows.append((bits[cap * 8 - p.tbs[r]: cap * 8],
-                             bool(res[r, cap]),
-                             int(res[r, cap + 1])))
-            (t1, ok1, n1), (t2, ok2, n2) = rows
+        rows = []
+        off = 0
+        for tbs in p.tbs:
+            nb = tbs // 8
+            rows.append((np.unpackbits(res[off:off + nb]),
+                         bool(res[off + nb]), int(res[off + nb + 1])))
+            off += nb + 2
+        for i in range(0, len(rows), 2):
+            (t1, ok1, n1), (t2, ok2, n2) = rows[i], rows[i + 1]
             self.stats["ttis"] += 1
             self.stats["crc_ok"] += int(ok1 and ok2)
             out.append(((t1, ok1), (t2, ok2), max(n1, n2)))
@@ -1287,6 +1314,41 @@ class WindowedUeDlMimo(WindowedUeDl):
 # eNB DL GENERATION window — the sf_worker TX half (enb_dl.c + sch.c
 # encode_tb) as fixed window programs: payload bytes in, baseband out
 # --------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=32)
+def _expand_payload_fn(n_rows: int, tb_cap: int, flat_cap: int):
+    """Dense payload ingest: ONE flat (flat_cap,) uint8 upload carrying
+    exactly each row's own TB bytes; the device expands it to the
+    (R, tb_cap) right-aligned layout the TX core consumes (batched
+    contiguous slices — the padded 2-D form uploaded the window's
+    largest-TB width for every row, 2-3x the bytes on the ~45 MB/s
+    host link)."""
+
+    @jax.jit
+    def fn(flat, nb, off):
+        src = jnp.concatenate([jnp.zeros((tb_cap,), jnp.uint8), flat])
+
+        def one(o, n):
+            seg = jax.lax.dynamic_slice(src, (o + n,), (tb_cap,))
+            return jnp.where(jnp.arange(tb_cap) < tb_cap - n, 0, seg)
+
+        return jax.vmap(one)(off, nb)
+
+    return fn
+
+
+def _upload_payload_dense(payloads, tbs_list, tb_cap: int):
+    """payloads: per-row bit arrays; returns the (R, tb_cap) device
+    layout via the dense flat upload."""
+    nb = np.array([t // 8 for t in tbs_list], np.int32)
+    off = np.concatenate([[0], np.cumsum(nb)[:-1]]).astype(np.int32)
+    flat_cap = _pow2_bucket(int(nb.sum()))
+    flat = np.zeros(flat_cap, np.uint8)
+    for o, n, tb in zip(off, nb, payloads):
+        flat[o:o + n] = np.packbits(np.asarray(tb, np.uint8))
+    return _expand_payload_fn(len(tbs_list), tb_cap, flat_cap)(
+        _upload(flat), jnp.asarray(nb), jnp.asarray(off))
 
 
 @lru_cache(maxsize=64)
@@ -1515,14 +1577,14 @@ class WindowedEnbDl:
         pack = pack_window([
             (g.tbs, n_res[i] * g.qm, g.qm, getattr(g, "rv", 0))
             for i, g in enumerate(grants)])
-        (_r, n_slots, cq, cf, e_cap, _jf, tb_cap, _ct) = pack.key
+        (_r, n_slots, cq, cf, e_cap, _jf, tb_cap, _ct) = pack.key[:8]
 
-        # right-aligned payload bytes (tbs divisible by 8 in LTE)
-        pay = np.zeros((w, tb_cap), np.uint8)
-        for i, (tb, g) in enumerate(zip(payloads, grants)):
+        # right-aligned payload bytes (tbs divisible by 8 in LTE) via
+        # the dense flat upload
+        for tb, g in zip(payloads, grants):
             assert len(tb) == g.tbs
-            pay[i, tb_cap - g.tbs // 8:] = np.packbits(
-                np.asarray(tb, np.uint8))
+        pay = _upload_payload_dense(payloads, [g.tbs for g in grants],
+                                    tb_cap)
 
         # per-slot source offsets into the front-padded row bit streams
         BW = tb_cap * 8 + 24
@@ -1560,7 +1622,7 @@ class WindowedEnbDl:
         tx_tab, perq = tx_class_tables(pack, e_cap)
         fn = _build_win_tx(self.cell, w, n_slots, cq, cf, e_cap, tb_cap,
                            ncls_re)
-        out = fn(jnp.asarray(pay), params, tx_tab, perq, inv_re,
+        out = fn(pay, params, tx_tab, perq, inv_re,
                  jnp.asarray(cls_re), qm_r, n_re_r, seqs, tmpl)
         self.stats["windows"] += 1
         self.stats["ttis"] += w
@@ -1772,13 +1834,14 @@ class WindowedUeUl:
         pack = pack_window([
             (g.tbs, nsym * 12 * g.nof_prb * g.qm, g.qm, g.rv)
             for g in grants])
-        (_r, n_slots, cq, cf, e_cap, _jf, tb_cap, _ct) = pack.key
+        (_r, n_slots, cq, cf, e_cap, _jf, tb_cap, _ct) = pack.key[:8]
 
-        pay = np.zeros((w, tb_cap), np.uint8)
-        for i, (tb, g) in enumerate(zip(payloads, grants)):
+        # right-aligned payload bytes (tbs divisible by 8 in LTE) via
+        # the dense flat upload
+        for tb, g in zip(payloads, grants):
             assert len(tb) == g.tbs
-            pay[i, tb_cap - g.tbs // 8:] = np.packbits(
-                np.asarray(tb, np.uint8))
+        pay = _upload_payload_dense(payloads, [g.tbs for g in grants],
+                                    tb_cap)
 
         BW = tb_cap * 8 + 24
         s_src = np.zeros(n_slots, np.int32)
@@ -1819,7 +1882,7 @@ class WindowedUeUl:
         tx_tab, perq = tx_class_tables(pack, e_cap)
         fn = _build_win_ul_tx(self.cell, w, n_slots, cq, cf, e_cap,
                               tb_cap, ncls_il)
-        out = fn(jnp.asarray(pay), params, tx_tab, perq, il_tab, pad_tab,
+        out = fn(pay, params, tx_tab, perq, il_tab, pad_tab,
                  jnp.asarray(cls_il), qm_r, msc_r, k0_r, seqs, dmrs)
         self.stats["windows"] += 1
         self.stats["ttis"] += w
@@ -1930,15 +1993,13 @@ class WindowedEnbDlMimo(WindowedEnbDl):
             row_specs.append((g.tbs1, n_res[i] * g.qm1, g.qm1, g.rv1))
             row_specs.append((g.tbs2, n_res[i] * g.qm2, g.qm2, g.rv2))
         pack = pack_window(row_specs)
-        (_r, n_slots, cq, cf, e_cap, _jf, tb_cap, _ct) = pack.key
+        (_r, n_slots, cq, cf, e_cap, _jf, tb_cap, _ct) = pack.key[:8]
 
         tbs_rows = [t for pair in payload_pairs for t in pair]
-        pay = np.zeros((2 * w, tb_cap), np.uint8)
-        for r, (tb, (tbs_r, _g, _q, _rv)) in enumerate(
-                zip(tbs_rows, row_specs)):
+        for tb, (tbs_r, _g, _q, _rv) in zip(tbs_rows, row_specs):
             assert len(tb) == tbs_r
-            pay[r, tb_cap - tbs_r // 8:] = np.packbits(
-                np.asarray(tb, np.uint8))
+        pay = _upload_payload_dense(
+            tbs_rows, [r_[0] for r_ in row_specs], tb_cap)
 
         BW = tb_cap * 8 + 24
         s_src = np.zeros(n_slots, np.int32)
@@ -1976,7 +2037,7 @@ class WindowedEnbDlMimo(WindowedEnbDl):
         tx_tab, perq = tx_class_tables(pack, e_cap)
         fn = _build_win_tx_mimo(self.cell, 2 * w, n_slots, cq, cf, e_cap,
                                 tb_cap, ncls_re)
-        out = fn(jnp.asarray(pay), params, tx_tab, perq, inv_re,
+        out = fn(pay, params, tx_tab, perq, inv_re,
                  jnp.asarray(cls_re), qm_r, n_re_t, pmi_t, seqs, tmpl)
         self.stats["windows"] += 1
         self.stats["ttis"] += w
