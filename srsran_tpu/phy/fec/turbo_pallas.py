@@ -267,8 +267,16 @@ def map_windows_pallas(
     """
     assert lw % 2 == 0
     bn = ax.shape[1]
-    tiles = max(1, bn // TILE_N)
-    tn = bn // tiles
+    # tile the lane axis: tn must divide bn AND be a multiple of 128
+    # (Mosaic block rule) — otherwise fall back to one full-width tile
+    # (block == array is always legal).  bn is not always a power of two
+    # (e.g. 26 same-K codeblocks x 64 windows = 1664 lanes).
+    tn = bn
+    for tiles in range(-(-bn // TILE_N), bn + 1):
+        if bn % tiles == 0 and (bn // tiles) % 128 == 0:
+            tn = bn // tiles
+            break
+    tiles = bn // tn
     dyn = kq is not None
     kernel = _map_kernel(T, lw, dyn)
     if BF16_SCRATCH:
