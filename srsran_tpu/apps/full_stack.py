@@ -1481,7 +1481,14 @@ class UeStack:
                  tm: int = 2, nrx: int = 1, dynamic_phy: bool = False,
                  earfcn: int = 3400,
                  windowed_phy: bool = False, phy_window: int = 4,
-                 phy_device=None):
+                 phy_device=None, expert=None):
+        # expert PHY tuning plane (runtime.config.ExpertPhyConfig — the
+        # reference's [expert] section, ue.conf.example:318-385)
+        if expert is None:
+            from ..runtime.config import ExpertPhyConfig
+
+            expert = ExpertPhyConfig()
+        self.expert = expert
         self.srs_enabled = srs_enabled
         self.sr_enabled = sr_enabled
         # serving carrier EARFCN; inter-frequency measurements (rrc_meas.cc
@@ -1496,7 +1503,8 @@ class UeStack:
         if dynamic_phy:
             from ..pipeline_dynamic import DynamicUeDl
 
-            self._dyn_phy = DynamicUeDl(cell, cfi=cfi)
+            self._dyn_phy = DynamicUeDl(
+                cell, cfi=cfi, max_iterations=expert.pdsch_max_its)
         # windowed_phy: the windowed TPU engines as the live data plane —
         # data PDSCH subframes queue into W-TTI windows and the HARQ
         # feedback runs at 4+W on both ends (windowed_plane.py contract)
@@ -1506,9 +1514,11 @@ class UeStack:
             assert tdd_cfg is None, "windowed data plane is FDD-only"
             from .windowed_plane import WindowedUeDlPlane
 
-            self._win_dl = WindowedUeDlPlane(cell, cfi=cfi, w=phy_window,
-                                             tm=tm, nrx=nrx,
-                                             device=phy_device)
+            self._win_dl = WindowedUeDlPlane(
+                cell, cfi=cfi, w=phy_window, tm=tm, nrx=nrx,
+                device=phy_device,
+                max_iterations=expert.pdsch_max_its,
+                ingest="int8" if expert.pdsch_8bit_decoder else "int16")
             self.harq_delay = 4 + phy_window
         # transmission mode + rx antenna count; with nrx == 2 the DL link
         # input is (2, sf_len) rx-antenna streams (not CA carriers)
@@ -1595,7 +1605,11 @@ class UeStack:
         self.t310_ms = 20
         self._oos_count = 0
         self._t310 = -1
-        self._sync_threshold = 1e-4  # mean |x|^2 below this = out-of-sync
+        # out-of-sync gate: mean |x|^2 below this = out-of-sync; the
+        # expert in_sync_rsrp_dbm_th maps onto the digital scale
+        # (default -130 dBm ↔ 1e-4 here, 10 dB/decade)
+        self._sync_threshold = 10.0 ** (
+            (expert.in_sync_rsrp_dbm_th + 90.0) / 10.0)
 
     @property
     def ue_ip(self) -> str:
@@ -1760,6 +1774,11 @@ class UeStack:
         if self.gw is not None and self.rrc_state == self.RRC_ACTIVE:
             self.gw.pump_ul(self.send_ip_packet)
         ul = self._build_ul(tti, sf_idx)
+        if ul is not None and self.expert.force_ul_amplitude > 0:
+            peak = float(np.max(np.abs(ul)))
+            if peak > 0:
+                ul = (ul * (self.expert.force_ul_amplitude / peak)
+                      ).astype(np.complex64)
         sg = self.pending_tx_scell.pop(tti, None)
         if sg is not None and self.scell_active:
             mac2 = self._build_ul_mac_pdu(sg.tbs // 8)
@@ -1910,6 +1929,7 @@ class UeStack:
             res = ue_dl_decode_subframe(
                 self.cell, rx, sf_idx, rnti, known_cfi=self.cfi,
                 tdd=self.tdd, nrx=rx.shape[0],
+                max_iterations=self.expert.pdsch_max_its,
                 tm=self.tm if is_c else 2,
                 dynamic=self._dyn_phy, deferred=win,
                 harq_softbuffers=self._dl_softbuffers if is_c else None,
@@ -1928,7 +1948,12 @@ class UeStack:
                     self.pending_retx[retx_tti] = (g2, tb_fl, txc + 1)
                     self.stats["ul_retx"] = self.stats.get("ul_retx", 0) + 1
             if res.snr_db:
-                self._dl_snr_db = res.snr_db
+                # expert.snr_ema_coeff: EMA like the reference's
+                # avg_snr_db_cqi (phy_common snr_ema_coeff)
+                a = self.expert.snr_ema_coeff
+                prev = getattr(self, "_dl_snr_db", None)
+                self._dl_snr_db = (res.snr_db if prev is None
+                                   else (1 - a) * prev + a * res.snr_db)
             if res.rsrp:
                 self._dl_rsrp_dbfs = 10.0 * np.log10(res.rsrp + 1e-12)
             for (bits, agg, cce) in res.dcis:
@@ -2249,6 +2274,17 @@ class UeStack:
         n += sum(len(p) + 4 for p in self.ip_tx_queue)
         return n
 
+    def _report_cqi(self) -> int:
+        """Wideband CQI to report, shaped by the expert plane
+        (cqi_fixed / cqi_max / snr_to_cqi_offset —
+        ue.conf.example:327-329, applied in the reference's
+        phy_common)."""
+        e = self.expert
+        if e.cqi_fixed >= 0:
+            return min(e.cqi_fixed, e.cqi_max)
+        snr = getattr(self, "_dl_snr_db", 20.0) + e.snr_to_cqi_offset
+        return min(snr_db_to_cqi(snr), e.cqi_max)
+
     def _build_ul(self, tti: int, sf_idx: int) -> np.ndarray | None:
         # contention-free RA on the handover target cell
         if self._ho_cf_preamble is not None and sf_idx == self.prach_sf:
@@ -2331,7 +2367,7 @@ class UeStack:
                     bits = (1 if getattr(self, "_dl_rank", 1) == 2 else 0,)
                     self.stats["ri_pucch_sent"] = self.stats.get("ri_pucch_sent", 0) + 1
                 else:
-                    cqi = snr_db_to_cqi(getattr(self, "_dl_snr_db", 20.0))
+                    cqi = self._report_cqi()
                     bits = tuple(int(b) for b in np.binary_repr(cqi, 4))
                     if self.tm == 4:
                         pmi = int(getattr(self, "_dl_pmi", 0)) & 3
@@ -2373,7 +2409,7 @@ class UeStack:
             cqi_bits = ()
             ri_bits = ()
             if want_cqi:
-                cqi = snr_db_to_cqi(getattr(self, "_dl_snr_db", 20.0))
+                cqi = self._report_cqi()
                 cqi_bits = tuple(int(b) for b in np.binary_repr(cqi, 4))
                 if self.tm == 4:
                     # aperiodic mode 1-1: wideband PMI rides the CQI report

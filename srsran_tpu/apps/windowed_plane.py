@@ -57,7 +57,8 @@ class WindowedUeDlPlane:
     """
 
     def __init__(self, cell, cfi: int = 2, w: int = 4, tm: int = 2,
-                 nrx: int = 1, max_iterations: int = 5, device=None):
+                 nrx: int = 1, max_iterations: int = 5, device=None,
+                 ingest: str = "int8"):
         from ..pipeline_window import WindowedUeDl, WindowedUeDlMimo
 
         self.device = device
@@ -67,12 +68,13 @@ class WindowedUeDlPlane:
         self.mimo = tm >= 3
         if self.mimo:
             self.engine = WindowedUeDlMimo(cell, cfi=cfi, w=w,
-                                           max_iterations=max_iterations)
+                                           max_iterations=max_iterations,
+                                           ingest=ingest)
         else:
             scheme = "diversity" if (tm == 2 and cell.nof_ports >= 2) else "port0"
             self.engine = WindowedUeDl(cell, cfi=cfi, w=w,
                                        max_iterations=max_iterations,
-                                       scheme=scheme)
+                                       scheme=scheme, ingest=ingest)
         self.cell = cell
         self._buf: list[dict] = []
         self._pending: deque = deque()   # (dispatch_tti, PendingWindow, metas)

@@ -297,7 +297,8 @@ def pack_window(row_specs) -> WindowPack:
 
     row_specs: per codeword row (tbs, g, qm, rv) — g the codeword length
     in bits.  Returns the packed param vector + the static bucket key
-    (n_rows, n_slots, ncls_q, ncls_f, e_cap, j_fold, tb_cap).  The
+    (n_rows, n_slots, ncls_q, ncls_f, e_cap, j_fold, tb_cap, ncls_t,
+    d_total).  The
     per-class de-rate-match/QPP index tables are NOT in the params —
     they depend only on (k, f, rv) and are cached device-resident
     (`_j0_table_dev`/`_qpp_table_dev`; building them on device measured
@@ -342,8 +343,11 @@ def pack_window(row_specs) -> WindowPack:
     # dense packed-readback size: each row contributes exactly its own
     # TB bytes + 2 status bytes (the (R, tb_cap) form read back the
     # window's LARGEST TB width for every row — 2-3x the bytes on a
-    # ~45 MB/s link)
-    d_total = _pow2_bucket(sum(t // 8 + 2 for t in row_tbs))
+    # ~45 MB/s link).  Pure pow2 ladder with a 2 KB floor: this bucket
+    # keys a stage C recompile (~10 s remote), so it must stay COARSE
+    # under live-scheduler traffic where per-window Σtbs wanders.
+    d_total = max(2048, 1 << (sum(t // 8 + 2 for t in row_tbs) - 1)
+                  .bit_length())
 
     p = np.zeros(8 * n_slots + 4 * n_rows, np.int32)
     sl = np.array(slots, np.int32).reshape(-1, 9)

@@ -36,6 +36,44 @@ class PhyConfig:
 
 
 @dataclasses.dataclass
+class ExpertPhyConfig:
+    """The reference's [expert] PHY tuning plane (ue.conf.example:318-385,
+    srsue/src/main.cc expert.phy options).  Every knob is parseable; the
+    wired subset is documented per field — the rest map onto the
+    corresponding module configs (ChestDlConfig, sync loops) for callers
+    that construct those directly."""
+
+    # CQI reporting (cc_worker.cc set_uci_periodic_cqi inputs)
+    cqi_max: int = 15            # clamp on reported wideband CQI
+    cqi_fixed: int = -1          # >=0 pins every report (link-adapt tests)
+    snr_to_cqi_offset: float = 0.0
+    snr_ema_coeff: float = 0.1   # EMA on the measured DL SNR
+    # PDSCH decoder
+    pdsch_max_its: int = 5       # full iterations (ref counts half-its: 8)
+    pdsch_8bit_decoder: bool = False  # windowed-plane int8 vs int16 ingest
+    pdsch_csi_enabled: bool = True
+    equalizer_mode: str = "mmse"  # mmse | zf
+    # UL
+    force_ul_amplitude: float = 0.0  # >0 scales the UL peak to this
+    # radio-link monitoring defaults (rrc.cc:428 N310/N311 chain; SIB2
+    # values override once acquired)
+    in_sync_rsrp_dbm_th: float = -130.0
+    in_sync_snr_db_th: float = 3.0
+    nof_in_sync_events: int = 10
+    nof_out_of_sync_events: int = 20
+    # sync/chest loops (map onto phy.sync loops / ChestDlConfig)
+    sfo_ema: float = 0.1
+    sfo_correct_period: int = 10
+    sss_algorithm: str = "full"
+    estimator_fil_order: int = 4      # → ChestDlConfig.smooth_len
+    estimator_fil_auto: bool = False
+    estimator_fil_stddev: float = 1.0
+    interpolate_subframe_enabled: bool = False
+    snr_estim_alg: str = "refs"
+    pdsch_meas_evm: bool = False
+
+
+@dataclasses.dataclass
 class LogConfig:
     level: str = "info"
     filename: str = ""
@@ -52,6 +90,8 @@ class PcapConfig:
 class AppConfig:
     rf: RfConfig = dataclasses.field(default_factory=RfConfig)
     phy: PhyConfig = dataclasses.field(default_factory=PhyConfig)
+    expert: ExpertPhyConfig = dataclasses.field(
+        default_factory=ExpertPhyConfig)
     log: LogConfig = dataclasses.field(default_factory=LogConfig)
     pcap: PcapConfig = dataclasses.field(default_factory=PcapConfig)
     rnti: int = 0x46
