@@ -26,8 +26,14 @@ Robustness notes for the axon TPU tunnel (see .claude/skills/verify):
 """
 
 import json
+import os
 import sys
 import time
+
+# the persistent compilation cache replays CPU AOT executables with a
+# multi-KB machine-feature E-log per load (same-host, benign) — keep the
+# bench output parseable
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 
 import numpy as np
 
