@@ -960,6 +960,10 @@ def main():
                             "TPU windows run at the window_*_onchip "
                             "rates",
     }
+    notes["window_mimo_rtf"] = (
+        "wall-clock is ingest-capped harder than SISO: 2 rx antennas "
+        "need 122.8 MB/s of int8 I/Q against the ~45 MB/s serialized "
+        "link — window_mimo_onchip_rtf is the device capability")
     notes["window_loopback_rtf"] = (
         "full eNB-gen → on-chip channel → UE-decode DL link, W=128, "
         "payload bits in / decoded TBs out over the host link (dense "
