@@ -404,6 +404,25 @@ def test_windowed_enb_dl_generation_roundtrip():
             np.testing.assert_array_equal(tb_hat, tb)
 
 
+def test_window_reduced_rate():
+    """Windowed decode at the reduced ('non-standard') sample rate —
+    50 PRB on a 768-FFT grid (srslte_symbol_sz use_standard_rates=false,
+    phy_common.c:334-377; the 20 MHz analog is the ZMQ default
+    23.04 Msps, which fits the deployment link where 30.72 cannot)."""
+    rng = np.random.default_rng(47)
+    cell = Cell(nof_prb=50, nof_ports=1, id=17, use_standard_rates=False)
+    assert cell.symbol_sz == 768
+    ofdm = OfdmConfig.from_cell(cell, normalize=True)
+    ue = WindowedUeDl(cell, cfi=1, w=W, max_iterations=3)
+    mm = _mix(cell, rng, W, ofdm)
+    samples = np.stack([m[0] for m in mm])[:, None, :]
+    res, _ = ue.decode_window(samples, [m[1] for m in mm],
+                              [m[2] for m in mm])
+    for m, r in zip(mm, res):
+        assert r[1], "reduced-rate window CRC failed"
+        np.testing.assert_array_equal(r[0], m[3])
+
+
 def test_window_device_loopback():
     """Device-resident loopback: generation window → on-chip channel
     (`window_channel`) → decode window with device ingest — baseband
