@@ -54,6 +54,7 @@ BASELINES = {
     "window_mimo_onchip_rtf": 1.0,  # same, device-compute only
     "window_redrate_rtf": 1.0,  # 23.04 Msps reduced-rate ingest window
     "window_loopback_rtf": 1.0,  # eNB gen → on-chip channel → UE decode
+    "window_ul_loopback_rtf": 1.0,  # UE PUSCH gen → channel → eNB decode
     "window_dlgen_rtf": 1.0,  # eNB DL GENERATION window (sf_worker TX half)
     "window_ulgen_rtf": 1.0,  # UE PUSCH GENERATION window (ue_ul TX half)
     "stack_window_rtf": 1.0,  # FULL STACK loop with the windowed data plane
@@ -733,6 +734,71 @@ def bench_window_loopback_rtf(jax, jnp, rng):
     return rtf
 
 
+def bench_window_ul_loopback_rtf(jax, jnp, rng):
+    """The UL mirror of window_loopback_rtf: UE PUSCH generation window →
+    on-chip channel → eNB UL decode window, baseband resident in HBM;
+    only payload bits and decoded TBs cross the host link."""
+    from collections import deque
+
+    from srsran_tpu.phy.common import Cell
+    from srsran_tpu.phy.phch.ra import tbs_lookup, ul_mcs_to_itbs, ul_mcs_to_mod
+    from srsran_tpu.phy.ue.ue_ul import UlGrant
+    from srsran_tpu.pipeline_window import (
+        WindowedEnbUl, WindowedUeUl, window_channel)
+
+    cell = Cell(nof_prb=100, nof_ports=1, id=301)
+    W = 128
+    widths = (9, 25, 50, 96)
+    sfs, grants, tbs = [], [], []
+    while len(grants) < W:
+        sf_idx = int(rng.integers(0, 10))
+        mcs = int(rng.integers(0, 24))
+        nprb = int(widths[rng.integers(0, len(widths))])
+        st = int(rng.integers(0, 101 - nprb))
+        t = tbs_lookup(ul_mcs_to_itbs(mcs), nprb)
+        if t == 0:
+            continue
+        sfs.append(sf_idx)
+        grants.append(UlGrant(prb_start=st, nof_prb=nprb,
+                              mod=ul_mcs_to_mod(mcs), tbs=t, rv=0,
+                              rnti=0x46))
+        tbs.append(rng.integers(0, 2, t).astype(np.uint8))
+
+    ue = WindowedUeUl(cell, w=W)
+    enb = WindowedEnbUl(cell, w=W, max_iterations=6)
+    h = np.array([[0.9 + 0.25j]], np.complex64)
+
+    def one(seed=0):
+        tx = ue.dispatch_window(tbs, sfs, grants)
+        rx = window_channel(tx, h, noise_amp=0.02, seed=seed)
+        return enb.dispatch_window(rx, sfs, grants)
+
+    t = time.time()
+    res = enb.results(one())
+    n_ok = sum(r[1] for r in res)
+    log(f"window_ul_loopback compile+first: {time.time()-t:.1f}s ok={n_ok}/{W}")
+    for tb, r in zip(tbs, res):
+        assert r[1], "UL loopback CRC failed"
+        assert np.array_equal(r[0], tb), "UL loopback payload mismatch"
+
+    pend = deque()
+    best = float("inf")
+    for _ in range(3):
+        t = time.time()
+        n = 6
+        for _ in range(n):
+            pend.append(one())
+            if len(pend) > 3:
+                enb.results(pend.popleft())
+        while pend:
+            enb.results(pend.popleft())
+        best = min(best, (time.time() - t) / n)
+    rtf = 1e-3 / (best / W)
+    log(f"window_ul_loopback_rtf: W={W} {best/W*1e3:.2f} ms/TTI -> "
+        f"{rtf:.2f}x realtime")
+    return rtf
+
+
 def bench_window_dlgen_rtf(jax, jnp, rng):
     """eNB DL data-subframe GENERATION window (pipeline_window.
     WindowedEnbDl): W TTIs of arbitrary grants encoded per dispatch —
@@ -978,6 +1044,7 @@ def main():
         ("window_mimo_rtf", bench_window_mimo_rtf),
         ("window_redrate_rtf", bench_window_redrate_rtf),
         ("window_loopback_rtf", bench_window_loopback_rtf),
+        ("window_ul_loopback_rtf", bench_window_ul_loopback_rtf),
         ("window_dlgen_rtf", bench_window_dlgen_rtf),
         ("window_ulgen_rtf", bench_window_ulgen_rtf),
         ("stack_window_rtf", bench_stack_window_rtf),
@@ -1005,6 +1072,7 @@ def main():
              "window_dlgen_rtf": "x realtime",
              "window_redrate_rtf": "x realtime",
              "window_loopback_rtf": "x realtime",
+             "window_ul_loopback_rtf": "x realtime",
              "window_ulgen_rtf": "x realtime",
              "stack_window_rtf": "x realtime",
              "carriers_per_chip": "carriers"}

@@ -501,6 +501,46 @@ def test_window_device_loopback_mimo():
         np.testing.assert_array_equal(t2h, tb2)
 
 
+def test_window_device_loopback_ul():
+    """UL device loopback: WindowedUeUl generation → on-chip channel →
+    WindowedEnbUl device ingest — the uplink half of the serving
+    topology (UE TX baseband hands off in HBM, mirroring the DL
+    loopback)."""
+    from srsran_tpu.phy.phch.pusch import UlGrant
+    from srsran_tpu.phy.phch.ra import tbs_lookup, ul_mcs_to_itbs, ul_mcs_to_mod
+    from srsran_tpu.pipeline_window import (
+        WindowedEnbUl, WindowedUeUl, window_channel)
+
+    rng = np.random.default_rng(53)
+    cell = Cell(nof_prb=50, nof_ports=1, id=17)
+    ue = WindowedUeUl(cell, w=W)
+    enb = WindowedEnbUl(cell, w=W, max_iterations=3)
+    h = np.array([[0.85 + 0.3j]], np.complex64)
+
+    widths = (4, 9, 25, 50)
+    sfs, grants, tbs = [], [], []
+    while len(grants) < W:
+        sf_idx = int(rng.integers(0, 10))
+        mcs = int(rng.integers(0, 24))
+        nprb = int(widths[rng.integers(0, len(widths))])
+        st = int(rng.integers(0, cell.nof_prb - nprb + 1))
+        t = tbs_lookup(ul_mcs_to_itbs(mcs), nprb)
+        if t == 0:
+            continue
+        sfs.append(sf_idx)
+        grants.append(UlGrant(prb_start=st, nof_prb=nprb,
+                              mod=ul_mcs_to_mod(mcs), tbs=t, rv=0,
+                              rnti=0x46))
+        tbs.append(rng.integers(0, 2, t).astype(np.uint8))
+
+    tx = ue.dispatch_window(tbs, sfs, grants)       # device (W, L, 2)
+    rx = window_channel(tx, h, noise_amp=0.02)
+    res, _ = enb.decode_window(rx, sfs, grants)     # device ingest
+    for (tb, (tb_hat, ok, _n)) in zip(tbs, res):
+        assert ok, "UL device loopback CRC failed"
+        np.testing.assert_array_equal(tb_hat, tb)
+
+
 def test_windowed_ue_ul_generation_roundtrip():
     """WindowedUeUl (the UE transmit half as window programs): W PUSCH
     grants of mixed widths/MCS encode in one dispatch — shared codeword
