@@ -1321,7 +1321,7 @@ class WindowedUeDlMimo(WindowedUeDl):
 
 
 @lru_cache(maxsize=32)
-def _expand_payload_fn(n_rows: int, tb_cap: int, flat_cap: int):
+def _expand_payload_fn(tb_cap: int, flat_cap: int):
     """Dense payload ingest: ONE flat (flat_cap,) uint8 upload carrying
     exactly each row's own TB bytes; the device expands it to the
     (R, tb_cap) right-aligned layout the TX core consumes (batched
@@ -1351,7 +1351,9 @@ def _upload_payload_dense(payloads, tbs_list, tb_cap: int):
     flat = np.zeros(flat_cap, np.uint8)
     for o, n, tb in zip(off, nb, payloads):
         flat[o:o + n] = np.packbits(np.asarray(tb, np.uint8))
-    return _expand_payload_fn(len(tbs_list), tb_cap, flat_cap)(
+    # (the jit itself specializes on the (R,) nb/off shapes, so tb_cap
+    # and flat_cap are the only build parameters)
+    return _expand_payload_fn(tb_cap, flat_cap)(
         _upload(flat), jnp.asarray(nb), jnp.asarray(off))
 
 
@@ -1649,7 +1651,7 @@ class WindowedEnbDl:
 
 
 @lru_cache(maxsize=8)
-def _win_channel_fn(nrx: int, ntx: int):
+def _win_channel_fn():
     @jax.jit
     def fn(tx_ri, h_ri, seed, amp):
         tx = _ri2c(tx_ri)                      # (W, ntx, L)
@@ -1676,7 +1678,7 @@ def window_channel(tx, h, noise_amp: float, seed: int = 0):
     h_ri = jnp.asarray(
         np.stack([np.asarray(h).real, np.asarray(h).imag], -1)
         .astype(np.float32))
-    return _win_channel_fn(nrx, ntx)(
+    return _win_channel_fn()(
         tx, h_ri, jnp.uint32(seed), jnp.float32(noise_amp))
 
 
