@@ -110,6 +110,25 @@ def pdcch_put_np(
     return grid
 
 
+@lru_cache(maxsize=4096)
+def _blind_candidates(rnti: int, sf_idx: int, n: int, ue_specific: bool):
+    """UE-specific ∪ common search-space candidates, cached per
+    (rnti, sf_idx, n) — the per-TTI control path calls blind search
+    every subframe and the spec hash is pure (pdcch.c:243-254)."""
+    cands = search_space_candidates(rnti, sf_idx, n, ue_specific)
+    common = search_space_candidates(rnti, sf_idx, n, ue_specific=False)
+    for lvl, starts in common.items():
+        for st in starts:
+            if st not in cands.setdefault(lvl, []):
+                cands[lvl].append(st)
+    return tuple((lvl, tuple(starts)) for lvl, starts in cands.items())
+
+
+@lru_cache(maxsize=4096)
+def _blind_signs(rnti: int, sf_idx: int, cell_id: int, nbits: int):
+    return gold_sequence_signs(pdcch_cinit(rnti, sf_idx, cell_id), nbits)
+
+
 def pdcch_blind_search(
     sym_eq, cell: Cell, sf_idx: int, cfi: int, rnti: int, dci_len: int,
     ue_specific: bool = True,
@@ -120,21 +139,16 @@ def pdcch_blind_search(
     Returns list of (dci_bits, agg_level, cce_start) that pass CRC-RNTI.
     """
     n = nof_cce(cell, sf_idx, cfi)
-    cands = search_space_candidates(rnti, sf_idx, n, ue_specific)
-    # always include the common search space (SI/P/RA-RNTI DCIs live
+    # always includes the common search space (SI/P/RA-RNTI DCIs live
     # there; for C-RNTI the eNB may also use it — pdcch.c:243-254)
-    common = search_space_candidates(rnti, sf_idx, n, ue_specific=False)
-    for lvl, starts in common.items():
-        for st in starts:
-            if st not in cands.setdefault(lvl, []):
-                cands[lvl].append(st)
+    cands = _blind_candidates(rnti, sf_idx, n, ue_specific)
     llr_all = np.asarray(demod_soft(Mod.QPSK, sym_eq))
-    signs = gold_sequence_signs(pdcch_cinit(rnti, sf_idx, cell.id), CCE_BITS * n)
+    signs = _blind_signs(rnti, sf_idx, cell.id, CCE_BITS * n)
     llr_all = llr_all * signs[: len(llr_all)]
     d = dci_len + 16
 
     hyps = []  # (lvl, start, d_llr)
-    for lvl, starts in cands.items():
+    for lvl, starts in cands:
         for st in starts:
             e = llr_all[st * CCE_BITS : (st + lvl) * CCE_BITS]
             hyps.append((lvl, st, conv_rate_match_rx_np(e, d)))
