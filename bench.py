@@ -1132,7 +1132,23 @@ def main():
         }
         for name, v in results.items()
     ]
+    # full metric set to a file; the final stdout line stays SMALL so the
+    # driver's JSON capture parses it (VERDICT r4 weak #7: the inline
+    # all_metrics line overflowed the driver and BENCH_r04 recorded
+    # parsed=null)
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "bench_full.json")
+    with open(full_path, "w") as f:
+        json.dump({"all_metrics": all_metrics}, f, indent=1)
+    log(f"full metrics -> {full_path}")
     headline = results.get("ue_dl_siso", 0.0)
+    key_rows = {
+        name: results[name] for name in (
+            "ue_dl_mimo_q256", "turbo", "stack_window_rtf",
+            "window_loopback_rtf", "window_mimo_onchip_rtf",
+            "carriers_per_chip")
+        if name in results
+    }
     print(
         json.dumps(
             {
@@ -1141,7 +1157,8 @@ def main():
                 "value": round(headline, 1),
                 "unit": "Mbps",
                 "vs_baseline": round(headline / BASELINES["ue_dl_siso"], 3),
-                "all_metrics": all_metrics,
+                "key_rows": {k: round(v, 2) for k, v in key_rows.items()},
+                "all_metrics_file": "bench_full.json",
             }
         ),
         flush=True,

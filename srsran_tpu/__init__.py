@@ -26,6 +26,8 @@ def _enable_compilation_cache():
     try:
         import jax
 
+        if jax.config.jax_compilation_cache_dir is not None:
+            return  # an app-level cache configuration wins over ours
         path = os.path.expanduser(
             os.environ.get("SRSRAN_TPU_COMPCACHE",
                            "~/.cache/srsran_tpu_jax"))

@@ -85,9 +85,12 @@ def map_decoder_dyn(lx, lz, beta_k, k_vec, k_max: int, dtype=jnp.float32,
 
     if backend == "auto":
         _dev = getattr(jax.config, "jax_default_device", None)
+        if isinstance(_dev, str):  # e.g. jax_default_device="cpu"
+            _dev_platform = _dev.split(":")[0]
+        else:
+            _dev_platform = getattr(_dev, "platform", None)
         _on_tpu = (jax.default_backend() == "tpu"
-                   and (_dev is None
-                        or getattr(_dev, "platform", "tpu") == "tpu"))
+                   and (_dev_platform is None or _dev_platform == "tpu"))
         backend = ("pallas" if _on_tpu and k_max > 2048 and lw % 2 == 0
                    else "scan")
     if backend in ("pallas", "pallas_interpret"):

@@ -436,7 +436,7 @@ def class_tables(pack: WindowPack):
             _stacker(cq)(*i_rows), _stacker(ct)(*t_rows))
 
 
-@lru_cache(maxsize=32)
+@lru_cache(maxsize=256)
 def _build_win_c(n_rows: int, n_slots: int, ncls_q: int, ncls_f: int,
                  e_cap: int, j_fold: int, tb_cap: int, ncls_t: int,
                  d_total: int, max_iterations: int):
@@ -653,7 +653,10 @@ def _soft_place_fn():
 class PendingWindow:
     """A dispatched window (device arrays); realize with `results`."""
 
-    packed: jnp.ndarray      # (R, TB_BYTES + 2) uint8
+    # dense 1-D (d_total + tb_cap + 2,) uint8 buffer: row r's block lives
+    # at its cumulative offset as [tbs/8 tb bytes | ok | n_it] (see
+    # `WindowedUeDl.results` for the walk)
+    packed: jnp.ndarray
     softbuffer: jnp.ndarray  # (n_slots, 3, K_MAX + 4) dense slot layout
     tbs: list                # per-row true TB sizes
     pack: WindowPack | None = None
