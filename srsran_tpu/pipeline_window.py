@@ -788,13 +788,20 @@ class WindowedUeDl:
         return self._signs_dev[key]
 
     def _plan(self, samples, sf_indices, grants, softbuffer=None,
-              sharding=None):
-        """Staged (name, fn) chain — see `WindowedEnbUl._plan`."""
+              sharding=None, abc=None):
+        """Staged (name, fn) chain — see `WindowedEnbUl._plan`.
+
+        ``abc``: optional (grid_ri, ce_ri, noise) device arrays from a
+        front-end dispatch over the SAME W TTIs — stage A is skipped and
+        the stored grids feed stage B directly (the windowed control
+        plane decodes PDCCH from the front-end pass, then dispatches the
+        data pass without re-uploading or re-FFTing the window; the
+        one-FFT-per-subframe discipline of ue_dl.c:383)."""
         w = self.w
         assert len(sf_indices) == w and len(grants) == w
-        samples_q, scale = _quantize_ingest(samples, self.ingest)
-
-        refs = _stacker(w)(*[self._ref(s) for s in sf_indices])
+        if abc is None:
+            samples_q, scale = _quantize_ingest(samples, self.ingest)
+            refs = _stacker(w)(*[self._ref(s) for s in sf_indices])
         idx_cls, cls_re, n_res = self._re_classes(sf_indices, grants)
         signs = _stacker(w)(*[self._signs(g.rnti, s)
                               for s, g in zip(sf_indices, grants)])
@@ -805,15 +812,16 @@ class WindowedUeDl:
         bpar = np.array([[n_res[i], g.qm, cls_re[i]]
                          for i, g in enumerate(grants)], np.int32)
         pdev = jnp.asarray(np.concatenate([bpar.reshape(-1), pack.params]))
-        scale_d = jnp.asarray(scale)
-        samples_q = _upload(samples_q)
-        if sharding is not None:
-            from jax.sharding import NamedSharding, PartitionSpec
+        if abc is None:
+            scale_d = jnp.asarray(scale)
+            samples_q = _upload(samples_q)
+            if sharding is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
 
-            samples_q = jax.device_put(samples_q, sharding)
-            scale_d = jax.device_put(
-                scale_d, NamedSharding(sharding.mesh,
-                                       PartitionSpec(sharding.spec[0])))
+                samples_q = jax.device_put(samples_q, sharding)
+                scale_d = jax.device_put(
+                    scale_d, NamedSharding(sharding.mesh,
+                                           PartitionSpec(sharding.spec[0])))
 
         bp = pdev[: 3 * w].reshape(w, 3)
         soft = _assemble_soft(softbuffer, pack, pack.key[1])
@@ -822,7 +830,8 @@ class WindowedUeDl:
         cfn = self._c_for(pack.key)
 
         stages = [
-            ("A", lambda _prev: self._a(samples_q, scale_d, refs)),
+            ("A", (lambda _prev: abc) if abc is not None
+                  else lambda _prev: self._a(samples_q, scale_d, refs)),
             ("B", lambda abc: bfn(
                 abc[0], abc[1], abc[2], idx_cls, bp[:, 2], bp[:, 0],
                 bp[:, 1], signs)),
@@ -842,6 +851,23 @@ class WindowedUeDl:
         exactly like the reference's cc_worker x sf_worker grid."""
         stages, pack = self._plan(samples, sf_indices, grants, softbuffer,
                                   sharding)
+        out = None
+        for _name, fn in stages:
+            out = fn(out)
+        packed, new_soft = out
+        return PendingWindow(packed, new_soft, pack.tbs, pack)
+
+    def dispatch_window_from(self, abc, sf_indices, grants,
+                             softbuffer=None) -> PendingWindow:
+        """Decode a window of grants from a STORED front-end pass.
+
+        ``abc``: the (grid_ri, ce_ri, noise) device tuple a
+        `WindowedUeFrontEnd.dispatch` produced for these W TTIs.  Stage A
+        (upload + FFT + chest) is skipped — the data pass shares the
+        control pass's grids, so each subframe is FFT'd exactly once
+        (ue_dl.c:383) and baseband is uploaded exactly once."""
+        stages, pack = self._plan(None, sf_indices, grants, softbuffer,
+                                  abc=abc)
         out = None
         for _name, fn in stages:
             out = fn(out)
@@ -1075,14 +1101,21 @@ class WindowedEnbUl:
                 gold_sequence_signs(cinit, G_MAX).astype(np.int8))
         return self._signs_dev[key]
 
-    def _plan(self, samples, sf_indices, grants, softbuffer=None):
+    def _plan(self, samples, sf_indices, grants, softbuffer=None,
+              abc=None):
         """Build the window's staged programs: ordered (name, fn) chain
         where each fn consumes the previous stage's output.  Both
         `dispatch_window` and `stage_times` run THIS plan, so per-stage
-        bench timings exercise exactly the production path."""
+        bench timings exercise exactly the production path.
+
+        ``abc``: optional stored (W, nrx, nsymb, nre, 2) SC-FDMA grid
+        from an UL front-end pass — stage A is skipped (the windowed
+        control plane FFTs each UL subframe once for PUCCH extraction
+        AND PUSCH decode, the enb_ul.c:66-86 shared-FFT discipline)."""
         w = self.w
         assert len(sf_indices) == w and len(grants) == w
-        samples_q, scale = _quantize_ingest(samples, self.ingest)
+        if abc is None:
+            samples_q, scale = _quantize_ingest(samples, self.ingest)
 
         dmrs = _stacker(w)(*[_win_ul_dmrs(self.cell, g.nof_prb)
                              for g in grants])
@@ -1110,11 +1143,13 @@ class WindowedEnbUl:
         bp = pdev[: 3 * w].reshape(w, 3)
         soft = _assemble_soft(softbuffer, pack, pack.key[1])
         j0_tab, perq, invq, tb_tab = class_tables(pack)
-        sq, sc = _upload(samples_q), jnp.asarray(scale)
+        if abc is None:
+            sq, sc = _upload(samples_q), jnp.asarray(scale)
         cfn = self._c_for(pack.key)
 
         stages = [
-            ("A", lambda _prev: self._a(sq, sc)),
+            ("A", (lambda _prev: abc) if abc is not None
+                  else lambda _prev: self._a(sq, sc)),
             ("B", lambda grid_ri: self._b(
                 grid_ri, bp[:, 0], bp[:, 1], bp[:, 2], dmrs, signs,
                 tab_llr, tab_sig, cls_il_d)),
@@ -1127,6 +1162,18 @@ class WindowedEnbUl:
                         softbuffer=None) -> PendingWindow:
         """samples: (W, nrx, sf_len) complex64; grants: UlGrant list."""
         stages, pack = self._plan(samples, sf_indices, grants, softbuffer)
+        out = None
+        for _name, fn in stages:
+            out = fn(out)
+        packed, new_soft = out
+        return PendingWindow(packed, new_soft, pack.tbs, pack)
+
+    def dispatch_window_from(self, abc, sf_indices, grants,
+                             softbuffer=None) -> PendingWindow:
+        """Decode a PUSCH window from a STORED UL front-end grid (see
+        `_plan(abc=...)`)."""
+        stages, pack = self._plan(None, sf_indices, grants, softbuffer,
+                                  abc=abc)
         out = None
         for _name, fn in stages:
             out = fn(out)
@@ -1470,7 +1517,8 @@ def _make_codeword_core(n_rows: int, n_slots: int, ncls_f: int,
 
 @lru_cache(maxsize=32)
 def _build_win_tx(cell: Cell, n_rows: int, n_slots: int, ncls_q: int,
-                  ncls_f: int, e_cap: int, tb_cap: int, ncls_re: int):
+                  ncls_f: int, e_cap: int, tb_cap: int, ncls_re: int,
+                  n_ov: int = 0):
     """Windowed DL data-subframe ENCODER: payload bytes → TB CRC24A →
     segmentation (+CRC24B, filler) → dynamic-K closed-form turbo encode →
     class-shared TX rate-match gathers → in-order codeword assembly →
@@ -1489,7 +1537,7 @@ def _build_win_tx(cell: Cell, n_rows: int, n_slots: int, ncls_q: int,
 
     @jax.jit
     def fn(payload, params, tx_tab, perq, inv_re, cls_re, qm_r, n_re_r,
-           seqs, tmpl_ri):
+           seqs, tmpl_ri, *ov_args):
         cw = core(payload, params, tx_tab, perq)
 
         # --- scramble + modulate (one-hot by Qm) ---
@@ -1512,6 +1560,14 @@ def _build_win_tx(cell: Cell, n_rows: int, n_slots: int, ncls_q: int,
         g = overlay(0)
         for c in range(1, ncls_re):
             g = jnp.where((cls_re == c)[:, None], overlay(c), g)
+        if n_ov:
+            # per-TTI control/PBCH overlay (host-rendered PCFICH + PHICH
+            # + PDCCH + PBCH RE values scattered into the grid — the
+            # enb_dl.c control half batched onto the device; pad indices
+            # point past the grid and drop)
+            ov_idx, ov_ri = ov_args[0], ov_args[1]
+            g = jax.vmap(lambda gr, ir, vr: gr.at[ir].set(
+                _ri2c(vr), mode="drop"))(g, ov_idx, ov_ri)
         grid = g.reshape(R, cell.nsymb_per_sf, cell.nof_re_per_symbol)
 
         samples = jax.vmap(lambda gr: ofdm_tx_sf(ofdm, gr[None]))(grid)
@@ -1525,10 +1581,13 @@ class WindowedEnbDl:
     — the eNB sf_worker TX half at window throughput (payload bytes in,
     baseband out); the generation mirror of `WindowedUeDl`."""
 
-    def __init__(self, cell: Cell, cfi: int = 1, w: int = 32):
+    def __init__(self, cell: Cell, cfi: int = 1, w: int = 32,
+                 template: str = "crs"):
+        assert template in ("crs", "full")
         self.cell = cell
         self.cfi = cfi
         self.w = w
+        self.template = template  # "full" bakes PSS/SSS in (enb_dl.c sync)
         self._idx_cache: dict = {}
         self._inv_dev: dict = {}    # (sf, prb) -> (S,) int32 inverse
         self._seq_dev: dict = {}    # (rnti, sf) -> (G_MAX,) uint8 bits
@@ -1570,15 +1629,30 @@ class WindowedEnbDl:
             t = np.zeros((1, self.cell.nsymb_per_sf,
                           self.cell.nof_re_per_symbol), np.complex64)
             put_crs_np(t, self.cell, sf_idx)
+            if self.template == "full" and sf_idx in (0, 5):
+                from .phy.sync.pss import put_pss_grid
+                from .phy.sync.sss import put_sss_grid
+
+                c = self.cell
+                put_pss_grid(t[0], c.n_id_2, c.nof_prb,
+                             c.nsymb_per_slot - 1)
+                put_sss_grid(t[0], c.n_id_1, c.n_id_2, sf_idx, c.nof_prb,
+                             c.nsymb_per_slot - 2)
             flat = t[0].reshape(-1)
             self._tmpl_dev[sf_idx] = jnp.asarray(
                 np.stack([flat.real, flat.imag], -1).astype(np.float32))
         return self._tmpl_dev[sf_idx]
 
-    def dispatch_window(self, payloads, sf_indices, grants):
+    def dispatch_window(self, payloads, sf_indices, grants, overlay=None):
         """payloads: per TTI the TB bits ((tbs,) uint8 arrays);
         grants: DlGrant list.  Returns a device (W, sf_len, 2) float32
-        RI sample array (realize with `samples`)."""
+        RI sample array (realize with `samples`).
+
+        overlay: optional (idx (W, n_ov) int32, vals (W, n_ov) complex)
+        host-rendered control-region REs (PCFICH/PHICH/PDCCH/PBCH)
+        scattered over the template before the IFFT — out-of-range pad
+        indices drop.  This is how the windowed control plane renders
+        the full enb_dl.c subframe in one device program."""
         w = self.w
         assert len(payloads) == w == len(sf_indices) == len(grants)
         n_res = [self._idx(s, tuple(g.prb))[1] for s, g in
@@ -1629,10 +1703,18 @@ class WindowedEnbDl:
         qm_r = jnp.asarray(np.array([g.qm for g in grants], np.int32))
         n_re_r = jnp.asarray(np.array(n_res, np.int32))
         tx_tab, perq = tx_class_tables(pack, e_cap)
+        ov_args = ()
+        n_ov = 0
+        if overlay is not None:
+            ov_idx, ov_vals = overlay
+            n_ov = ov_idx.shape[1]
+            ov_ri = np.stack([ov_vals.real, ov_vals.imag],
+                             -1).astype(np.float32)
+            ov_args = (_upload(ov_idx.astype(np.int32)), _upload(ov_ri))
         fn = _build_win_tx(self.cell, w, n_slots, cq, cf, e_cap, tb_cap,
-                           ncls_re)
+                           ncls_re, n_ov)
         out = fn(pay, params, tx_tab, perq, inv_re,
-                 jnp.asarray(cls_re), qm_r, n_re_r, seqs, tmpl)
+                 jnp.asarray(cls_re), qm_r, n_re_r, seqs, tmpl, *ov_args)
         self.stats["windows"] += 1
         self.stats["ttis"] += w
         return out
