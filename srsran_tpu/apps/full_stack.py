@@ -269,6 +269,14 @@ class EnbStack:
         # windowed_plane.py's timing contract); FDD only
         self._win_ul = None
         self.harq_delay = 4
+        # windowed CONTROL plane (apps.windowed_stack): DCI-0 grants, RAR
+        # Msg3 and PHICH retransmissions run at a stretched fixed delay
+        # instead of the TS 36.213 +4 (None = spec timing)
+        self.ul_grant_delay: int | None = None
+        # simultaneousPUCCH-PUSCH (TS 36.213 r10): UCI stays on PUCCH
+        # even when a PUSCH is scheduled (the windowed control plane's
+        # contract; False = UCI-on-PUSCH multiplexing as in ue_ul.c)
+        self.simul_pucch_pusch = False
         if windowed_phy:
             assert tdd_cfg is None, "windowed data plane is FDD-only"
             from .windowed_plane import WindowedEnbUlPlane
@@ -1044,7 +1052,8 @@ class EnbStack:
         group, n_seq = _phich_resource(self.cell, grant)
         hi = 1
         if not ok and ev["tx_count"] < UL_HARQ_MAX_TX:
-            retx_tti = tdd.pusch_tti(self.tdd, ph_tti)
+            retx_tti = (ph_tti + self.ul_grant_delay if self.ul_grant_delay
+                        else tdd.pusch_tti(self.tdd, ph_tti))
             if retx_tti not in self.pending_ul:
                 hi = 0
                 from ..stack.mac import HARQ_RV_SEQ
@@ -1083,6 +1092,32 @@ class EnbStack:
         self.spgw.tx_queue.extendleft(reversed(requeue))
 
     def _build_dl(self, tti: int, sf_idx: int) -> np.ndarray:
+        """Schedule + render one DL subframe (sf_worker.cc:216-252)."""
+        sched = self._sched_dl(tti, sf_idx)
+        if sched is None:  # TDD UL subframe: eNB silent
+            _, samples = enb_dl_subframe(self.cell, sf_idx, DlSched(),
+                                         tdd=self.tdd)
+            return samples[0]
+        _, samples = enb_dl_subframe(self.cell, sf_idx, sched, mib=self.mib,
+                                     sfn=(tti // 10) % 1024, tdd=self.tdd)
+        if self.tm >= 3:
+            # spatial multiplexing needs a rank-2 link: emit BOTH port
+            # streams; the channel (test harness or emulator) mixes them
+            # into the UE's rx antennas
+            return samples
+        if samples.shape[0] >= 2:
+            # the harness link carries ONE stream per cell: emit the
+            # superposition at the UE antenna (flat [1,1] MISO channel —
+            # per-port CRS keeps the SFBC combinable for any h)
+            return samples.sum(axis=0)
+        return samples[0]
+
+    def _sched_dl(self, tti: int, sf_idx: int) -> "DlSched | None":
+        """The scheduling half of the subframe build: MAC/RRC decisions →
+        a filled `DlSched` (mac.cc get_dl_sched + the control-channel
+        demand).  Returns None on TDD UL subframes.  Split from the
+        render so the windowed control plane can pre-schedule a whole
+        window and render it in ONE device dispatch."""
         cfi = self.cfi
         if self.cfi_adapt:
             # CFI adaptation (scheduler_grid.cc:154-165): dry-run the CCE
@@ -1100,8 +1135,7 @@ class EnbStack:
         sched = DlSched(cfi=cfi, phich=self.pending_phich.pop(tti, []))
         sftype = tdd.sf_type(self.tdd, sf_idx)
         if sftype == tdd.SfType.U:  # eNB silent on UL subframes
-            _, samples = enb_dl_subframe(self.cell, sf_idx, sched, tdd=self.tdd)
-            return samples[0]
+            return None
         # special subframes with a short DwPTS carry no PDSCH (the UE side
         # of the reference skips them too, phy_common.cc:630)
         can_pdsch = sftype == tdd.SfType.D or tdd.nof_dw(self.tdd) >= 9
@@ -1134,9 +1168,12 @@ class EnbStack:
             if len(tb_bits) > tbs_bits:
                 return  # does not fit the common-grant TBS
             tb_bits = np.concatenate([tb_bits, np.zeros(tbs_bits - len(tb_bits), np.uint8)])
+            # synchronous-HARQ pid spaces exceed the 3-bit DCI field; the
+            # field carries pid % 8 and the UE re-derives the full pid
+            # from the TTI (windowed_stack contract; identity when < 8)
             dci = Dci1A(
                 riv=riv_encode(self.cell.nof_prb, rb_start, l_crb), mcs=mcs, ndi=ndi, rv=rv,
-                harq_pid=harq_pid, tpc=1 if is_common else 0,
+                harq_pid=harq_pid % 8, tpc=1 if is_common else 0,
             )
             loc = alloc_cce(rnti)
             if loc is None:
@@ -1189,7 +1226,7 @@ class EnbStack:
             self.stats["dl_2cw_tx"] = self.stats.get("dl_2cw_tx", 0) + 1
             return agg, cce
 
-        ul_delay = _pusch_delay(self.tdd, tti)
+        ul_delay = self.ul_grant_delay or _pusch_delay(self.tdd, tti)
         # 0. system information (exclusive TTIs — common grants span the
         # band's PDSCH REs): SIB1 every 20 ms, SIB2 every 80 ms
         sfn = tti // 10
@@ -1316,26 +1353,16 @@ class EnbStack:
                         ),
                     )
         # UEs with a PUSCH at their ACK subframe multiplex the ACK as
-        # UCI-on-PUSCH instead of PUCCH (ue_ul.c uci multiplexing)
-        for ack_at, entries in self.pending_dl_ack.items():
-            pu = self.pending_ul.get(ack_at)
-            if pu is not None:
-                for e in entries:
-                    if e["rnti"] == pu[0]:
-                        e["on_pusch"] = True
-        _, samples = enb_dl_subframe(self.cell, sf_idx, sched, mib=self.mib,
-                                     sfn=(tti // 10) % 1024, tdd=self.tdd)
-        if self.tm >= 3:
-            # spatial multiplexing needs a rank-2 link: emit BOTH port
-            # streams; the channel (test harness or emulator) mixes them
-            # into the UE's rx antennas
-            return samples
-        if samples.shape[0] >= 2:
-            # the harness link carries ONE stream per cell: emit the
-            # superposition at the UE antenna (flat [1,1] MISO channel —
-            # per-port CRS keeps the SFBC combinable for any h)
-            return samples.sum(axis=0)
-        return samples[0]
+        # UCI-on-PUSCH instead of PUCCH (ue_ul.c uci multiplexing) —
+        # unless simultaneousPUCCH-PUSCH is on (windowed control plane)
+        if not self.simul_pucch_pusch:
+            for ack_at, entries in self.pending_dl_ack.items():
+                pu = self.pending_ul.get(ack_at)
+                if pu is not None:
+                    for e in entries:
+                        if e["rnti"] == pu[0]:
+                            e["on_pusch"] = True
+        return sched
 
     UL_P0_DBFS = 0.0  # target per-RE PUSCH rx power (the P0 of §5.1.1.1)
 
@@ -1510,6 +1537,7 @@ class UeStack:
         # feedback runs at 4+W on both ends (windowed_plane.py contract)
         self._win_dl = None
         self.harq_delay = 4
+        self.ul_grant_delay: int | None = None  # see EnbStack.__init__
         if windowed_phy:
             assert tdd_cfg is None, "windowed data plane is FDD-only"
             from .windowed_plane import WindowedUeDlPlane
@@ -1943,7 +1971,9 @@ class UeStack:
                 if not res.phich_ack and txc < UL_HARQ_MAX_TX:
                     from ..stack.mac import HARQ_RV_SEQ
 
-                    retx_tti = tdd.pusch_tti(self.tdd, tti)
+                    retx_tti = (tti + self.ul_grant_delay
+                                if self.ul_grant_delay
+                                else tdd.pusch_tti(self.tdd, tti))
                     g2 = dataclasses.replace(g_fl, rv=HARQ_RV_SEQ[txc % 4])
                     self.pending_retx[retx_tti] = (g2, tb_fl, txc + 1)
                     self.stats["ul_retx"] = self.stats.get("ul_retx", 0) + 1
@@ -1959,7 +1989,7 @@ class UeStack:
             for (bits, agg, cce) in res.dcis:
                 if bits[0] == 0 and rnti == self.crnti:
                     # DCI format 0: UL grant for tti+k (FDD k=4, TDD Table 8-2)
-                    delay = _pusch_delay(self.tdd, tti)
+                    delay = self.ul_grant_delay or _pusch_delay(self.tdd, tti)
                     if delay is None:
                         continue
                     dci0 = Dci0.unpack(bits, self.cell.nof_prb, tdd=is_tdd,
@@ -2096,7 +2126,7 @@ class UeStack:
             # ReconfigurationComplete on SRB1
             self._ho_in_progress = False
             self.rrc_state = self.RRC_ACTIVE
-            delay = _pusch_delay(self.tdd, tti) or FB_DELAY
+            delay = self.ul_grant_delay or _pusch_delay(self.tdd, tti) or FB_DELAY
             self.pending_tx[tti + delay] = _msg3_grant(self.cell, self.crnti, grant20)
             return
         self.crnti = temp_crnti
@@ -2116,7 +2146,7 @@ class UeStack:
             # Msg3 = RRC ConnectionRequest on CCCH
             self.msg3 = rrc.pack_conn_request(self.ue_identity)
         self._msg3_sdu = self.msg3  # kept for MAC contention resolution
-        delay = _pusch_delay(self.tdd, tti) or FB_DELAY
+        delay = self.ul_grant_delay or _pusch_delay(self.tdd, tti) or FB_DELAY
         self.pending_tx[tti + delay] = _msg3_grant(self.cell, temp_crnti, grant20)
 
     def _handle_dl_pdu(self, pdu: bytes):

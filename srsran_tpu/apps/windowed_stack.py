@@ -1,0 +1,741 @@
+"""Full LTE stack on the windowed CONTROL plane — no per-TTI DSP on the
+host at all.
+
+`apps/full_stack.py` + `apps/windowed_plane.py` (rounds 3-4) put the
+PDSCH/PUSCH DATA path on windowed TPU engines but kept the per-TTI
+control path (PDCCH render/blind-decode, OFDM, chest, PUCCH) on the
+host, which measured ~17 ms/TTI against the reference's 1 ms worker
+budget (`srsenb/src/phy/sf_worker.cc:166`).  This module batches the
+CONTROL path too (pipeline_ctrl engines): every run_tti does only queue
+bookkeeping and byte-level MAC/RLC work; all DSP happens in a handful of
+device dispatches per W-TTI window.
+
+Timing contract (the windowed extension of windowed_plane.py's):
+
+* window W (>= 12), feedback delay D = 3W + 8 TTIs;
+* DCI-0 grants, RAR Msg3, PHICH retransmissions and HARQ ACKs all run
+  at +D instead of the TS 36.213 +4 (`ul_grant_delay`/`harq_delay`);
+* DL HARQ is SYNCHRONOUS with n_harq = 4W + 24 processes: pid =
+  tti % n_harq on BOTH ends (the DCI's 3-bit field carries pid % 8),
+  retransmissions ride the pid's own TTI slots — the LTE UL HARQ
+  discipline applied DL, because a 3-bit pid cannot span D in-flight TBs;
+* simultaneousPUCCH-PUSCH (TS 36.213 r10): UCI always rides PUCCH, so
+  every PUSCH is a pure data transport the windowed engines decode.
+
+Pipeline schedule (all windows aligned to absolute TTIs, window j =
+TTIs [jW, jW+W)):
+
+  eNB  boundary of window k: schedule + dispatch DL render for k+2
+       UL window m FFT-dispatched when its last row arrives (tti mW+W);
+       realized +4 (PUCCH to host, PUSCH data dispatched); data +4.
+  UE   boundary of window k: dispatch ctrl front-end for window k;
+       realized +4 (blind search, grants, PHICH); data window dispatched
+       then, realized +4; UL window m generated at boundary m-2.
+
+Single-cell FDD, 1-port, single-codeword, TM1 scope (the serving hot
+path; TDD/CA/TM3+/mobility stay on the per-TTI stack).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import dataclasses
+from collections import deque
+
+import numpy as np
+
+from ..phy.common import Cell, SIRNTI
+from ..phy.enb.enb_dl import DlSched
+from ..phy.modem import Mod
+from ..phy.phch.dci import Dci0, Dci1A
+from ..phy.phch.pdsch import DlGrant
+from ..phy.phch.pusch import UlGrant
+from ..phy.phch.ra import (
+    dl_mcs_to_mod,
+    dl_tbs,
+    riv_decode,
+    tbs_lookup,
+    ul_mcs_to_itbs,
+    ul_mcs_to_mod,
+)
+from ..pipeline_ctrl import (
+    WindowedEnbUlFrontEnd,
+    WindowedUeFrontEnd,
+    enb_ctrl_overlay,
+    phich_decode_np,
+    pucch_format2_decode_np,
+    window_blind_search,
+)
+from ..pipeline_window import WindowedEnbDl, WindowedUeUl, extract_softbuffer
+from ..stack.mac import HARQ_RV_SEQ, Scheduler
+from .full_stack import (
+    FB_DELAY,
+    UL_HARQ_MAX_TX,
+    EnbStack,
+    UeStack,
+    _cqi_resource,
+    _phich_resource,
+    _sr_resource,
+    _is_sr_sf,
+    cqi_on_pusch,
+    cqi_report_is_ri,
+)
+
+RD = 4            # dispatch → realization poll distance (TTIs)
+PAD_DL = None     # built lazily per cell
+
+
+def _on(device):
+    if device is None:
+        return contextlib.nullcontext()
+    import jax
+
+    return jax.default_device(device)
+
+
+def _pad_dl_grant(cell: Cell) -> DlGrant:
+    """Filler row for grant-less TTIs in a fixed-shape window (1 PRB of
+    QPSK junk on air; the UE has no DCI for it and ignores the REs)."""
+    return DlGrant(prb=(0,), mod=Mod.QPSK, tbs=16, rnti=0)
+
+
+def _pad_ul_grant() -> UlGrant:
+    return UlGrant(prb_start=1, nof_prb=1, mod=Mod.QPSK, tbs=16, rnti=0)
+
+
+# ==========================================================================
+# eNB
+# ==========================================================================
+
+
+class WindowedCtrlEnb(EnbStack):
+    """eNB with the whole PHY (control + data, both directions) on
+    windowed device engines."""
+
+    def __init__(self, cell: Cell, mme, spgw, ctrl_window: int = 16,
+                 phy_device=None, **kw):
+        assert ctrl_window >= 12, "pipeline math needs W >= 12"
+        assert cell.nof_ports == 1, "windowed control plane: 1-port cells"
+        assert kw.get("tdd_cfg") is None, "windowed control plane is FDD"
+        super().__init__(cell, mme, spgw, **kw)
+        w = ctrl_window
+        self.cw = w
+        self.harq_delay = 3 * w + 8
+        self.ul_grant_delay = 3 * w + 8
+        self.simul_pucch_pusch = True
+        self.apcqi_interval = 10 ** 9  # aperiodic CQI needs UCI-on-PUSCH
+        # inactivity release must outlive the stretched feedback RTT
+        # (grant → PUSCH → windowed decode ≈ 2·D; base default is 40)
+        self.ul_inactivity_timeout = 6 * self.harq_delay
+        self.n_harq_w = 4 * w + 24
+        self.sched = Scheduler(cell.nof_prb, mcs_max=self.sched.mcs_max,
+                               n_harq=self.n_harq_w, sync_dl_harq=True,
+                               max_grants_per_tti=1)
+        self.device = phy_device
+        with _on(phy_device):
+            self._dl_gen = WindowedEnbDl(cell, cfi=self.cfi, w=w,
+                                         template="full")
+            self._ul_fe = WindowedEnbUlFrontEnd(cell, w=w, edge_prbs=4)
+        # DL render pipeline
+        self._dl_disp: dict[int, object] = {}   # window j -> device out
+        self._dl_rows: dict[int, np.ndarray] = {}
+        self._dl_next = 0
+        # UL pipeline
+        self._ul_rows: dict[int, np.ndarray | None] = {}
+        self._ul_fe_q: deque = deque()   # (dispatch_tti, first_u, pf, pow)
+        self._ul_data_q: deque = deque()  # (dispatch_tti, pending, metas)
+        self._win_soft_ul: dict = {}
+        with _on(phy_device):
+            self._dispatch_dl_window(0)
+            self._dispatch_dl_window(1)
+
+    # ---- DL: schedule a window ahead, render in one device program ----
+
+    def _dispatch_dl_window(self, j: int):
+        w = self.cw
+        payloads, grants, sfs, ov_idx, ov_val = [], [], [], [], []
+        for t in range(j * w, j * w + w):
+            sf = t % 10
+            sched = self._sched_dl(t, sf)
+            assert sched is not None  # FDD only
+            assert len(sched.grants) <= 1, "windowed TX: one grant/TTI"
+            if sched.grants:
+                g, tb = sched.grants[0]
+                grants.append(g)
+                payloads.append(np.asarray(tb, np.uint8))
+            else:
+                grants.append(_pad_dl_grant(self.cell))
+                payloads.append(np.zeros(16, np.uint8))
+            idx, vals = enb_ctrl_overlay(self.cell, self.cfi, sf, sched,
+                                         mib=self.mib,
+                                         sfn=(t // 10) % 1024)
+            sfs.append(sf)
+            ov_idx.append(idx)
+            ov_val.append(vals)
+        out = self._dl_gen.dispatch_window(
+            payloads, sfs, grants,
+            overlay=(np.stack(ov_idx), np.stack(ov_val)))
+        self._dl_disp[j] = out
+
+    def _dl_pop(self, tti: int) -> np.ndarray:
+        j = tti // self.cw
+        if tti not in self._dl_rows:
+            out = self._dl_disp.pop(j)
+            rows = self._dl_gen.samples(out)   # ONE readback per window
+            for i in range(self.cw):
+                self._dl_rows[j * self.cw + i] = rows[i]
+        return self._dl_rows.pop(tti)
+
+    # ---- UL: FFT window → PUCCH host decode + PUSCH data window ----
+
+    def _ul_flush(self, tti: int):
+        """Dispatch the UL front-end once window m's last row arrived."""
+        w = self.cw
+        u_last = tti - 1
+        if u_last < 0 or u_last % w != w - 1:
+            return
+        m = u_last // w
+        first = m * w
+        rows, powers = [], []
+        for u in range(first, first + w):
+            r = self._ul_rows.pop(u, None)
+            if r is None:
+                r = np.zeros(self.cell.sf_len, np.complex64)
+            rows.append(r)
+            powers.append(float(np.mean(np.abs(r) ** 2)))
+        samples = np.stack(rows)[:, None]
+        pf = self._ul_fe.dispatch(samples, [u % 10 for u in
+                                            range(first, first + w)])
+        self._ul_fe_q.append((tti, first, pf, powers))
+
+    def _ul_poll(self, tti: int):
+        from ..phy.phch.pucch import (PucchConfig, _f1_covers, pucch_f1_prb,
+                                      pucch_format1_decode)
+
+        w = self.cw
+        while self._ul_fe_q and tti - self._ul_fe_q[0][0] >= RD:
+            _dt, first, pf, powers = self._ul_fe_q.popleft()
+            edge, prb_pow = self._ul_fe.realize_pucch(pf)
+
+            def f1_grid(i, u, n_pucch):
+                prbs = tuple(
+                    pucch_f1_prb(n_pucch, 2 * (u % 10) + sl,
+                                 self.cell.nof_prb, 2,
+                                 covers=_f1_covers(self.cell))
+                    for sl in range(2))
+                return self._ul_fe.pucch_prb_grid(edge, i, prbs)
+
+            # grants indexed BY WINDOW SLOT: dispatch_data row i decodes
+            # from slot i's stored grid
+            grants = [_pad_ul_grant() for _ in range(w)]
+            soft = [None] * w
+            metas = []
+            for i in range(w):
+                u = first + i
+                sf = u % 10
+                has_energy = powers[i] >= 1e-7
+                # HARQ-ACK on PUCCH 1a (stretched position)
+                acks = self.pending_dl_ack.pop(u, [])
+                by_rnti: dict[int, list] = {}
+                for e in acks:
+                    by_rnti.setdefault(e["rnti"], []).append(e)
+                for rnti, entries in by_rnti.items():
+                    ack = False
+                    if has_energy:
+                        cfgp = PucchConfig(n_pucch=entries[-1]["n_pucch"])
+                        bits, metric = pucch_format1_decode(
+                            f1_grid(i, u, cfgp.n_pucch), self.cell, cfgp,
+                            sf, 1)
+                        ack = float(metric) > 0.25 and int(bits[0]) == 1
+                    for e in entries:
+                        self.sched.ack_info(rnti, e["pid"], ack)
+                        key = "dl_ack" if ack else "dl_nack"
+                        self.stats[key] = self.stats.get(key, 0) + 1
+                # periodic CQI/RI on PUCCH 2 (ack-free occasions only)
+                if (cqi_on_pusch(u) and has_energy):
+                    ack_rntis = {e["rnti"] for e in acks}
+                    for rnti_c, ue_c in self.ues.items():
+                        if (ue_c.rrc_state < self.RRC_ACTIVE
+                                or rnti_c in ack_rntis):
+                            continue
+                        cfg2 = PucchConfig(n_pucch=_cqi_resource(rnti_c))
+                        nb = 1 if (cqi_report_is_ri(u) and self.tm >= 3) \
+                            else 4
+                        bits, metric = pucch_format2_decode_np(
+                            f1_grid(i, u, cfg2.n_pucch), self.cell, cfg2,
+                            sf, nb)
+                        if metric <= 0.25:
+                            continue
+                        cqi = int("".join(str(x) for x in bits[:4]), 2)
+                        self.sched.cqi_info(rnti_c, cqi)
+                        ue_c.last_cqi_tti = u
+                        self.stats["cqi_pucch_rx"] = self.stats.get(
+                            "cqi_pucch_rx", 0) + 1
+                # SR
+                if _is_sr_sf(self.sr_enabled, None, u) and has_energy:
+                    for rnti_s, ue_s in self.ues.items():
+                        if ue_s.rrc_state < self.RRC_SETUP_SENT:
+                            continue
+                        cfgs = PucchConfig(n_pucch=_sr_resource(rnti_s))
+                        _b, metric = pucch_format1_decode(
+                            f1_grid(i, u, cfgs.n_pucch), self.cell, cfgs,
+                            sf, 0)
+                        if float(metric) > 0.25:
+                            self.sched.ul_bsr(rnti_s, 128)
+                            self.stats["sr_detected"] = self.stats.get(
+                                "sr_detected", 0) + 1
+                # PUSCH row — gated on the ALLOCATION's own rx power
+                # (enb_ul.c DTX gate: an empty allocation's zero LLRs
+                # decode to the valid all-zero codeword)
+                pu = self.pending_ul.pop(u, None)
+                alloc_ok = False
+                if pu is not None:
+                    g_ = pu[1]
+                    alloc_pow = float(np.mean(
+                        prb_pow[i, g_.prb_start: g_.prb_start
+                                + g_.nof_prb]))
+                    alloc_ok = alloc_pow >= 1e-7
+                    ue_ctx = self.ues.get(pu[0])
+                    if ue_ctx is not None and alloc_ok:
+                        ue_ctx.last_ul_rx_db = 10.0 * np.log10(
+                            max(alloc_pow, 1e-12))
+                if pu is not None and alloc_ok:
+                    rnti, grant = pu
+                    hs = self._ul_harq.pop(u, None)
+                    sbw, txc = None, 1
+                    if hs is not None:
+                        sb0, txc0 = hs
+                        txc = txc0 + 1
+                        if (isinstance(sb0, tuple) and len(sb0) == 2
+                                and sb0[0] == "win"):
+                            sbw = sb0[1]
+                    grants[i] = grant
+                    soft[i] = sbw
+                    metas.append(dict(row=i, tti=u, rnti=rnti,
+                                      grant=grant, tx_count=txc))
+                elif pu is not None:
+                    # DTX: nothing on the allocation → NACK via completion
+                    rnti, grant = pu
+                    hs = self._ul_harq.pop(u, None)
+                    self._complete_ul_data(dict(
+                        tti=u, rnti=rnti, grant=grant, ok=False, tb=None,
+                        tx_count=(hs[1] + 1) if hs else 1, soft=None))
+            if metas:
+                if all(s is None for s in soft):
+                    soft = None
+                p = self._ul_fe.dispatch_data(pf, grants, softbuffer=soft)
+                self._ul_data_q.append((tti, p, metas))
+        while self._ul_data_q and tti - self._ul_data_q[0][0] >= RD:
+            _dt, p, metas = self._ul_data_q.popleft()
+            res = self._ul_fe.results(p)
+            for meta in metas:
+                tb, ok, _n = res[meta["row"]]
+                soft = None if ok else extract_softbuffer(p, meta["row"])
+                self._complete_ul_data(dict(
+                    tti=meta["tti"], rnti=meta["rnti"],
+                    grant=meta["grant"], ok=bool(ok), tb=tb,
+                    tx_count=meta["tx_count"],
+                    soft=soft))
+
+    def _prach_ingest(self, tti: int, samples: np.ndarray | None):
+        """Per-TTI PRACH detection on the raw row (attach phase only —
+        copy of the _process_ul PRACH block; rare and host-cheap)."""
+        from ..phy.phch.prach import prach_cp_len, prach_detect, prach_nfft
+
+        u = tti - 1
+        if samples is None or u % 10 != self.prach_sf:
+            return
+        cp = prach_cp_len(self.cell)
+        win = samples[cp: cp + prach_nfft(self.cell)]
+        if (len(win) != prach_nfft(self.cell)
+                or np.mean(np.abs(win) ** 2) <= 1e-6):
+            return
+        metric, delay, det = [np.asarray(v) for v in prach_detect(
+            self.cell, self.prach_cfg, win)]
+        known = {ue.rapid for ue in self.ues.values()
+                 if ue.rrc_state < self.RRC_CONNECTED}
+        for rapid in np.nonzero(det)[0]:
+            rapid = int(rapid)
+            if rapid in known or any(r[0] == rapid
+                                     for r in self.pending_rars):
+                continue
+            ta = max(0, int(round(float(delay[rapid]))))
+            ue = self._new_ue(rapid)
+            self.pending_rars.append((rapid, ta, ue.crnti))
+            self.stats["prach_detected"] += 1
+
+    def run_tti(self, ul_samples: np.ndarray | None) -> np.ndarray:
+        tti = self.tti
+        for u in self.ues.values():
+            for ent in (u.srb1_rlc, u.drb_rlc):
+                if hasattr(ent, "tick"):
+                    ent.tick()
+        if ul_samples is not None:
+            self._ul_rows[tti - 1] = np.asarray(ul_samples)
+        with _on(self.device):
+            self._prach_ingest(tti, ul_samples)
+            self._ul_flush(tti)
+            self._ul_poll(tti)
+        if hasattr(self.mme, "pump_s11"):
+            self.mme.pump_s11()
+        for ue in list(self.ues.values()):
+            if ue.release_at >= 0:
+                if tti >= ue.release_at:
+                    self._release_ue(ue)
+                continue
+            if (ue.rrc_state != self.RRC_IDLE
+                    and tti - ue.last_ul_ok_tti > self.ul_inactivity_timeout):
+                from ..stack import rrc
+
+                self._send_srb1(ue, rrc.pack_conn_release())
+                ue.release_at = tti + 15
+        self._pump_spgw()
+        with _on(self.device):
+            dl = self._dl_pop(tti)
+            if tti % self.cw == self.cw - 1:
+                self._dispatch_dl_window(tti // self.cw + 2)
+        self.tti += 1
+        return dl
+
+
+# ==========================================================================
+# UE
+# ==========================================================================
+
+
+class WindowedCtrlUe(UeStack):
+    """UE with buffered DL windows, batched blind search, and UL windows
+    generated two windows ahead under the stretched-feedback contract."""
+
+    def __init__(self, cell: Cell, usim, ctrl_window: int = 16,
+                 phy_device=None, **kw):
+        assert ctrl_window >= 12
+        assert cell.nof_ports == 1
+        kw.setdefault("cfi", 2)
+        super().__init__(cell, usim, **kw)
+        w = ctrl_window
+        self.cw = w
+        self.harq_delay = 3 * w + 8
+        self.ul_grant_delay = 3 * w + 8
+        self.n_harq_w = 4 * w + 24
+        self.device = phy_device
+        with _on(phy_device):
+            self._fe = WindowedUeFrontEnd(cell, cfi=self.cfi, w=w,
+                                          scheme="port0", ingest="int16",
+                                          max_iterations=self.expert.pdsch_max_its)
+            self._ul_gen = WindowedUeUl(cell, w=w)
+        self._rx_rows: dict[int, np.ndarray] = {}
+        self._fe_q: deque = deque()      # (dispatch_tti, first_t, pf)
+        self._data_q: deque = deque()    # (dispatch_tti, pending, metas)
+        self._win_soft: dict = {}        # pid -> (ndi, device block)
+        self._ul_disp: dict[int, tuple] = {}  # window m -> (out|None, extras)
+        self._ul_ready: dict[int, np.ndarray | None] = {}
+        self._ul_gen_window(0)
+        self._ul_gen_window(1)
+        self.stats["ctrl_windows"] = 0
+
+    # ---- DL control + data ----
+
+    def _flush_fe(self, tti: int):
+        if tti % self.cw != self.cw - 1:
+            return
+        first = tti - self.cw + 1
+        rows = [self._rx_rows.pop(first + i) for i in range(self.cw)]
+        samples = np.stack(rows)[:, None]
+        pf = self._fe.dispatch(samples, [t % 10 for t in
+                                         range(first, first + self.cw)])
+        self._fe_q.append((tti, first, pf))
+        self.stats["ctrl_windows"] += 1
+
+    def _poll_fe(self, tti: int):
+        w = self.cw
+        len_1a = Dci1A.nof_bits(self.cell.nof_prb)
+        while self._fe_q and tti - self._fe_q[0][0] >= RD:
+            _dt, first, pf = self._fe_q.popleft()
+            ctrl, rsrp, noise = self._fe.realize(pf)
+            # per-TTI measurements → CQI/monitoring state
+            snr = np.mean(rsrp) / max(float(np.mean(noise)), 1e-12)
+            snr_db = 10.0 * np.log10(max(snr, 1e-12))
+            a = self.expert.snr_ema_coeff
+            prev = getattr(self, "_dl_snr_db", None)
+            self._dl_snr_db = (snr_db if prev is None
+                               else (1 - a) * prev + a * snr_db)
+            self._dl_rsrp_dbfs = 10.0 * np.log10(
+                float(np.mean(rsrp)) + 1e-12)
+            # search requests (the _process_dl RNTI set, window-wide)
+            reqs = []
+            if self.acquire_si and (self.sib1 is None or self.sib2 is None):
+                reqs.append((SIRNTI, "1A", len_1a, False))
+            if self.rrc_state == self.RRC_WAIT_RAR:
+                reqs.append((1 + self.prach_sf, "1A", len_1a, False))
+            if self.crnti is not None:
+                reqs.append((self.crnti, "1A", len_1a, True))
+            sfs = [(first + i) % 10 for i in range(w)]
+            found = window_blind_search(ctrl, self._fe.layout, self.cell,
+                                        sfs, [reqs] * w)
+            # grants indexed BY WINDOW SLOT (dispatch_data row i reads
+            # slot i's stored grid)
+            grants = [_pad_dl_grant(self.cell) for _ in range(w)]
+            soft = [None] * w
+            metas = []
+            for i in range(w):
+                t = first + i
+                # PHICH watch (UL HARQ, stretched chain)
+                inflight = self._ul_inflight.pop(t, None)
+                if inflight is not None and self.crnti is not None:
+                    g_fl, tb_fl, txc = inflight
+                    group, n_seq = _phich_resource(self.cell, g_fl)
+                    ph = ctrl[i, self._fe.layout.phich[group]]
+                    ack, _m = phich_decode_np(ph, self.cell, sfs[i], n_seq)
+                    if not ack and txc < UL_HARQ_MAX_TX:
+                        import dataclasses as _dc
+
+                        g2 = _dc.replace(g_fl,
+                                         rv=HARQ_RV_SEQ[txc % 4])
+                        self.pending_retx[t + self.ul_grant_delay] = (
+                            g2, tb_fl, txc + 1)
+                        self.stats["ul_retx"] = self.stats.get(
+                            "ul_retx", 0) + 1
+                got_dl = False
+                for rnti, fmt, bits, agg, cce in found[i]:
+                    if bits[0] == 0 and rnti == self.crnti:
+                        # DCI0: UL grant at the stretched delay
+                        dci0 = Dci0.unpack(bits, self.cell.nof_prb)
+                        self.ul_gain_db = float(np.clip(
+                            self.ul_gain_db + (-1, 0, 1, 3)[dci0.tpc],
+                            -20.0, 20.0))
+                        rb0, l_crb = riv_decode(self.cell.nof_prb,
+                                                dci0.riv)
+                        self.pending_tx[t + self.ul_grant_delay] = UlGrant(
+                            prb_start=rb0, nof_prb=l_crb,
+                            mod=ul_mcs_to_mod(dci0.mcs),
+                            tbs=tbs_lookup(ul_mcs_to_itbs(dci0.mcs),
+                                           l_crb), rnti=rnti)
+                        continue
+                    if got_dl:
+                        continue  # one DL grant per subframe
+                    try:
+                        dci = Dci1A.unpack(bits, self.cell.nof_prb)
+                        rb0, l_crb = riv_decode(self.cell.nof_prb,
+                                                dci.riv)
+                    except ValueError:
+                        continue
+                    if rnti >= 0xFFF4 or rnti <= 0x0042:
+                        n_prb_1a = 3 if (dci.tpc & 1) else 2
+                        grant = DlGrant(
+                            prb=tuple(range(rb0, rb0 + l_crb)),
+                            mod=Mod.QPSK,
+                            tbs=tbs_lookup(dci.mcs, n_prb_1a),
+                            rv=dci.rv, rnti=rnti)
+                    else:
+                        grant = DlGrant(
+                            prb=tuple(range(rb0, rb0 + l_crb)),
+                            mod=dl_mcs_to_mod(dci.mcs),
+                            tbs=dl_tbs(dci.mcs, l_crb),
+                            rv=dci.rv, rnti=rnti)
+                    if grant.tbs <= 0:
+                        continue
+                    got_dl = True
+                    pid = t % self.n_harq_w
+                    sb = None
+                    if rnti == self.crnti:
+                        st = self._win_soft.get(pid)
+                        if st is not None and st[0] == dci.ndi:
+                            sb = st[1]
+                    grants[i] = grant
+                    soft[i] = sb
+                    metas.append(dict(row=i, tti=t, rnti=rnti, dci=dci,
+                                      cce=cce, pid=pid))
+            if metas:
+                if all(s is None for s in soft):
+                    soft = None
+                p = self._fe.dispatch_data(pf, grants, softbuffer=soft)
+                self._data_q.append((tti, p, metas))
+        while self._data_q and tti - self._data_q[0][0] >= RD:
+            _dt, p, metas = self._data_q.popleft()
+            res = self._fe.results(p)
+            for meta in metas:
+                tb, ok, _n = res[meta["row"]]
+                self._complete_row(meta, tb, bool(ok), p)
+
+    def _complete_row(self, meta, tb, ok, p):
+        rnti, t = meta["rnti"], meta["tti"]
+        if rnti != self.crnti:
+            if not ok:
+                return
+            pdu = np.packbits(np.asarray(tb)).tobytes()
+            self.stats["dl_tbs_ok"] += 1
+            if rnti == 0xFFFF:
+                self._handle_si(pdu)
+            elif rnti == 0xFFFE:
+                self._handle_paging(pdu)
+            else:
+                self._handle_rar(t, pdu)
+            return
+        # C-RNTI: HARQ feedback + dup suppression at the tti-derived pid
+        # (_complete_dl_data with the synchronous pid)
+        dci, pid = meta["dci"], meta["pid"]
+        if ok:
+            self._win_soft.pop(pid, None)
+        else:
+            self._win_soft[pid] = (dci.ndi,
+                                   extract_softbuffer(p, meta["row"]))
+        last = self._dl_ndi.get(pid)
+        is_dup = last is not None and last[0] == dci.ndi and last[1]
+        self._dl_ndi[pid] = (dci.ndi, ok or is_dup)
+        self.pending_ack.setdefault(t + self.harq_delay, []).append(
+            (meta["cce"], 1 if (ok or is_dup) else 0, t))
+        if ok and not is_dup:
+            self.stats["dl_tbs_ok"] += 1
+            self._handle_dl_pdu(np.packbits(np.asarray(tb)).tobytes())
+
+    # ---- UL generation, two windows ahead ----
+
+    def _ul_gen_window(self, m: int):
+        """Generate UL window m: PUSCH rows in ONE device dispatch,
+        PUCCH/PRACH host-side (cached numpy waveforms)."""
+        from ..phy.ofdm import OfdmConfig, ofdm_tx_sf_np
+        from ..phy.phch.pucch import (PucchConfig, _f1_covers, pucch_f1_prb,
+                                      pucch_format1_encode_np,
+                                      pucch_format2_encode_np)
+
+        w = self.cw
+        first = m * w
+        grants, payloads, sfs = [], [], []
+        extras: dict[int, np.ndarray] = {}   # tti -> host waveform to add
+        live = np.zeros(w, bool)
+        ofdm = OfdmConfig.from_cell(self.cell, normalize=True,
+                                    freq_shift_f=0.5)
+
+        def pucch_wave(sf, pucch1=None, pucch2=None):
+            grid = np.zeros((self.cell.nsymb_per_sf,
+                             self.cell.nof_re_per_symbol), np.complex64)
+            for item, enc in ((pucch1, pucch_format1_encode_np),
+                              (pucch2, pucch_format2_encode_np)):
+                if item is None:
+                    continue
+                cfg, payload = item
+                prb_local = enc(self.cell, cfg, sf, payload)
+                for slot in range(2):
+                    prb = pucch_f1_prb(cfg.n_pucch, 2 * sf + slot,
+                                       self.cell.nof_prb, cfg.delta_shift,
+                                       covers=_f1_covers(self.cell))
+                    sl = slice(slot * self.cell.nsymb_per_slot,
+                               (slot + 1) * self.cell.nsymb_per_slot)
+                    grid[sl, prb * 12: (prb + 1) * 12] += prb_local[sl]
+            return ofdm_tx_sf_np(ofdm, grid)
+
+        for i in range(w):
+            u = first + i
+            sf = u % 10
+            # PRACH decision (attach): per the _build_ul gate, committed
+            # at generation time (the windowed contract's look-ahead)
+            if (self.rrc_state == self.RRC_IDLE and sf == self.prach_sf
+                    and u >= self.attach_delay and self._si_ready()
+                    and not self.idle_camped):
+                from ..phy.ue.ue_ul import ue_prach_send
+
+                self.mac.start_ra(self.preamble)
+                self.rrc_state = self.RRC_WAIT_RAR
+                self._ra_deadline = u + self.ul_grant_delay + 4 * w
+                p = ue_prach_send(self.cell, self.prach_cfg,
+                                  self.preamble)
+                out = np.zeros(self.cell.sf_len, np.complex64)
+                out[: len(p)] = p[: self.cell.sf_len]
+                extras[u] = out
+                grants.append(_pad_ul_grant())
+                payloads.append(np.zeros(16, np.uint8))
+                sfs.append(sf)
+                continue
+            if (self.rrc_state == self.RRC_WAIT_RAR
+                    and u >= getattr(self, "_ra_deadline", 1 << 62)):
+                self.rrc_state = self.RRC_IDLE
+            acks = self.pending_ack.pop(u, None)
+            grant = self.pending_tx.pop(u, None)
+            retx = self.pending_retx.pop(u, None)
+            host = None
+            pucch1 = pucch2 = None
+            if acks:
+                bit = 1 if all(b for _, b, _t in acks) else 0
+                pucch1 = (PucchConfig(n_pucch=acks[-1][0]), [bit])
+            elif (cqi_on_pusch(u) and self.rrc_state == self.RRC_ACTIVE
+                    and grant is None and retx is None):
+                cqi = self._report_cqi()
+                bits = np.array([int(b) for b in np.binary_repr(cqi, 4)],
+                                np.uint8)
+                pucch2 = (PucchConfig(n_pucch=_cqi_resource(self.crnti)),
+                          bits)
+                self.stats["cqi_pucch_sent"] = self.stats.get(
+                    "cqi_pucch_sent", 0) + 1
+            elif (_is_sr_sf(self.sr_enabled, None, u)
+                    and self.rrc_state >= self.RRC_CONNECTED
+                    and self._buffer_state() > 0 and not self.pending_tx):
+                pucch1 = (PucchConfig(n_pucch=_sr_resource(self.crnti)),
+                          [])
+                self.stats["sr_sent"] = self.stats.get("sr_sent", 0) + 1
+            if pucch1 is not None or pucch2 is not None:
+                host = pucch_wave(sf, pucch1, pucch2)
+            # PUSCH (pure data; UCI rides the parallel PUCCH)
+            if retx is not None and grant is None:
+                g2, tb_bits, txc = retx
+                grants.append(g2)
+                payloads.append(np.asarray(tb_bits, np.uint8))
+                live[i] = True
+                self._ul_inflight[u + self.harq_delay] = (g2, tb_bits,
+                                                          txc)
+            elif grant is not None:
+                mac_pdu = self._build_ul_mac_pdu(grant.tbs // 8)
+                tb_bits = np.unpackbits(np.frombuffer(mac_pdu, np.uint8))
+                grants.append(grant)
+                payloads.append(tb_bits)
+                live[i] = True
+                self._ul_inflight[u + self.harq_delay] = (grant, tb_bits,
+                                                          1)
+            else:
+                grants.append(_pad_ul_grant())
+                payloads.append(np.zeros(16, np.uint8))
+            if host is not None:
+                extras[u] = extras.get(u, 0) + host
+            sfs.append(sf)
+        if live.any():
+            out = self._ul_gen.dispatch_window(payloads, sfs, grants)
+        else:
+            out = None
+        self._ul_disp[m] = (out, live, extras, first)
+
+    def _ul_pop(self, tti: int) -> np.ndarray | None:
+        m = tti // self.cw
+        if m in self._ul_disp:
+            out, live, extras, first = self._ul_disp.pop(m)
+            rows = (WindowedEnbDl.samples(out) if out is not None
+                    else np.zeros((self.cw, self.cell.sf_len),
+                                  np.complex64))
+            gain = np.float32(10.0 ** (self.ul_gain_db / 20.0))
+            for i in range(self.cw):
+                u = first + i
+                row = rows[i] * gain if live[i] else None
+                ex = extras.get(u)
+                if ex is not None:
+                    row = ex if row is None else row + ex
+                if row is not None and self.ta_samples:
+                    row = np.roll(row, -self.ta_samples)
+                self._ul_ready[u] = row
+        return self._ul_ready.pop(tti, None)
+
+    def run_tti(self, dl_samples: np.ndarray) -> np.ndarray | None:
+        tti = self.tti
+        for ent in (self.srb1_rlc, self.drb_rlc):
+            if hasattr(ent, "tick"):
+                ent.tick()
+        self._rx_rows[tti] = np.asarray(dl_samples)
+        with _on(self.device):
+            self._flush_fe(tti)
+            self._poll_fe(tti)
+        if self.gw is not None and self.rrc_state == self.RRC_ACTIVE:
+            self.gw.pump_ul(self.send_ip_packet)
+        with _on(self.device):
+            ul = self._ul_pop(tti)
+            if tti % self.cw == self.cw - 1:
+                self._ul_gen_window(tti // self.cw + 2)
+        self.tti += 1
+        return ul

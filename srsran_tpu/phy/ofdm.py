@@ -262,6 +262,32 @@ def ofdm_tx_sf(cfg: OfdmConfig, grid):
     return _ofdm_tx_sf_impl(cfg, grid)
 
 
+def ofdm_tx_sf_np(cfg: OfdmConfig, grid: np.ndarray) -> np.ndarray:
+    """numpy mirror of `ofdm_tx_sf` for host-side per-TTI waveforms
+    (PUCCH-only UL subframes on the windowed control plane) — zero
+    device dispatches, bit-parity with the jitted form."""
+    n = cfg.symbol_sz
+    nre = cfg.nof_re
+    nsym = cfg.nsymb_sf
+    bins = np.zeros(grid.shape[:-2] + (nsym, n), np.complex64)
+    bins[..., 1: 1 + nre // 2] = grid[..., nre // 2:]
+    bins[..., n - nre // 2:] = grid[..., : nre // 2]
+    sym = np.fft.ifft(bins, axis=-1) * n
+    if cfg.normalize:
+        sym = sym * (1.0 / np.sqrt(n))
+    pieces = []
+    for i, l in enumerate(list(range(cfg.nsymb_slot)) * 2):
+        cp = cp_len_norm(l, n) if cfg.cp == CP.NORM else cp_len_ext(n)
+        s = sym[..., i, :]
+        pieces.append(s[..., n - cp:])
+        pieces.append(s)
+    out = np.concatenate(pieces, axis=-1)
+    shift, _ = _phase_tables(cfg)
+    if shift is not None:
+        out = out * shift
+    return out.astype(np.complex64)
+
+
 def ofdm_rx_sf_mbsfn(cfg: OfdmConfig, samples, non_mbsfn_region: int = 2):
     """Demodulate an MBSFN subframe: (..., sf_sz) → (..., 12, nof_re).
 

@@ -443,9 +443,17 @@ def _build_win_ul_fe(cell: Cell, edge_prbs: int):
                 ofdm, _ri2c(s_q.astype(jnp.float32) * sc))  # (nrx,sym,re)
             edge = jnp.concatenate(
                 [grid[..., :e], grid[..., nre - e:]], axis=-1)
+            # per-PRB mean rx power: the enb_ul.c DTX gate needs the
+            # power over each ALLOCATION (an empty allocation's zero
+            # LLRs decode to the valid all-zero codeword)
+            prb_pow = jnp.mean(
+                jnp.abs(grid) ** 2,
+                axis=(0, 1)).reshape(cell.nof_prb, 12).mean(axis=-1)
             # MRC-free single-antenna PUCCH view (antenna 0) — the host
             # correlators are per-resource anyway
-            return _c2ri(grid), _c2ri(edge[0])
+            packed = jnp.concatenate(
+                [_c2ri(edge[0]).reshape(-1), prb_pow])
+            return _c2ri(grid), packed
 
         return jax.vmap(one)(samples_q, scale)
 
@@ -478,11 +486,16 @@ class WindowedEnbUlFrontEnd:
         grid_ri, edge = self._fe(_upload(samples_q), jnp.asarray(scale))
         return PendingUlFrontend(grid_ri, edge, list(sf_indices))
 
-    def realize_pucch(self, pf: PendingUlFrontend) -> np.ndarray:
-        """ONE readback → (W, nsymb, 2·12·edge_prbs) complex64 band-edge
-        REs."""
+    def realize_pucch(self, pf: PendingUlFrontend):
+        """ONE readback → ((W, nsymb, 2·12·edge_prbs) complex64 band-edge
+        REs, (W, nof_prb) per-PRB rx power for the DTX gate)."""
         arr = np.asarray(pf.edge)
-        return (arr[..., 0] + 1j * arr[..., 1]).astype(np.complex64)
+        nsym = self.cell.nsymb_per_sf
+        e = 24 * self.edge_prbs
+        edge_ri = arr[:, : nsym * e * 2].reshape(arr.shape[0], nsym, e, 2)
+        edge = (edge_ri[..., 0] + 1j * edge_ri[..., 1]).astype(np.complex64)
+        prb_pow = arr[:, nsym * e * 2:]
+        return edge, prb_pow
 
     def pucch_prb_grid(self, edge_np: np.ndarray, t: int,
                        prb_slot: tuple[int, int]) -> np.ndarray:

@@ -191,13 +191,21 @@ class Scheduler:
     """Round-robin DL/UL scheduler (sched class, scheduler.h:60)."""
 
     def __init__(self, nof_prb: int, mcs_max: int = 9, get_tbs=None,
-                 max_grants_per_tti: int = 4, max_retx: int = 4):
+                 max_grants_per_tti: int = 4, max_retx: int = 4,
+                 n_harq: int = N_HARQ, sync_dl_harq: bool = False):
         from ..phy.phch.ra import dl_tbs
 
         self.nof_prb = nof_prb
         self.mcs_max = mcs_max
         self.max_grants_per_tti = max_grants_per_tti
         self.max_retx = max_retx
+        # windowed control plane: the stretched feedback delay needs more
+        # than 8 TBs in flight, and the 3-bit DCI pid field can't span
+        # them — DL HARQ goes SYNCHRONOUS (pid = tti % n_harq, the LTE UL
+        # HARQ discipline applied DL; both ends derive the pid from the
+        # TTI, retransmissions ride the pid's own TTI slots)
+        self.n_harq = n_harq
+        self.sync_dl_harq = sync_dl_harq
         self.ues: dict[int, _SchedUe] = {}
         self.rr_next = 0
         self._tbs = get_tbs or dl_tbs
@@ -210,7 +218,8 @@ class Scheduler:
     def ue_cfg(self, rnti: int):
         if rnti not in self.ues:
             self.ues[rnti] = _SchedUe(
-                rnti, [DlHarqProc(i, max_retx=self.max_retx) for i in range(N_HARQ)], {})
+                rnti, [DlHarqProc(i, max_retx=self.max_retx)
+                       for i in range(self.n_harq)], {})
 
     def ue_rem(self, rnti: int):
         self.ues.pop(rnti, None)
@@ -279,6 +288,8 @@ class Scheduler:
             for h in ue.dl_harq:
                 if h.pdu is None or h.pending_ack or h.retx_count >= h.max_retx:
                     continue
+                if self.sync_dl_harq and h.pid != tti % self.n_harq:
+                    continue  # synchronous: a pid retransmits on its slot
                 if len(grants) >= self.max_grants_per_tti or cursor + h.n_prb > self.nof_prb:
                     continue
                 h.retx(tti)
@@ -298,7 +309,13 @@ class Scheduler:
                 continue
             if self._dl_pending(ue) == 0:
                 continue
-            if not any(h.pdu is None and not h.pending_ack for h in ue.dl_harq):
+            if self.sync_dl_harq:
+                # synchronous DL HARQ: new data only on the TTI's own pid
+                h_slot = ue.dl_harq[tti % self.n_harq]
+                if h_slot.pdu is not None or h_slot.pending_ack:
+                    continue
+            elif not any(h.pdu is None and not h.pending_ack
+                         for h in ue.dl_harq):
                 continue
             pending_ues.append(ue)
         pending_ues = pending_ues[: self.max_grants_per_tti - len(grants)]
@@ -334,7 +351,11 @@ class Scheduler:
                 if ue.dl_buffer_override:
                     ue.dl_buffer_override = 0
                 continue
-            h = next(h for h in ue.dl_harq if h.pdu is None and not h.pending_ack)
+            if self.sync_dl_harq:
+                h = ue.dl_harq[tti % self.n_harq]
+            else:
+                h = next(h for h in ue.dl_harq
+                         if h.pdu is None and not h.pending_ack)
             mac = mac_pack(sdus, tb_bytes, ce_sizes=DL_CE_SIZES)
             # second codeword (TM3/TM4, rank 2): same PRBs and MCS carry a
             # second MAC PDU — doubles the spectral efficiency exactly as
@@ -400,7 +421,8 @@ class Scheduler:
                 tbs = tbs_lookup(ul_mcs_to_itbs(mcs), l_ul)
                 ue.ul_ndi ^= 1
                 ue.ul_pending_bytes = max(0, ue.ul_pending_bytes - tbs // 8)
-                return [UlSchedGrant(rnti, 1, l_ul, mcs, tbs, ue.ul_ndi, 0, tti % N_HARQ)]
+                return [UlSchedGrant(rnti, 1, l_ul, mcs, tbs, ue.ul_ndi, 0,
+                                     tti % self.n_harq)]
         return []
 
     def metrics(self) -> dict:

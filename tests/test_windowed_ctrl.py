@@ -162,7 +162,9 @@ def test_enb_ul_frontend_pucch_and_pusch():
         acks.append(ack)
     samples = np.stack(rows)[:, None]
     pf = fe.dispatch(samples, sfs)
-    edge = fe.realize_pucch(pf)
+    edge, prb_pow = fe.realize_pucch(pf)
+    # DTX gate data: the PUSCH allocation carries power, PRB 0 does not
+    assert np.all(prb_pow[:, 4:20].mean(axis=1) > 1e-5)
     cfgp = PucchConfig(n_pucch=2)
     for t in range(W):
         prbs = tuple(
