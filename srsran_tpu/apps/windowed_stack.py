@@ -142,9 +142,13 @@ class WindowedCtrlEnb(EnbStack):
         self._dl_next = 0
         # UL pipeline
         self._ul_rows: dict[int, np.ndarray | None] = {}
-        self._ul_fe_q: deque = deque()   # (dispatch_tti, first_u, pf, pow)
+        self._ul_fe_q: deque = deque()   # (dispatch_tti, first_u, pf)
         self._ul_data_q: deque = deque()  # (dispatch_tti, pending, metas)
         self._win_soft_ul: dict = {}
+        # device link (WindowedDeviceLoopback): baseband stays in HBM;
+        # the driver moves whole windows between the stacks
+        self.device_link = False
+        self._ul_dev_win: dict[int, object] = {}
         with _on(phy_device):
             self._dispatch_dl_window(0)
             self._dispatch_dl_window(1)
@@ -188,6 +192,15 @@ class WindowedCtrlEnb(EnbStack):
 
     # ---- UL: FFT window → PUCCH host decode + PUSCH data window ----
 
+    def push_ul_window_dev(self, m: int, rx_dev, prach_rows=None):
+        """Device link: receive UL window m as a device (W, nrx, L, 2)
+        buffer (host rows never exist); PRACH preambles arrive as the
+        rare host side-channel (attach only)."""
+        self._ul_dev_win[m] = rx_dev
+        if prach_rows:
+            for u, row in prach_rows.items():
+                self._prach_ingest(u + 1, row)
+
     def _ul_flush(self, tti: int):
         """Dispatch the UL front-end once window m's last row arrived."""
         w = self.cw
@@ -196,17 +209,22 @@ class WindowedCtrlEnb(EnbStack):
             return
         m = u_last // w
         first = m * w
-        rows, powers = [], []
-        for u in range(first, first + w):
-            r = self._ul_rows.pop(u, None)
-            if r is None:
-                r = np.zeros(self.cell.sf_len, np.complex64)
-            rows.append(r)
-            powers.append(float(np.mean(np.abs(r) ** 2)))
-        samples = np.stack(rows)[:, None]
+        if self.device_link:
+            dev = self._ul_dev_win.pop(m, None)
+            if dev is None:
+                return
+            samples = dev
+        else:
+            rows = []
+            for u in range(first, first + w):
+                r = self._ul_rows.pop(u, None)
+                if r is None:
+                    r = np.zeros(self.cell.sf_len, np.complex64)
+                rows.append(r)
+            samples = np.stack(rows)[:, None]
         pf = self._ul_fe.dispatch(samples, [u % 10 for u in
                                             range(first, first + w)])
-        self._ul_fe_q.append((tti, first, pf, powers))
+        self._ul_fe_q.append((tti, first, pf))
 
     def _ul_poll(self, tti: int):
         from ..phy.phch.pucch import (PucchConfig, _f1_covers, pucch_f1_prb,
@@ -214,7 +232,7 @@ class WindowedCtrlEnb(EnbStack):
 
         w = self.cw
         while self._ul_fe_q and tti - self._ul_fe_q[0][0] >= RD:
-            _dt, first, pf, powers = self._ul_fe_q.popleft()
+            _dt, first, pf = self._ul_fe_q.popleft()
             edge, prb_pow = self._ul_fe.realize_pucch(pf)
 
             def f1_grid(i, u, n_pucch):
@@ -233,7 +251,7 @@ class WindowedCtrlEnb(EnbStack):
             for i in range(w):
                 u = first + i
                 sf = u % 10
-                has_energy = powers[i] >= 1e-7
+                has_energy = float(np.max(prb_pow[i])) >= 1e-7
                 # HARQ-ACK on PUCCH 1a (stretched position)
                 acks = self.pending_dl_ack.pop(u, [])
                 by_rnti: dict[int, list] = {}
@@ -370,10 +388,11 @@ class WindowedCtrlEnb(EnbStack):
             for ent in (u.srb1_rlc, u.drb_rlc):
                 if hasattr(ent, "tick"):
                     ent.tick()
-        if ul_samples is not None:
+        if ul_samples is not None and not self.device_link:
             self._ul_rows[tti - 1] = np.asarray(ul_samples)
         with _on(self.device):
-            self._prach_ingest(tti, ul_samples)
+            if not self.device_link:
+                self._prach_ingest(tti, ul_samples)
             self._ul_flush(tti)
             self._ul_poll(tti)
         if hasattr(self.mme, "pump_s11"):
@@ -391,7 +410,7 @@ class WindowedCtrlEnb(EnbStack):
                 ue.release_at = tti + 15
         self._pump_spgw()
         with _on(self.device):
-            dl = self._dl_pop(tti)
+            dl = None if self.device_link else self._dl_pop(tti)
             if tti % self.cw == self.cw - 1:
                 self._dispatch_dl_window(tti // self.cw + 2)
         self.tti += 1
@@ -430,9 +449,24 @@ class WindowedCtrlUe(UeStack):
         self._win_soft: dict = {}        # pid -> (ndi, device block)
         self._ul_disp: dict[int, tuple] = {}  # window m -> (out|None, extras)
         self._ul_ready: dict[int, np.ndarray | None] = {}
+        self.device_link = False
+        self._dl_dev_win: dict[int, object] = {}
         self._ul_gen_window(0)
         self._ul_gen_window(1)
         self.stats["ctrl_windows"] = 0
+
+    # ---- device link ----
+
+    def push_dl_window_dev(self, j: int, rx_dev):
+        """Device link: window j's received baseband as a device
+        (W, nrx, L, 2) buffer."""
+        self._dl_dev_win[j] = rx_dev
+
+    def pop_ul_window_dev(self, m: int):
+        """Device link: hand window m's transmit buffer to the driver —
+        (device (W, L, 2) | None, PRACH host rows {tti: row})."""
+        out, _emit, extras, _first = self._ul_disp.pop(m)
+        return out, extras
 
     # ---- DL control + data ----
 
@@ -440,8 +474,13 @@ class WindowedCtrlUe(UeStack):
         if tti % self.cw != self.cw - 1:
             return
         first = tti - self.cw + 1
-        rows = [self._rx_rows.pop(first + i) for i in range(self.cw)]
-        samples = np.stack(rows)[:, None]
+        if self.device_link:
+            samples = self._dl_dev_win.pop(first // self.cw, None)
+            if samples is None:
+                return
+        else:
+            rows = [self._rx_rows.pop(first + i) for i in range(self.cw)]
+            samples = np.stack(rows)[:, None]
         pf = self._fe.dispatch(samples, [t % 10 for t in
                                          range(first, first + self.cw)])
         self._fe_q.append((tti, first, pf))
@@ -592,9 +631,9 @@ class WindowedCtrlUe(UeStack):
     # ---- UL generation, two windows ahead ----
 
     def _ul_gen_window(self, m: int):
-        """Generate UL window m: PUSCH rows in ONE device dispatch,
-        PUCCH/PRACH host-side (cached numpy waveforms)."""
-        from ..phy.ofdm import OfdmConfig, ofdm_tx_sf_np
+        """Generate UL window m in ONE device dispatch: PUSCH rows +
+        PUCCH PRB-local grids (host numpy, tiny) composed pre-IFFT in
+        the engine; only PRACH stays a host waveform (attach only)."""
         from ..phy.phch.pucch import (PucchConfig, _f1_covers, pucch_f1_prb,
                                       pucch_format1_encode_np,
                                       pucch_format2_encode_np)
@@ -602,28 +641,25 @@ class WindowedCtrlUe(UeStack):
         w = self.cw
         first = m * w
         grants, payloads, sfs = [], [], []
-        extras: dict[int, np.ndarray] = {}   # tti -> host waveform to add
+        extras: dict[int, np.ndarray] = {}   # tti -> host waveform (PRACH)
         live = np.zeros(w, bool)
-        ofdm = OfdmConfig.from_cell(self.cell, normalize=True,
-                                    freq_shift_f=0.5)
+        nsymb = self.cell.nsymb_per_sf
+        pgrids = np.zeros((w, nsymb, 12), np.complex64)
+        pprb = np.zeros((w, 2), np.int32)
+        has_pucch = np.zeros(w, bool)
 
-        def pucch_wave(sf, pucch1=None, pucch2=None):
-            grid = np.zeros((self.cell.nsymb_per_sf,
-                             self.cell.nof_re_per_symbol), np.complex64)
+        def put_pucch(i, sf, pucch1=None, pucch2=None):
             for item, enc in ((pucch1, pucch_format1_encode_np),
                               (pucch2, pucch_format2_encode_np)):
                 if item is None:
                     continue
                 cfg, payload = item
-                prb_local = enc(self.cell, cfg, sf, payload)
+                pgrids[i] += enc(self.cell, cfg, sf, payload)
                 for slot in range(2):
-                    prb = pucch_f1_prb(cfg.n_pucch, 2 * sf + slot,
-                                       self.cell.nof_prb, cfg.delta_shift,
-                                       covers=_f1_covers(self.cell))
-                    sl = slice(slot * self.cell.nsymb_per_slot,
-                               (slot + 1) * self.cell.nsymb_per_slot)
-                    grid[sl, prb * 12: (prb + 1) * 12] += prb_local[sl]
-            return ofdm_tx_sf_np(ofdm, grid)
+                    pprb[i, slot] = pucch_f1_prb(
+                        cfg.n_pucch, 2 * sf + slot, self.cell.nof_prb,
+                        cfg.delta_shift, covers=_f1_covers(self.cell))
+                has_pucch[i] = True
 
         for i in range(w):
             u = first + i
@@ -653,28 +689,25 @@ class WindowedCtrlUe(UeStack):
             acks = self.pending_ack.pop(u, None)
             grant = self.pending_tx.pop(u, None)
             retx = self.pending_retx.pop(u, None)
-            host = None
-            pucch1 = pucch2 = None
             if acks:
                 bit = 1 if all(b for _, b, _t in acks) else 0
-                pucch1 = (PucchConfig(n_pucch=acks[-1][0]), [bit])
+                put_pucch(i, sf, pucch1=(PucchConfig(n_pucch=acks[-1][0]),
+                                         [bit]))
             elif (cqi_on_pusch(u) and self.rrc_state == self.RRC_ACTIVE
                     and grant is None and retx is None):
                 cqi = self._report_cqi()
                 bits = np.array([int(b) for b in np.binary_repr(cqi, 4)],
                                 np.uint8)
-                pucch2 = (PucchConfig(n_pucch=_cqi_resource(self.crnti)),
-                          bits)
+                put_pucch(i, sf, pucch2=(
+                    PucchConfig(n_pucch=_cqi_resource(self.crnti)), bits))
                 self.stats["cqi_pucch_sent"] = self.stats.get(
                     "cqi_pucch_sent", 0) + 1
             elif (_is_sr_sf(self.sr_enabled, None, u)
                     and self.rrc_state >= self.RRC_CONNECTED
                     and self._buffer_state() > 0 and not self.pending_tx):
-                pucch1 = (PucchConfig(n_pucch=_sr_resource(self.crnti)),
-                          [])
+                put_pucch(i, sf, pucch1=(
+                    PucchConfig(n_pucch=_sr_resource(self.crnti)), []))
                 self.stats["sr_sent"] = self.stats.get("sr_sent", 0) + 1
-            if pucch1 is not None or pucch2 is not None:
-                host = pucch_wave(sf, pucch1, pucch2)
             # PUSCH (pure data; UCI rides the parallel PUCCH)
             if retx is not None and grant is None:
                 g2, tb_bits, txc = retx
@@ -694,26 +727,26 @@ class WindowedCtrlUe(UeStack):
             else:
                 grants.append(_pad_ul_grant())
                 payloads.append(np.zeros(16, np.uint8))
-            if host is not None:
-                extras[u] = extras.get(u, 0) + host
             sfs.append(sf)
-        if live.any():
-            out = self._ul_gen.dispatch_window(payloads, sfs, grants)
+        emit = live | has_pucch
+        if emit.any():
+            out = self._ul_gen.dispatch_window(
+                payloads, sfs, grants, pucch=(pprb, pgrids, live))
         else:
             out = None
-        self._ul_disp[m] = (out, live, extras, first)
+        self._ul_disp[m] = (out, emit, extras, first)
 
     def _ul_pop(self, tti: int) -> np.ndarray | None:
         m = tti // self.cw
         if m in self._ul_disp:
-            out, live, extras, first = self._ul_disp.pop(m)
+            out, emit, extras, first = self._ul_disp.pop(m)
             rows = (WindowedEnbDl.samples(out) if out is not None
                     else np.zeros((self.cw, self.cell.sf_len),
                                   np.complex64))
             gain = np.float32(10.0 ** (self.ul_gain_db / 20.0))
             for i in range(self.cw):
                 u = first + i
-                row = rows[i] * gain if live[i] else None
+                row = rows[i] * gain if emit[i] else None
                 ex = extras.get(u)
                 if ex is not None:
                     row = ex if row is None else row + ex
@@ -722,20 +755,95 @@ class WindowedCtrlUe(UeStack):
                 self._ul_ready[u] = row
         return self._ul_ready.pop(tti, None)
 
-    def run_tti(self, dl_samples: np.ndarray) -> np.ndarray | None:
+    def run_tti(self, dl_samples: np.ndarray | None) -> np.ndarray | None:
         tti = self.tti
         for ent in (self.srb1_rlc, self.drb_rlc):
             if hasattr(ent, "tick"):
                 ent.tick()
-        self._rx_rows[tti] = np.asarray(dl_samples)
+        if not self.device_link:
+            self._rx_rows[tti] = np.asarray(dl_samples)
         with _on(self.device):
             self._flush_fe(tti)
             self._poll_fe(tti)
         if self.gw is not None and self.rrc_state == self.RRC_ACTIVE:
             self.gw.pump_ul(self.send_ip_packet)
         with _on(self.device):
-            ul = self._ul_pop(tti)
+            ul = None if self.device_link else self._ul_pop(tti)
             if tti % self.cw == self.cw - 1:
                 self._ul_gen_window(tti // self.cw + 2)
         self.tti += 1
         return ul
+
+
+# ==========================================================================
+# device-resident loopback — the serving topology: baseband never leaves
+# HBM, the host link carries only payload bits, control readbacks and the
+# rare PRACH side-channel (the full-stack extension of r4's
+# window_loopback; cf. the reference's single-host srsenb↔srsue ZMQ link)
+# ==========================================================================
+
+
+class WindowedDeviceLoopback:
+    """Drive a WindowedCtrlEnb + WindowedCtrlUe pair over an on-chip
+    flat channel + AWGN.  One `step()` = one TTI for both ends."""
+
+    def __init__(self, enb: WindowedCtrlEnb, ue: WindowedCtrlUe,
+                 snr_db: float = 30.0, seed: int = 1):
+        from ..pipeline_window import _win_channel_fn
+
+        assert enb.cw == ue.cw
+        enb.device_link = True
+        ue.device_link = True
+        self.enb = enb
+        self.ue = ue
+        self.w = enb.cw
+        self._chan = _win_channel_fn()
+        self._noise = np.float32(10.0 ** (-snr_db / 20.0))
+        self._seed = seed
+        self._zeros = None
+        self.device = enb.device
+
+    def _channel(self, tx_dev, gain: float, seed: int):
+        """(W, L, 2) tx → (W, 1, L, 2) rx with AWGN, on device."""
+        import jax.numpy as jnp
+
+        w, L = tx_dev.shape[0], tx_dev.shape[1]
+        h = np.array([[gain]], np.complex64)
+        h_ri = np.stack([h.real, h.imag], -1).astype(np.float32)
+        return self._chan(tx_dev.reshape(w, 1, L, 2), jnp.asarray(h_ri),
+                          seed, self._noise)
+
+    def step(self):
+        enb, ue, w = self.enb, self.ue, self.w
+        tti = enb.tti
+        with _on(self.device):
+            # UL window m reaches the eNB when its last TTI has aired
+            if tti % w == 0 and tti > 0:
+                m = tti // w - 1
+                out, extras = ue.pop_ul_window_dev(m)
+                gain = float(10.0 ** (ue.ul_gain_db / 20.0))
+                if out is not None:
+                    rx = self._channel(out, gain, self._seed + 2 * tti)
+                else:
+                    if (self._zeros is None
+                            or self._zeros.shape[0] != w):
+                        import jax.numpy as jnp
+
+                        self._zeros = jnp.zeros(
+                            (w, enb.cell.sf_len, 2), jnp.float32)
+                    rx = self._channel(self._zeros, 0.0,
+                                       self._seed + 2 * tti)
+                enb.push_ul_window_dev(m, rx, prach_rows={
+                    u: row for u, row in extras.items()})
+            # DL window j reaches the UE at its flush boundary
+            if tti % w == w - 1:
+                j = tti // w
+                tx = enb._dl_disp.pop(j)
+                ue.push_dl_window_dev(
+                    j, self._channel(tx, 1.0, self._seed + 2 * tti + 1))
+        enb.run_tti(None)
+        ue.run_tti(None)
+
+    def run(self, n_ttis: int):
+        for _ in range(n_ttis):
+            self.step()

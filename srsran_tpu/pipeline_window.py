@@ -1838,7 +1838,7 @@ def _build_win_ul_tx(cell: Cell, n_rows: int, n_slots: int, ncls_q: int,
 
     @jax.jit
     def fn(payload, params, tx_tab, perq, il_tab, pad_tab, cls_il,
-           qm_r, msc_r, k0_r, seqs, dmrs_ri):
+           qm_r, msc_r, k0_r, seqs, dmrs_ri, *pucch_args):
         cw = core(payload, params, tx_tab, perq)
 
         # channel interleave (class-shared) + scramble in transmit order
@@ -1884,6 +1884,25 @@ def _build_win_ul_tx(cell: Cell, n_rows: int, n_slots: int, ncls_q: int,
             return grid[:, :nre]
 
         grid = jax.vmap(one)(xf, dmrs_ri, msc_r, k0_r)
+        if pucch_args:
+            # PUCCH rides the SAME subframe (simultaneousPUCCH-PUSCH):
+            # per-row band-edge PRB-local grids added before the IFFT,
+            # PUSCH rows masked by `live` (pad rows transmit nothing)
+            pprb, pgrid_ri, live = pucch_args
+            grid = grid * live[:, None, None]
+            nss = cell.nsymb_per_slot
+
+            def add_p(gr, pp, pg_ri):
+                pg = _ri2c(pg_ri)            # (nsymb, 12)
+                for slot in range(2):
+                    sl = pg[slot * nss: (slot + 1) * nss]
+                    blk = jax.lax.dynamic_slice(
+                        gr, (slot * nss, pp[slot] * 12), (nss, 12)) + sl
+                    gr = jax.lax.dynamic_update_slice(
+                        gr, blk, (slot * nss, pp[slot] * 12))
+                return gr
+
+            grid = jax.vmap(add_p)(grid, pprb, pgrid_ri)
         samples = jax.vmap(lambda gr: ofdm_tx_sf(ofdm, gr[None]))(grid)
         return _c2ri(samples[:, 0])
 
@@ -1915,10 +1934,15 @@ class WindowedUeUl:
                 gold_sequence(cinit, G_MAX)).astype(np.uint8))
         return self._seq_dev[key]
 
-    def dispatch_window(self, payloads, sf_indices, grants):
+    def dispatch_window(self, payloads, sf_indices, grants, pucch=None):
         """payloads: per TTI the TB bits; grants: UlGrant list.  Returns
         a device (W, sf_len, 2) float32 RI array (realize with
-        `WindowedEnbDl.samples`)."""
+        `WindowedEnbDl.samples`).
+
+        pucch: optional (prb (W, 2) int32 per-slot PRB, grids
+        (W, nsymb, 12) complex PRB-local, live (W,) bool PUSCH mask) —
+        simultaneous PUCCH+PUSCH subframes rendered in the same program
+        (pad rows with live=False transmit only their PUCCH part)."""
         w = self.w
         assert len(payloads) == w == len(sf_indices) == len(grants)
         nsym = self._nsym
@@ -1973,8 +1997,16 @@ class WindowedUeUl:
         tx_tab, perq = tx_class_tables(pack, e_cap)
         fn = _build_win_ul_tx(self.cell, w, n_slots, cq, cf, e_cap,
                               tb_cap, ncls_il)
+        p_args = ()
+        if pucch is not None:
+            pprb, pgrids, live = pucch
+            p_args = (_upload(np.asarray(pprb, np.int32)),
+                      _upload(np.stack([pgrids.real, pgrids.imag],
+                                       -1).astype(np.float32)),
+                      jnp.asarray(np.asarray(live, np.float32)))
         out = fn(pay, params, tx_tab, perq, il_tab, pad_tab,
-                 jnp.asarray(cls_il), qm_r, msc_r, k0_r, seqs, dmrs)
+                 jnp.asarray(cls_il), qm_r, msc_r, k0_r, seqs, dmrs,
+                 *p_args)
         self.stats["windows"] += 1
         self.stats["ttis"] += w
         return out

@@ -68,6 +68,41 @@ def test_windowed_ip_both_ways(stacks):
     assert spgw.sgi_rx[0][1] == bytes([0x45, 0]) * 60
 
 
+def test_windowed_device_loopback():
+    """Device-resident link: attach + IP with baseband never leaving the
+    device (the serving topology; host carries only payload bits,
+    control readbacks and the PRACH side-channel)."""
+    from srsran_tpu.apps.windowed_stack import WindowedDeviceLoopback
+
+    cell = Cell(nof_prb=25, nof_ports=1, id=7)
+    hss = Hss()
+    hss.add_subscriber(Subscriber("ue1", IMSI, KEY, OPC, amf=b"\x80\x00",
+                                  sqn=0))
+    spgw = Spgw()
+    mme = Mme(hss, spgw)
+    enb = WindowedCtrlEnb(cell, mme, spgw, mcs=8, ctrl_window=W)
+    ue = WindowedCtrlUe(cell, Usim(IMSI, KEY, OPC), ctrl_window=W)
+    link = WindowedDeviceLoopback(enb, ue, snr_db=30.0)
+    for _ in range(1800):
+        link.step()
+        if (ue.rrc_state == WindowedCtrlUe.RRC_ACTIVE
+                and ue.nas.state == ue.nas.REGISTERED):
+            break
+    assert ue.nas.state == ue.nas.REGISTERED, (ue.rrc_state, enb.stats)
+    spgw.sgi_rx.clear()
+    for i in range(12):
+        spgw.sgi_tx(ue.ue_ip, bytes([i]) * 200)
+    for i in range(4):
+        ue.send_ip_packet(bytes([0x46, i]) * 60)
+    n0 = len(ue.ip_rx)
+    for _ in range(900):
+        link.step()
+        if len(ue.ip_rx) - n0 >= 12 and len(spgw.sgi_rx) >= 4:
+            break
+    assert len(ue.ip_rx) - n0 >= 12, (len(ue.ip_rx) - n0, enb.stats)
+    assert len(spgw.sgi_rx) >= 4, (len(spgw.sgi_rx), enb.stats, ue.stats)
+
+
 def test_windowed_harq_stats(stacks):
     enb, ue, _spgw, _ul = stacks
     # the attach alone exchanges ACKed DL TBs and CRC-passing PUSCH
