@@ -368,8 +368,13 @@ class WindowedCtrlEnb(EnbStack):
         if (len(win) != prach_nfft(self.cell)
                 or np.mean(np.abs(win) ** 2) <= 1e-6):
             return
-        metric, delay, det = [np.asarray(v) for v in prach_detect(
-            self.cell, self.prach_cfg, win)]
+        import jax
+
+        with jax.default_device(jax.devices("cpu")[0]):
+            # host detection: the attach-only side-channel (complex
+            # arrays cannot cross the tunneled-device boundary)
+            metric, delay, det = [np.asarray(v) for v in prach_detect(
+                self.cell, self.prach_cfg, win)]
         known = {ue.rapid for ue in self.ues.values()
                  if ue.rrc_state < self.RRC_CONNECTED}
         for rapid in np.nonzero(det)[0]:

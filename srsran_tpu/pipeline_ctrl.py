@@ -234,7 +234,15 @@ def window_blind_search(ctrl_eq: np.ndarray, layout: CtrlLayout,
     found: list[list] = [[] for _ in range(w)]
     seen: list[set] = [set() for _ in range(w)]
     for d, entries in hyps.items():
-        batch = jnp.asarray(np.stack([e[1] for e in entries]))
+        # pad the hypothesis batch to a pow2 bucket: the count varies
+        # per window and every new shape is a (remote) recompile
+        from .pipeline_window import _pow2_bucket
+
+        nb = _pow2_bucket(len(entries))
+        stackb = np.zeros((nb,) + entries[0][1].shape, np.float32)
+        for k, e in enumerate(entries):
+            stackb[k] = e[1]
+        batch = jnp.asarray(stackb)
         bits = np.asarray(viterbi_decode(batch, d))
         for ((t, rnti, fmt, dci_len, lvl, st), _), b in zip(entries, bits):
             mask = np.array([(rnti >> (15 - i)) & 1 for i in range(16)],
