@@ -61,6 +61,12 @@ BASELINES = {
     # the reference sustains one real-time 20 MHz carrier per machine;
     # this row is how many a single TPU chip sustains (full UE DL decode)
     "carriers_per_chip": 1.0,
+    # multi-carrier WINDOWED dispatch (C carriers x T TTIs as one window;
+    # VERDICT r4 item 7): sustained real-time 20 MHz carriers per chip
+    # through the flagship windowed engine at a CQI-adapted mid MCS (16)
+    # and at saturated MCS26 (turbo-throughput-bound)
+    "window_carriers_per_chip": 1.0,
+    "window_carriers_per_chip_mcs26": 1.0,
 }
 
 NOISE_AMP = 0.09  # ~18 dB chest SNR at MCS26/QAM64 — 1-2 dB over waterfall
@@ -963,6 +969,52 @@ def bench_window_ul_rtf(jax, jnp, rng):
     log(f"window_ul on-chip: A={parts['A']*1e3:.1f} B={parts['B']*1e3:.1f} "
         f"C={parts['C']*1e3:.1f} ms/window -> {onchip_ms:.2f} ms/TTI")
     return rtf, 1.0 / onchip_ms
+
+
+def bench_window_carriers(jax, jnp, rng):
+    """Multi-carrier windowed dispatch (VERDICT r4 item 7): C=8 20 MHz
+    carriers x T=16 TTIs ride ONE W=128 window through the flagship
+    engine — the carriers axis is just more window rows, so per-window
+    fixed costs amortize across carriers exactly like the reference's
+    per-cc_worker loop amortizes thread overhead (sf_worker.cc:198).
+    Reports sustained real-time carriers/chip on-chip at mcs16 (typical
+    CQI-adapted load) and mcs26 (saturated; turbo-throughput-bound)."""
+    from srsran_tpu.phy.chest.refsignal_dl import put_crs_np
+    from srsran_tpu.phy.common import Cell
+    from srsran_tpu.phy.ofdm import OfdmConfig, ofdm_tx_sf
+    from srsran_tpu.phy.phch.pdsch import DlGrant, pdsch_encode_np
+    from srsran_tpu.phy.phch.ra import dl_mcs_to_mod, dl_tbs
+    from srsran_tpu.pipeline_window import WindowedUeDl
+
+    cpu = jax.devices("cpu")[0]
+    cell = Cell(nof_prb=100, nof_ports=1, id=301)
+    ofdm = OfdmConfig.from_cell(cell, normalize=True)
+    W = 128  # 8 carriers x 16 TTIs
+    out = {}
+    for label, mcs in (("mcs16", 16), ("mcs26", 26)):
+        tbs = dl_tbs(mcs, 100)
+        grant = DlGrant(prb=tuple(range(100)), mod=dl_mcs_to_mod(mcs),
+                        tbs=tbs, rnti=0x46)
+        with jax.default_device(cpu):
+            tb = rng.integers(0, 2, tbs).astype(np.uint8)
+            grid = pdsch_encode_np(cell, 2, 1, grant, tb)
+            put_crs_np(grid, cell, 2)
+            tx = np.asarray(ofdm_tx_sf(ofdm, grid))[0]
+        s = _awgn(rng, np.tile(tx[None, None, :], (W, 1, 1)), 0.05)
+        ue = WindowedUeDl(cell, cfi=1, w=W, max_iterations=5)
+        res, _ = ue.decode_window(s, [2] * W, [grant] * W)
+        n_ok = sum(r[1] for r in res)
+        parts = ue.stage_times(s, [2] * W, [grant] * W)
+        onchip = sum(parts.values())
+        cars = W * 1e-3 / onchip
+        log(f"window_carriers {label}: ok={n_ok}/{W} stage "
+            f"A={parts['A']*1e3:.1f} B={parts['B']*1e3:.1f} "
+            f"C={parts['C']*1e3:.1f} ms/window -> "
+            f"{cars:.1f} carriers/chip on-chip "
+            f"({n_ok * tbs / onchip / 1e6:.0f} Mbps aggregate)")
+        assert n_ok >= W * 3 // 4, f"window_carriers {label}: too many KOs"
+        out[label] = cars
+    return out["mcs16"], out["mcs26"]
 
 
 def bench_stack_window_rtf(jax, jnp, rng):

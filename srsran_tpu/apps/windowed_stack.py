@@ -82,7 +82,18 @@ from .full_stack import (
 )
 
 RD = 4            # dispatch → realization poll distance (TTIs)
+RD_COPY = 2       # dispatch → start the async device→host copy (TTIs)
 PAD_DL = None     # built lazily per cell
+
+
+def _start_copy(arr):
+    """Kick off the device→host transfer early so the realization poll's
+    np.asarray finds the bytes already on the host (the tunnel's ~25 ms
+    readback RTT otherwise serializes into the boundary TTI)."""
+    try:
+        arr.copy_to_host_async()
+    except Exception:
+        pass
 
 
 def _on(device):
@@ -231,6 +242,12 @@ class WindowedCtrlEnb(EnbStack):
                                       pucch_format1_decode)
 
         w = self.cw
+        for dt_, _f, pf_ in self._ul_fe_q:
+            if RD_COPY <= tti - dt_ < RD:
+                _start_copy(pf_.edge)
+        for dt_, p_, _m in self._ul_data_q:
+            if RD_COPY <= tti - dt_ < RD:
+                _start_copy(p_.packed)
         while self._ul_fe_q and tti - self._ul_fe_q[0][0] >= RD:
             _dt, first, pf = self._ul_fe_q.popleft()
             edge, prb_pow = self._ul_fe.realize_pucch(pf)
@@ -494,6 +511,12 @@ class WindowedCtrlUe(UeStack):
     def _poll_fe(self, tti: int):
         w = self.cw
         len_1a = Dci1A.nof_bits(self.cell.nof_prb)
+        for dt_, _f, pf_ in self._fe_q:
+            if RD_COPY <= tti - dt_ < RD:
+                _start_copy(pf_.packed)
+        for dt_, p_, _m in self._data_q:
+            if RD_COPY <= tti - dt_ < RD:
+                _start_copy(p_.packed)
         while self._fe_q and tti - self._fe_q[0][0] >= RD:
             _dt, first, pf = self._fe_q.popleft()
             ctrl, rsrp, noise = self._fe.realize(pf)

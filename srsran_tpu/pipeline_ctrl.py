@@ -166,9 +166,14 @@ class WindowedUeFrontEnd:
     def dispatch(self, samples, sf_indices) -> PendingFrontend:
         """samples (W, nrx, sf_len) complex64 (or pre-quantized device
         array) → pending front-end."""
+        from .pipeline_window import _stack_cached
+
         inner = self.inner
         samples_q, scale = _quantize_ingest(samples, inner.ingest)
-        refs = _stacker(self.w)(*[inner._ref(s) for s in sf_indices])
+        if not hasattr(inner, "_stackc"):
+            inner._stackc = {}
+        refs = _stack_cached(inner._stackc, ("refs", tuple(sf_indices)),
+                             lambda: [inner._ref(s) for s in sf_indices])
         abc = inner._a(_upload(samples_q), jnp.asarray(scale), refs)
         packed = self._fe(abc[0], abc[1], abc[2], self._idx_dev)
         return PendingFrontend(abc, packed, list(sf_indices))

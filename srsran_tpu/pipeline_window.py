@@ -138,6 +138,21 @@ def _stacker(n: int):
     return jax.jit(lambda *xs: jnp.stack(xs))
 
 
+def _stack_cached(cache: dict, key, rows_thunk):
+    """Memoize a stacked device constant by its logical key: the stack
+    inputs recur window after window (the sf pattern cycles, the RNTI is
+    fixed), and every _stacker call is a dispatch RPC on the tunneled
+    runtime (~ms each; a window issues half a dozen)."""
+    v = cache.get(key)
+    if v is None:
+        rows = rows_thunk()
+        v = _stacker(len(rows))(*rows)
+        if len(cache) > 512:
+            cache.clear()
+        cache[key] = v
+    return v
+
+
 # --------------------------------------------------------------------------
 # ingest quantization (ADVICE r2 #4: int8 SQNR can pinch QAM256 near the
 # waterfall — int16 and float32 ingest modes are selectable)
@@ -753,9 +768,16 @@ class WindowedUeDl:
             cls_re[i] = keys.setdefault(k, len(keys))
             n_re.append(self._idx(s, tuple(g.prb))[1])
         ncls = _bucket_of(len(keys), CLS_BUCKETS)
-        rows = [self._idx(s, prb)[0] for (s, prb) in keys]
-        rows += [rows[0]] * (ncls - len(rows))
-        return _stacker(ncls)(*rows), cls_re, n_re
+
+        def rows():
+            r = [self._idx(s, prb)[0] for (s, prb) in keys]
+            return r + [r[0]] * (ncls - len(r))
+
+        if not hasattr(self, "_stackc"):
+            self._stackc = {}
+        idx = _stack_cached(self._stackc, ("recls", tuple(keys), ncls),
+                            rows)
+        return idx, cls_re, n_re
 
     # -- cached device constants --
     def _ref(self, sf_idx: int):
@@ -799,12 +821,19 @@ class WindowedUeDl:
         one-FFT-per-subframe discipline of ue_dl.c:383)."""
         w = self.w
         assert len(sf_indices) == w and len(grants) == w
+        if not hasattr(self, "_stackc"):
+            self._stackc = {}
         if abc is None:
             samples_q, scale = _quantize_ingest(samples, self.ingest)
-            refs = _stacker(w)(*[self._ref(s) for s in sf_indices])
+            refs = _stack_cached(
+                self._stackc, ("refs", tuple(sf_indices)),
+                lambda: [self._ref(s) for s in sf_indices])
         idx_cls, cls_re, n_res = self._re_classes(sf_indices, grants)
-        signs = _stacker(w)(*[self._signs(g.rnti, s)
-                              for s, g in zip(sf_indices, grants)])
+        sign_key = tuple((g.rnti, s) for s, g in zip(sf_indices, grants))
+        signs = _stack_cached(
+            self._stackc, ("signs", sign_key),
+            lambda: [self._signs(g.rnti, s)
+                     for s, g in zip(sf_indices, grants)])
 
         pack = pack_window([
             (g.tbs, n_res[i] * g.qm, g.qm, getattr(g, "rv", 0))
@@ -1114,13 +1143,20 @@ class WindowedEnbUl:
         AND PUSCH decode, the enb_ul.c:66-86 shared-FFT discipline)."""
         w = self.w
         assert len(sf_indices) == w and len(grants) == w
+        if not hasattr(self, "_stackc"):
+            self._stackc = {}
         if abc is None:
             samples_q, scale = _quantize_ingest(samples, self.ingest)
 
-        dmrs = _stacker(w)(*[_win_ul_dmrs(self.cell, g.nof_prb)
-                             for g in grants])
-        signs = _stacker(w)(*[self._signs(g.rnti, s)
-                              for s, g in zip(sf_indices, grants)])
+        dmrs = _stack_cached(
+            self._stackc, ("dmrs", tuple(g.nof_prb for g in grants)),
+            lambda: [_win_ul_dmrs(self.cell, g.nof_prb) for g in grants])
+        signs = _stack_cached(
+            self._stackc,
+            ("signs", tuple((g.rnti, s)
+                            for s, g in zip(sf_indices, grants))),
+            lambda: [self._signs(g.rnti, s)
+                     for s, g in zip(sf_indices, grants)])
 
         # composed de-interleave classes by (m_sc, qm)
         keys: dict = {}
@@ -1128,10 +1164,18 @@ class WindowedEnbUl:
         for i, g in enumerate(grants):
             cls_il[i] = keys.setdefault((12 * g.nof_prb, g.qm), len(keys))
         ncls = _bucket_of(len(keys), CLS_BUCKETS)
-        rows = [_ul_compose_tabs(m, q, self._nsym) for (m, q) in keys]
-        rows += [rows[0]] * (ncls - len(rows))
-        tab_llr = _stacker(ncls)(*[r[0] for r in rows])
-        tab_sig = _stacker(ncls)(*[r[1] for r in rows])
+
+        def _rows(part):
+            def rows():
+                r = [_ul_compose_tabs(m, q, self._nsym)[part]
+                     for (m, q) in keys]
+                return r + [r[0]] * (ncls - len(r))
+            return rows
+
+        tab_llr = _stack_cached(self._stackc,
+                                ("tabl", tuple(keys), ncls), _rows(0))
+        tab_sig = _stack_cached(self._stackc,
+                                ("tabs", tuple(keys), ncls), _rows(1))
         cls_il_d = jnp.asarray(cls_il)
 
         pack = pack_window([
@@ -1692,12 +1736,23 @@ class WindowedEnbDl:
         for i, (s, g) in enumerate(zip(sf_indices, grants)):
             cls_re[i] = keys.setdefault((s, tuple(g.prb)), len(keys))
         ncls_re = _bucket_of(len(keys), CLS_BUCKETS)
-        inv_rows = [self._inv(s, prb)[0] for (s, prb) in keys]
-        inv_rows += [inv_rows[0]] * (ncls_re - len(inv_rows))
-        inv_re = _stacker(ncls_re)(*inv_rows)
-        seqs = _stacker(w)(*[self._seq(g.rnti, s)
-                             for s, g in zip(sf_indices, grants)])
-        tmpl = _stacker(w)(*[self._tmpl(s) for s in sf_indices])
+        if not hasattr(self, "_stackc"):
+            self._stackc = {}
+
+        def inv_rows():
+            r = [self._inv(s, prb)[0] for (s, prb) in keys]
+            return r + [r[0]] * (ncls_re - len(r))
+
+        inv_re = _stack_cached(self._stackc,
+                               ("inv", tuple(keys), ncls_re), inv_rows)
+        seqs = _stack_cached(
+            self._stackc,
+            ("seq", tuple((g.rnti, s)
+                          for s, g in zip(sf_indices, grants))),
+            lambda: [self._seq(g.rnti, s)
+                     for s, g in zip(sf_indices, grants)])
+        tmpl = _stack_cached(self._stackc, ("tmpl", tuple(sf_indices)),
+                             lambda: [self._tmpl(s) for s in sf_indices])
 
         params = jnp.asarray(np.concatenate([pack.params, s_src]))
         qm_r = jnp.asarray(np.array([g.qm for g in grants], np.int32))
@@ -1977,17 +2032,31 @@ class WindowedUeUl:
         for i, g in enumerate(grants):
             cls_il[i] = keys.setdefault((12 * g.nof_prb, g.qm), len(keys))
         ncls_il = _bucket_of(len(keys), CLS_BUCKETS)
-        il_rows = [_ul_interleave_tab_dev(m, q, nsym) for (m, q) in keys]
-        pad_rows = [_ul_pad_tab_dev(m, q, nsym) for (m, q) in keys]
-        il_rows += [il_rows[0]] * (ncls_il - len(il_rows))
-        pad_rows += [pad_rows[0]] * (ncls_il - len(pad_rows))
-        il_tab = _stacker(ncls_il)(*il_rows)
-        pad_tab = _stacker(ncls_il)(*pad_rows)
+        if not hasattr(self, "_stackc"):
+            self._stackc = {}
 
-        seqs = _stacker(w)(*[self._seq(g.rnti, s)
-                             for s, g in zip(sf_indices, grants)])
-        dmrs = _stacker(w)(*[_win_ul_dmrs_tx(self.cell, g.nof_prb)
-                             for g in grants])
+        def _tab(rows_of):
+            def rows():
+                r = [rows_of(m, q) for (m, q) in keys]
+                return r + [r[0]] * (ncls_il - len(r))
+            return rows
+
+        il_tab = _stack_cached(
+            self._stackc, ("il", tuple(keys), ncls_il),
+            _tab(lambda m, q: _ul_interleave_tab_dev(m, q, nsym)))
+        pad_tab = _stack_cached(
+            self._stackc, ("pad", tuple(keys), ncls_il),
+            _tab(lambda m, q: _ul_pad_tab_dev(m, q, nsym)))
+        seqs = _stack_cached(
+            self._stackc,
+            ("seq", tuple((g.rnti, s)
+                          for s, g in zip(sf_indices, grants))),
+            lambda: [self._seq(g.rnti, s)
+                     for s, g in zip(sf_indices, grants)])
+        dmrs = _stack_cached(
+            self._stackc, ("dmrs", tuple(g.nof_prb for g in grants)),
+            lambda: [_win_ul_dmrs_tx(self.cell, g.nof_prb)
+                     for g in grants])
         params = jnp.asarray(np.concatenate([pack.params, s_src]))
         qm_r = jnp.asarray(np.array([g.qm for g in grants], np.int32))
         msc_r = jnp.asarray(np.array([12 * g.nof_prb for g in grants],
