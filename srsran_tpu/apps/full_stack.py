@@ -1984,6 +1984,11 @@ class UeStack:
                 prev = getattr(self, "_dl_snr_db", None)
                 self._dl_snr_db = (res.snr_db if prev is None
                                    else (1 - a) * prev + a * res.snr_db)
+            if res.sb_snr is not None:
+                a = self.expert.snr_ema_coeff
+                prev = getattr(self, "_sb_snr", None)
+                self._sb_snr = (res.sb_snr if prev is None
+                                else (1 - a) * prev + a * res.sb_snr)
             if res.rsrp:
                 self._dl_rsrp_dbfs = 10.0 * np.log10(res.rsrp + 1e-12)
             for (bits, agg, cce) in res.dcis:
@@ -2438,7 +2443,27 @@ class UeStack:
 
             cqi_bits = ()
             ri_bits = ()
-            if want_cqi:
+            if want_cqi and self.subband_cqi:
+                # higher-layer-configured subband report, aperiodic
+                # mode 3-0 (cqi.c:41-75): wideband + N x 2-bit offsets
+                from ..phy.phch.uci import (cqi_diff_encode,
+                                            cqi_hl_nof_subbands,
+                                            cqi_hl_subband_pack)
+
+                wb = self._report_cqi()
+                n_sb = cqi_hl_nof_subbands(self.cell.nof_prb)
+                sb = getattr(self, "_sb_snr", None)
+                if sb is None:
+                    diffs = [0] * n_sb
+                else:
+                    sb_cqis = [snr_db_to_cqi(10 * np.log10(max(float(s),
+                                                               1e-12)))
+                               for s in sb]
+                    diffs = [cqi_diff_encode(c, wb) for c in sb_cqis]
+                cqi_bits = tuple(cqi_hl_subband_pack(wb, diffs))
+                self.stats["sb_cqi_sent"] = self.stats.get(
+                    "sb_cqi_sent", 0) + 1
+            elif want_cqi:
                 cqi = self._report_cqi()
                 cqi_bits = tuple(int(b) for b in np.binary_repr(cqi, 4))
                 if self.tm == 4:

@@ -12,10 +12,10 @@ device dispatches per W-TTI window.
 
 Timing contract (the windowed extension of windowed_plane.py's):
 
-* window W (>= 12), feedback delay D = 3W + 8 TTIs;
+* window W (>= 12), feedback delay D = 3W + 16 TTIs;
 * DCI-0 grants, RAR Msg3, PHICH retransmissions and HARQ ACKs all run
   at +D instead of the TS 36.213 +4 (`ul_grant_delay`/`harq_delay`);
-* DL HARQ is SYNCHRONOUS with n_harq = 4W + 24 processes: pid =
+* DL HARQ is SYNCHRONOUS with n_harq = 4W + 32 processes: pid =
   tti % n_harq on BOTH ends (the DCI's 3-bit field carries pid % 8),
   retransmissions ride the pid's own TTI slots — the LTE UL HARQ
   discipline applied DL, because a 3-bit pid cannot span D in-flight TBs;
@@ -131,14 +131,14 @@ class WindowedCtrlEnb(EnbStack):
         super().__init__(cell, mme, spgw, **kw)
         w = ctrl_window
         self.cw = w
-        self.harq_delay = 3 * w + 8
-        self.ul_grant_delay = 3 * w + 8
+        self.harq_delay = 3 * w + 16
+        self.ul_grant_delay = 3 * w + 16
         self.simul_pucch_pusch = True
         self.apcqi_interval = 10 ** 9  # aperiodic CQI needs UCI-on-PUSCH
         # inactivity release must outlive the stretched feedback RTT
         # (grant → PUSCH → windowed decode ≈ 2·D; base default is 40)
         self.ul_inactivity_timeout = 6 * self.harq_delay
-        self.n_harq_w = 4 * w + 24
+        self.n_harq_w = 4 * w + 32
         self.sched = Scheduler(cell.nof_prb, mcs_max=self.sched.mcs_max,
                                n_harq=self.n_harq_w, sync_dl_harq=True,
                                max_grants_per_tti=1)
@@ -456,9 +456,9 @@ class WindowedCtrlUe(UeStack):
         super().__init__(cell, usim, **kw)
         w = ctrl_window
         self.cw = w
-        self.harq_delay = 3 * w + 8
-        self.ul_grant_delay = 3 * w + 8
-        self.n_harq_w = 4 * w + 24
+        self.harq_delay = 3 * w + 16
+        self.ul_grant_delay = 3 * w + 16
+        self.n_harq_w = 4 * w + 32
         self.device = phy_device
         with _on(phy_device):
             self._fe = WindowedUeFrontEnd(cell, cfi=self.cfi, w=w,
@@ -473,6 +473,7 @@ class WindowedCtrlUe(UeStack):
         self._ul_ready: dict[int, np.ndarray | None] = {}
         self.device_link = False
         self._dl_dev_win: dict[int, object] = {}
+        self._vit_q: deque = deque()  # ctrl realized, Viterbi in flight
         self._ul_gen_window(0)
         self._ul_gen_window(1)
         self.stats["ctrl_windows"] = 0
@@ -518,6 +519,10 @@ class WindowedCtrlUe(UeStack):
             if RD_COPY <= tti - dt_ < RD:
                 _start_copy(p_.packed)
         while self._fe_q and tti - self._fe_q[0][0] >= RD:
+            # ctrl stage: realize the front-end (bytes pre-copied),
+            # handle PHICH + metrics, DISPATCH the batched Viterbi; the
+            # DCI parse runs two TTIs later so the Viterbi round-trip
+            # rides quiet TTIs
             _dt, first, pf = self._fe_q.popleft()
             ctrl, rsrp, noise = self._fe.realize(pf)
             # per-TTI measurements → CQI/monitoring state
@@ -538,8 +543,16 @@ class WindowedCtrlUe(UeStack):
             if self.crnti is not None:
                 reqs.append((self.crnti, "1A", len_1a, True))
             sfs = [(first + i) % 10 for i in range(w)]
-            found = window_blind_search(ctrl, self._fe.layout, self.cell,
+            from ..pipeline_ctrl import blind_search_dispatch
+
+            vit = blind_search_dispatch(ctrl, self._fe.layout, self.cell,
                                         sfs, [reqs] * w)
+            self._vit_q.append((tti, first, pf, ctrl, sfs, vit))
+        while self._vit_q and tti - self._vit_q[0][0] >= 2:
+            from ..pipeline_ctrl import blind_search_collect
+
+            _dt, first, pf, ctrl, sfs, vit = self._vit_q.popleft()
+            found = blind_search_collect(vit)
             # grants indexed BY WINDOW SLOT (dispatch_data row i reads
             # slot i's stored grid)
             grants = [_pad_dl_grant(self.cell) for _ in range(w)]

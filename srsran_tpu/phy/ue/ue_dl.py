@@ -39,6 +39,9 @@ class UeDlResult:
     deferred: bool = False  # PDSCH queued on a windowed plane (no tbs yet)
     rank: int = 0  # recommended RI (0 = not measured; cc_worker.cc:566)
     pmi: int = 0  # recommended codebook index for the measured rank
+    sb_snr: np.ndarray | None = None  # per-subband SNR (linear), N entries
+    #   over the TS 36.213 Table 7.2.1-3 subband grid — feeds the
+    #   frequency-selective CQI reports (cqi.c:41-118)
 
 
 def ue_dl_decode_subframe(
@@ -93,6 +96,21 @@ def ue_dl_decode_subframe(
     res.noise = noise
     res.rsrp = float(np.mean(np.asarray(ch["rsrp"])))
     res.snr_db = float(10 * np.log10(np.mean(np.asarray(ch["snr"])) + 1e-12))
+
+    # per-subband SNR over the Table 7.2.1-3 grid (frequency-selective
+    # feedback input; the reference measures per-subband from the same
+    # CRS estimates)
+    from ..phch.uci import cqi_hl_subband_size
+
+    k_sb = cqi_hl_subband_size(cell.nof_prb)
+    if k_sb:
+        p_re = np.mean(np.abs(ce[:, : min(cell.nof_ports, 2)]) ** 2,
+                       axis=(0, 1, 2))          # (nre,)
+        n_sb = -(-cell.nof_prb // k_sb)
+        edges = np.arange(n_sb) * k_sb * 12
+        sums = np.add.reduceat(p_re, edges)
+        counts = np.diff(np.append(edges, p_re.size))
+        res.sb_snr = (sums / counts / max(noise, 1e-12)).astype(np.float32)
 
     nports_cell = min(max(cell.nof_ports, 1), 2)
 

@@ -200,18 +200,17 @@ class WindowedUeFrontEnd:
 # --------------------------------------------------------------------------
 
 
-def window_blind_search(ctrl_eq: np.ndarray, layout: CtrlLayout,
-                        cell: Cell, sf_indices, searches_per_tti):
-    """Blind-decode a whole window's PDCCH.
-
-    ctrl_eq: (W, n_ctrl) equalized control REs from the front-end.
-    searches_per_tti: per TTI, a list of (rnti, fmt, dci_len,
-    ue_specific) search requests.  Returns per TTI a list of
-    (rnti, fmt, dci_bits, agg_level, cce_start) passing CRC-RNTI,
-    TM-specific formats ordered before the 1A fallback (the ue_dl.c
-    format priority)."""
+def blind_search_dispatch(ctrl_eq: np.ndarray, layout: CtrlLayout,
+                          cell: Cell, sf_indices, searches_per_tti):
+    """Phase 1 of the windowed blind search: extract + de-rate-match all
+    (TTI, RNTI, candidate) hypotheses and DISPATCH one batched Viterbi
+    per DCI length; returns an opaque pending object for
+    `blind_search_collect`.  Splitting the phases lets the caller put a
+    TTI or two between the dispatch and the readback so the device
+    round-trip rides the quiet TTIs (tunneled-runtime RTT ~25 ms)."""
     from .phy.fec.conv import viterbi_decode
     from .phy.fec.rate_match import conv_rate_match_rx_np
+    from .pipeline_window import _pow2_bucket
 
     w = len(sf_indices)
     hyps: dict[int, list] = {}   # viterbi length d -> [(meta, d_llr)]
@@ -236,19 +235,33 @@ def window_blind_search(ctrl_eq: np.ndarray, layout: CtrlLayout,
                     hyps.setdefault(d, []).append(
                         ((t, rnti, fmt, dci_len, lvl, st),
                          conv_rate_match_rx_np(e, d)))
-    found: list[list] = [[] for _ in range(w)]
-    seen: list[set] = [set() for _ in range(w)]
+    pend = []
     for d, entries in hyps.items():
         # pad the hypothesis batch to a pow2 bucket: the count varies
         # per window and every new shape is a (remote) recompile
-        from .pipeline_window import _pow2_bucket
-
         nb = _pow2_bucket(len(entries))
         stackb = np.zeros((nb,) + entries[0][1].shape, np.float32)
         for k, e in enumerate(entries):
             stackb[k] = e[1]
-        batch = jnp.asarray(stackb)
-        bits = np.asarray(viterbi_decode(batch, d))
+        bits_dev = viterbi_decode(jnp.asarray(stackb), d)
+        try:
+            bits_dev.copy_to_host_async()
+        except Exception:
+            pass
+        pend.append((d, entries, bits_dev))
+    return w, pend
+
+
+def blind_search_collect(pending):
+    """Phase 2: realize the Viterbi batches, CRC-RNTI check, dedup.
+    Returns per TTI a list of (rnti, fmt, dci_bits, agg_level,
+    cce_start), TM-specific formats before the 1A fallback (the ue_dl.c
+    format priority)."""
+    w, pend = pending
+    found: list[list] = [[] for _ in range(w)]
+    seen: list[set] = [set() for _ in range(w)]
+    for d, entries, bits_dev in pend:
+        bits = np.asarray(bits_dev)
         for ((t, rnti, fmt, dci_len, lvl, st), _), b in zip(entries, bits):
             mask = np.array([(rnti >> (15 - i)) & 1 for i in range(16)],
                             np.uint8)
@@ -267,6 +280,14 @@ def window_blind_search(ctrl_eq: np.ndarray, layout: CtrlLayout,
     for t in range(w):
         found[t].sort(key=lambda f: f[1] == "1A")
     return found
+
+
+def window_blind_search(ctrl_eq: np.ndarray, layout: CtrlLayout,
+                        cell: Cell, sf_indices, searches_per_tti):
+    """Blind-decode a whole window's PDCCH (synchronous form — the
+    dispatch/collect split above is the pipelined one)."""
+    return blind_search_collect(blind_search_dispatch(
+        ctrl_eq, layout, cell, sf_indices, searches_per_tti))
 
 
 def phich_decode_np(sym_eq, cell: Cell, sf_idx: int, n_seq: int):

@@ -182,6 +182,7 @@ class _SchedUe:
     ul_pending_bytes: int = 0  # from BSRs
     ul_ndi: int = 0
     cqi: int = 15
+    sb_cqi: list | None = None  # per-subband CQI (frequency-selective)
     phr_db: int | None = None  # last power-headroom report (sched_ue.cc:249)
     dl_bytes: int = 0
     ul_bytes: int = 0
@@ -246,6 +247,49 @@ class Scheduler:
         ue = self.ues.get(rnti)
         if ue is not None:
             ue.cqi = max(1, min(15, cqi))
+
+    def cqi_subband_info(self, rnti: int, wb_cqi: int, offsets):
+        """Higher-layer-configured subband report (the decode side of
+        cqi.c:41-75): per-subband CQI = wideband + the Table 7.2.1-2
+        offset level; drives frequency-selective allocation."""
+        from ..phy.phch.uci import CQI_DIFF_LEVEL
+
+        ue = self.ues.get(rnti)
+        if ue is None:
+            return
+        ue.cqi = max(1, min(15, wb_cqi))
+        ue.sb_cqi = [max(0, min(15, wb_cqi + CQI_DIFF_LEVEL[int(o) & 3]))
+                     for o in offsets]
+
+    # CQI -> spectral efficiency (TS 36.213 Table 7.2.3-1), the
+    # frequency-selective metric's rate model
+    _CQI_EFF = (0.0, 0.1523, 0.2344, 0.3770, 0.6016, 0.8770, 1.1758,
+                1.4766, 1.9141, 2.4063, 2.7305, 3.3223, 3.9023, 4.5234,
+                5.1152, 5.5547)
+
+    def _fs_alloc(self, sb_cqi) -> tuple[int, int, int]:
+        """Frequency-selective placement: the contiguous PRB block
+        maximizing width x efficiency(min CQI in block) — the MCS rides
+        the block's worst subband, so a deep notch is worth excluding
+        even at reduced width (the scheduler_metric.cc role with
+        per-subband CQI; type-2 allocations are contiguous).
+        Returns (rb_start, nof_prb, block_cqi)."""
+        from ..phy.phch.uci import cqi_hl_subband_size
+
+        k = cqi_hl_subband_size(self.nof_prb)
+        n = len(sb_cqi)
+        best = (0, self.nof_prb, 1)
+        best_m = -1.0
+        for a in range(n):
+            mn = 16
+            for b in range(a, n):
+                mn = min(mn, sb_cqi[b])
+                w_prb = min(self.nof_prb, (b + 1) * k) - a * k
+                m = w_prb * self._CQI_EFF[max(0, min(15, mn))]
+                if m > best_m:
+                    best_m = m
+                    best = (a * k, w_prb, max(1, min(15, mn)))
+        return best
 
     def ul_phr(self, rnti: int, ph_db: int):
         """Record a UE power-headroom report (mac ue.cc:357-359 →
@@ -325,11 +369,17 @@ class Scheduler:
             if free <= 0:
                 break
             share = free if i == len(pending_ues) - 1 else max(1, free // (len(pending_ues) - i))
+            rb0 = cursor
+            cqi_use = ue.cqi
+            if ue.sb_cqi and cursor == 0 and len(pending_ues) == 1:
+                # frequency-selective single-UE placement: allocate the
+                # best contiguous block and rate it by its own CQI
+                rb0, share, cqi_use = self._fs_alloc(ue.sb_cqi)
             pending = self._dl_pending(ue)
             n_re = None
             if pdsch_nof_re is not None:
                 n_re = max(1, pdsch_nof_re * share // self.nof_prb)
-            mcs, tbs_bits = self._pick_mcs(pending, share, n_re, ue.cqi)
+            mcs, tbs_bits = self._pick_mcs(pending, share, n_re, cqi_use)
             if tbs_bits == 0:
                 continue
             tb_bytes = tbs_bits // 8
@@ -376,13 +426,13 @@ class Scheduler:
                     mac2 = mac_pack(sdus2, tb_bytes, ce_sizes=DL_CE_SIZES)
                     tbs2 = tbs_bits
                     ue.dl_bytes += used2
-            h.new_tx(tti, mac, tbs_bits, mcs, share, rb_start=cursor,
+            h.new_tx(tti, mac, tbs_bits, mcs, share, rb_start=rb0,
                      pdu2=mac2, tbs_bits2=tbs2, mcs2=mcs if mac2 else 0)
             ue.dl_bytes += used
-            grants.append(DlSchedGrant(ue.rnti, cursor, share, mcs, tbs_bits, h.ndi, 0,
+            grants.append(DlSchedGrant(ue.rnti, rb0, share, mcs, tbs_bits, h.ndi, 0,
                                        h.pid, mac, pdu2=mac2, mcs2=mcs if mac2 else 0,
                                        tbs_bits2=tbs2))
-            cursor += share
+            cursor = rb0 + share
         return grants
 
     def _pick_mcs(self, pending_bytes: int, l_crb: int, pdsch_nof_re: int | None,
