@@ -246,7 +246,12 @@ class EnbStack:
                  sr_enabled: bool = False, tm: int = 2, ul_ca: bool = False,
                  dynamic_phy: bool = False, earfcn: int = 3400,
                  windowed_phy: bool = False, phy_window: int = 4,
-                 phy_device=None, cfi_adapt: bool = False):
+                 phy_device=None, cfi_adapt: bool = False,
+                 subband_cqi: bool = False):
+        # frequency-selective feedback: aperiodic CQI requests return
+        # higher-layer-configured SUBBAND reports (cqi.c:41-75) and the
+        # scheduler places PRBs by per-subband CQI
+        self.subband_cqi = subband_cqi
         self.sr_enabled = sr_enabled
         # CFI adaptation (scheduler_grid.cc role): per-TTI control-region
         # sizing from the dry-run CCE demand; the UE side must then read
@@ -931,7 +936,13 @@ class EnbStack:
                 uci_exp = None
                 if wc or exp_acks:
                     ri_exp = (0,) if (wc and self.tm >= 3) else ()
-                    n_cqi = (6 if self.tm == 4 else 4) if wc else 0
+                    if wc and self.subband_cqi:
+                        from ..phy.phch.uci import cqi_hl_nof_subbands
+
+                        n_cqi = 4 + 2 * cqi_hl_nof_subbands(
+                            self.cell.nof_prb)
+                    else:
+                        n_cqi = (6 if self.tm == 4 else 4) if wc else 0
                     uci_exp = UciCfg(cqi_bits=(0,) * n_cqi,
                                      ack=(0,) * len(exp_acks), ri=ri_exp)
                 out = enb_ul_decode_pusch(self.cell, sf_idx, rx_grid, grant,
@@ -980,8 +991,21 @@ class EnbStack:
             if uci_out is not None and uci_out["cqi_bits"]:
                 cbits = uci_out["cqi_bits"]
                 cqi = int("".join(str(b) for b in cbits[:4]), 2)
-                if self.tm == 4 and len(cbits) >= 6 and ue_ctx is not None:
-                    ue_ctx.last_pmi = int("".join(str(b) for b in cbits[4:6]), 2)
+                if self.subband_cqi:
+                    from ..phy.phch.uci import (cqi_hl_nof_subbands,
+                                                cqi_hl_subband_unpack)
+
+                    n_sb = cqi_hl_nof_subbands(self.cell.nof_prb)
+                    if len(cbits) >= 4 + 2 * n_sb:
+                        wb, offs = cqi_hl_subband_unpack(
+                            np.asarray(cbits), n_sb)
+                        self.sched.cqi_subband_info(rnti, wb, offs)
+                        self.stats["sb_cqi_rx"] = self.stats.get(
+                            "sb_cqi_rx", 0) + 1
+                elif (self.tm == 4 and len(cbits) >= 6
+                        and ue_ctx is not None):
+                    ue_ctx.last_pmi = int(
+                        "".join(str(b) for b in cbits[4:6]), 2)
                 self.sched.cqi_info(rnti, cqi)
                 if ue_ctx is not None:
                     ue_ctx.last_cqi_tti = tti
@@ -1508,7 +1532,9 @@ class UeStack:
                  tm: int = 2, nrx: int = 1, dynamic_phy: bool = False,
                  earfcn: int = 3400,
                  windowed_phy: bool = False, phy_window: int = 4,
-                 phy_device=None, expert=None):
+                 phy_device=None, expert=None,
+                 subband_cqi: bool = False):
+        self.subband_cqi = subband_cqi  # aperiodic mode 3-0 reports
         # expert PHY tuning plane (runtime.config.ExpertPhyConfig — the
         # reference's [expert] section, ue.conf.example:318-385)
         if expert is None:

@@ -584,13 +584,17 @@ class WindowedCtrlUe(UeStack):
                         self.ul_gain_db = float(np.clip(
                             self.ul_gain_db + (-1, 0, 1, 3)[dci0.tpc],
                             -20.0, 20.0))
-                        rb0, l_crb = riv_decode(self.cell.nof_prb,
-                                                dci0.riv)
-                        self.pending_tx[t + self.ul_grant_delay] = UlGrant(
-                            prb_start=rb0, nof_prb=l_crb,
-                            mod=ul_mcs_to_mod(dci0.mcs),
-                            tbs=tbs_lookup(ul_mcs_to_itbs(dci0.mcs),
-                                           l_crb), rnti=rnti)
+                        try:
+                            rb0, l_crb = riv_decode(self.cell.nof_prb,
+                                                    dci0.riv)
+                            g_ul = UlGrant(
+                                prb_start=rb0, nof_prb=l_crb,
+                                mod=ul_mcs_to_mod(dci0.mcs),
+                                tbs=tbs_lookup(ul_mcs_to_itbs(dci0.mcs),
+                                               l_crb), rnti=rnti)
+                        except (ValueError, IndexError):
+                            continue  # CRC-RNTI false positive
+                        self.pending_tx[t + self.ul_grant_delay] = g_ul
                         continue
                     if got_dl:
                         continue  # one DL grant per subframe
@@ -598,21 +602,21 @@ class WindowedCtrlUe(UeStack):
                         dci = Dci1A.unpack(bits, self.cell.nof_prb)
                         rb0, l_crb = riv_decode(self.cell.nof_prb,
                                                 dci.riv)
-                    except ValueError:
-                        continue
-                    if rnti >= 0xFFF4 or rnti <= 0x0042:
-                        n_prb_1a = 3 if (dci.tpc & 1) else 2
-                        grant = DlGrant(
-                            prb=tuple(range(rb0, rb0 + l_crb)),
-                            mod=Mod.QPSK,
-                            tbs=tbs_lookup(dci.mcs, n_prb_1a),
-                            rv=dci.rv, rnti=rnti)
-                    else:
-                        grant = DlGrant(
-                            prb=tuple(range(rb0, rb0 + l_crb)),
-                            mod=dl_mcs_to_mod(dci.mcs),
-                            tbs=dl_tbs(dci.mcs, l_crb),
-                            rv=dci.rv, rnti=rnti)
+                        if rnti >= 0xFFF4 or rnti <= 0x0042:
+                            n_prb_1a = 3 if (dci.tpc & 1) else 2
+                            grant = DlGrant(
+                                prb=tuple(range(rb0, rb0 + l_crb)),
+                                mod=Mod.QPSK,
+                                tbs=tbs_lookup(dci.mcs, n_prb_1a),
+                                rv=dci.rv, rnti=rnti)
+                        else:
+                            grant = DlGrant(
+                                prb=tuple(range(rb0, rb0 + l_crb)),
+                                mod=dl_mcs_to_mod(dci.mcs),
+                                tbs=dl_tbs(dci.mcs, l_crb),
+                                rv=dci.rv, rnti=rnti)
+                    except (ValueError, IndexError):
+                        continue  # CRC-RNTI false positive
                     if grant.tbs <= 0:
                         continue
                     got_dl = True

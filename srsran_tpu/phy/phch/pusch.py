@@ -178,8 +178,25 @@ def pusch_encode_np(cell: Cell, sf_idx: int, grant: UlGrant, tb_bits: np.ndarray
         coding = TbCoding(tbs=grant.tbs, g=g_data, qm=grant.qm, rv=grant.rv)
         data = dlsch_encode_np(tb_bits, coding)
         if n_cqi_bits:
-            cw = np.asarray(rm_encode(np.asarray(uci.cqi_bits, np.uint8), 32))
-            cqi_coded = cw[np.arange(n_cqi_bits) % 32]  # cyclic (uci.c:365)
+            o = len(uci.cqi_bits)
+            if o > 11:
+                # TS 36.212 §5.2.2.6.4 / uci.c:409: payloads > 11 bits
+                # (subband CQI reports) take CRC8 + tail-biting conv
+                # code + circular rate match instead of RM(32,O)
+                from ..common import LTE_CRC8
+                from ..crc import crc_compute_np
+                from ..fec.conv import convcoder_encode_np
+                from ..fec.rate_match import conv_rm_indices
+
+                b = np.asarray(uci.cqi_bits, np.uint8)
+                coded = convcoder_encode_np(
+                    np.concatenate([b, crc_compute_np(b, LTE_CRC8)]))
+                cqi_coded = coded.reshape(-1)[
+                    conv_rm_indices(coded.shape[-1], n_cqi_bits)]
+            else:
+                cw = np.asarray(
+                    rm_encode(np.asarray(uci.cqi_bits, np.uint8), 32))
+                cqi_coded = cw[np.arange(n_cqi_bits) % 32]  # uci.c:365
             gbits = np.concatenate([cqi_coded, data])
         else:
             gbits = data
@@ -253,10 +270,29 @@ def pusch_decode(rx_grid, ce, noise_est, cell: Cell, sf_idx: int, grant: UlGrant
             llr[ack_pos] = 0.0  # punctured data -> erasures
         gl = llr[write_pos]
         if n_cqi_bits:
-            folded = np.zeros(32, np.float32)
-            np.add.at(folded, np.arange(n_cqi_bits) % 32, gl[:n_cqi_bits])
-            bits, _metric = rm_decode(folded, len(uci.cqi_bits))
-            out["cqi_bits"] = tuple(int(b) for b in np.asarray(bits))
+            o = len(uci.cqi_bits)
+            if o > 11:
+                # conv-coded CQI (> 11 bits, §5.2.2.6.4): de-rate-match
+                # + Viterbi + CRC8 check (mirror of the encode branch)
+                from ..common import LTE_CRC8
+                from ..crc import crc_compute_np
+                from ..fec.conv import viterbi_decode
+                from ..fec.rate_match import conv_rate_match_rx_np
+
+                d = o + 8
+                dllr = conv_rate_match_rx_np(
+                    np.asarray(gl[:n_cqi_bits], np.float32), d)
+                cb = np.asarray(viterbi_decode(
+                    jnp.asarray(dllr[None]), d))[0]
+                if np.array_equal(cb[o:],
+                                  crc_compute_np(cb[:o], LTE_CRC8)):
+                    out["cqi_bits"] = tuple(int(b) for b in cb[:o])
+            else:
+                folded = np.zeros(32, np.float32)
+                np.add.at(folded, np.arange(n_cqi_bits) % 32,
+                          gl[:n_cqi_bits])
+                bits, _metric = rm_decode(folded, len(uci.cqi_bits))
+                out["cqi_bits"] = tuple(int(b) for b in np.asarray(bits))
         data_llr = gl[n_cqi_bits:]
         coding = TbCoding(tbs=grant.tbs, g=g_data, qm=grant.qm, rv=grant.rv)
         tb, ok, sb = dlsch_decode(np.asarray(data_llr, np.float32), coding,

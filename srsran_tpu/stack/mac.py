@@ -251,15 +251,22 @@ class Scheduler:
     def cqi_subband_info(self, rnti: int, wb_cqi: int, offsets):
         """Higher-layer-configured subband report (the decode side of
         cqi.c:41-75): per-subband CQI = wideband + the Table 7.2.1-2
-        offset level; drives frequency-selective allocation."""
+        offset level.  The "<= -1" level (field 3) is open-ended, so the
+        scheduler reads it PESSIMISTICALLY (wb - 4): a subband the UE
+        could not express is one to route around, which is the entire
+        point of frequency-selective allocation."""
         from ..phy.phch.uci import CQI_DIFF_LEVEL
 
         ue = self.ues.get(rnti)
         if ue is None:
             return
         ue.cqi = max(1, min(15, wb_cqi))
-        ue.sb_cqi = [max(0, min(15, wb_cqi + CQI_DIFF_LEVEL[int(o) & 3]))
-                     for o in offsets]
+        ue.sb_cqi = []
+        for o in offsets:
+            lvl = CQI_DIFF_LEVEL[int(o) & 3]
+            if lvl < 0:
+                lvl = -4
+            ue.sb_cqi.append(max(0, min(15, wb_cqi + lvl)))
 
     # CQI -> spectral efficiency (TS 36.213 Table 7.2.3-1), the
     # frequency-selective metric's rate model
@@ -267,28 +274,33 @@ class Scheduler:
                 1.4766, 1.9141, 2.4063, 2.7305, 3.3223, 3.9023, 4.5234,
                 5.1152, 5.5547)
 
-    def _fs_alloc(self, sb_cqi) -> tuple[int, int, int]:
-        """Frequency-selective placement: the contiguous PRB block
-        maximizing width x efficiency(min CQI in block) — the MCS rides
-        the block's worst subband, so a deep notch is worth excluding
-        even at reduced width (the scheduler_metric.cc role with
-        per-subband CQI; type-2 allocations are contiguous).
-        Returns (rb_start, nof_prb, block_cqi)."""
+    def _fs_alloc(self, sb_cqi, lo: int = 0, hi: int | None = None,
+                  max_w: int | None = None) -> tuple[int, int, int]:
+        """Frequency-selective placement: the contiguous PRB block inside
+        [lo, hi) (width <= max_w) maximizing width x efficiency(min CQI
+        in block) — the MCS rides the block's worst subband, so a deep
+        notch is worth excluding even at reduced width (the
+        scheduler_metric.cc role with per-subband CQI; type-2
+        allocations are contiguous).  Returns (rb_start, nof_prb,
+        block_cqi)."""
+        hi = self.nof_prb if hi is None else hi
+        max_w = self.nof_prb if max_w is None else max_w
+        # per-PRB CQI from the subband grid
         from ..phy.phch.uci import cqi_hl_subband_size
 
         k = cqi_hl_subband_size(self.nof_prb)
-        n = len(sb_cqi)
-        best = (0, self.nof_prb, 1)
+        prb_cqi = [sb_cqi[min(p // k, len(sb_cqi) - 1)]
+                   for p in range(self.nof_prb)]
+        best = (lo, min(hi - lo, max_w), 1)
         best_m = -1.0
-        for a in range(n):
+        for a in range(lo, hi):
             mn = 16
-            for b in range(a, n):
-                mn = min(mn, sb_cqi[b])
-                w_prb = min(self.nof_prb, (b + 1) * k) - a * k
-                m = w_prb * self._CQI_EFF[max(0, min(15, mn))]
+            for b in range(a, min(hi, a + max_w)):
+                mn = min(mn, prb_cqi[b])
+                m = (b - a + 1) * self._CQI_EFF[max(0, min(15, mn))]
                 if m > best_m:
                     best_m = m
-                    best = (a * k, w_prb, max(1, min(15, mn)))
+                    best = (a, b - a + 1, max(1, min(15, mn)))
         return best
 
     def ul_phr(self, rnti: int, ph_db: int):
@@ -364,17 +376,30 @@ class Scheduler:
             pending_ues.append(ue)
         pending_ues = pending_ues[: self.max_grants_per_tti - len(grants)]
 
+        # free-PRB intervals: first-fit for wideband UEs (identical to
+        # the old cursor packing), best-block-by-subband-CQI for UEs
+        # with frequency-selective reports
+        ivs = [(cursor, self.nof_prb)] if cursor < self.nof_prb else []
         for i, ue in enumerate(pending_ues):
-            free = self.nof_prb - cursor
+            free = sum(b - a for a, b in ivs)
             if free <= 0:
                 break
             share = free if i == len(pending_ues) - 1 else max(1, free // (len(pending_ues) - i))
-            rb0 = cursor
             cqi_use = ue.cqi
-            if ue.sb_cqi and cursor == 0 and len(pending_ues) == 1:
-                # frequency-selective single-UE placement: allocate the
-                # best contiguous block and rate it by its own CQI
-                rb0, share, cqi_use = self._fs_alloc(ue.sb_cqi)
+            if ue.sb_cqi:
+                # frequency-selective placement: each UE takes ITS best
+                # block of the remaining band, rated by its own subbands
+                best, best_m = None, -1.0
+                for (a, b) in ivs:
+                    cand = self._fs_alloc(ue.sb_cqi, a, b, share)
+                    m = cand[1] * self._CQI_EFF[cand[2]]
+                    if m > best_m:
+                        best_m, best = m, cand
+                rb0, share, cqi_use = best
+            else:
+                a, b = ivs[0]
+                rb0 = a
+                share = min(share, b - a)
             pending = self._dl_pending(ue)
             n_re = None
             if pdsch_nof_re is not None:
@@ -432,7 +457,16 @@ class Scheduler:
             grants.append(DlSchedGrant(ue.rnti, rb0, share, mcs, tbs_bits, h.ndi, 0,
                                        h.pid, mac, pdu2=mac2, mcs2=mcs if mac2 else 0,
                                        tbs_bits2=tbs2))
-            cursor = rb0 + share
+            nxt = []
+            for (a, b) in ivs:  # carve [rb0, rb0+share) out
+                if rb0 >= b or rb0 + share <= a:
+                    nxt.append((a, b))
+                    continue
+                if a < rb0:
+                    nxt.append((a, rb0))
+                if rb0 + share < b:
+                    nxt.append((rb0 + share, b))
+            ivs = nxt
         return grants
 
     def _pick_mcs(self, pending_bytes: int, l_crb: int, pdsch_nof_re: int | None,
