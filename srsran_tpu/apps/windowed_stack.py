@@ -160,37 +160,67 @@ class WindowedCtrlEnb(EnbStack):
         # the driver moves whole windows between the stacks
         self.device_link = False
         self._ul_dev_win: dict[int, object] = {}
+        self._dl_stage = None
         with _on(phy_device):
             self._dispatch_dl_window(0)
             self._dispatch_dl_window(1)
 
-    # ---- DL: schedule a window ahead, render in one device program ----
+    # ---- DL: schedule a window ahead, render in one device program.
+    # The per-TTI scheduling + overlay render is STAGED across the
+    # preceding window's quiet TTIs (row i by tick i) so no single
+    # run_tti carries W TTIs of host work; the device dispatch happens
+    # at the boundary.  (Feedback any row uses is ready well before its
+    # stage tick — see the module timing contract.) ----
+
+    def _sched_dl_row(self, t: int):
+        sf = t % 10
+        sched = self._sched_dl(t, sf)
+        assert sched is not None  # FDD only
+        assert len(sched.grants) <= 1, "windowed TX: one grant/TTI"
+        if sched.grants:
+            g, tb = sched.grants[0]
+            payload = np.asarray(tb, np.uint8)
+        else:
+            g = _pad_dl_grant(self.cell)
+            payload = np.zeros(16, np.uint8)
+        idx, vals = enb_ctrl_overlay(self.cell, self.cfi, sf, sched,
+                                     mib=self.mib, sfn=(t // 10) % 1024)
+        return sf, g, payload, idx, vals
 
     def _dispatch_dl_window(self, j: int):
         w = self.cw
         payloads, grants, sfs, ov_idx, ov_val = [], [], [], [], []
         for t in range(j * w, j * w + w):
-            sf = t % 10
-            sched = self._sched_dl(t, sf)
-            assert sched is not None  # FDD only
-            assert len(sched.grants) <= 1, "windowed TX: one grant/TTI"
-            if sched.grants:
-                g, tb = sched.grants[0]
-                grants.append(g)
-                payloads.append(np.asarray(tb, np.uint8))
-            else:
-                grants.append(_pad_dl_grant(self.cell))
-                payloads.append(np.zeros(16, np.uint8))
-            idx, vals = enb_ctrl_overlay(self.cell, self.cfi, sf, sched,
-                                         mib=self.mib,
-                                         sfn=(t // 10) % 1024)
+            sf, g, payload, idx, vals = self._sched_dl_row(t)
             sfs.append(sf)
+            grants.append(g)
+            payloads.append(payload)
             ov_idx.append(idx)
             ov_val.append(vals)
         out = self._dl_gen.dispatch_window(
             payloads, sfs, grants,
             overlay=(np.stack(ov_idx), np.stack(ov_val)))
         self._dl_disp[j] = out
+
+    def _dl_stage_tick(self, tti: int):
+        w = self.cw
+        j = tti // w + 2
+        tt = tti % w
+        st = self._dl_stage
+        if st is None or st["j"] != j:
+            st = self._dl_stage = {"j": j, "i": 0, "rows": []}
+        while st["i"] < w and st["i"] <= tt:
+            st["rows"].append(self._sched_dl_row(j * w + st["i"]))
+            st["i"] += 1
+        if tt == w - 1:
+            rows = st["rows"]
+            out = self._dl_gen.dispatch_window(
+                [r[2] for r in rows], [r[0] for r in rows],
+                [r[1] for r in rows],
+                overlay=(np.stack([r[3] for r in rows]),
+                         np.stack([r[4] for r in rows])))
+            self._dl_disp[j] = out
+            self._dl_stage = None
 
     def _dl_pop(self, tti: int) -> np.ndarray:
         j = tti // self.cw
@@ -433,8 +463,7 @@ class WindowedCtrlEnb(EnbStack):
         self._pump_spgw()
         with _on(self.device):
             dl = None if self.device_link else self._dl_pop(tti)
-            if tti % self.cw == self.cw - 1:
-                self._dispatch_dl_window(tti // self.cw + 2)
+            self._dl_stage_tick(tti)
         self.tti += 1
         return dl
 
@@ -474,6 +503,7 @@ class WindowedCtrlUe(UeStack):
         self.device_link = False
         self._dl_dev_win: dict[int, object] = {}
         self._vit_q: deque = deque()  # ctrl realized, Viterbi in flight
+        self._ul_stage = None
         self._ul_gen_window(0)
         self._ul_gen_window(1)
         self.stats["ctrl_windows"] = 0
@@ -675,23 +705,29 @@ class WindowedCtrlUe(UeStack):
 
     # ---- UL generation, two windows ahead ----
 
-    def _ul_gen_window(self, m: int):
-        """Generate UL window m in ONE device dispatch: PUSCH rows +
-        PUCCH PRB-local grids (host numpy, tiny) composed pre-IFFT in
-        the engine; only PRACH stays a host waveform (attach only)."""
+    def _ul_new_stage(self, m: int):
+        w = self.cw
+        nsymb = self.cell.nsymb_per_sf
+        return {"m": m, "i": 0, "grants": [], "payloads": [], "sfs": [],
+                "extras": {}, "live": np.zeros(w, bool),
+                "pgrids": np.zeros((w, nsymb, 12), np.complex64),
+                "pprb": np.zeros((w, 2), np.int32),
+                "has_pucch": np.zeros(w, bool)}
+
+    def _ul_gen_row(self, st: dict):
+        """Stage ONE UL row (deadline-aware: the feedback this row needs
+        is realized at least a window before its stage tick)."""
         from ..phy.phch.pucch import (PucchConfig, _f1_covers, pucch_f1_prb,
                                       pucch_format1_encode_np,
                                       pucch_format2_encode_np)
 
         w = self.cw
-        first = m * w
-        grants, payloads, sfs = [], [], []
-        extras: dict[int, np.ndarray] = {}   # tti -> host waveform (PRACH)
-        live = np.zeros(w, bool)
-        nsymb = self.cell.nsymb_per_sf
-        pgrids = np.zeros((w, nsymb, 12), np.complex64)
-        pprb = np.zeros((w, 2), np.int32)
-        has_pucch = np.zeros(w, bool)
+        i = st["i"]
+        st["i"] += 1
+        u = st["m"] * w + i
+        grants, payloads, sfs = st["grants"], st["payloads"], st["sfs"]
+        extras, live = st["extras"], st["live"]
+        pgrids, pprb, has_pucch = st["pgrids"], st["pprb"], st["has_pucch"]
 
         def put_pucch(i, sf, pucch1=None, pucch2=None):
             for item, enc in ((pucch1, pucch_format1_encode_np),
@@ -706,8 +742,7 @@ class WindowedCtrlUe(UeStack):
                         cfg.delta_shift, covers=_f1_covers(self.cell))
                 has_pucch[i] = True
 
-        for i in range(w):
-            u = first + i
+        if True:
             sf = u % 10
             # PRACH decision (attach): per the _build_ul gate, committed
             # at generation time (the windowed contract's look-ahead)
@@ -727,7 +762,7 @@ class WindowedCtrlUe(UeStack):
                 grants.append(_pad_ul_grant())
                 payloads.append(np.zeros(16, np.uint8))
                 sfs.append(sf)
-                continue
+                return
             if (self.rrc_state == self.RRC_WAIT_RAR
                     and u >= getattr(self, "_ra_deadline", 1 << 62)):
                 self.rrc_state = self.RRC_IDLE
@@ -773,13 +808,43 @@ class WindowedCtrlUe(UeStack):
                 grants.append(_pad_ul_grant())
                 payloads.append(np.zeros(16, np.uint8))
             sfs.append(sf)
-        emit = live | has_pucch
+
+    def _ul_dispatch_stage(self, st: dict):
+        emit = st["live"] | st["has_pucch"]
         if emit.any():
             out = self._ul_gen.dispatch_window(
-                payloads, sfs, grants, pucch=(pprb, pgrids, live))
+                st["payloads"], st["sfs"], st["grants"],
+                pucch=(st["pprb"], st["pgrids"], st["live"]))
         else:
             out = None
-        self._ul_disp[m] = (out, emit, extras, first)
+        self._ul_disp[st["m"]] = (out, emit, st["extras"],
+                                  st["m"] * self.cw)
+
+    def _ul_gen_window(self, m: int):
+        """Generate UL window m in one shot (bootstrap windows)."""
+        st = self._ul_new_stage(m)
+        while st["i"] < self.cw:
+            self._ul_gen_row(st)
+        self._ul_dispatch_stage(st)
+
+    def _ul_stage_tick(self, tti: int):
+        """Stage UL rows for window tti//W + 2 across this window's
+        ticks: row i by tick max(12, i) — the earliest tick at which
+        all the feedback row i consumes is guaranteed realized (see the
+        staging margins in the contract); dispatch at the boundary."""
+        w = self.cw
+        m = tti // w + 2
+        tt = tti % w
+        st = self._ul_stage
+        if st is None or st["m"] != m:
+            st = self._ul_stage = self._ul_new_stage(m)
+        while st["i"] < w and max(12, st["i"]) <= tt:
+            self._ul_gen_row(st)
+        if tt == w - 1:
+            while st["i"] < w:
+                self._ul_gen_row(st)
+            self._ul_dispatch_stage(st)
+            self._ul_stage = None
 
     def _ul_pop(self, tti: int) -> np.ndarray | None:
         m = tti // self.cw
@@ -814,8 +879,7 @@ class WindowedCtrlUe(UeStack):
             self.gw.pump_ul(self.send_ip_packet)
         with _on(self.device):
             ul = None if self.device_link else self._ul_pop(tti)
-            if tti % self.cw == self.cw - 1:
-                self._ul_gen_window(tti // self.cw + 2)
+            self._ul_stage_tick(tti)
         self.tti += 1
         return ul
 
