@@ -112,14 +112,8 @@ def run_epc(args):
 
     conn, _addr = ls.accept()
     enb_gtpu_addr = None
-    sgi_tun = None
-    ping_ok = 0
     if args.tun:
-        from srsran_tpu.io.tun import TunDevice
-
-        sgi_tun = TunDevice("tun_sgi3p")
-        sgi_tun.up("172.16.0.1", "255.255.255.0")
-        spgw.attach_sgi_tun(sgi_tun)
+        spgw.attach_tun(name="tun_sgi3p")
     dl_sent = 0
     t_end = time.time() + args.duration
     attached_ip = None
@@ -140,28 +134,24 @@ def run_epc(args):
             pass
         while (pkt := spgw.pop_tx()) is not None and enb_gtpu_addr:
             gu.sendto(pkt, enb_gtpu_addr)
-        if args.tun and sgi_tun is not None:
-            spgw.pump_sgi()
+        if args.tun:
+            spgw.pump_tun()
         if attached_ip is None and mme.attached_imsis:
             for ue in mme.ues.values():
                 if ue.ue_ip:
                     attached_ip = ue.ue_ip
-        if (attached_ip and dl_sent < args.n_dl
+        if (attached_ip and dl_sent < args.n_dl and not args.tun
                 and time.time() - last_dl > 0.01):
+            # synthetic DL payloads (host-queue mode only: with --tun
+            # the traffic is the real kernel ICMP)
             spgw.sgi_tx(attached_ip, bytes([dl_sent & 0xFF]) * 120)
             dl_sent += 1
             last_dl = time.time()
         time.sleep(0.001)
-    if args.tun and attached_ip:
-        from srsran_tpu.io.icmp_ping import kernel_ping
-
-        ping_ok = kernel_ping(attached_ip, count=3,
-                              pump=lambda: (mme.pump_s11(),
-                                            spgw.pump_sgi()))
     print(json.dumps({
         "role": "epc", "attached": sorted(mme.attached_imsis),
         "ue_ip": attached_ip, "dl_sent": dl_sent,
-        "sgi_rx": len(spgw.sgi_rx), "ping_ok": ping_ok,
+        "sgi_rx": len(spgw.sgi_rx),
     }), flush=True)
 
 
@@ -199,15 +189,21 @@ class SpgwProxy:
     both directions (gtpu.cc)."""
 
     def __init__(self, addr):
+        from collections import deque
+
         self.addr = addr
         self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
         self.sock.bind(("127.0.0.1", 0))
         self.sock.setblocking(False)
+        self.tx_queue = deque()  # local requeue buffer (_pump_spgw holds
+        #                          packets for not-yet-active bearers)
 
     def rx_from_enb(self, pkt: bytes):
         self.sock.sendto(pkt, self.addr)
 
     def pop_tx(self):
+        if self.tx_queue:
+            return self.tx_queue.popleft()
         try:
             pkt, _ = self.sock.recvfrom(65536)
             return pkt
@@ -277,7 +273,8 @@ def run_ue(args):
         except OSError:
             time.sleep(0.1)
     ul_sent = 0
-    tun_up = False
+    ping_proc = None
+    ping_out = ""
     t_end = time.time() + args.duration
     while time.time() < t_end:
         fr = _frame_recv(sock)
@@ -289,15 +286,37 @@ def run_ue(args):
             ul, np.complex64).tobytes())
         if (ue.rrc_state == UeStack.RRC_ACTIVE
                 and ue.nas.state == ue.nas.REGISTERED):
-            if args.tun and not tun_up:
-                ue.attach_tun(name="tun_ue3p", netns=args.netns)
-                tun_up = True
-            if ul_sent < args.n_ul:
+            if args.tun and ping_proc is None:
+                # kernel IP boundary in a netns + a real ping toward the
+                # SGi gateway — the run_lte.sh:288-312 procedure
+                import subprocess
+
+                gw = ue.attach_tun(name="tun_ue3p", netns=args.netns)
+                gw.tun.add_route("default")
+                pkg = os.path.dirname(os.path.dirname(
+                    os.path.abspath(__file__)))
+                env = dict(os.environ, PYTHONPATH=pkg,
+                           JAX_PLATFORMS="cpu")
+                ping_proc = subprocess.Popen(
+                    ["ip", "netns", "exec", args.netns, "python", "-m",
+                     "srsran_tpu.io.icmp_ping", "172.16.0.254", "3",
+                     "40"],
+                    stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                    text=True, env=env)
+            if ul_sent < args.n_ul and not args.tun:
                 ue.send_ip_packet(bytes([0x45, ul_sent & 0xFF]) * 60)
                 ul_sent += 1
+    ping_rc = None
+    if ping_proc is not None:
+        try:
+            ping_out, _ = ping_proc.communicate(timeout=10)
+        except Exception:
+            ping_proc.kill()
+        ping_rc = ping_proc.returncode
     print(json.dumps({
         "role": "ue", "registered": ue.nas.state == ue.nas.REGISTERED,
         "ue_ip": ue.ue_ip, "ip_rx": len(ue.ip_rx), "ul_sent": ul_sent,
+        "ping_rc": ping_rc, "ping_out": ping_out[-200:],
     }), flush=True)
 
 
