@@ -228,6 +228,12 @@ def _cqi_resource(crnti: int) -> int:
     return 20 + (crnti % 6)
 
 
+def _f3_resource(crnti: int) -> int:
+    """Dedicated CA HARQ-ACK PUCCH format-3 resource
+    (n3PUCCH-AN-List analog, pucch_proc.c:60-150), above the CQI range."""
+    return 26 + (crnti % 3)
+
+
 def snr_db_to_cqi(snr_db: float) -> int:
     """Wideband SNR -> CQI (the reference maps via cqi_from_snr tables;
     ~2 dB per CQI step)."""
@@ -333,6 +339,8 @@ class EnbStack:
         self.pending_pcch: deque = deque()  # PCCH Paging messages to send
         self.pending_ul: dict[int, tuple[int, UlGrant]] = {}  # tti -> (rnti, grant)
         self.pending_ul_scell: dict[int, tuple[int, UlGrant]] = {}
+        # FDD CA: SCell ACK expectations (format-3 codebook position 1)
+        self.pending_dl_ack_scell: dict[int, list] = {}
         # DL HARQ feedback: ack_tti -> [{rnti, pid, n_pucch, on_pusch}]
         # (the phy_common.cc pending_dl_ack ring; resource = CCE index,
         # pucch_proc.c:257 n_pucch_i)
@@ -719,6 +727,7 @@ class EnbStack:
         sf_idx = tti % 10
         acks = self.pending_dl_ack.pop(tti, [])
         self._pusch_acks = []
+        self._sc_acks_pusch = []
         if samples is None:
             for e in acks:  # DTX: nothing received at all → NACK (retx)
                 self.sched.ack_info(e["rnti"], e["pid"], False)
@@ -732,10 +741,37 @@ class EnbStack:
         for e in acks:
             if not e["on_pusch"]:
                 pucch_by_rnti.setdefault(e["rnti"], []).append(e)
-        if pucch_by_rnti:
+        sc_acks = self.pending_dl_ack_scell.pop(tti, [])
+        if pucch_by_rnti or sc_acks:
             from ..phy.phch.pucch import PucchConfig, tdd_channel_selection_decode
 
             rx_grid_ack = enb_ul_fft(self.cell, samples[None])
+            # FDD CA: UEs with an SCell bit this occasion answered on
+            # their format-3 resource — BOTH codebook bits ride it
+            # (pucch_proc.c:60-150 format-3 selection)
+            # SCell bits whose RNTI has a PUSCH this TTI ride UCI-on-PUSCH
+            # instead (handled in the PUSCH block below)
+            pu_now = self.pending_ul.get(tti)
+            if pu_now is not None:
+                self._sc_acks_pusch = [e for e in sc_acks
+                                       if e["rnti"] == pu_now[0]]
+                sc_acks = [e for e in sc_acks if e["rnti"] != pu_now[0]]
+            for sc in sc_acks:
+                rnti_f3 = sc["rnti"]
+                bits3, metric3 = enb_ul_decode_pucch(
+                    self.cell, sf_idx, rx_grid_ack,
+                    PucchConfig(n_pucch=_f3_resource(rnti_f3)), "3", 2,
+                    rnti=rnti_f3)
+                det = float(np.asarray(metric3)) > 0.2
+                b3 = np.asarray(bits3).astype(int)
+                self.scell_sched.ack_info(
+                    rnti_f3, sc["pid"], bool(det and b3[1] == 1))
+                self.stats["ca_ack_f3_rx"] = self.stats.get(
+                    "ca_ack_f3_rx", 0) + 1
+                pc = pucch_by_rnti.pop(rnti_f3, [])
+                for e in pc:
+                    self.sched.ack_info(rnti_f3, e["pid"],
+                                        bool(det and b3[0] == 1))
             das = tdd.das_set(self.tdd, tti % 10) if self.tdd is not None else ()
             for rnti, entries in pucch_by_rnti.items():
                 if self.tdd is not None and 1 < len(das) <= 4:
@@ -872,6 +908,8 @@ class EnbStack:
                 return
             ue_ctx = self.ues.get(rnti)
             exp_acks = [e for e in getattr(self, "_pusch_acks", []) if e["rnti"] == rnti]
+            sc_exp = [e for e in getattr(self, "_sc_acks_pusch", [])
+                      if e["rnti"] == rnti]
             apcqi = tti in self._apcqi
             self._apcqi.discard(tti)
             want_cqi = apcqi or (cqi_on_pusch(tti) and ue_ctx is not None
@@ -890,7 +928,7 @@ class EnbStack:
             # stands in for the per-allocation one: the scheduler grants
             # at most one PUSCH per TTI here.
             if (self._win_ul is not None and not srs_sf and not exp_acks
-                    and not want_cqi and len(cqi_hyps) == 1
+                    and not sc_exp and not want_cqi and len(cqi_hyps) == 1
                     and float(np.mean(np.abs(np.asarray(samples)) ** 2)) >= 1e-7):
                 harq_state = self._ul_harq.pop(tti, None)
                 sb_w, txc = None, 1
@@ -924,7 +962,8 @@ class EnbStack:
             dyn_sb = (sb_in[1] if isinstance(sb_in, tuple)
                       and len(sb_in) == 2 and sb_in[0] == "dyn" else None)
             if (not dtx and self._dyn_ul is not None and not srs_sf
-                    and not exp_acks and not want_cqi and len(cqi_hyps) == 1
+                    and not exp_acks and not sc_exp and not want_cqi
+                    and len(cqi_hyps) == 1
                     and (sb_in is None or dyn_sb is not None)):
                 tb_d, ok_d, soft_d, _ = self._dyn_ul.decode(
                     np.asarray(samples)[None], sf_idx, grant, softbuffer=dyn_sb)
@@ -934,7 +973,7 @@ class EnbStack:
                 sb_in = None  # device-layout softbuffer: host path restarts
             for wc in (cqi_hyps if (not dtx and out is None) else []):
                 uci_exp = None
-                if wc or exp_acks:
+                if wc or exp_acks or sc_exp:
                     ri_exp = (0,) if (wc and self.tm >= 3) else ()
                     if wc and self.subband_cqi:
                         from ..phy.phch.uci import cqi_hl_nof_subbands
@@ -943,8 +982,10 @@ class EnbStack:
                             self.cell.nof_prb)
                     else:
                         n_cqi = (6 if self.tm == 4 else 4) if wc else 0
-                    uci_exp = UciCfg(cqi_bits=(0,) * n_cqi,
-                                     ack=(0,) * len(exp_acks), ri=ri_exp)
+                    uci_exp = UciCfg(
+                        cqi_bits=(0,) * n_cqi,
+                        ack=(0,) * (len(exp_acks) + len(sc_exp)),
+                        ri=ri_exp)
                 out = enb_ul_decode_pusch(self.cell, sf_idx, rx_grid, grant,
                                           softbuffers=sb_in, uci=uci_exp,
                                           shortened=srs_sf)
@@ -1019,15 +1060,22 @@ class EnbStack:
                         self.sched.two_cw.add(rnti)
                     else:
                         self.sched.two_cw.discard(rnti)
-            if exp_acks:
+            if exp_acks or sc_exp:
                 # trust UCI ack bits only when the PUSCH CRC confirms the
                 # two sides agreed on the UCI layout; else NACK → retx
+                # (CA: SCell bits follow the PCell's in the codebook)
                 ack_bits = list(uci_out["ack"]) if (ok and uci_out) else []
                 for i, e in enumerate(exp_acks):
                     a = bool(ack_bits[i]) if i < len(ack_bits) else False
                     self.sched.ack_info(rnti, e["pid"], a)
                     key = "dl_ack" if a else "dl_nack"
                     self.stats[key] = self.stats.get(key, 0) + 1
+                for j, e in enumerate(sc_exp):
+                    i = len(exp_acks) + j
+                    a = bool(ack_bits[i]) if i < len(ack_bits) else False
+                    self.scell_sched.ack_info(rnti, e["pid"], a)
+                    self.stats["ca_ack_pusch_rx"] = self.stats.get(
+                        "ca_ack_pusch_rx", 0) + 1
             if not ok:
                 self.stats["ul_crc_ko"] += 1
                 return
@@ -1447,7 +1495,14 @@ class EnbStack:
                             tx_scheme="diversity" if max(self.scell.nof_ports, 1) >= 2 else "port0")
             sched.dcis.append((dci.pack(self.scell.nof_prb), g.rnti, loc[0], loc[1]))
             sched.grants.append((grant, tb_bits))
-            self.scell_sched.ack_info(g.rnti, g.harq_pid, True)
+            if self.tdd is None:
+                # real CA HARQ feedback: the SCell bit arrives on the
+                # UE's format-3 resource at the ACK occasion
+                self.pending_dl_ack_scell.setdefault(
+                    self._ack_tti(tti), []).append(
+                        {"rnti": g.rnti, "pid": g.harq_pid})
+            else:
+                self.scell_sched.ack_info(g.rnti, g.harq_pid, True)
         # UL CA: BSR-driven DCI0 grants on the SCell PDCCH (2nd UL carrier)
         if self.ul_ca and (tti + 4) not in self.pending_ul_scell:
             for ug in self.scell_sched.get_ul_sched(tti):
@@ -1619,6 +1674,9 @@ class UeStack:
         self._dl_softbuffers: dict = {}
         self._dl_ndi: dict[int, tuple[int, bool]] = {}
         self.pending_ack: dict[int, list[tuple[int, int]]] = {}
+        # FDD CA: SCell ACK bit per occasion, multiplexed with the PCell
+        # bit on PUCCH format 3 (pucch_proc.c:60-150)
+        self.pending_ack_scell: dict[int, int] = {}
         # UL HARQ: PUSCH in flight awaiting its PHICH (phich_tti ->
         # (grant, tb_bits, tx_count)) and NACK-triggered retransmissions
         self._ul_inflight: dict[int, tuple] = {}
@@ -1727,6 +1785,7 @@ class UeStack:
         self.msg3 = None
         self.pending_tx.clear()
         self.pending_ack.clear()
+        self.pending_ack_scell.clear()
         self._dl_softbuffers.clear()
         self._dl_ndi.clear()
         self._ul_inflight.clear()
@@ -2088,6 +2147,12 @@ class UeStack:
                 self.pending_tx_scell[tti + 4] = UlGrant(
                     prb_start=rb0, nof_prb=l_crb, mod=ul_mcs_to_mod(dci0.mcs),
                     tbs=tbs_lookup(ul_mcs_to_itbs(dci0.mcs), l_crb), rnti=self.crnti)
+        if res.tbs and self.tdd is None:
+            # FDD CA HARQ-ACK: the SCell bit joins the PCell's on ONE
+            # format-3 resource at the ACK occasion (pucch_proc.c
+            # format-3 selection; TDD keeps channel selection)
+            self.pending_ack_scell[self._ack_tti(tti)] = (
+                1 if all(ok for _, ok in res.tbs) else 0)
         for tb, ok in res.tbs:
             if not ok:
                 continue
@@ -2304,6 +2369,7 @@ class UeStack:
         self.mac = UeMac()
         self.pending_tx.clear()
         self.pending_ack.clear()
+        self.pending_ack_scell.clear()
         self._dl_softbuffers.clear()
         self._dl_ndi.clear()
         self._ul_inflight.clear()
@@ -2410,11 +2476,37 @@ class UeStack:
                     cfgp = PucchConfig(n_pucch=resources[res_i])
                     return ue_ul_encode(self.cell, sf_idx, pucch1=(cfgp, [b0, b1]),
                                         ta_samples=self.ta_samples)
-                # FDD single ACK (format 1a) or TDD bundling fallback (M>4)
+                sc_bit = self.pending_ack_scell.pop(tti, None)
                 bit = 1 if all(b for _, b, _t in acks) else 0
+                if sc_bit is not None and self.scell_active:
+                    # FDD 2-CC ACK multiplexing on PUCCH format 3: both
+                    # codebook bits ride ONE dedicated resource
+                    # (pucch_proc.c format-3 selection)
+                    self.stats["ca_ack_f3_sent"] = self.stats.get(
+                        "ca_ack_f3_sent", 0) + 1
+                    cfg3 = PucchConfig(n_pucch=_f3_resource(self.crnti))
+                    return ue_ul_encode(
+                        self.cell, sf_idx,
+                        pucch3=(cfg3, np.array([bit, sc_bit], np.uint8),
+                                self.crnti),
+                        ta_samples=self.ta_samples)
+                # FDD single ACK (format 1a) or TDD bundling fallback (M>4)
                 cfgp = PucchConfig(n_pucch=acks[-1][0])
                 return ue_ul_encode(self.cell, sf_idx, pucch1=(cfgp, [bit]),
                                     ta_samples=self.ta_samples)
+            sc_only = self.pending_ack_scell.pop(tti, None)
+            if sc_only is not None and self.scell_active:
+                # SCell-only ACK occasion: format 3 with the PCell
+                # codebook position as NACK/DTX
+                self.stats["ca_ack_f3_sent"] = self.stats.get(
+                    "ca_ack_f3_sent", 0) + 1
+                from ..phy.phch.pucch import PucchConfig as _P3
+
+                return ue_ul_encode(
+                    self.cell, sf_idx,
+                    pucch3=(_P3(n_pucch=_f3_resource(self.crnti)),
+                            np.array([0, sc_only], np.uint8), self.crnti),
+                    ta_samples=self.ta_samples)
             if (self.tdd is None and cqi_on_pusch(tti)
                     and self.rrc_state == self.RRC_ACTIVE):
                 # periodic CQI/RI on PUCCH format 2 (cc_worker.cc:822
@@ -2464,7 +2556,11 @@ class UeStack:
         want_cqi = ((cqi_on_pusch(tti) or tti in self._apcqi_tx)
                     and self.rrc_state == self.RRC_ACTIVE)
         self._apcqi_tx.discard(tti)
-        if want_cqi or acks:
+        # CA: an SCell ACK colliding with a PUSCH rides UCI-on-PUSCH,
+        # its codebook bit after the PCell's (the eNB expects the same)
+        sc_bit = (self.pending_ack_scell.pop(tti, None)
+                  if self.scell_active else None)
+        if want_cqi or acks or sc_bit is not None:
             from ..phy.phch.pusch import UciCfg
 
             cqi_bits = ()
@@ -2503,9 +2599,12 @@ class UeStack:
                     # (cc_worker.cc:566 measurements → RI/PMI feedback)
                     ri_bits = (1 if getattr(self, "_dl_rank", 1) == 2 else 0,)
                     self.stats["ri_sent"] = self.stats.get("ri_sent", 0) + 1
-            # ACKs ride the PUSCH as UCI (ue_ul.c uci multiplexing)
-            uci = UciCfg(cqi_bits=cqi_bits, ack=tuple(b for _, b, _t in acks or ()),
-                         ri=ri_bits)
+            # ACKs ride the PUSCH as UCI (ue_ul.c uci multiplexing);
+            # the SCell codebook bit follows the PCell's
+            ack_tuple = tuple(b for _, b, _t in acks or ())
+            if sc_bit is not None:
+                ack_tuple = ack_tuple + (sc_bit,)
+            uci = UciCfg(cqi_bits=cqi_bits, ack=ack_tuple, ri=ri_bits)
         # watch the PHICH for this transmission (ul_harq.cc role)
         self._ul_inflight[self._phich_tti(tti)] = (grant, tb_bits, tx_count)
         srs = None

@@ -52,9 +52,11 @@ def enb_ul_decode_pusch(
 
 def enb_ul_decode_pucch(
     cell: Cell, sf_idx: int, rx_grid: np.ndarray, cfg: PucchConfig,
-    fmt: str, nof_bits: int,
+    fmt: str, nof_bits: int, rnti: int = 0,
 ):
-    """fmt: '1' | '2'.  Returns (bits, metric)."""
+    """fmt: '1' | '2' | '3' (format 3 needs ``rnti`` for its scrambling;
+    pass via cfg.n_pucch-keyed caller state or the keyword).  Returns
+    (bits, metric)."""
     from ..phch.pucch import _f1_covers, pucch_f1_prb
 
     prb_local = np.zeros((cell.nsymb_per_sf, 12), np.complex64)
@@ -66,4 +68,9 @@ def enb_ul_decode_pucch(
         prb_local[sl] = rx_grid[0, sl, m * 12 : (m + 1) * 12]
     if fmt == "1":
         return pucch_format1_decode(prb_local, cell, cfg, sf_idx, nof_bits)
+    if fmt == "3":
+        from ..phch.pucch import pucch_format3_decode
+
+        return pucch_format3_decode(prb_local, cell, cfg, sf_idx,
+                                    nof_bits, rnti=rnti)
     return pucch_format2_decode(prb_local, cell, cfg, sf_idx, nof_bits)

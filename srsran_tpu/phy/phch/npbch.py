@@ -21,7 +21,7 @@ from ..common import LTE_CRC16
 from ..crc import crc_compute_np
 from ..fec.conv import convcoder_encode_np, viterbi_decode
 from ..fec.rate_match import conv_rate_match_rx, conv_rate_match_tx
-from ..modem import Mod, demod_soft, modulate
+from ..modem import Mod, demod_soft, modulate, modulate_np
 from ..sequence import gold_sequence, gold_sequence_signs
 
 NPBCH_BITS_TOTAL = 1600
@@ -158,7 +158,7 @@ def npbch_encode_np(mib: MibNb, n_id_ncell: int) -> np.ndarray:
     e = np.asarray(conv_rate_match_tx(coded, NPBCH_BITS_TOTAL)).astype(np.uint8)
     seq = gold_sequence(n_id_ncell, NPBCH_BITS_TOTAL)
     scr = (e ^ seq).astype(np.uint8)
-    sym = np.asarray(modulate(Mod.QPSK, scr))
+    sym = modulate_np(Mod.QPSK, scr)
     return sym.reshape(8, NPBCH_SYMS)
 
 

@@ -20,7 +20,7 @@ from ..common import LTE_CRC24A
 from ..crc import crc_compute_np
 from ..fec.conv import convcoder_encode_np, viterbi_decode
 from ..fec.rate_match import conv_rate_match_rx, conv_rate_match_tx
-from ..modem import Mod, demod_soft, modulate
+from ..modem import Mod, demod_soft, modulate, modulate_np
 from ..sequence import gold_sequence, gold_sequence_signs
 from .npbch import nrs_positions
 
@@ -124,7 +124,7 @@ def npdsch_encode_np(
     for s in range(n_sf):
         seq = gold_sequence(npdsch_cinit(rnti, sf_idx0 + s, n_id_ncell), 2 * n_re)
         scr = (e[pos : pos + 2 * n_re] ^ seq).astype(np.uint8)
-        out[s] = np.asarray(modulate(Mod.QPSK, scr))
+        out[s] = modulate_np(Mod.QPSK, scr)
         pos += 2 * n_re
     return out
 
@@ -172,7 +172,7 @@ def npdcch_encode_np(dci_bits: np.ndarray, rnti: int, n_id_ncell: int, sf_idx: i
     coded = convcoder_encode_np(b).astype(np.float32)
     e = np.asarray(conv_rate_match_tx(coded, 2 * n_re)).astype(np.uint8)
     seq = gold_sequence(npdcch_cinit(sf_idx, n_id_ncell), 2 * n_re)
-    return np.asarray(modulate(Mod.QPSK, (e ^ seq).astype(np.uint8)))
+    return modulate_np(Mod.QPSK, (e ^ seq).astype(np.uint8))
 
 
 def npdcch_blind_search(sym_eq, rnti: int, n_id_ncell: int, sf_idx: int):

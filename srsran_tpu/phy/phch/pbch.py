@@ -87,15 +87,22 @@ def pbch_encode_np(mib: Mib, cell: Cell, nof_ports: int) -> np.ndarray:
     Transmit row `(sfn % 4)` each radio frame.  Single-port signal (the
     caller applies tx diversity across ports if nof_ports > 1).
     """
+    from ..fec.rate_match import conv_rm_indices
+
     bits = mib.pack()
     crc = crc_compute_np(bits, LTE_CRC16)
     crc ^= np.array(CRC_MASKS[nof_ports], np.uint8)
     b40 = np.concatenate([bits, crc])
-    coded = convcoder_encode_np(b40).astype(np.float32)  # (3, 40)
-    e = np.asarray(conv_rate_match_tx(coded, PBCH_TTI_BITS)).astype(np.uint8)
+    coded = convcoder_encode_np(b40)  # (3, 40)
+    # pure numpy end to end: this runs once per FRAME on the stack's
+    # control path, and a device modulate here is a sync round-trip
+    e = coded.reshape(-1)[conv_rm_indices(coded.shape[-1],
+                                          PBCH_TTI_BITS)].astype(np.uint8)
     seq = gold_sequence(cell.id, PBCH_TTI_BITS)
     scrambled = (e ^ seq).astype(np.uint8)
-    sym = np.asarray(modulate(Mod.QPSK, scrambled))
+    s = (1.0 - 2.0 * scrambled.astype(np.float32)) * np.float32(
+        1.0 / np.sqrt(2.0))
+    sym = (s[0::2] + 1j * s[1::2]).astype(np.complex64)
     return sym.reshape(4, PBCH_SYMS_FRAME)
 
 

@@ -13,7 +13,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..common import Cell
-from ..modem import Mod, demod_soft, modulate
+from ..modem import Mod, demod_soft, modulate, modulate_np
 from ..sequence import gold_sequence, gold_sequence_signs
 
 CFI_LEN = 32
@@ -50,7 +50,7 @@ def pcfich_put_np(grid: np.ndarray, cell: Cell, sf_idx: int, cfi: int):
     §6.7.3 layer mapping/precoding as for PBCH)."""
     cw = cfi_codeword(cfi)
     seq = gold_sequence(pcfich_cinit(sf_idx, cell.id), CFI_LEN)
-    sym = np.asarray(modulate(Mod.QPSK, cw ^ seq))
+    sym = modulate_np(Mod.QPSK, cw ^ seq)
     idx = pcfich_re_indices(cell)
     if grid.ndim == 3 and grid.shape[0] >= 2:
         from ..mimo import precode_diversity2

@@ -23,7 +23,7 @@ from ..common import LTE_CRC16, Cell
 from ..crc import crc_compute_np
 from ..fec.conv import convcoder_encode_np, viterbi_decode
 from ..fec.rate_match import conv_rate_match_rx, conv_rate_match_rx_np, conv_rate_match_tx
-from ..modem import Mod, demod_soft, modulate
+from ..modem import Mod, demod_soft, modulate, modulate_np
 from ..sequence import gold_sequence, gold_sequence_signs
 
 CCE_BITS = 72  # 1 CCE = 9 REG = 36 RE = 72 QPSK bits
@@ -95,7 +95,7 @@ def pdcch_put_np(
     seq = gold_sequence(pdcch_cinit(rnti, sf_idx, cell.id), CCE_BITS * nof_cce(cell, sf_idx, cfi))
     off = cce_start * CCE_BITS
     scr = coded ^ seq[off : off + len(coded)]
-    sym = np.asarray(modulate(Mod.QPSK, scr))
+    sym = modulate_np(Mod.QPSK, scr)
     idx = pdcch_re_indices(cell, sf_idx, cfi)
     re_sel = idx[cce_start * 36 : cce_start * 36 + len(sym)]
     if grid.ndim == 3 and grid.shape[0] >= 2:

@@ -27,7 +27,7 @@ from ..mimo import (
     predecode_zf_mmse,
     precode_spatialmux,
 )
-from ..modem import Mod, demod_soft, modulate
+from ..modem import Mod, demod_soft, modulate, modulate_np
 from ..scrambling import scramble_bits, scramble_soft
 from ..sequence import gold_sequence, gold_sequence_signs
 from .sch import TbCoding, dlsch_decode, dlsch_encode_np
@@ -154,7 +154,7 @@ def pdsch_encode_np(
     bits = dlsch_encode_np(tb_bits, coding)
     seq = gold_sequence(pdsch_cinit(grant.rnti, sf_idx, cell.id), len(bits))
     scrambled = np.asarray(scramble_bits(bits, seq))
-    sym = np.asarray(modulate(grant.mod, scrambled))
+    sym = modulate_np(grant.mod, scrambled)
     if grant.tx_scheme == "port0":
         ports = sym[None, :]
     elif grant.tx_scheme == "diversity":

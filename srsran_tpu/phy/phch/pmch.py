@@ -18,7 +18,7 @@ from functools import lru_cache
 import numpy as np
 
 from ..common import MAX_PRB, Cell
-from ..modem import demod_soft, modulate
+from ..modem import demod_soft, modulate, modulate_np
 from ..scrambling import scramble_bits, scramble_soft
 from ..sequence import gold_sequence, gold_sequence_signs
 from .pdsch import MOD_QM
@@ -107,7 +107,7 @@ def pmch_encode_np(cell: Cell, sf_idx: int, area_id: int, mod, tbs: int, tb_bits
     e = np.asarray(dlsch_encode_np(tb_bits, coding)).astype(np.uint8)
     seq = gold_sequence(pmch_cinit(sf_idx, area_id), len(e))
     scr = np.asarray(scramble_bits(e, seq))
-    sym = np.asarray(modulate(mod, scr))
+    sym = modulate_np(mod, scr)
     grid = np.zeros((cell.nsymb_per_sf, cell.nof_re_per_symbol), np.complex64)
     grid.reshape(-1)[idx] = sym
     put_mbsfn_rs_np(grid, cell, sf_idx, area_id)

@@ -30,7 +30,7 @@ from ..crc import crc_compute_np
 from ..dft_precoding import dft_precode, dft_predecode
 from ..fec.conv import convcoder_encode_np, viterbi_decode
 from ..fec.rate_match import conv_rate_match_rx, conv_rate_match_tx
-from ..modem import Mod, demod_soft, modulate
+from ..modem import Mod, demod_soft, modulate, modulate_np
 from ..sequence import gold_sequence, gold_sequence_signs
 from ..chest.refsignal_ul import base_sequence
 from .pusch import _interleaver_indices
@@ -107,7 +107,7 @@ def psbch_encode_np(mib: MibSl, n_sl_id: int) -> np.ndarray:
     inter = e[idx]
     seq = gold_sequence(n_sl_id, E_BITS)
     scr = (inter ^ seq).astype(np.uint8)
-    sym = np.asarray(modulate(Mod.QPSK, scr)).reshape(N_DATA_BUDGET, M_SC)
+    sym = modulate_np(Mod.QPSK, scr).reshape(N_DATA_BUDGET, M_SC)
     prec = np.asarray(dft_precode(sym))
     return prec[: len(DATA_SYMS)]
 

@@ -18,7 +18,7 @@ import numpy as np
 
 from ..common import Cell
 from ..dft_precoding import dft_precode, dft_predecode
-from ..modem import demod_soft, modulate
+from ..modem import demod_soft, modulate, modulate_np
 from ..sequence import gold_sequence, gold_sequence_signs
 from ..chest.refsignal_ul import base_sequence
 from .pusch import _interleaver_indices
@@ -72,7 +72,7 @@ def pssch_encode_np(
     inter = e[idx]
     seq = gold_sequence(pssch_cinit(n_x_id, sf_idx), coding.g)
     scr = (inter ^ seq).astype(np.uint8)
-    sym = np.asarray(modulate(mod, scr)).reshape(N_DATA_BUDGET, nof_prb * 12)
+    sym = modulate_np(mod, scr).reshape(N_DATA_BUDGET, nof_prb * 12)
     prec = np.asarray(dft_precode(sym))
     return prec[: len(DATA_SYMS)]
 

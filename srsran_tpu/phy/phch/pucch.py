@@ -20,7 +20,7 @@ import numpy as np
 
 from ..common import Cell
 from ..chest.refsignal_ul import base_sequence
-from ..modem import Mod, demod_soft, modulate
+from ..modem import Mod, demod_soft, modulate, modulate_np
 from ..sequence import gold_sequence
 from .uci import rm_decode, rm_encode
 from .uci_data import RM20_BASIS
@@ -193,9 +193,9 @@ def pucch_format1_encode_np(cell: Cell, cfg: PucchConfig, sf_idx: int, bits) -> 
     if len(bits) == 0:
         d = np.complex64(1.0)
     elif len(bits) == 1:
-        d = np.asarray(modulate(Mod.BPSK, bits))[0]
+        d = modulate_np(Mod.BPSK, bits)[0]
     else:
-        d = np.asarray(modulate(Mod.QPSK, bits))[0]
+        d = modulate_np(Mod.QPSK, bits)[0]
     u = cell.id % 30
     r = base_sequence(u, 12)
     out = np.zeros((cell.nsymb_per_sf, 12), np.complex64)
@@ -264,7 +264,7 @@ def pucch_format2_encode_np(cell: Cell, cfg: PucchConfig, sf_idx: int, uci_bits)
     """Format 2: ≤13 CQI bits → (nsymb_sf, 12) PRB-local grid."""
     coded = rm_encode(np.asarray(uci_bits, np.uint8), 20, RM20_BASIS)
     seq = gold_sequence((((sf_idx * 2 + 1) * (2 * cell.id + 1)) << 9) + cell.id, 20)
-    d = np.asarray(modulate(Mod.QPSK, coded ^ seq))
+    d = modulate_np(Mod.QPSK, coded ^ seq)
     u = cell.id % 30
     r = base_sequence(u, 12)
     out = np.zeros((cell.nsymb_per_sf, 12), np.complex64)
@@ -425,7 +425,7 @@ def pucch_format3_encode_np(
     block-spread over the 5 data SC-FDMA symbols with a length-5 cover."""
     uci_bits = np.asarray(uci_bits, np.uint8)
     coded = _f3_coded_bits(uci_bits) ^ _f3_scramble_seq(cell, sf_idx, rnti)
-    d = np.asarray(modulate(Mod.QPSK, coded))  # (24,)
+    d = modulate_np(Mod.QPSK, coded)  # (24,)
     u = cell.id % 30
     r = base_sequence(u, 12)
     ncs = ncs_cell(cell)

@@ -23,7 +23,7 @@ import numpy as np
 from ..common import Cell
 from ..dft_precoding import dft_precode, dft_predecode
 from ..mimo import predecode_single_mrc
-from ..modem import Mod, demod_soft, modulate
+from ..modem import Mod, demod_soft, modulate, modulate_np
 from ..scrambling import scramble_bits, scramble_soft
 from ..sequence import gold_sequence, gold_sequence_signs
 from .pdsch import MOD_QM
@@ -213,7 +213,7 @@ def pusch_encode_np(cell: Cell, sf_idx: int, grant: UlGrant, tb_bits: np.ndarray
         inter = bits[idx]
     seq = gold_sequence(pusch_cinit(grant.rnti, sf_idx, cell.id), g)
     scr = np.asarray(scramble_bits(inter, seq))
-    sym = np.asarray(modulate(grant.mod, scr)).reshape(len(data_syms), m_sc)
+    sym = modulate_np(grant.mod, scr).reshape(len(data_syms), m_sc)
     precoded = np.asarray(dft_precode(sym))
     grid = np.zeros((cell.nsymb_per_sf, cell.nof_re_per_symbol), np.complex64)
     k0 = grant.prb_start * 12

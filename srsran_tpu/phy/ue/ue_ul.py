@@ -31,6 +31,7 @@ def ue_ul_encode(
     cfo: float = 0.0,
     uci=None,
     srs: tuple[int, int] | None = None,
+    pucch3: tuple[PucchConfig, np.ndarray, int] | None = None,
 ) -> np.ndarray:
     """Render one UL subframe → (sf_len,) samples (half-subcarrier shifted).
 
@@ -48,6 +49,21 @@ def ue_ul_encode(
         from ..chest.srs import put_srs_np
 
         put_srs_np(grid, cell, srs[0], srs[1])
+    if pucch3 is not None:
+        # CA HARQ-ACK multiplexing resource (pucch_proc.c format-3 path)
+        from ..phch.pucch import pucch_format3_encode_np
+
+        cfg3, bits3, rnti3 = pucch3
+        prb3 = pucch_format3_encode_np(cell, cfg3, sf_idx, bits3, rnti3)
+        from ..phch.pucch import _f1_covers, pucch_f1_prb
+
+        for slot in range(2):
+            ns = 2 * sf_idx + slot
+            m = pucch_f1_prb(cfg3.n_pucch, ns, cell.nof_prb,
+                             cfg3.delta_shift, covers=_f1_covers(cell))
+            sl = slice(slot * cell.nsymb_per_slot,
+                       (slot + 1) * cell.nsymb_per_slot)
+            grid[sl, m * 12: (m + 1) * 12] += prb3[sl]
     for item, enc in ((pucch1, pucch_format1_encode_np), (pucch2, pucch_format2_encode_np)):
         if item is None:
             continue

