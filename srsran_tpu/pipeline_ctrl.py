@@ -252,21 +252,38 @@ def blind_search_dispatch(ctrl_eq: np.ndarray, layout: CtrlLayout,
     return w, pend
 
 
+@lru_cache(maxsize=16)
+def _crc16_gen(nbits: int) -> np.ndarray:
+    """(nbits, 16) GF(2) generator: CRC16 of a message = bits @ G mod 2
+    (the LTE CRC is zero-initialised, hence linear) — one batched matmul
+    checks a whole window's hypotheses."""
+    g = np.zeros((nbits, 16), np.uint8)
+    for i in range(nbits):
+        e = np.zeros(nbits, np.uint8)
+        e[i] = 1
+        g[i] = crc_compute_np(e, LTE_CRC16)
+    return g
+
+
 def blind_search_collect(pending):
-    """Phase 2: realize the Viterbi batches, CRC-RNTI check, dedup.
-    Returns per TTI a list of (rnti, fmt, dci_bits, agg_level,
-    cce_start), TM-specific formats before the 1A fallback (the ue_dl.c
-    format priority)."""
+    """Phase 2: realize the Viterbi batches, CRC-RNTI check (batched
+    GF(2) matmul), dedup.  Returns per TTI a list of (rnti, fmt,
+    dci_bits, agg_level, cce_start), TM-specific formats before the 1A
+    fallback (the ue_dl.c format priority)."""
     w, pend = pending
     found: list[list] = [[] for _ in range(w)]
     seen: list[set] = [set() for _ in range(w)]
     for d, entries, bits_dev in pend:
         bits = np.asarray(bits_dev)
-        for ((t, rnti, fmt, dci_len, lvl, st), _), b in zip(entries, bits):
+        dci_len = entries[0][0][3]
+        ne = len(entries)
+        calc = (bits[:ne, :dci_len].astype(np.uint8)
+                @ _crc16_gen(dci_len)) % 2          # (ne, 16)
+        for k, (((t, rnti, fmt, _dl, lvl, st), _), b) in enumerate(
+                zip(entries, bits)):
             mask = np.array([(rnti >> (15 - i)) & 1 for i in range(16)],
                             np.uint8)
-            if not np.array_equal(b[dci_len:] ^ mask,
-                                  crc_compute_np(b[:dci_len], LTE_CRC16)):
+            if not np.array_equal(b[dci_len:d] ^ mask, calc[k]):
                 continue
             # one hit per distinct payload: a DCI sent at agg L also
             # CRC-passes at nested/overlapping candidates (the per-TTI

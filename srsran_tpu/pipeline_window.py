@@ -260,11 +260,13 @@ def _gather_re_classes(grid_ri, ce_ri, idx_cls, cls_re):
     return _ri2c(y), _ri2c(h)
 
 
-def _build_win_b(w: int, scheme: str):
+def _build_win_b(w: int, scheme: str, qms: tuple = tuple(QMS)):
     """Grant front-end for W TTIs: class-shared RE gather → equalize
-    (port0 MRC or TM2 SFBC combining) → demod (all constellations,
-    one-hot select by the per-TTI Qm) → CSI weight → descramble.
-    Emits (W, G_MAX) masked LLRs."""
+    (port0 MRC or TM2 SFBC combining) → demod (one-hot select by the
+    per-TTI Qm over the constellations PRESENT in the window — the
+    host knows the Qm set, so a uniform window demodulates once, not
+    four times) → CSI weight → descramble.  Emits (W, G_MAX) masked
+    LLRs."""
 
     def one(y, h, noise, n_re, qm, signs):
         if scheme == "diversity":
@@ -273,6 +275,8 @@ def _build_win_b(w: int, scheme: str):
             x, csi = predecode_single_mrc(y, h[:, 0], noise)
         llr = jnp.zeros((G_MAX,), jnp.float32)
         for mod_c, qm_c in zip(MODS, QMS):
+            if qm_c not in qms:
+                continue
             lc = demod_soft(mod_c, x) * jnp.repeat(csi, qm_c)
             lc = jnp.zeros((G_MAX,), jnp.float32).at[: RE_MAX * qm_c].set(lc)
             llr = jnp.where(qm == qm_c, lc, llr)
@@ -747,14 +751,15 @@ class WindowedUeDl:
     def _c_for(self, key):
         return _build_win_c(*key, self.max_iterations)
 
-    def _b_for(self, ncls_re: int):
-        # keyed on the RE-class bucket count only so one compiled
-        # executable serves each bucket (the jit itself specializes on
-        # idx_cls.shape — ADVICE r3 #4: the count is a cache key, not a
-        # build parameter)
-        if ncls_re not in self._b_cache:
-            self._b_cache[ncls_re] = _build_win_b(self.w, self.scheme)
-        return self._b_cache[ncls_re]
+    def _b_for(self, ncls_re: int, qms: tuple = tuple(QMS)):
+        # keyed on the RE-class bucket count + the window's Qm set so one
+        # compiled executable serves each bucket (the jit itself
+        # specializes on idx_cls.shape — ADVICE r3 #4: the count is a
+        # cache key, not a build parameter)
+        key = (ncls_re, qms)
+        if key not in self._b_cache:
+            self._b_cache[key] = _build_win_b(self.w, self.scheme, qms)
+        return self._b_cache[key]
 
     def _re_classes(self, sf_indices, grants):
         """Distinct (sf_idx, PRB-set) classes of the window → (stacked
@@ -855,7 +860,8 @@ class WindowedUeDl:
         bp = pdev[: 3 * w].reshape(w, 3)
         soft = _assemble_soft(softbuffer, pack, pack.key[1])
         j0_tab, perq, invq, tb_tab = class_tables(pack)
-        bfn = self._b_for(idx_cls.shape[0])
+        bfn = self._b_for(idx_cls.shape[0],
+                          tuple(sorted({g.qm for g in grants})))
         cfn = self._c_for(pack.key)
 
         stages = [
@@ -979,7 +985,7 @@ def _build_win_a_ul(cell: Cell, w: int):
     return fn
 
 
-def _build_win_b_ul(cell: Cell, w: int):
+def _build_win_b_ul(cell: Cell, w: int, qms: tuple = tuple(QMS)):
     """PUSCH grant front-end for W TTIs, every grant quantity data:
     allocation slice (contiguous dynamic-slice), DMRS chest with masked
     smoothing, MRC, **Bluestein IDFT** de-precoding (transform length is
@@ -1046,6 +1052,8 @@ def _build_win_b_ul(cell: Cell, w: int):
         llr_pad = jnp.zeros((G_MAX,), jnp.float32)
         xf_flat = x.reshape(-1)
         for mod_c, qm_c in zip(MODS, QMS):
+            if qm_c not in qms:
+                continue
             lc = demod_soft(mod_c, xf_flat) * jnp.repeat(wcsi, qm_c)
             lc = jnp.zeros((G_MAX,), jnp.float32).at[: nsym * M_MAX * qm_c].set(lc)
             llr_pad = jnp.where(qm == qm_c, lc, llr_pad)
@@ -1111,7 +1119,7 @@ class WindowedEnbUl:
         self.ingest = ingest
         self.max_iterations = max_iterations
         self._a = _build_win_a_ul(cell, w)
-        self._b = _build_win_b_ul(cell, w)
+        self._b_cache: dict = {}
         self._signs_dev: dict = {}
         from .phy.phch.pusch import pusch_symbols_data
 
@@ -1119,6 +1127,11 @@ class WindowedEnbUl:
         self.stats = {"windows": 0, "ttis": 0, "crc_ok": 0}
 
     _c_for = WindowedUeDl._c_for
+
+    def _b_for_ul(self, qms: tuple):
+        if qms not in self._b_cache:
+            self._b_cache[qms] = _build_win_b_ul(self.cell, self.w, qms)
+        return self._b_cache[qms]
 
     def _signs(self, rnti: int, sf_idx: int):
         from .phy.phch.pusch import pusch_cinit
@@ -1191,10 +1204,11 @@ class WindowedEnbUl:
             sq, sc = _upload(samples_q), jnp.asarray(scale)
         cfn = self._c_for(pack.key)
 
+        bfn_ul = self._b_for_ul(tuple(sorted({g.qm for g in grants})))
         stages = [
             ("A", (lambda _prev: abc) if abc is not None
                   else lambda _prev: self._a(sq, sc)),
-            ("B", lambda grid_ri: self._b(
+            ("B", lambda grid_ri: bfn_ul(
                 grid_ri, bp[:, 0], bp[:, 1], bp[:, 2], dmrs, signs,
                 tab_llr, tab_sig, cls_il_d)),
             ("C", lambda llr: cfn(
@@ -1236,7 +1250,7 @@ class WindowedEnbUl:
 # --------------------------------------------------------------------------
 
 
-def _build_win_b_mimo(w: int):
+def _build_win_b_mimo(w: int, qms: tuple = tuple(QMS)):
     """Spatial-multiplexing grant front-end for W TTIs: class-shared RE
     gather → fold the per-TTI precoder into H (the 3 TM4 codebook PMIs
     and TM3 large-delay CDD are cheap elementwise transforms of H,
@@ -1273,6 +1287,8 @@ def _build_win_b_mimo(w: int):
             llr = jnp.zeros((G_MAX,), jnp.float32)
             wcsi = jnp.real(csi_c)
             for mod_c, qm_c in zip(MODS, QMS):
+                if qm_c not in qms:
+                    continue
                 lc = demod_soft(mod_c, sym) * jnp.repeat(wcsi, qm_c)
                 lc = jnp.zeros((G_MAX,), jnp.float32).at[: RE_MAX * qm_c].set(lc)
                 llr = jnp.where(qm == qm_c, lc, llr)
@@ -1319,10 +1335,11 @@ class WindowedUeDlMimo(WindowedUeDl):
         self._signs_dev = {}
         self.stats = {"windows": 0, "ttis": 0, "crc_ok": 0}
 
-    def _b_for(self, ncls_re: int):
-        if ncls_re not in self._b_cache:
-            self._b_cache[ncls_re] = _build_win_b_mimo(self.w)
-        return self._b_cache[ncls_re]
+    def _b_for(self, ncls_re: int, qms: tuple = tuple(QMS)):
+        key = (ncls_re, qms)
+        if key not in self._b_cache:
+            self._b_cache[key] = _build_win_b_mimo(self.w, qms)
+        return self._b_cache[key]
 
     def _signs_q(self, rnti: int, sf_idx: int, q: int):
         key = (rnti, sf_idx, q)
@@ -1360,7 +1377,8 @@ class WindowedUeDlMimo(WindowedUeDl):
         bp = pdev[: 5 * w].reshape(w, 5)
         soft = _assemble_soft(softbuffer, pack, pack.key[1])
         j0_tab, perq, invq, tb_tab = class_tables(pack)
-        bfn = self._b_for(idx_cls.shape[0])
+        bfn = self._b_for(idx_cls.shape[0], tuple(sorted(
+            {g.qm1 for g in grants} | {g.qm2 for g in grants})))
         cfn = self._c_for(pack.key)
 
         stages = [

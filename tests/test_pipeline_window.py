@@ -77,7 +77,10 @@ def test_window_compile_budget():
         res = ue.results(p)
         assert all(r[1] for r in res)
     assert ue._a._cache_size() == 1
-    assert len(ue._b_cache) <= 2  # one per RE-class bucket
+    # one per (RE-class bucket, present-Qm subset): the Qm set key lets a
+    # uniform window demodulate once instead of four one-hot times; both
+    # factors are small and bounded
+    assert len(ue._b_cache) <= 2 * 4
     grown = _build_win_c.cache_info().currsize - before
     assert grown <= len(keys) <= 3
 
