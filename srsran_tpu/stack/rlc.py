@@ -113,6 +113,8 @@ class RlcUm:
         self.window = self.mod // 2
         # tx
         self.tx_sdus: deque[bytes] = deque()
+        self._tx_sdu_bytes = 0  # running sum(len+2) — buffer_state is on
+        #   the scheduler's per-row path and must not walk the queue
         self.vt_us = 0
         self.tx_partial: bytes | None = None  # remainder of a segmented SDU
         # rx
@@ -128,12 +130,13 @@ class RlcUm:
     # --- tx ---
     def write_sdu(self, sdu: bytes):
         self.tx_sdus.append(bytes(sdu))
+        self._tx_sdu_bytes += len(sdu) + 2
 
     def has_data(self) -> bool:
         return bool(self.tx_sdus) or self.tx_partial is not None
 
     def buffer_state(self) -> int:
-        n = sum(len(s) + 2 for s in self.tx_sdus)
+        n = self._tx_sdu_bytes
         if self.tx_partial is not None:
             n += len(self.tx_partial) + 2
         return n
@@ -165,14 +168,14 @@ class RlcUm:
                 if self.tx_partial is not None:
                     self.tx_partial = None
                 else:
-                    self.tx_sdus.popleft()
+                    self._tx_sdu_bytes -= len(self.tx_sdus.popleft()) + 2
             else:
                 payloads.append(src[:room])
                 rest = src[room:]
                 if self.tx_partial is not None:
                     self.tx_partial = rest
                 else:
-                    self.tx_sdus.popleft()
+                    self._tx_sdu_bytes -= len(self.tx_sdus.popleft()) + 2
                     self.tx_partial = rest
                 room = 0
                 last_is_partial = True
@@ -304,6 +307,8 @@ class RlcAm:
         self.cfg = cfg
         # tx side
         self.tx_sdus: deque[bytes] = deque()
+        self._tx_sdu_bytes = 0  # running sum(len+2) — buffer_state is on
+        #   the scheduler's per-row path and must not walk the queue
         self.tx_partial: bytes | None = None
         self.vt_a = 0  # oldest un-acked
         self.vt_s = 0  # next SN to use
@@ -328,6 +333,7 @@ class RlcAm:
     # ---- tx path ----
     def write_sdu(self, sdu: bytes):
         self.tx_sdus.append(bytes(sdu))
+        self._tx_sdu_bytes += len(sdu) + 2
 
     def has_data(self) -> bool:
         return (
@@ -338,7 +344,7 @@ class RlcAm:
         )
 
     def buffer_state(self) -> int:
-        n = sum(len(s) + 2 for s in self.tx_sdus)
+        n = self._tx_sdu_bytes
         if self.tx_partial:
             n += len(self.tx_partial) + 2
         for sn in self.retx_queue:
@@ -411,14 +417,14 @@ class RlcAm:
                 if self.tx_partial is not None:
                     self.tx_partial = None
                 else:
-                    self.tx_sdus.popleft()
+                    self._tx_sdu_bytes -= len(self.tx_sdus.popleft()) + 2
             else:
                 payloads.append(src[:room])
                 rest = src[room:]
                 if self.tx_partial is not None:
                     self.tx_partial = rest
                 else:
-                    self.tx_sdus.popleft()
+                    self._tx_sdu_bytes -= len(self.tx_sdus.popleft()) + 2
                     self.tx_partial = rest
                 room = 0
                 last_is_partial = True
