@@ -12,10 +12,10 @@ device dispatches per W-TTI window.
 
 Timing contract (the windowed extension of windowed_plane.py's):
 
-* window W (>= 12), feedback delay D = 3W + 16 TTIs;
+* window W (>= 12), feedback delay D = 5W TTIs;
 * DCI-0 grants, RAR Msg3, PHICH retransmissions and HARQ ACKs all run
   at +D instead of the TS 36.213 +4 (`ul_grant_delay`/`harq_delay`);
-* DL HARQ is SYNCHRONOUS with n_harq = 4W + 32 processes: pid =
+* DL HARQ is SYNCHRONOUS with n_harq = 6W + 32 processes: pid =
   tti % n_harq on BOTH ends (the DCI's 3-bit field carries pid % 8),
   retransmissions ride the pid's own TTI slots — the LTE UL HARQ
   discipline applied DL, because a 3-bit pid cannot span D in-flight TBs;
@@ -81,9 +81,36 @@ from .full_stack import (
     cqi_report_is_ri,
 )
 
-RD = 4            # dispatch → realization poll distance (TTIs)
+RD = 4            # dispatch → earliest realization poll distance (TTIs)
 RD_COPY = 2       # dispatch → start the async device→host copy (TTIs)
+RTT_HIDE = 0.028  # wall seconds the D2H copy needs on the tunneled link
 PAD_DL = None     # built lazily per cell
+
+
+def _pump_q(q, tti, arr_of):
+    """Start each pending entry's async copy (once, at RD_COPY ticks) and
+    stamp the wall time — poll readiness is wall-clock-aware."""
+    import time as _t
+
+    for e in q:
+        if e["cs"] is None and tti - e["t"] >= RD_COPY:
+            _start_copy(arr_of(e))
+            e["cs"] = _t.monotonic()
+
+
+def _due(e, tti, rd_max: int) -> bool:
+    """A pending window realizes when its copy has had RTT_HIDE of wall
+    time to land, or at the rd_max tick deadline — the free-running loop
+    otherwise blocks ~25 ms per readback on the tunneled link, and with
+    opportunistic polls several windows' transfers fly concurrently."""
+    import time as _t
+
+    age = tti - e["t"]
+    if age >= rd_max:
+        return True
+    return (age >= RD and e["cs"] is not None
+            and _t.monotonic() - e["cs"] >= RTT_HIDE)
+PAD_DL = None
 
 
 def _start_copy(arr):
@@ -131,14 +158,14 @@ class WindowedCtrlEnb(EnbStack):
         super().__init__(cell, mme, spgw, **kw)
         w = ctrl_window
         self.cw = w
-        self.harq_delay = 3 * w + 16
-        self.ul_grant_delay = 3 * w + 16
+        self.harq_delay = 5 * w
+        self.ul_grant_delay = 5 * w
         self.simul_pucch_pusch = True
         self.apcqi_interval = 10 ** 9  # aperiodic CQI needs UCI-on-PUSCH
         # inactivity release must outlive the stretched feedback RTT
         # (grant → PUSCH → windowed decode ≈ 2·D; base default is 40)
         self.ul_inactivity_timeout = 6 * self.harq_delay
-        self.n_harq_w = 4 * w + 32
+        self.n_harq_w = 6 * w + 32
         self.sched = Scheduler(cell.nof_prb, mcs_max=self.sched.mcs_max,
                                n_harq=self.n_harq_w, sync_dl_harq=True,
                                max_grants_per_tti=1)
@@ -265,21 +292,19 @@ class WindowedCtrlEnb(EnbStack):
             samples = np.stack(rows)[:, None]
         pf = self._ul_fe.dispatch(samples, [u % 10 for u in
                                             range(first, first + w)])
-        self._ul_fe_q.append((tti, first, pf))
+        self._ul_fe_q.append(dict(t=tti, first=first, pf=pf, cs=None))
 
     def _ul_poll(self, tti: int):
         from ..phy.phch.pucch import (PucchConfig, _f1_covers, pucch_f1_prb,
                                       pucch_format1_decode)
 
         w = self.cw
-        for dt_, _f, pf_ in self._ul_fe_q:
-            if RD_COPY <= tti - dt_ < RD:
-                _start_copy(pf_.edge)
-        for dt_, p_, _m in self._ul_data_q:
-            if RD_COPY <= tti - dt_ < RD:
-                _start_copy(p_.packed)
-        while self._ul_fe_q and tti - self._ul_fe_q[0][0] >= RD:
-            _dt, first, pf = self._ul_fe_q.popleft()
+        rdm = max(RD, (w - 10) // 2)
+        _pump_q(self._ul_fe_q, tti, lambda e: e["pf"].edge)
+        _pump_q(self._ul_data_q, tti, lambda e: e["p"].packed)
+        while self._ul_fe_q and _due(self._ul_fe_q[0], tti, rdm):
+            ent = self._ul_fe_q.popleft()
+            first, pf = ent["first"], ent["pf"]
             edge, prb_pow = self._ul_fe.realize_pucch(pf)
 
             def f1_grid(i, u, n_pucch):
@@ -389,9 +414,11 @@ class WindowedCtrlEnb(EnbStack):
                 if all(s is None for s in soft):
                     soft = None
                 p = self._ul_fe.dispatch_data(pf, grants, softbuffer=soft)
-                self._ul_data_q.append((tti, p, metas))
-        while self._ul_data_q and tti - self._ul_data_q[0][0] >= RD:
-            _dt, p, metas = self._ul_data_q.popleft()
+                self._ul_data_q.append(dict(t=tti, p=p, metas=metas,
+                                            cs=None))
+        while self._ul_data_q and _due(self._ul_data_q[0], tti, rdm):
+            ent = self._ul_data_q.popleft()
+            p, metas = ent["p"], ent["metas"]
             res = self._ul_fe.results(p)
             for meta in metas:
                 tb, ok, _n = res[meta["row"]]
@@ -485,9 +512,9 @@ class WindowedCtrlUe(UeStack):
         super().__init__(cell, usim, **kw)
         w = ctrl_window
         self.cw = w
-        self.harq_delay = 3 * w + 16
-        self.ul_grant_delay = 3 * w + 16
-        self.n_harq_w = 4 * w + 32
+        self.harq_delay = 5 * w
+        self.ul_grant_delay = 5 * w
+        self.n_harq_w = 6 * w + 32
         self.device = phy_device
         with _on(phy_device):
             self._fe = WindowedUeFrontEnd(cell, cfi=self.cfi, w=w,
@@ -536,24 +563,22 @@ class WindowedCtrlUe(UeStack):
             samples = np.stack(rows)[:, None]
         pf = self._fe.dispatch(samples, [t % 10 for t in
                                          range(first, first + self.cw)])
-        self._fe_q.append((tti, first, pf))
+        self._fe_q.append(dict(t=tti, first=first, pf=pf, cs=None))
         self.stats["ctrl_windows"] += 1
 
     def _poll_fe(self, tti: int):
         w = self.cw
+        rdm = max(RD, w // 2 - 2)
         len_1a = Dci1A.nof_bits(self.cell.nof_prb)
-        for dt_, _f, pf_ in self._fe_q:
-            if RD_COPY <= tti - dt_ < RD:
-                _start_copy(pf_.packed)
-        for dt_, p_, _m in self._data_q:
-            if RD_COPY <= tti - dt_ < RD:
-                _start_copy(p_.packed)
-        while self._fe_q and tti - self._fe_q[0][0] >= RD:
+        _pump_q(self._fe_q, tti, lambda e: e["pf"].packed)
+        _pump_q(self._data_q, tti, lambda e: e["p"].packed)
+        while self._fe_q and _due(self._fe_q[0], tti, rdm):
             # ctrl stage: realize the front-end (bytes pre-copied),
             # handle PHICH + metrics, DISPATCH the batched Viterbi; the
             # DCI parse runs two TTIs later so the Viterbi round-trip
             # rides quiet TTIs
-            _dt, first, pf = self._fe_q.popleft()
+            ent = self._fe_q.popleft()
+            first, pf = ent["first"], ent["pf"]
             ctrl, rsrp, noise = self._fe.realize(pf)
             # per-TTI measurements → CQI/monitoring state
             snr = np.mean(rsrp) / max(float(np.mean(noise)), 1e-12)
@@ -577,11 +602,17 @@ class WindowedCtrlUe(UeStack):
 
             vit = blind_search_dispatch(ctrl, self._fe.layout, self.cell,
                                         sfs, [reqs] * w)
-            self._vit_q.append((tti, first, pf, ctrl, sfs, vit))
-        while self._vit_q and tti - self._vit_q[0][0] >= 2:
+            import time as _t
+
+            self._vit_q.append(dict(t=tti, first=first, pf=pf, ctrl=ctrl,
+                                    sfs=sfs, vit=vit, cs=_t.monotonic()))
+        while self._vit_q and _due(self._vit_q[0], tti, rdm):
             from ..pipeline_ctrl import blind_search_collect
 
-            _dt, first, pf, ctrl, sfs, vit = self._vit_q.popleft()
+            ent = self._vit_q.popleft()
+            first, pf, ctrl, sfs, vit = (ent["first"], ent["pf"],
+                                         ent["ctrl"], ent["sfs"],
+                                         ent["vit"])
             found = blind_search_collect(vit)
             # grants indexed BY WINDOW SLOT (dispatch_data row i reads
             # slot i's stored grid)
@@ -664,9 +695,10 @@ class WindowedCtrlUe(UeStack):
                 if all(s is None for s in soft):
                     soft = None
                 p = self._fe.dispatch_data(pf, grants, softbuffer=soft)
-                self._data_q.append((tti, p, metas))
-        while self._data_q and tti - self._data_q[0][0] >= RD:
-            _dt, p, metas = self._data_q.popleft()
+                self._data_q.append(dict(t=tti, p=p, metas=metas, cs=None))
+        while self._data_q and _due(self._data_q[0], tti, rdm):
+            ent = self._data_q.popleft()
+            p, metas = ent["p"], ent["metas"]
             res = self._fe.results(p)
             for meta in metas:
                 tb, ok, _n = res[meta["row"]]
