@@ -1041,7 +1041,7 @@ def bench_stack_window_rtf(jax, jnp, rng):
     hss.add_subscriber(Subscriber("ue1", IMSI, KEY, OPC, amf=b"\x80\x00", sqn=0))
     spgw = Spgw()
     mme = Mme(hss, spgw)
-    W = 32
+    W = 64
     with jax.default_device(tpu):
         enb = WindowedCtrlEnb(cell, mme, spgw, mcs=8, ctrl_window=W,
                               phy_device=tpu)
@@ -1049,7 +1049,7 @@ def bench_stack_window_rtf(jax, jnp, rng):
                             phy_device=tpu)
         link = WindowedDeviceLoopback(enb, ue, snr_db=30.0)
         t = time.time()
-        for tti in range(3200):
+        for tti in range(9000):
             link.step()
             if (ue.rrc_state == WindowedCtrlUe.RRC_ACTIVE
                     and ue.nas.state == ue.nas.REGISTERED):
@@ -1109,6 +1109,7 @@ def main():
         ("window_ul_loopback_rtf", bench_window_ul_loopback_rtf),
         ("window_dlgen_rtf", bench_window_dlgen_rtf),
         ("window_ulgen_rtf", bench_window_ulgen_rtf),
+        ("window_carriers", bench_window_carriers),
         ("stack_window_rtf", bench_stack_window_rtf),
     ):
         try:
@@ -1121,6 +1122,9 @@ def main():
                 results[name], results["window_ul_onchip_rtf"] = r
             elif name == "window_mimo_rtf":
                 results[name], results["window_mimo_onchip_rtf"] = r
+            elif name == "window_carriers":
+                (results["window_carriers_per_chip"],
+                 results["window_carriers_per_chip_mcs26"]) = r
             else:
                 results[name] = r
         except Exception as e:  # never lose the other rows
@@ -1137,7 +1141,9 @@ def main():
              "window_ul_loopback_rtf": "x realtime",
              "window_ulgen_rtf": "x realtime",
              "stack_window_rtf": "x realtime",
-             "carriers_per_chip": "carriers"}
+             "carriers_per_chip": "carriers",
+             "window_carriers_per_chip": "carriers",
+             "window_carriers_per_chip_mcs26": "carriers"}
     notes = {
         "dynamic_rtf": "per-TTI latency path; a TRIVIAL 4-jit chain with "
                        "upload + pipelined readback measures 26-29 ms/iter "
@@ -1208,7 +1214,7 @@ def main():
         name: results[name] for name in (
             "ue_dl_mimo_q256", "turbo", "stack_window_rtf",
             "window_loopback_rtf", "window_mimo_onchip_rtf",
-            "carriers_per_chip")
+            "carriers_per_chip", "window_carriers_per_chip")
         if name in results
     }
     print(

@@ -173,7 +173,10 @@ class WindowedCtrlEnb(EnbStack):
         with _on(phy_device):
             self._dl_gen = WindowedEnbDl(cell, cfi=self.cfi, w=w,
                                          template="full")
-            self._ul_fe = WindowedEnbUlFrontEnd(cell, w=w, edge_prbs=4)
+            # 2 edge PRBs per side cover every configured PUCCH resource
+            # (n_pucch <= ~28 → PRB index m <= 1); the edge readback is
+            # half the window's D2H bytes on the tunneled link
+            self._ul_fe = WindowedEnbUlFrontEnd(cell, w=w, edge_prbs=2)
         # DL render pipeline
         self._dl_disp: dict[int, object] = {}   # window j -> device out
         self._dl_rows: dict[int, np.ndarray] = {}
