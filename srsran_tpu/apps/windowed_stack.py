@@ -25,12 +25,17 @@ Timing contract (the windowed extension of windowed_plane.py's):
 Pipeline schedule (all windows aligned to absolute TTIs, window j =
 TTIs [jW, jW+W)):
 
-  eNB  boundary of window k: schedule + dispatch DL render for k+2
-       UL window m FFT-dispatched when its last row arrives (tti mW+W);
-       realized +4 (PUCCH to host, PUSCH data dispatched); data +4.
+  eNB  rows of DL window k+2 staged one per tick through window k and
+       rendered in one dispatch at its boundary; UL window m
+       FFT-dispatched when its last row arrives (tti mW+W); PUCCH
+       realized to host, PUSCH data window chained from the stored grid.
   UE   boundary of window k: dispatch ctrl front-end for window k;
-       realized +4 (blind search, grants, PHICH); data window dispatched
-       then, realized +4; UL window m generated at boundary m-2.
+       blind search Viterbi batched and pipelined; data window chained
+       from the stored grids; UL rows staged one per tick, two windows
+       ahead.  Every realization poll is wall-clock-aware: it fires when
+       the window's async device→host copy has had RTT_HIDE to land, or
+       at the W/2-tick contract deadline — so several windows' transfers
+       fly concurrently on the tunneled link.
 
 Single-cell FDD, 1-port, single-codeword, TM1 scope (the serving hot
 path; TDD/CA/TM3+/mobility stay on the per-TTI stack).
