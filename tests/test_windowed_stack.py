@@ -103,6 +103,46 @@ def test_windowed_device_loopback():
     assert len(spgw.sgi_rx) >= 4, (len(spgw.sgi_rx), enb.stats, ue.stats)
 
 
+def test_windowed_sync_harq_retx_under_fade():
+    """Synchronous DL HARQ over the windowed contract: a mid-traffic
+    fade forces CRC failures; retransmissions ride the pid's own TTI
+    slots (pid = tti mod n_harq at BOTH ends), soft-combine across
+    windows, and every packet is delivered exactly once."""
+    from srsran_tpu.apps.windowed_stack import WindowedDeviceLoopback
+
+    cell = Cell(nof_prb=25, nof_ports=1, id=7)
+    hss = Hss()
+    hss.add_subscriber(Subscriber("ue1", IMSI, KEY, OPC, amf=b"\x80\x00",
+                                  sqn=0))
+    spgw = Spgw()
+    mme = Mme(hss, spgw)
+    enb = WindowedCtrlEnb(cell, mme, spgw, mcs=10, ctrl_window=W)
+    ue = WindowedCtrlUe(cell, Usim(IMSI, KEY, OPC), ctrl_window=W)
+    link = WindowedDeviceLoopback(enb, ue, snr_db=30.0)
+    for _ in range(1800):
+        link.step()
+        if (ue.rrc_state == WindowedCtrlUe.RRC_ACTIVE
+                and ue.nas.state == ue.nas.REGISTERED):
+            break
+    assert ue.nas.state == ue.nas.REGISTERED
+    pkts = [bytes([i]) * 180 for i in range(48)]
+    clean = link._noise
+    for k in range(2000):
+        if k % 25 == 0 and k // 25 < len(pkts) // 4:
+            for p in pkts[4 * (k // 25): 4 * (k // 25) + 4]:
+                spgw.sgi_tx(ue.ue_ip, p)
+        # deep fades across the traffic (the rlf.c-style burst
+        # impairment, here on the device link)
+        link._noise = np.float32(10 ** (-2.0 / 20.0)) \
+            if (k // 30) % 4 == 1 and k < 500 else clean
+        link.step()
+        if len(ue.ip_rx) >= len(pkts) and k > 600:
+            break
+    assert enb.stats.get("dl_nack", 0) > 0, enb.stats  # fade really bit
+    assert sorted(ue.ip_rx) == sorted(pkts), (
+        len(ue.ip_rx), enb.stats.get("dl_nack"))
+
+
 def test_windowed_harq_stats(stacks):
     enb, ue, _spgw, _ul = stacks
     # the attach alone exchanges ACKed DL TBs and CRC-passing PUSCH
