@@ -1059,16 +1059,19 @@ def bench_stack_window_rtf(jax, jnp, rng):
         assert ue.nas.state == ue.nas.REGISTERED, "attach failed"
         log(f"stack_window attach: tti {tti}, {time.time()-t:.1f}s "
             "(incl compiles)")
+        # saturate FIRST so the warm loop compiles the saturated-traffic
+        # window shapes the timed region will run
         for i in range(64):
             spgw.sgi_tx(ue.ue_ip, bytes([i]) * 400)
-        for _ in range(4 * W + 200):  # warm all window shapes
+        for _ in range(6 * W):
             link.step()
-        # saturated DL + periodic UL
-        for i in range(512):
+        for i in range(1024):
             spgw.sgi_tx(ue.ue_ip, bytes([i & 0xFF]) * 400)
         for i in range(32):
             ue.send_ip_packet(bytes([0x45, i]) * 200)
-        n = 512
+        for _ in range(8 * W):  # warm under saturation
+            link.step()
+        n = 10 * W
         t = time.time()
         for _ in range(n):
             link.step()
