@@ -1059,21 +1059,23 @@ def bench_stack_window_rtf(jax, jnp, rng):
         assert ue.nas.state == ue.nas.REGISTERED, "attach failed"
         log(f"stack_window attach: tti {tti}, {time.time()-t:.1f}s "
             "(incl compiles)")
-        # saturate FIRST so the warm loop compiles the saturated-traffic
-        # window shapes the timed region will run
-        for i in range(64):
-            spgw.sgi_tx(ue.ue_ip, bytes([i]) * 400)
-        for _ in range(6 * W):
-            link.step()
-        for i in range(1024):
-            spgw.sgi_tx(ue.ue_ip, bytes([i & 0xFF]) * 400)
-        for i in range(32):
-            ue.send_ip_packet(bytes([0x45, i]) * 200)
-        for _ in range(8 * W):  # warm under saturation
+        # sustained saturation: refill the offered load every 64 TTIs so
+        # the warm loop compiles EXACTLY the window shapes the timed
+        # region runs (a draining queue late in the measurement creates
+        # fresh empty-window shapes — each one a remote recompile)
+        def offer(k):
+            if k % 64 == 0:
+                for i in range(48):
+                    spgw.sgi_tx(ue.ue_ip, bytes([(k + i) & 0xFF]) * 400)
+                ue.send_ip_packet(bytes([0x45, k & 0xFF]) * 200)
+
+        for k in range(20 * W):  # >= 4 full sf-pattern cycles of shapes
+            offer(k)
             link.step()
         n = 10 * W
         t = time.time()
-        for _ in range(n):
+        for k in range(n):
+            offer(k)
             link.step()
         dt = (time.time() - t) / n
     rtf = 1e-3 / dt
