@@ -88,7 +88,8 @@ from .full_stack import (
 
 RD = 4            # dispatch → earliest realization poll distance (TTIs)
 RD_COPY = 2       # dispatch → start the async device→host copy (TTIs)
-RTT_HIDE = 0.028  # wall seconds the D2H copy needs on the tunneled link
+RTT_HIDE = 0.045  # wall seconds the D2H copy needs on the tunneled link
+#   (~25 ms idle RTT plus queueing behind the window uploads)
 PAD_DL = None     # built lazily per cell
 
 
@@ -323,6 +324,40 @@ class WindowedCtrlEnb(EnbStack):
                     for sl in range(2))
                 return self._ul_fe.pucch_prb_grid(edge, i, prbs)
 
+            # HARQ-ACK decodes batched per resource (the saturated
+            # single-UE stream uses ONE n_pucch): all the window's
+            # format-1 correlations run as one vectorized pass
+            from ..pipeline_ctrl import pucch_format1_decode_batch
+
+            window_acks = [self.pending_dl_ack.pop(first + i, [])
+                           for i in range(w)]
+            jobs: dict[int, list] = {}   # n_pucch -> [(i, rnti, entries)]
+            for i, acks in enumerate(window_acks):
+                by_rnti: dict[int, list] = {}
+                for e in acks:
+                    by_rnti.setdefault(e["rnti"], []).append(e)
+                for rnti, entries in by_rnti.items():
+                    if float(np.max(prb_pow[i])) >= 1e-7:
+                        jobs.setdefault(entries[-1]["n_pucch"], []).append(
+                            (i, rnti, entries))
+                    else:  # DTX: nothing on air
+                        for e in entries:
+                            self.sched.ack_info(rnti, e["pid"], False)
+                            self.stats["dl_nack"] = self.stats.get(
+                                "dl_nack", 0) + 1
+            for n_pucch, rows in jobs.items():
+                g_rows = np.stack([f1_grid(i, first + i, n_pucch)
+                                   for i, _r, _e in rows])
+                bb, mm = pucch_format1_decode_batch(
+                    g_rows, self.cell, n_pucch,
+                    [(first + i) % 10 for i, _r, _e in rows], 1)
+                for (i, rnti, entries), bit, metric in zip(rows, bb, mm):
+                    ack = float(metric) > 0.25 and int(bit[0]) == 1
+                    for e in entries:
+                        self.sched.ack_info(rnti, e["pid"], ack)
+                        key = "dl_ack" if ack else "dl_nack"
+                        self.stats[key] = self.stats.get(key, 0) + 1
+
             # grants indexed BY WINDOW SLOT: dispatch_data row i decodes
             # from slot i's stored grid
             grants = [_pad_ul_grant() for _ in range(w)]
@@ -332,23 +367,7 @@ class WindowedCtrlEnb(EnbStack):
                 u = first + i
                 sf = u % 10
                 has_energy = float(np.max(prb_pow[i])) >= 1e-7
-                # HARQ-ACK on PUCCH 1a (stretched position)
-                acks = self.pending_dl_ack.pop(u, [])
-                by_rnti: dict[int, list] = {}
-                for e in acks:
-                    by_rnti.setdefault(e["rnti"], []).append(e)
-                for rnti, entries in by_rnti.items():
-                    ack = False
-                    if has_energy:
-                        cfgp = PucchConfig(n_pucch=entries[-1]["n_pucch"])
-                        bits, metric = pucch_format1_decode(
-                            f1_grid(i, u, cfgp.n_pucch), self.cell, cfgp,
-                            sf, 1)
-                        ack = float(metric) > 0.25 and int(bits[0]) == 1
-                    for e in entries:
-                        self.sched.ack_info(rnti, e["pid"], ack)
-                        key = "dl_ack" if ack else "dl_nack"
-                        self.stats[key] = self.stats.get(key, 0) + 1
+                acks = window_acks[i]
                 # periodic CQI/RI on PUCCH 2 (ack-free occasions only)
                 if (cqi_on_pusch(u) and has_energy):
                     ack_rntis = {e["rnti"] for e in acks}

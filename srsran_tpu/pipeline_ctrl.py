@@ -322,6 +322,76 @@ def phich_decode_np(sym_eq, cell: Cell, sf_idx: int, n_seq: int):
     return metric < 0, metric
 
 
+@lru_cache(maxsize=512)
+def _f1_refs(cell: Cell, n_pucch: int, delta_shift: int, sf_idx: int):
+    """(dmrs_ref, data_ref) (nsymb_sf, 12) complex conj-reference grids
+    for PUCCH format 1 on one (resource, subframe) — zero outside each
+    part's symbols.  Lets a whole window's ACK decodes run as one
+    vectorized correlation."""
+    from .phy.phch.pucch import (W3, W4, PucchConfig, _f1_alpha_cover,
+                                 _f1_covers, _f1_syms, base_sequence)
+
+    cfg = PucchConfig(n_pucch=n_pucch, delta_shift=delta_shift)
+    u = cell.id % 30
+    r = base_sequence(u, 12)
+    n = np.arange(12)
+    nsym = cell.nsymb_per_slot
+    data_syms, dmrs_syms = _f1_syms(cell)
+    wd = W3 if nsym == 7 else None
+    from .phy.phch.pucch import W2
+
+    if wd is None:
+        wd = W2
+    c = _f1_covers(cell)
+    dmrs = np.zeros((cell.nsymb_per_sf, 12), np.complex64)
+    data = np.zeros((cell.nsymb_per_sf, 12), np.complex64)
+    for slot in range(2):
+        ns = 2 * sf_idx + slot
+        shifts, cover = _f1_alpha_cover(cell, cfg, ns)
+        for i, l in enumerate(dmrs_syms):
+            alpha = 2 * np.pi * shifts[l] / 12
+            dmrs[slot * nsym + l] = (np.exp(1j * alpha * n) * r
+                                     * wd[cover % c, i])
+        for i, l in enumerate(data_syms):
+            alpha = 2 * np.pi * shifts[l] / 12
+            data[slot * nsym + l] = (np.exp(1j * alpha * n) * r
+                                     * np.float32(W4[cover % c, i]))
+    return dmrs, data, len(dmrs_syms), len(data_syms)
+
+
+def pucch_format1_decode_batch(grids: np.ndarray, cell: Cell,
+                               n_pucch: int, sfs, nof_bits: int,
+                               delta_shift: int = 2):
+    """Vectorized mirror of `pucch_format1_decode` over B subframes on
+    ONE resource (the saturated single-UE ACK stream): returns
+    (bits (B, nof_bits), metric (B,)) with the same math/thresholds as
+    the scalar form."""
+    b = grids.shape[0]
+    nsym = cell.nsymb_per_slot
+    dmrs = np.stack([_f1_refs(cell, n_pucch, delta_shift, s)[0]
+                     for s in sfs])
+    data = np.stack([_f1_refs(cell, n_pucch, delta_shift, s)[1]
+                     for s in sfs])
+    n_dmrs = _f1_refs(cell, n_pucch, delta_shift, sfs[0])[2]
+    n_data = _f1_refs(cell, n_pucch, delta_shift, sfs[0])[3]
+    g = grids.reshape(b, 2, nsym, 12)
+    dm = dmrs.reshape(b, 2, nsym, 12)
+    da = data.reshape(b, 2, nsym, 12)
+    h = (g * np.conj(dm)).sum(axis=(2, 3)) / (n_dmrs * 12)   # (B, 2)
+    z = (g * np.conj(da)).sum(axis=3) / 12                   # (B, 2, nsym)
+    w = np.conj(h)[:, :, None] / (np.abs(h)[:, :, None] ** 2 + 1e-9)
+    mask = (np.abs(da).sum(axis=3) > 0)                      # data syms
+    d = (z * w * mask).sum(axis=(1, 2)) / (2 * n_data)
+    est = (np.abs(h) ** 2).sum(axis=1)
+    metric = est / (np.mean(np.abs(g) ** 2, axis=(1, 2, 3)) + 1e-12)
+    if nof_bits == 0:
+        return np.zeros((b, 0), np.uint8), metric
+    if nof_bits == 1:
+        return ((d.real + d.imag) < 0).astype(np.uint8)[:, None], metric
+    return np.stack([(d.real < 0), (d.imag < 0)],
+                    axis=1).astype(np.uint8), metric
+
+
 @lru_cache(maxsize=8)
 def _rm_codebook_np(o: int, e: int, use20: bool):
     from .phy.phch.uci import _codebook
