@@ -166,6 +166,32 @@ def conv_rate_match_rx(llr_e, d: int):
     return flat.reshape(llr_e.shape[:-1] + (3, d))
 
 
+@lru_cache(maxsize=256)
+def _conv_stream(d: int) -> np.ndarray:
+    """The circular-buffer read order (each flat position at most once
+    per cycle) — the batch de-rate-match folds repetitions by cycle."""
+    w, _kp = _conv_wbuffer(d)
+    return w[w >= 0].astype(np.int32)
+
+
+def conv_rate_match_rx_batch_np(llr_e: np.ndarray, d: int) -> np.ndarray:
+    """(H, e) LLR rows → (H, 3, d): the blind search runs one of these
+    per (DCI length, aggregation level) instead of H scalar scatters
+    (the per-candidate np.add.at was ~40% of the windowed control
+    plane's blind-search host time)."""
+    llr_e = np.asarray(llr_e, np.float32)
+    h, e = llr_e.shape
+    stream = _conv_stream(d)
+    ls = stream.size
+    reps = -(-e // ls)
+    pad = np.zeros((h, reps * ls), np.float32)
+    pad[:, :e] = llr_e
+    folded = pad.reshape(h, reps, ls).sum(axis=1)
+    flat = np.zeros((h, 3 * d), np.float32)
+    flat[:, stream] = folded
+    return flat.reshape(h, 3, d)
+
+
 def conv_rate_match_rx_np(llr_e: np.ndarray, d: int) -> np.ndarray:
     """Host-side de-rate-match for control-sized payloads (PDCCH blind
     search runs one per candidate — the eager-jax scatter form costs

@@ -212,8 +212,13 @@ def blind_search_dispatch(ctrl_eq: np.ndarray, layout: CtrlLayout,
     from .phy.fec.rate_match import conv_rate_match_rx_np
     from .pipeline_window import _pow2_bucket
 
+    from .phy.fec.rate_match import conv_rate_match_rx_batch_np
+
     w = len(sf_indices)
-    hyps: dict[int, list] = {}   # viterbi length d -> [(meta, d_llr)]
+    # hypotheses grouped by (viterbi length d, aggregation level): same
+    # slice width + same de-rate-match indices → ONE vectorized de-RM
+    # per group instead of a scalar scatter per candidate
+    raw: dict[tuple, list] = {}   # (d, lvl) -> [(meta, e_slice)]
     for t in range(w):
         reqs = searches_per_tti[t]
         if not reqs:
@@ -231,10 +236,16 @@ def blind_search_dispatch(ctrl_eq: np.ndarray, layout: CtrlLayout,
             for lvl, starts in _blind_candidates(rnti, sf, layout.n_cce,
                                                  ue_sp):
                 for st in starts:
-                    e = ls[st * CCE_BITS: (st + lvl) * CCE_BITS]
-                    hyps.setdefault(d, []).append(
+                    raw.setdefault((d, lvl), []).append(
                         ((t, rnti, fmt, dci_len, lvl, st),
-                         conv_rate_match_rx_np(e, d)))
+                         ls[st * CCE_BITS: (st + lvl) * CCE_BITS]))
+    hyps: dict[int, list] = {}   # d -> [(meta, (3, d) llr)]
+    for (d, _lvl), group in raw.items():
+        dll = conv_rate_match_rx_batch_np(
+            np.stack([g[1] for g in group]), d)
+        lst = hyps.setdefault(d, [])
+        for (meta, _e), row in zip(group, dll):
+            lst.append((meta, row))
     pend = []
     for d, entries in hyps.items():
         # pad the hypothesis batch to a pow2 bucket: the count varies
