@@ -90,7 +90,6 @@ RD = 4            # dispatch → earliest realization poll distance (TTIs)
 RD_COPY = 2       # dispatch → start the async device→host copy (TTIs)
 RTT_HIDE = 0.045  # wall seconds the D2H copy needs on the tunneled link
 #   (~25 ms idle RTT plus queueing behind the window uploads)
-PAD_DL = None     # built lazily per cell
 
 
 def _pump_q(q, tti, arr_of):
@@ -116,7 +115,6 @@ def _due(e, tti, rd_max: int) -> bool:
         return True
     return (age >= RD and e["cs"] is not None
             and _t.monotonic() - e["cs"] >= RTT_HIDE)
-PAD_DL = None
 
 
 def _start_copy(arr):
@@ -186,12 +184,10 @@ class WindowedCtrlEnb(EnbStack):
         # DL render pipeline
         self._dl_disp: dict[int, object] = {}   # window j -> device out
         self._dl_rows: dict[int, np.ndarray] = {}
-        self._dl_next = 0
         # UL pipeline
         self._ul_rows: dict[int, np.ndarray | None] = {}
         self._ul_fe_q: deque = deque()   # (dispatch_tti, first_u, pf)
         self._ul_data_q: deque = deque()  # (dispatch_tti, pending, metas)
-        self._win_soft_ul: dict = {}
         # device link (WindowedDeviceLoopback): baseband stays in HBM;
         # the driver moves whole windows between the stacks
         self.device_link = False
