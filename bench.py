@@ -86,7 +86,10 @@ def sync(x):
     return float(jnp.sum(jnp.ravel(x)[:1].astype(jnp.float32)))
 
 
-def measure(fn, arg, n=10, trials=3):
+def measure(fn, arg, n=40, trials=3):
+    # The trailing sync's ~25 ms tunnel RTT is inside the n-call average;
+    # n=10 inflated every row by ~2.5 ms/call (steady-state throughput has
+    # no per-call sync — windows pipeline).  n=40 bounds the bias <0.7 ms.
     r = fn(arg)
     sync(r)
     best = float("inf")
@@ -364,7 +367,7 @@ def bench_turbo(jax, jnp, rng):
     bits = run(llr)
     sync(bits)
     errs = int(np.sum(np.asarray(bits) != cbs))
-    dt = measure(run, llr, n=20)
+    dt = measure(run, llr)
     mbps = batch * k / dt / 1e6
     log(f"turbo-only: {dt*1e3:.2f} ms for {batch} CBs of {k} (bit errors {errs}) -> {mbps:.1f} Mbps")
     return mbps

@@ -909,12 +909,16 @@ class WindowedUeDl:
         packed, new_soft = out
         return PendingWindow(packed, new_soft, pack.tbs, pack)
 
-    def stage_times(self, samples, sf_indices, grants, n: int = 10):
+    def stage_times(self, samples, sf_indices, grants, n: int = 40):
         """Per-stage device seconds for one window through the SAME plan
         `dispatch_window` runs (ADVICE r3 #1: the bench must not
         hand-replicate pipeline internals).  Synchronizes each stage with
         a scalar readback (block_until_ready does not await execution on
-        the tunneled runtime)."""
+        the tunneled runtime).  The one sync's ~25 ms tunnel round-trip
+        sits INSIDE the n-call average, so n must be large enough to
+        amortize it — n=10 was inflating every stage by ~2.1 ms (measured:
+        the mcs8 carrier window read 16.3 ms/window at n=10 vs 10.2-11.3
+        at n=40, where n=40 repeats agree to ±5%)."""
         import time as _time
 
         stages, _pack = self._plan(samples, sf_indices, grants)
