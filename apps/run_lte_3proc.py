@@ -115,10 +115,15 @@ def run_epc(args):
     if args.tun:
         spgw.attach_tun(name="tun_sgi3p")
     dl_sent = 0
-    t_end = time.time() + args.duration
+    # the duration clock starts at the first UE attach: the peers spend
+    # an unbounded machine-dependent stretch in import + first-TTI jit
+    # tracing, and a wall deadline from process start makes the run
+    # length a startup lottery (hard cap keeps a stuck run bounded)
+    t_end = None
+    t_hard = time.time() + args.duration + 120.0
     attached_ip = None
     last_dl = 0.0
-    while time.time() < t_end:
+    while (t_end is None or time.time() < t_end) and time.time() < t_hard:
         msgs: list = []
         _drain_frames(conn, msgs)
         for m in msgs:
@@ -140,6 +145,8 @@ def run_epc(args):
             for ue in mme.ues.values():
                 if ue.ue_ip:
                     attached_ip = ue.ue_ip
+            if attached_ip is not None and t_end is None:
+                t_end = time.time() + args.duration
         if (attached_ip and dl_sent < args.n_dl and not args.tun
                 and time.time() - last_dl > 0.01):
             # synthetic DL payloads (host-queue mode only: with --tun
@@ -232,13 +239,22 @@ def run_enb(args):
 
     ul = None
     n_tti = 0
-    t_end = time.time() + args.duration
-    while time.time() < t_end:
+    # clock from the first completed TTI exchange (see run_epc note)
+    t_end = None
+    t_hard = time.time() + args.duration + 120.0
+    while (t_end is None or time.time() < t_end) and time.time() < t_hard:
+        if t_end is None and n_tti >= 1:
+            t_end = time.time() + args.duration
         mme.pump()
         dl = enb.run_tti(ul)
-        # PHY frame toward the UE (REQ/REP lockstep, rf_zmq pattern)
-        _frame_send(conn, np.ascontiguousarray(dl, np.complex64).tobytes())
-        fr = _frame_recv(conn)
+        # PHY frame toward the UE (REQ/REP lockstep, rf_zmq pattern);
+        # the peer may have hit its own deadline — exit on a closed link
+        try:
+            _frame_send(conn, np.ascontiguousarray(
+                dl, np.complex64).tobytes())
+            fr = _frame_recv(conn)
+        except OSError:
+            break
         if fr is None:
             break
         ul = (np.frombuffer(fr, np.complex64).copy() if fr else None)
@@ -275,15 +291,27 @@ def run_ue(args):
     ul_sent = 0
     ping_proc = None
     ping_out = ""
-    t_end = time.time() + args.duration
-    while time.time() < t_end:
-        fr = _frame_recv(sock)
+    n_rx = 0
+    # clock from the first completed TTI exchange (see run_epc note)
+    t_end = None
+    t_hard = time.time() + args.duration + 120.0
+    while (t_end is None or time.time() < t_end) and time.time() < t_hard:
+        if t_end is None and n_rx >= 1:
+            t_end = time.time() + args.duration
+        try:
+            fr = _frame_recv(sock)
+        except OSError:
+            break
         if fr is None:
             break
         dl = np.frombuffer(fr, np.complex64).copy()
         ul = ue.run_tti(dl)
-        _frame_send(sock, b"" if ul is None else np.ascontiguousarray(
-            ul, np.complex64).tobytes())
+        try:
+            _frame_send(sock, b"" if ul is None else np.ascontiguousarray(
+                ul, np.complex64).tobytes())
+        except OSError:
+            break
+        n_rx += 1
         if (ue.rrc_state == UeStack.RRC_ACTIVE
                 and ue.nas.state == ue.nas.REGISTERED):
             if args.tun and ping_proc is None:

@@ -2089,11 +2089,20 @@ class UeStack:
                         self.ul_gain_db + (-1, 0, 1, 3)[dci0.tpc], -20.0, 20.0))
                     if dci0.cqi_request:
                         self._apcqi_tx.add(tti + delay)
-                    rb0, l_crb = riv_decode(self.cell.nof_prb, dci0.riv)
-                    self.pending_tx[tti + delay] = UlGrant(
-                        prb_start=rb0, nof_prb=l_crb, mod=ul_mcs_to_mod(dci0.mcs),
-                        tbs=tbs_lookup(ul_mcs_to_itbs(dci0.mcs), l_crb), rnti=rnti,
-                    )
+                    try:
+                        rb0, l_crb = riv_decode(self.cell.nof_prb, dci0.riv)
+                        grant0 = UlGrant(
+                            prb_start=rb0, nof_prb=l_crb,
+                            mod=ul_mcs_to_mod(dci0.mcs),
+                            tbs=tbs_lookup(ul_mcs_to_itbs(dci0.mcs), l_crb),
+                            rnti=rnti)
+                    except (ValueError, IndexError):
+                        # CRC-RNTI false positive: a ~2^-16/candidate noise
+                        # decode can carry reserved fields (e.g. MCS 29-31,
+                        # never sent as a fresh grant here) — discard like
+                        # the reference's DCI field validation (dci.c)
+                        continue
+                    self.pending_tx[tti + delay] = grant0
             if rnti == self.crnti and res.deferred:
                 continue  # windowed plane: completion via _complete_dl_data
             if rnti == self.crnti and res.dci_used is not None and res.tbs:
@@ -2142,11 +2151,14 @@ class UeStack:
                 try:
                     dci0 = Dci0.unpack(bits, self.scell.nof_prb)
                     rb0, l_crb = riv_decode(self.scell.nof_prb, dci0.riv)
-                except ValueError:
-                    continue
-                self.pending_tx_scell[tti + 4] = UlGrant(
-                    prb_start=rb0, nof_prb=l_crb, mod=ul_mcs_to_mod(dci0.mcs),
-                    tbs=tbs_lookup(ul_mcs_to_itbs(dci0.mcs), l_crb), rnti=self.crnti)
+                    g_sc = UlGrant(
+                        prb_start=rb0, nof_prb=l_crb,
+                        mod=ul_mcs_to_mod(dci0.mcs),
+                        tbs=tbs_lookup(ul_mcs_to_itbs(dci0.mcs), l_crb),
+                        rnti=self.crnti)
+                except (ValueError, IndexError):
+                    continue  # false positive / reserved fields
+                self.pending_tx_scell[tti + 4] = g_sc
         if res.tbs and self.tdd is None:
             # FDD CA HARQ-ACK: the SCell bit joins the PCell's on ONE
             # format-3 resource at the ACK occasion (pucch_proc.c

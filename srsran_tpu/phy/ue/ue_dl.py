@@ -226,12 +226,16 @@ def _decode_grant(res, fmt, bits, cce, grid, ce, noise, cell, sf_idx, cfi,
         else:
             pmi = 0
             scheme = "cdd"
-        grant = DlGrant2(
-            prb=prb,
-            mod1=dl_mcs_to_mod(dci.mcs1), tbs1=dl_tbs(dci.mcs1, l_crb),
-            mod2=dl_mcs_to_mod(dci.mcs2), tbs2=dl_tbs(dci.mcs2, l_crb),
-            rv1=dci.rv1, rv2=dci.rv2, pmi=pmi, rnti=rnti, tx_scheme=scheme,
-        )
+        try:
+            grant = DlGrant2(
+                prb=prb,
+                mod1=dl_mcs_to_mod(dci.mcs1), tbs1=dl_tbs(dci.mcs1, l_crb),
+                mod2=dl_mcs_to_mod(dci.mcs2), tbs2=dl_tbs(dci.mcs2, l_crb),
+                rv1=dci.rv1, rv2=dci.rv2, pmi=pmi, rnti=rnti,
+                tx_scheme=scheme,
+            )
+        except (ValueError, IndexError):
+            return False  # reserved MCS from a CRC-RNTI false positive
         if (deferred is not None and getattr(deferred, "mimo", False)
                 and not is_tdd and last_symbol is None
                 and grant.tbs1 > 0 and grant.tbs2 > 0):
@@ -273,11 +277,14 @@ def _decode_grant(res, fmt, bits, cce, grid, ce, noise, cell, sf_idx, cfi,
         if not prb:
             return False
         scheme = "diversity" if nports_cell >= 2 else "port0"
-        grant = DlGrant(
-            prb=prb, mod=dl_mcs_to_mod(dci.mcs),
-            tbs=dl_tbs(dci.mcs, len(prb), dwpts=last_symbol is not None),
-            rv=dci.rv, rnti=rnti, tx_scheme=scheme,
-        )
+        try:
+            grant = DlGrant(
+                prb=prb, mod=dl_mcs_to_mod(dci.mcs),
+                tbs=dl_tbs(dci.mcs, len(prb), dwpts=last_symbol is not None),
+                rv=dci.rv, rnti=rnti, tx_scheme=scheme,
+            )
+        except (ValueError, IndexError):
+            return False  # reserved MCS from a CRC-RNTI false positive
         ndi, harq_pid = dci.ndi, dci.harq_pid
     else:  # "1A"
         try:
@@ -301,11 +308,16 @@ def _decode_grant(res, fmt, bits, cce, grid, ce, noise, cell, sf_idx, cfi,
                 tx_scheme=scheme,
             )
         else:
-            grant = DlGrant(
-                prb=tuple(range(rb0, rb0 + l_crb)), mod=dl_mcs_to_mod(dci.mcs),
-                tbs=dl_tbs(dci.mcs, l_crb, dwpts=last_symbol is not None),
-                rv=dci.rv, rnti=rnti, tx_scheme=scheme,
-            )
+            try:
+                grant = DlGrant(
+                    prb=tuple(range(rb0, rb0 + l_crb)),
+                    mod=dl_mcs_to_mod(dci.mcs),
+                    tbs=dl_tbs(dci.mcs, l_crb,
+                               dwpts=last_symbol is not None),
+                    rv=dci.rv, rnti=rnti, tx_scheme=scheme,
+                )
+            except (ValueError, IndexError):
+                return False  # reserved MCS (CRC-RNTI false positive)
         ndi, harq_pid = dci.ndi, dci.harq_pid
 
     # HARQ soft combining: the caller's per-process dict carries
